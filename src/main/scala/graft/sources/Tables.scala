@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the harness testdata (TPC-H-ish star schema plus
+  * `events`/`documents`/`embeddings`).
+  *
+  * Scale stance: plain `spark.read.parquet` keeps the scan declarative so
+  * Catalyst pushes predicates and prunes columns into the parquet reader; on
+  * a real cluster the same call distributes splits by
+  * `spark.sql.files.maxPartitionBytes` with no code change.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extra: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extra
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Loads every table into a name->DataFrame map (lazy plans, no I/O yet). */
+  def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    all.map(n => n -> load(spark, dir, n)).toMap
+}
