@@ -1,13 +1,796 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
+import graft.operators.{Dedup, Rounds, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract (SURVEY §7 + builder prompt): one `queries` entry per
+  * implemented operator from SURVEY §2, each with a DuckDB-equivalent
+  * `oracleSql` where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules used throughout (so Spark parquet and the DuckDB oracle
+  * hash-match bit-for-bit):
+  *  - every query ends in a total ORDER BY over a unique key prefix;
+  *  - timestamps are emitted as `yyyy-MM-dd HH:mm:ss` strings (sidesteps
+  *    parquet tz-annotation differences between engines);
+  *  - money-ish double sums go through DECIMAL(18,2) (exact, order-free)
+  *    and back to DOUBLE; other float aggregates are rounded to 4–6 dp;
+  *  - rank/row_number outputs are BIGINT (DuckDB's window type).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue per
+    * nation — lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li  = t(spark, dir, "lineitem")
+    val o   = t(spark, dir, "orders")
+    val c   = t(spark, dir, "customer")
+    val n   = t(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/P1/P2/O1 — projected, aliased scan with null/empty filters.
+    "s1_scan_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_returnflag") =!= "" &&
+          col("l_quantity") > 30)
+        .select(
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+          col("l_quantity").as("qty"), col("l_returnflag").as("flag"))
+        .orderBy("order_id", "line_no")
+    }),
+
+    // U1/A1/S2 — 4-way round-tagged union, min/max per round
+    // (FillRound analog, etl.py:181-202).
+    "u1_round_minmax" -> ((s, dir) => {
+      Rounds.fourWaySplitUnion(t(s, dir, "orders"), "o_orderkey")
+        .groupBy(col("round"))
+        .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"),
+          count(lit(1)).as("n"))
+        .select(col("round"), fmt(col("mn")).as("min_date"),
+          fmt(col("mx")).as("max_date"), col("n"))
+        .orderBy("round")
+    }),
+
+    // A2/J3 — the vw_project_access_requests aggregate (etl.py:661-669):
+    // countDistinct + sum + the count==1 boolean flag.
+    "a2_project_requests" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_linenumber")).as("n_requests"),
+          sum(col("l_quantity")).as("total_days"))
+        .select(col("l_orderkey").as("project_id"), col("n_requests"),
+          col("total_days"), (col("n_requests") =!= 1).as("multiple"))
+        .orderBy("project_id")
+    }),
+
+    // J1/J2 — two-level left-join denormalization against broadcast dims
+    // (unidentified.ipynb cell 8 / etl.py:339-346).
+    "j1_denorm" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("o_orderkey").as("order_id"), col("c_name").as("customer_name"),
+          col("n_name").as("nation_name"), col("o_totalprice").as("total_price"))
+        .orderBy("order_id")
+    }),
+
+    // J8/W3/O1 — positional-ordinal join: first order per customer via
+    // row_number within partition (etl.py:219,469-473).
+    "j8_first_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("cust_id"), col("o_orderkey").as("first_order"),
+          fmt(col("o_orderdate")).as("first_date"))
+        .orderBy("cust_id")
+    }),
+
+    // W1/O1 — sequential ID assignment replacing itertools.count
+    // (etl.py:215,269-270,348,461,488).
+    "w1_seq_ids" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("new_id",
+          row_number().over(Window.orderBy(col("p_partkey"))).cast("bigint"))
+        .select(col("new_id"), col("p_partkey").as("part_id"), col("p_name").as("name"))
+        .orderBy("new_id")
+    }),
+
+    // A3/F21 — ScoreStats: unpivot score columns, zero-drop quirk
+    // (utils.py:181), count/mean/sum/stddev with min_size semantics
+    // (utils.py:156-199).
+    "a3_score_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (score_name, score)")
+        .filter(col("score").isNotNull && col("score") =!= 0)
+        .groupBy(col("l_returnflag").as("flag"), col("score_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("score")), 6).as("mean"),
+          sum(col("score").cast("decimal(18,2)")).cast("double").as("total"),
+          round(stddev_samp(col("score")), 6).as("sd0"))
+        .select(col("flag"), col("score_name"), col("n"), col("mean"), col("total"),
+          when(col("n") < 2, lit(null).cast("double")).otherwise(col("sd0")).as("sd"))
+        .orderBy("flag", "score_name")
+    }),
+
+    // A3 mode — deterministic mode (highest count, lowest value tiebreak;
+    // utils.py:156-199 note in SURVEY §7.4.2).
+    "a3_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (score_name, score)")
+        .filter(col("score").isNotNull && col("score") =!= 0)
+        .groupBy(col("l_returnflag").as("flag"), col("score_name"), col("score"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("flag"), col("score_name"))
+        .orderBy(col("c").desc, col("score"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("flag"), col("score_name"), col("score").as("mode_score"))
+        .orderBy("flag", "score_name")
+    }),
+
+    // A4/O3 — first-seen-wins canonical row via max_by over a struct
+    // (SpecificDiscipline dedup, etl.py:263-321).
+    "a4_canonical_rows" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(
+          max_by(
+            struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+            struct(col("l_orderkey"), col("l_linenumber"))).as("last"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_partkey").as("part_id"), col("last.l_orderkey").as("last_order"),
+          col("last.l_linenumber").as("last_line"), col("last.l_quantity").as("last_qty"),
+          col("n_rows"))
+        .orderBy("part_id")
+    }),
+
+    // A6/W2 — percent-of-group via window denominator
+    // (unidentified.ipynb cells 11,15).
+    "a6_pct_of_group" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+      base
+        .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"),
+          col("n"), round(col("n") * lit(100.0) / sum(col("n")).over(w), 6).as("pct"))
+        .orderBy("status", "priority")
+    }),
+
+    // W4/P11/O2 — z-score outliers. Two-pass agg + broadcast cross join, NOT
+    // a whole-table window: scales to any corpus (outliers.ipynb cell 5).
+    "w4_zscore" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val stats = cust.agg(avg(col("c_acctbal")).as("mu"),
+        stddev_samp(col("c_acctbal")).as("sigma"))
+      cust.crossJoin(broadcast(stats))
+        .withColumn("z", round((col("c_acctbal") - col("mu")) / col("sigma"), 4))
+        .filter(col("z") < -1.5)
+        .select(col("c_custkey").as("cust_id"), col("c_acctbal").as("acctbal"), col("z"))
+        .orderBy("cust_id")
+    }),
+
+    // O2/O4 — deterministic top-k (orderBy desc + unique tiebreak + limit).
+    "o4_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey").as("order_id"), col("o_totalprice").as("total_price"),
+          col("o_orderpriority").as("priority"))
+        .orderBy("order_id")
+    }),
+
+    // U4/P5 — left-anti set difference (resources.py:338,349): customers
+    // with no pending orders.
+    "u4_no_orders" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("cust_id"), col("c_name").as("name"))
+        .orderBy("cust_id")
+    }),
+
+    // U3/A12 — distinct collapse.
+    "u3_distinct" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_nationkey").as("nation_id"), col("c_mktsegment").as("segment"))
+        .distinct()
+        .orderBy("nation_id", "segment")
+    }),
+
+    // P3/P7/P9 — inequality + range predicates pushed to the parquet scan.
+    "p9_range_filter" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "P" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("order_id"), fmt(col("o_orderdate")).as("order_date"),
+          col("o_orderstatus").as("status"))
+        .orderBy("order_id")
+    }),
+
+    // J10/F20/F22 — identified-flag left join + fillna(false)
+    // (unidentified.ipynb cell 8).
+    "j10_has_order" -> ((s, dir) => {
+      val flags = t(s, dir, "orders").select(col("o_custkey")).distinct()
+        .withColumn("has", lit(true))
+      t(s, dir, "customer")
+        .join(flags, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("cust_id"),
+          coalesce(col("has"), lit(false)).as("has_order"))
+        .orderBy("cust_id")
+    }),
+
+    // F19 — value recode ('YES'→'Open' style, journal-analysis.ipynb cell 4).
+    "f19_recode" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("status_label",
+          when(col("o_orderstatus") === "O", "Open")
+            .when(col("o_orderstatus") === "F", "Finished")
+            .when(col("o_orderstatus") === "P", "Pending")
+            .otherwise("Unknown"))
+        .groupBy("status_label").agg(count(lit(1)).as("n"))
+        .orderBy("status_label")
+    }),
+
+    // A11/F17/O4 — explode + token frequency top-N
+    // (classifiers.ipynb cell 12, outliers.ipynb cell 6).
+    "a11_top_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+
+    // A9 — duplicate-grouping histogram (duplicates.ipynb cells 11,14).
+    "a9_dup_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_records"))
+        .filter(col("n_records") > 1)
+        .groupBy(col("n_records")).agg(count(lit(1)).as("n_groups"))
+        .orderBy("n_records")
+    }),
+
+    // A8/U2 — group totals + synthetic 'Total' facet row
+    // (journal-analysis.ipynb cell 16), over a 3-way broadcast join.
+    "a8_region_totals" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val joined = sup
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      val per = joined.groupBy(col("r_name").as("region"))
+        .agg(sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),
+          count(lit(1)).as("n"))
+      val total = sup.agg(
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),
+        count(lit(1)).as("n")).withColumn("region", lit("Total"))
+      per.unionByName(total.select("region", "total_bal", "n")).orderBy("region")
+    }),
+
+    // F1 — clean_string contract (utils.py:69-87) over the documents corpus.
+    "f1_clean_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Cleaning.cleanString(col("text")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // F12/O5 — regex-extraction cascade, first matching stage wins
+    // (parsers/doi.py:13-42).
+    "o5_extract_cascade" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(
+            nullif(regexp_extract(col("text"), "(spark\\w*)", 1), lit("")),
+            nullif(regexp_extract(col("text"), "(join\\w*)", 1), lit("")),
+            lit("none")).as("first_hit"))
+        .orderBy("doc_id")
+    }),
+
+    // F2 — find_names-style token extraction (utils.py:56-66; ASCII variant
+    // so the RE2 oracle is bit-identical).
+    "f2_find_names" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(
+            slice(regexp_extract_all(
+              regexp_replace(col("text"), " and |&", "; "),
+              lit("([a-zA-Z]{3,}[-' ]?)+"), lit(0)), 1, 3),
+            ";").as("names"))
+        .orderBy("doc_id")
+    }),
+
+    // F7 — per-element transform + array_join (author formatting,
+    // etl.py:393-404).
+    "f7_author_format" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(
+            transform(slice(split(col("text"), " "), 1, 4),
+              a => concat(a, lit("-x"))),
+            "; ").as("authors"))
+        .orderBy("doc_id")
+    }),
+
+    // P4 — ILIKE disjunction over DOI-ish columns (resources.py:345-346).
+    "p4_ilike" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(lower(col("text")).contains("spark") || col("text").like("%10.%"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // P8/P10 — null-conjunction + isin filters
+    // (journal-analysis.ipynb cell 14, unidentified.ipynb cell 15).
+    "p8_null_conj" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(nullif(col("lang"), lit("en")).isNull &&
+          nullif(col("source"), lit("src0")).isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // P6/P10 — IN-set filter + per-key counts.
+    "p10_isin" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // F3 — legacy datetime format round-trip through Cleaning.toDatetimeLegacy
+    // ('Mon Jan 02 15:04:05 GMT 2006' shape, utils.py:90-102).
+    "f3_time_roundtrip" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          fmt(Cleaning.toDatetimeLegacy(
+            date_format(col("ts"), "EEE MMM dd HH:mm:ss 'GMT' yyyy"))).as("parsed"))
+        .orderBy("event_id")
+    }),
+
+    // F24 — JSON key extraction (resources.py:240-268).
+    "f24_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // Streaming-batch parity — tumbling 1h window counts over events
+    // (SURVEY §2.9; the streaming twin lives in graft.streaming).
+    "events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(fmt(col("w.start")).as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // --- LLM-data-pipeline operators (builder brief) ---
+
+    // Exact dedup groups over md5(text) — one shuffle, map-side combine.
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("text_hash")
+    }),
+
+    // Exact n-gram Jaccard similarity pairs (verification-grade path;
+    // MinHash LSH is the scale path, registered rows-only below).
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.18)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Brute-force cosine top-k over embeddings (ANN baseline).
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Text quality metrics (token counts, stopword ratio, quality score).
+    "text_quality" -> ((s, dir) => {
+      val stops = typedLit(Seq("the", "a"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          round(TextStats.stopwordRatio(col("text"), stops), 6).as("stop_ratio"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token totals per source — the "how many tokens per shard" pipeline stat.
+    "text_token_totals" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextStats.tokenCount(col("text")).cast("bigint")).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // Rule-based language ID (function-word hits, profile order tiebreak).
+    "text_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.langIdRules(col("text"), Seq(
+            "en" -> Seq("the", "a"),
+            "fr" -> Seq("le", "la"),
+            "es" -> Seq("el", "los"))).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing — opaque binary column + byte-level metadata
+    // (decode itself is the stubbed stage, see graft.operators.Multimodal).
+    "multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).as("byte_len"),
+          md5(col("text").cast("binary")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // --- rows-only entries (not ANSI-SQL-expressible; weaker check) ---
+
+    // MinHash LSH near-dup candidates (seeded, banded join — scale path).
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, numHashes = 8, maxDistance = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash signatures + band buckets (xxhash64-based).
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashBuckets(t(s, dir, "documents"), "text", "doc_id", bandBits = 12)
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit document fingerprint (xxhash64 of normalized token stream).
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // F16 — partial_ratio fuzzy score (native Catalyst expression).
+    "fuzzy_partial_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Fuzzy.partialRatio(substring(col("text"), 1, 40),
+            lit("spark table join filter")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // F11/F12/F13/O5 — the real DOI extraction cascade over a synthesized
+    // URL-ish column (exercises Doi.extractDoi end to end).
+    "doi_extract" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://doi.org/10.1"), (col("doc_id") % 1000 + 1000).cast("string"),
+            lit("/j."), col("source"), lit("."), col("doc_id").cast("string"),
+            lit(".pdf")).as("url"))
+        .select(col("doc_id"), Doi.extractDoi(col("url")).as("doi"))
+        .orderBy("doc_id")
+    }),
+
+    // LSH-bucketed ANN (SRP signatures — the 100 TB path; recall<1 vs brute).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          dim = 64, bits = 4)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // -------------------------------------------------------------- oracleSql
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty, l_returnflag AS flag
+        |FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_returnflag <> '' AND l_quantity > 30
+        |ORDER BY order_id, line_no""".stripMargin,
+
+    "u1_round_minmax" ->
+      """SELECT CAST(o_orderkey % 4 AS INT) AS round,
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a2_project_requests" ->
+      """SELECT l_orderkey AS project_id,
+        |  count(DISTINCT l_linenumber) AS n_requests,
+        |  sum(l_quantity) AS total_days,
+        |  count(DISTINCT l_linenumber) <> 1 AS multiple
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j1_denorm" ->
+      """SELECT o_orderkey AS order_id, c_name AS customer_name, n_name AS nation_name,
+        |  o_totalprice AS total_price
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY order_id""".stripMargin,
+
+    "j8_first_order" ->
+      """SELECT o_custkey AS cust_id, o_orderkey AS first_order,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS first_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1 ORDER BY cust_id""".stripMargin,
+
+    "w1_seq_ids" ->
+      """SELECT row_number() OVER (ORDER BY p_partkey) AS new_id,
+        |  p_partkey AS part_id, p_name AS name
+        |FROM part ORDER BY new_id""".stripMargin,
+
+    "a3_score_stats" ->
+      """WITH u AS (
+        |  SELECT l_returnflag AS flag, 'quantity' AS score_name, l_quantity AS score FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+        |SELECT flag, score_name, count(*) AS n, round(avg(score), 6) AS mean,
+        |  CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CASE WHEN count(*) < 2 THEN NULL ELSE round(stddev_samp(score), 6) END AS sd
+        |FROM u WHERE score IS NOT NULL AND score <> 0
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "a3_mode" ->
+      """WITH u AS (
+        |  SELECT l_returnflag AS flag, 'quantity' AS score_name, l_quantity AS score FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem),
+        |c AS (SELECT flag, score_name, score, count(*) AS c FROM u
+        |      WHERE score IS NOT NULL AND score <> 0 GROUP BY 1,2,3)
+        |SELECT flag, score_name, score AS mode_score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY flag, score_name ORDER BY c DESC, score) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY flag, score_name""".stripMargin,
+
+    "a4_canonical_rows" ->
+      """SELECT l_partkey AS part_id, l_orderkey AS last_order, l_linenumber AS last_line,
+        |  l_quantity AS last_qty, n_rows
+        |FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn,
+        |        count(*) OVER (PARTITION BY l_partkey) AS n_rows
+        |      FROM lineitem)
+        |WHERE rn = 1 ORDER BY part_id""".stripMargin,
+
+    "a6_pct_of_group" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority, count(*) AS n,
+        |  round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY o_orderstatus), 6) AS pct
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "w4_zscore" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS cust_id, c_acctbal AS acctbal,
+        |    round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 4) AS z
+        |  FROM customer)
+        |WHERE z < -1.5 ORDER BY cust_id""".stripMargin,
+
+    "o4_topk" ->
+      """SELECT o_orderkey AS order_id, o_totalprice AS total_price, o_orderpriority AS priority
+        |FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+        |ORDER BY order_id""".stripMargin,
+
+    "u4_no_orders" ->
+      """SELECT c_custkey AS cust_id, c_name AS name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY cust_id""".stripMargin,
+
+    "u3_distinct" ->
+      """SELECT DISTINCT c_nationkey AS nation_id, c_mktsegment AS segment
+        |FROM customer ORDER BY 1, 2""".stripMargin,
+
+    "p9_range_filter" ->
+      """SELECT o_orderkey AS order_id, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+        |  o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderstatus <> 'P'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY order_id""".stripMargin,
+
+    "j10_has_order" ->
+      """SELECT c_custkey AS cust_id, (o.o_custkey IS NOT NULL) AS has_order
+        |FROM customer
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o.o_custkey
+        |ORDER BY cust_id""".stripMargin,
+
+    "f19_recode" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+        |  WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status_label, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a11_top_tokens" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "a9_dup_histogram" ->
+      """SELECT n_records, count(*) AS n_groups
+        |FROM (SELECT l_partkey, count(*) AS n_records FROM lineitem GROUP BY 1)
+        |WHERE n_records > 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a8_region_totals" ->
+      """SELECT r_name AS region,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT 'Total', CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), count(*) FROM supplier
+        |ORDER BY region""".stripMargin,
+
+    "f1_clean_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN t IS NULL OR t = '' OR NOT regexp_matches(t, '\w') THEN NULL ELSE t END AS clean
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(text, '[\r\n\t]+', ' ', 'g'), ' {2,}', ' ', 'g')) AS t
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "o5_extract_cascade" ->
+      """SELECT doc_id,
+        |  coalesce(nullif(regexp_extract(text, '(spark\w*)', 1), ''),
+        |           nullif(regexp_extract(text, '(join\w*)', 1), ''),
+        |           'none') AS first_hit
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f2_find_names" ->
+      """SELECT doc_id,
+        |  array_to_string(list_slice(
+        |    regexp_extract_all(regexp_replace(text, ' and |&', '; ', 'g'), '([a-zA-Z]{3,}[-'' ]?)+', 0),
+        |    1, 3), ';') AS names
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f7_author_format" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 4), a -> a || '-x'), '; ') AS authors
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p4_ilike" ->
+      """SELECT doc_id FROM documents
+        |WHERE contains(lower(text), 'spark') OR text LIKE '%10.%'
+        |ORDER BY doc_id""".stripMargin,
+
+    "p8_null_conj" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE nullif(lang, 'en') IS NULL AND nullif(source, 'src0') IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "p10_isin" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |WHERE event_type IN ('click', 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f3_time_roundtrip" ->
+      """SELECT event_id,
+        |  strftime(strptime(strftime(ts, '%b %d %H:%M:%S GMT %Y'), '%b %d %H:%M:%S GMT %Y'),
+        |           '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f24_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2)
+        |SELECT doc_a, doc_b,
+        |  round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.18
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |      FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  round(len(list_filter(string_split(trim(text), ' '), x -> x IN ('the', 'a'))) * 1.0
+        |        / len(string_split(trim(text), ' ')), 6) AS stop_ratio,
+        |  round(0.4 * (CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |      + 0.4 * (len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text))
+        |      + 0.2 * (CASE WHEN (len(text) + 1) * 1.0 / len(string_split(trim(text), ' '))
+        |                    BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_totals" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN h_en = m AND m > 0 THEN 'en'
+        |       WHEN h_fr = m AND m > 0 THEN 'fr'
+        |       WHEN h_es = m AND m > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a'))) AS h_en,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('le', 'la'))) AS h_fr,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('el', 'los'))) AS h_es,
+        |    greatest(
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a'))),
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('le', 'la'))),
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('el', 'los')))) AS m
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (builder brief):
+  * tokenization, token counting, quality scoring, language-ID heuristics and
+  * document fingerprinting. Reference analog for tokenization: F23
+  * /root/reference/notebooks/classifiers.ipynb cell 12 (lowercase, strip
+  * non-letters, drop short tokens).
+  *
+  * Everything here is builtin-expression composition — whole-stage codegen
+  * friendly, no UDFs — so at 100 TB these are pure map-side columns with zero
+  * shuffle of their own.
+  */
+object TextStats {
+
+  /** F23-style tokenizer: lowercase, strip everything outside `[a-z- ]`,
+    * split on spaces, drop empty and 1-char tokens.
+    */
+  def tokenize(c: Column): Column = {
+    val cleaned = regexp_replace(lower(c), "[^a-z\\- ]", " ")
+    filter(split(cleaned, " +"), t => length(t) > 1)
+  }
+
+  /** Whitespace token count — the cheap "how many tokens will the trainer
+    * see" estimator.
+    */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish subword count estimator: words + punctuation runs counted
+    * separately (a word of length n contributes ceil(n/4) pieces — a
+    * deterministic stand-in for a real BPE vocab, which isn't available
+    * offline).
+    */
+  def bpeishCount(c: Column): Column =
+    aggregate(
+      transform(split(trim(c), "\\s+"), w => ceil(length(w) / lit(4.0)).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+
+  /** Stopword ratio over whitespace tokens, given a stopword array column
+    * (e.g. `typedLit(Seq("the","a","and"))`).
+    */
+  def stopwordRatio(c: Column, stopwords: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stopwords, t))).cast("double") / size(toks)
+    ).otherwise(lit(0.0))
+  }
+
+  /** Quality score in [0,1]: weighted blend of length band, alpha ratio and
+    * mean word length band — the shape of a C4/Gopher-style filter rule set,
+    * deterministic and SQL-expressible.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars   = length(c)
+    val alphaLen = length(regexp_replace(c, "[^a-zA-Z]", ""))
+    val alphaRatio = when(nChars > 0, alphaLen.cast("double") / nChars).otherwise(0.0)
+    val toks     = split(trim(c), "\\s+")
+    val meanWord = when(size(toks) > 0, (length(c) + 1).cast("double") / size(toks)).otherwise(0.0)
+    val lenOk    = when(nChars.between(50, 100000), 1.0).otherwise(0.0)
+    val wordOk   = when(meanWord.between(3.0, 12.0), 1.0).otherwise(0.0)
+    round(lit(0.4) * lenOk + lit(0.4) * alphaRatio + lit(0.2) * wordOk, 6)
+  }
+
+  /** Rule-based language ID over function-word hits. `profiles` maps a lang
+    * code to its marker words; first profile with the strictly highest hit
+    * count wins, ties broken by profile order, zero hits → "und". Kept
+    * SQL-expressible (a CASE cascade) so the DuckDB oracle can replicate it;
+    * a char-n-gram scorer would be the production upgrade.
+    */
+  def langIdRules(c: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val toks = split(lower(c), "\\s+")
+    val hits = profiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+    val maxHits = greatest(hits.map(_._2): _*)
+    val cascade = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight puts earlier profiles on the outside → earlier profile wins ties
+    cascade
+  }
+
+  /** Document fingerprint: 64-bit rolling-hash-style signature — xxhash64 of
+    * the normalized token stream. Deterministic, shuffle-free, and the join
+    * key for exact near-canonical dedup.
+    */
+  def fingerprint(c: Column): Column =
+    xxhash64(array_join(tokenize(c), " "))
+
+  /** Per-token xxhash64 array — materialize this as its own projection (see
+    * [[simhashFromHashes]]) so the tokenizer isn't re-inlined per bit.
+    */
+  def tokenHashes(c: Column): Column = transform(tokenize(c), t => xxhash64(t))
+
+  /** SimHash from a precomputed token-hash column: sign-vote each of the 64
+    * bits, reassemble. Near-duplicate docs land within small Hamming
+    * distance; bucketing on the top `bandBits` bits gives the LSH-style
+    * candidate join.
+    *
+    * IMPORTANT: `hashes` must be a bound attribute (a column materialized by
+    * a separate projection), not an inline expression — this expression
+    * references it 64 times, and Catalyst would otherwise duplicate the
+    * full tokenize+hash pipeline per bit.
+    */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      val mask = shiftleft(lit(1L), i)
+      val votes = aggregate(
+        hashes,
+        lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1)
+      )
+      when(votes > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

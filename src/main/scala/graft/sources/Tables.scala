@@ -16,8 +16,16 @@ object Tables {
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
+    // GraftSession nanosAsLong) and converted to micros here. `DIV` keeps
+    // the arithmetic integral — a double division would lose precision at
+    // 2024-era epoch-nano magnitudes (~1.7e18 > 2^53).
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
 
   /** Loads every table into a name->DataFrame map (lazy plans, no I/O yet). */
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =

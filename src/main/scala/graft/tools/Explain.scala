@@ -1,0 +1,26 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Plan-audit utility: prints `explain("formatted")` and wall time for the
+  * named queries. Usage: Explain <sfDir> <q1,q2,...> [--no-run]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",")
+    val run   = !args.contains("--no-run")
+    val spark = GraftSession.get("local[8]", shufflePartitions = 8)
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"========== $name ==========")
+      df.explain("formatted")
+      if (run) {
+        val t0 = System.nanoTime()
+        val n  = df.count()
+        println(f"[$name] rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    spark.stop()
+  }
+}
