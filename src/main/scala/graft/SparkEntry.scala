@@ -396,6 +396,45 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ETL step functions (graft.etl.Steps) driven by synth-shaped frames
+    // derived deterministically from testdata, so the DuckDB gate covers
+    // the pipeline logic itself (fixture-level tests live in scalatest).
+
+    // FillCall (etl.py:205-224): W1 global ids + W3 in-round ordinals.
+    "etl_fill_call" -> ((s, dir) => {
+      val calls = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey").cast("int").as("callID"),
+          col("o_orderkey").cast("int").as("call"),
+          col("o_orderdate").as("dateOpen"), col("o_orderdate").as("dateClosed"),
+          (pmod(col("o_orderkey"), lit(4)) + 1).cast("int").as("round"))
+      val (table, _) = graft.etl.Steps.fillCall(calls)
+      table.select(col("id").cast("bigint").as("id"), col("round_id"),
+          col("ordinal").cast("bigint").as("ordinal"),
+          fmt(col("start")).as("start"), fmt(col("end")).as("end"))
+        .orderBy("id")
+    }),
+
+    // FillSpecificDiscipline (etl.py:263-321): A4 dedup, rounds 4→1
+    // first-seen-wins, ids in scan order.
+    "etl_specific_discipline" -> ((s, dir) => {
+      val spec = t(s, dir, "part")
+        .select(col("p_partkey").cast("int").as("SpecificDisciplineID"),
+          col("p_brand").as("SpecificDisciplineName"),
+          length(col("p_brand")).cast("int").as("DisciplineID"), // consistent per name
+          (pmod(col("p_partkey"), lit(4)) + 1).cast("int").as("round"))
+      val (table, _) = graft.etl.Steps.fillSpecificDiscipline(spec)
+      table.select(col("id").cast("bigint").as("id"), col("name"), col("discipline_id"))
+        .orderBy("id")
+    }),
+
+    // S12/F25 — SQL-dump sink statements as a distributed text column.
+    "s12_sql_dump" -> ((s, dir) => {
+      graft.sinks.SqlDump.insertStatements(
+          t(s, dir, "region").orderBy("r_regionkey"), "region")
+        .orderBy("stmt")
+    }),
+
     // --- LLM-data-pipeline operators (builder brief) ---
 
     // Exact dedup groups over md5(text) — one shuffle, map-side combine.
@@ -712,6 +751,35 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "etl_fill_call" ->
+      """WITH calls AS (
+        |  SELECT CAST(o_orderkey AS INT) AS call, o_orderdate,
+        |         CAST(o_orderkey % 4 + 1 AS INT) AS round
+        |  FROM orders WHERE o_orderkey < 400)
+        |SELECT row_number() OVER (ORDER BY round, call) AS id,
+        |  round AS round_id,
+        |  row_number() OVER (PARTITION BY round ORDER BY call) AS ordinal,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS start,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "end"
+        |FROM calls ORDER BY id""".stripMargin,
+
+    "etl_specific_discipline" ->
+      """WITH spec AS (
+        |  SELECT CAST(p_partkey AS INT) AS sid, p_brand AS name,
+        |         CAST(length(p_brand) AS INT) AS did,
+        |         CAST(p_partkey % 4 + 1 AS INT) AS round
+        |  FROM part),
+        |scanned AS (SELECT *, row_number() OVER (ORDER BY round DESC, sid) AS scan_order FROM spec),
+        |canonical AS (SELECT name, min(scan_order) AS first_seen, min(did) AS discipline_id
+        |              FROM scanned GROUP BY name)
+        |SELECT row_number() OVER (ORDER BY first_seen) AS id, name, discipline_id
+        |FROM canonical ORDER BY id""".stripMargin,
+
+    "s12_sql_dump" ->
+      """SELECT 'INSERT INTO region VALUES (' || CAST(r_regionkey AS VARCHAR) || ', ''' ||
+        |  replace(r_name, '''', '\''') || ''');' AS stmt
+        |FROM region ORDER BY stmt""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper_id

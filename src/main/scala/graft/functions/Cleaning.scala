@@ -48,7 +48,7 @@ object Cleaning {
     */
   def cleanString(c: Column): Column = {
     val ws        = regexp_replace(c, "[\\r\\n\\t]+", " ")
-    val html      = when(ws.contains("<"), stripHtml(ws)).otherwise(ws)
+    val html      = when(ws.contains("<") || ws.contains("&"), stripHtml(ws)).otherwise(ws)
     val nbsp      = regexp_replace(html, " ", " ")
     val collapsed = regexp_replace(nbsp, " {2,}", " ")
     val trimmed   = trim(collapsed)

@@ -27,7 +27,11 @@ object Tables {
     else df
   }
 
-  /** Loads every table into a name->DataFrame map (lazy plans, no I/O yet). */
+  /** Loads every table into a name->DataFrame map. Schema-only footer reads
+    * happen at call time; no data scan until an action runs. Missing tables
+    * are skipped rather than failing the whole load.
+    */
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
-    all.map(n => n -> load(spark, dir, n)).toMap
+    all.filter(n => new java.io.File(s"$dir/$n.parquet").exists())
+      .map(n => n -> load(spark, dir, n)).toMap
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Structured Streaming over the events stream (SURVEY §2.9 — greenfield:
+  * the reference has no streaming; the driver testdata ships `events`).
+  *
+  * The transformations are defined against a generic DataFrame so the SAME
+  * code runs batch (events.parquet → [[graft.SparkEntry]] "events_hourly")
+  * and streaming (`readStream` source) — Spark's unified model. Watermarks
+  * bound state; at 100 TB/day the windowed aggregation state is
+  * O(windows × event types), not O(events).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts + value sums per event type, 10-minute
+    * watermark for late data. OutputMode.Append-compatible once the
+    * watermark passes a window's end.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window variant (1h window, 15m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state: per-user running session via mapGroupsWithState — the
+    * KeyValueGroupedDataset stateful-op surface (SURVEY §2.9 / builder
+    * brief). State is O(active users); eviction would hang off a timeout
+    * (GroupStateTimeout) in a production session window.
+    */
+  def userSessions(events: Dataset[Event]): Dataset[UserSession] = {
+    implicit val stateEnc   = Encoders.product[SessionState]
+    implicit val outEnc     = Encoders.product[UserSession]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[SessionState, UserSession](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          var n = prev.nEvents; var total = prev.total; var last = prev.lastTs
+          rows.foreach { e =>
+            n += 1; total += e.value
+            last = math.max(last, e.ts.getTime)
+          }
+          state.update(SessionState(n, total, last))
+          UserSession(userId, n, total)
+      }
+  }
+}

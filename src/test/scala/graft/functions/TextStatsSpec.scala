@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenize: lowercase, strip non-letters, drop 1-char tokens (F23)") {
+    val r = Seq("The QUICK-brown fox! 123 a").toDF("v")
+      .select(TextStats.tokenize(col("v"))).as[Seq[String]].head()
+    assert(r === Seq("the", "quick-brown", "fox"))
+  }
+
+  test("tokenCount counts whitespace tokens") {
+    val r = Seq("one two  three").toDF("v")
+      .select(TextStats.tokenCount(col("v"))).as[Int].head()
+    assert(r === 3)
+  }
+
+  test("bpeishCount: ceil(len/4) pieces per word") {
+    val r = Seq("abcd efghij x").toDF("v") // 1 + 2 + 1
+      .select(TextStats.bpeishCount(col("v"))).as[Long].head()
+    assert(r === 4L)
+  }
+
+  test("stopwordRatio and qualityScore bounded in [0,1]") {
+    val stops = typedLit(Seq("the", "a"))
+    val r = Seq("the cat sat on a mat", "").toDF("v")
+      .select(TextStats.stopwordRatio(col("v"), stops).as("s"),
+        TextStats.qualityScore(col("v")).as("q"))
+      .as[(Double, Double)].collect()
+    assert(r(0)._1 === 2.0 / 6.0)
+    r.foreach { case (s, q) => assert(s >= 0 && s <= 1 && q >= 0 && q <= 1) }
+  }
+
+  test("langIdRules: highest function-word hit count wins, order breaks ties, no hits → und") {
+    val profiles = Seq("en" -> Seq("the"), "fr" -> Seq("le"))
+    val r = Seq("the cat the dog le chat", "le chat le chien", "xyzzy")
+      .toDF("v").select(TextStats.langIdRules(col("v"), profiles)).as[String].collect()
+    assert(r.toSeq === Seq("en", "fr", "und"))
+  }
+
+  test("fingerprint: normalization-invariant (case/punct), content-sensitive") {
+    val r = Seq("The Quick Fox!", "the quick fox", "the slow fox").toDF("v")
+      .select(TextStats.fingerprint(col("v"))).as[Long].collect()
+    assert(r(0) === r(1))
+    assert(r(0) !== r(2))
+  }
+
+  test("simhash: near-identical docs within small hamming distance, unrelated docs far") {
+    def sig(texts: String*): Seq[Long] = {
+      texts.toSeq.toDF("v")
+        .select(TextStats.tokenHashes(col("v")).as("h"))
+        .select(TextStats.simhashFromHashes(col("h"))).as[Long].collect().toSeq
+    }
+    val Seq(a, b, c) = sig(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "the quick brown fox jumps over the lazy dog near the river edge",
+      "completely different words about spark catalyst query optimization")
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(a, b) < hamming(a, c))
+    assert(hamming(a, b) <= 16)
+  }
+}

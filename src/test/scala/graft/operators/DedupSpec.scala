@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup
+    (4L, "completely unrelated content about database engines and query plans"),
+    (5L, "tiny"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups: md5 grouping, min-id keeper") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(g.count() === 4)
+    val dup = g.filter(col("n_docs") === 2).head()
+    assert(dup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("dropExactDuplicates keeps one row per content hash") {
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    assert(kept.count() === 4)
+    assert(kept.filter(col("doc_id") === 2).count() === 0)
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dups
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashCandidates surfaces exact/near dups via banded LSH (no all-pairs)") {
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id", n = 3,
+      numHashes = 8, maxDistance = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("simhashBuckets: identical docs share signature and bucket") {
+    val sigs = Dedup.simhashBuckets(docs, "text", "doc_id", bandBits = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(4L))
+  }
+
+  test("shingled: fewer-than-n-token docs produce no shingles (guard path)") {
+    val sh = Dedup.shingled(docs, "text", "doc_id", n = 3)
+      .filter(col("doc_id") === 5L).select(size(col("shingles"))).as[Int].head()
+    assert(sh === 0)
+  }
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val media = Seq(
+    (1L, "fake-image-bytes-aaaa".getBytes("UTF-8"), "image"),
+    (2L, "fake-video-bytes-with-more-content-bbbb".getBytes("UTF-8"), "video"),
+    (3L, Array.emptyByteArray, "image"))
+    .toDF("media_id", "payload", "media_type")
+
+  test("decodeMeta: per-partition batch decode produces typed metadata, deterministic") {
+    val m1 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    val m2 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(m1(1L).byte_len === "fake-image-bytes-aaaa".length)
+    assert(m1(3L).byte_len === 0)
+    assert(m1(1L).checksum === m2(1L).checksum) // stub decode is deterministic
+    assert(m1(1L).width >= 16 && m1(1L).height >= 16)
+  }
+
+  test("sampleFrames: chunk-index explosion shape") {
+    val frames = Multimodal.sampleFrames(media, chunkSize = 8, every = 1)
+      .filter(col("media_id") === 2L).collect()
+    assert(frames.length === 4) // 39 bytes / 8 ≈ 4 full chunks
+    assert(frames.map(_.getAs[Int]("offset")).toSet === Set(0, 8, 16, 24))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // orthogonal-ish basis + one near-duplicate of vector 0
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // near v0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))) // opposite of v0
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: nearest neighbor of v0 is its near-duplicate, opposite ranks last") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4)
+      .orderBy("rank").collect()
+    assert(r.head.getAs[Long]("neighbor_id") === 1L)
+    assert(r.head.getAs[Double]("sim") > 0.99)
+    assert(r.last.getAs[Long]("neighbor_id") === 4L)
+    assert(r.last.getAs[Double]("sim") === -1.0)
+  }
+
+  test("bruteForceTopK excludes the query itself") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 10)
+    assert(!r.select("neighbor_id").as[Long].collect().contains(0L))
+  }
+
+  test("lshTopK: same-bucket near-duplicate is found; ranking consistent with brute force") {
+    val r = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4,
+      dim = 4, bits = 2)
+    val neighbors = r.select("neighbor_id").as[Long].collect().toSet
+    // recall<1 by construction, but the near-identical vector must collide
+    assert(neighbors.contains(1L))
+  }
+
+  test("cosine is deterministic (sequential fold): same inputs → identical doubles") {
+    val a = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4)
+      .select("sim").as[Double].collect().toSeq
+    val b = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4)
+      .select("sim").as[Double].collect().toSeq
+    assert(a === b)
+  }
+}
