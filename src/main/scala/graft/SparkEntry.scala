@@ -543,6 +543,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // J9/F17/F18/A8/U2 — the journal-ranking analytics pipeline
+    // (graft.analysis.Journals) over synth-shaped frames derived from
+    // documents; rows-only (dropDuplicates keeper is plan-dependent).
+    "j9_journal_coverage" -> ((s, dir) => {
+      def issnOf(c: Column): Column =
+        concat(lpad((c % 40).cast("string"), 4, "0"), lit("-"),
+          lpad(((c + 7) % 40).cast("string"), 4, "0"))
+      val outputs = t(s, dir, "documents")
+        .select(col("doc_id"), issnOf(col("doc_id")).as("issns"))
+      val scopus = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        .select(concat(lit("J"), col("doc_id")).as("title"),
+          issnOf(col("doc_id")).as("issns"),
+          (col("doc_id") % 10).cast("string").as("citescore"))
+      val sjr = t(s, dir, "documents").filter(col("doc_id") % 4 === 1)
+        .select(issnOf(col("doc_id")).as("issns"),
+          concat((col("doc_id") % 3).cast("string"), lit(",5")).as("sjr"),
+          (col("doc_id") % 100).cast("string").as("h_index"))
+      graft.analysis.Journals.coverageWithTotal(
+        graft.analysis.Journals.rankedJournals(
+          graft.analysis.Journals.journalCounts(outputs, "issns"), scopus, sjr))
+        .orderBy("ranking")
+    }),
+
     // LSH-bucketed ANN (SRP signatures — the 100 TB path; recall<1 vs brute).
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -1,0 +1,73 @@
+package graft.analysis
+
+import graft.functions.TextStats
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{CountVectorizer, IDF, StringIndexer, PCA}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML topic-classification parity (SURVEY §2.10 ML row;
+  * /root/reference/notebooks/classifiers.ipynb cells 12-32): TF-IDF
+  * (minDF=2, vocab 6000) → linear classifier (+probabilities) with a
+  * stratified 80/20 split, plus the PCA(2) projection used for plotting.
+  *
+  * spark.ml equivalents: CountVectorizer(minDF=2, vocabSize=6000)+IDF for
+  * TfidfVectorizer; LogisticRegression for SVC(probability=True) — Spark's
+  * LinearSVC lacks predict_proba, and the notebook consumes probabilities
+  * downstream (outliers.ipynb), so LogisticRegression is the faithful
+  * capability analog; sampleBy for the stratified split.
+  */
+object Classifier {
+
+  /** F23 tokenization as a DataFrame stage (spaCy POS-filter + Porter stem
+    * are not available offline; the regex/stopword core is preserved).
+    */
+  def tokenized(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("tokens", TextStats.tokenize(col(textCol)))
+
+  def pipeline(labelCol: String): Pipeline = {
+    val indexer = new StringIndexer()
+      .setInputCol(labelCol).setOutputCol("label").setStringOrderType("alphabetAsc")
+    val cv = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("tf")
+      .setMinDF(2).setVocabSize(6000) // classifiers.ipynb cell 14
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(Array(indexer, cv, idf, lr))
+  }
+
+  /** Stratified 80/20 split (cell 16's train_test_split(stratify=y)). */
+  def stratifiedSplit(docs: DataFrame, labelCol: String, trainFrac: Double,
+                      seed: Long): (DataFrame, DataFrame) = {
+    val fracs = docs.select(labelCol).distinct().collect()
+      .map(r => r.get(0) -> trainFrac).toMap
+    val train = docs.stat.sampleBy(labelCol, fracs, seed)
+    val test  = docs.join(train.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    (train, test)
+  }
+
+  /** Train + held-out accuracy — the reference's only quantitative quality
+    * gate (cell 18).
+    */
+  def trainAndScore(docs: DataFrame, textCol: String, labelCol: String,
+                    seed: Long = 42L): (PipelineModel, Double) = {
+    val toks = tokenized(docs, textCol)
+    val (train, test) = stratifiedSplit(toks, labelCol, 0.8, seed)
+    val model = pipeline(labelCol).fit(train)
+    val evaluator = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")
+    val accuracy = evaluator.evaluate(model.transform(test))
+    (model, accuracy)
+  }
+
+  /** PCA(2) projection of the TF-IDF features (cell 32's plot input). */
+  def pca2(model: PipelineModel, docs: DataFrame, textCol: String): DataFrame = {
+    val feats = model.transform(tokenized(docs, textCol))
+    new PCA().setK(2).setInputCol("features").setOutputCol("pca")
+      .fit(feats).transform(feats)
+      .select(col("doc_id"), col("pca"), col("prediction"))
+  }
+}
