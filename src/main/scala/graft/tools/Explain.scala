@@ -12,7 +12,8 @@ object Explain {
     val run   = !args.contains("--no-run")
     val spark = GraftSession.get("local[8]", shufflePartitions = 8)
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = if (name == "entry") SparkEntry.entry(spark)
+               else SparkEntry.queries(name)(spark, sfDir)
       println(s"========== $name ==========")
       df.explain("formatted")
       if (run) {
