@@ -29,7 +29,8 @@ object Geo {
   /** Explode the city table to one row per lowercase name variant. */
   def cityVariants(cities: DataFrame): DataFrame =
     cities.select(
-      explode(array_union(array(col("name")), col("alternatenames"))).as("variant"),
+      explode(array_union(array(col("name")),
+        col("alternatenames").cast("array<string>"))).as("variant"),
       col("countrycode"), col("population"))
       .select(lower(col("variant")).as("variant"), col("countrycode"), col("population"))
 

@@ -1,0 +1,185 @@
+package graft.etl
+
+import graft.sources.UsersCsv
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The `synth rebuild` entrypoint (SURVEY §3.1;
+  * /root/reference/synth/cli.py:66-74 → etl.py:25-58): run the 16-step
+  * pipeline over the four round databases + resources and write the
+  * analysis tables.
+  *
+  * Step ordering is plain data dependencies between vals (the reference's
+  * stateful step coupling, SURVEY §7.4.4, becomes explicit dataflow). Each
+  * output is written overwrite-mode — the per-step transactional commit
+  * analog (SURVEY §4 row 'Transactionality').
+  */
+object Rebuild {
+
+  /** All inputs the pipeline consumes. Per-round frames are indexed 1..4 in
+    * order; resources are the S3–S6 tables/maps.
+    */
+  case class Inputs(
+      calls: Seq[DataFrame],
+      disciplines4: DataFrame,
+      specificDisciplines: Seq[DataFrame],
+      outputs: Seq[DataFrame],
+      outputTypes4: DataFrame,
+      publicationStatuses4: DataFrame,
+      userProjects: Seq[DataFrame],
+      users: Seq[DataFrame],
+      applicationScores: Seq[DataFrame],
+      countryIso: DataFrame,
+      usersCsv: DataFrame,
+      xlsxCategory: DataFrame,
+      xlsxInstitution: DataFrame,
+      xlsxInstallationFacility: DataFrame,
+      xlsxAccessRequest: DataFrame,
+      institutionAliases: Map[String, String],
+      unmatchedTowns: Map[String, String],
+      geoCities: DataFrame,
+      outputDois: DataFrame,
+      doiMetadata: DataFrame)
+
+  /** Result: every analysis table, keyed by its target-schema name. */
+  def run(inputs: Inputs): Map[String, DataFrame] = {
+    import inputs._
+
+    // dimension steps (FillRound → FillSpecificDiscipline)
+    val callsU                 = Steps.unionRounds(calls)
+    val round                  = Steps.fillRound(callsU)
+    val (call, _)              = Steps.fillCall(callsU)
+    val (country, countryMap)  = Steps.fillCountry(countryIso)
+    val discipline             = Steps.fillDiscipline(disciplines4)
+    val (specific, specMap)    = Steps.fillSpecificDiscipline(Steps.unionRounds(specificDisciplines))
+
+    // fact steps
+    val (output, outputMap)    = Steps.fillOutput(Steps.unionRounds(outputs),
+      outputTypes4, publicationStatuses4)
+    val outputClean            = Steps.cleanOutputs(output, outputMap, outputDois, doiMetadata)
+
+    val guids                  = UsersCsv.explodeGuids(usersCsv)
+    val (visitorProject, projMap) = Steps.fillVisitorProject(
+      Steps.unionRounds(userProjects), Steps.unionRounds(users), guids,
+      call, specMap, countryMap, institutionAliases)
+
+    // xlsx-resource steps
+    val category               = Steps.fillCategory(xlsxCategory)
+    val institution            = Steps.fillInstitution(xlsxInstitution, country)
+    val installationFacility   = Steps.fillInstallationFacility(xlsxInstallationFacility)
+    val accessRequest          = Steps.fillAccessRequest(xlsxAccessRequest, projMap)
+
+    // view + enrichment + scores
+    val view                   = Steps.projectAccessRequestsView(accessRequest, visitorProject)
+    val vpWithCountry          = Geo.fillMissingCountry(visitorProject, geoCities,
+      unmatchedTowns, countryMap)
+    val evaluationScore        = Steps.aggregateEvaluationScores(
+      Steps.unionRounds(applicationScores), visitorProject, projMap, call)
+
+    Map(
+      "round" -> round, "call" -> call, "country" -> country,
+      "discipline" -> discipline, "specific_discipline" -> specific,
+      "output" -> outputClean, "visitor_project" -> vpWithCountry,
+      "category" -> category, "institution" -> institution,
+      "installation_facility" -> installationFacility,
+      "access_request" -> accessRequest,
+      "vw_project_access_requests" -> view,
+      "evaluation_score" -> evaluationScore)
+  }
+
+  /** Write every table (ClearAnalysisDB/CreateAnalysisDB analog: overwrite).
+    * The `round`-partitioned facts get `round` as a partition column so
+    * downstream per-round predicates prune partitions (SURVEY §4).
+    */
+  def writeAll(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      val w = df.write.mode("overwrite")
+      val partitioned = if (df.columns.contains("round")) w.partitionBy("round") else w
+      partitioned.parquet(s"$outDir/$name")
+    }
+
+  /** `synth dump` analog (cli.py:93-102): SQL-dump every table. */
+  def dumpAll(tables: Map[String, DataFrame]): String =
+    tables.toSeq.sortBy(_._1)
+      .map { case (name, df) => graft.sinks.SqlDump.dumpSql(df, name) }
+      .mkString("\n\n")
+
+  /** CLI (`synth rebuild` analog, cli.py:66-74): `Rebuild <inDir> <outDir>`.
+    *
+    * Input layout: `<inDir>/round<N>/` (N ascending = synth rounds) with
+    * parquet per source table (NHM_Call, NHM_Specific_Disciplines,
+    * NHM_Outputs, T_List_of_UserProjects, T_List_of_Users,
+    * NHM_Application_Scores); round-shared dims (NHM_Disciplines,
+    * NHM_OutputTypes, NHM_PublicationStatus) read from the LAST round
+    * (etl.py reads synth-4); `<inDir>/resources/` with Country_Iso_Codes /
+    * xlsx-sheet parquet, users.csv, master_clean.json,
+    * unmatched_home_institutions.json, geocities.parquet and (optional)
+    * output_dois.parquet / doi_metadata.parquet caches.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir) = args.take(2)
+    val spark = graft.GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+    import spark.implicits._
+
+    val roundDirs = new java.io.File(inDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("round"))
+      .sortBy(_.getName.stripPrefix("round").toInt)
+    require(roundDirs.nonEmpty, s"no round<N> directories under $inDir")
+    def perRound(table: String): Seq[DataFrame] =
+      roundDirs.toSeq.map(d => spark.read.parquet(s"${d.getPath}/$table.parquet"))
+    def lastRound(table: String): DataFrame =
+      spark.read.parquet(s"${roundDirs.last.getPath}/$table.parquet")
+    val res = s"$inDir/resources"
+    def resource(table: String, orElse: => DataFrame): DataFrame = {
+      val p = s"$res/$table.parquet"
+      if (new java.io.File(p).exists()) spark.read.parquet(p) else orElse
+    }
+    def jsonMap(name: String): Map[String, String] = {
+      val f = new java.io.File(s"$res/$name.json")
+      if (!f.exists()) Map.empty
+      else spark.read.option("multiLine", "true").json(f.getPath)
+        .collect().headOption.map { row =>
+          row.schema.fieldNames.map(n => n -> Option(row.getAs[Any](n)).map(_.toString).orNull).toMap
+        }.getOrElse(Map.empty)
+    }
+
+    val emptyDois = Seq.empty[(Int, Int, String)].toDF("round", "original_id", "doi")
+    val emptyMeta = Seq.empty[(String, String)].toDF("doi", "publisher")
+      .withColumn("authors", org.apache.spark.sql.functions.lit(null)
+        .cast("array<struct<given:string,family:string>>"))
+      .withColumn("titles", org.apache.spark.sql.functions.lit(null).cast("array<string>"))
+      .withColumn("created", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("url", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("volume", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("pages", org.apache.spark.sql.functions.lit(null).cast("string"))
+
+    val inputs = Inputs(
+      calls = perRound("NHM_Call"),
+      disciplines4 = lastRound("NHM_Disciplines"),
+      specificDisciplines = perRound("NHM_Specific_Disciplines"),
+      outputs = perRound("NHM_Outputs"),
+      outputTypes4 = lastRound("NHM_OutputTypes"),
+      publicationStatuses4 = lastRound("NHM_PublicationStatus"),
+      userProjects = perRound("T_List_of_UserProjects"),
+      users = perRound("T_List_of_Users"),
+      applicationScores = perRound("NHM_Application_Scores"),
+      countryIso = spark.read.parquet(s"$res/Country_Iso_Codes.parquet"),
+      usersCsv = UsersCsv.read(spark, s"$res/users.csv"),
+      xlsxCategory = spark.read.parquet(s"$res/category.parquet"),
+      xlsxInstitution = spark.read.parquet(s"$res/institution.parquet"),
+      xlsxInstallationFacility = spark.read.parquet(s"$res/installation_facility.parquet"),
+      xlsxAccessRequest = spark.read.parquet(s"$res/access_request.parquet"),
+      institutionAliases = jsonMap("master_clean"),
+      unmatchedTowns = jsonMap("unmatched_home_institutions"),
+      geoCities = spark.read.parquet(s"$res/geocities.parquet"),
+      outputDois = resource("output_dois", emptyDois),
+      doiMetadata = resource("doi_metadata", emptyMeta))
+
+    val tables = run(inputs)
+    writeAll(tables, outDir)
+    tables.toSeq.sortBy(_._1).foreach { case (n, df) =>
+      System.err.println(s"[rebuild] $n: ${spark.read.parquet(s"$outDir/$n").count()} rows")
+    }
+    spark.stop()
+  }
+}

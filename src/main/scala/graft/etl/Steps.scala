@@ -243,8 +243,12 @@ object Steps {
           filtered("Call_Submitted").cast("int") === callsByOrdinal("ordinal")) // J8
       .join(broadcast(specMap), filtered("round") === specMap("round") &&
         col("Project_Specific_Discipline") === col("spec_orig"), "left") // J11
-      .join(broadcast(natMap), col("u.Nationality_Country_code") === col("nat_code"), "left") // J7
-      .join(broadcast(homeMap), col("u.Home_Institution_Country_code") === col("home_code"), "left")
+      // cast: all-null source columns can arrive null/int-typed from
+      // schema-inferred inputs; codes are declared string (Schemas)
+      .join(broadcast(natMap),
+        col("u.Nationality_Country_code").cast("string") === col("nat_code"), "left") // J7
+      .join(broadcast(homeMap),
+        col("u.Home_Institution_Country_code").cast("string") === col("home_code"), "left")
       .withColumn("id", row_number().over(Window.orderBy(col("p.round"), col("p.UserProject_ID"))))
 
     val table = joined.select(
@@ -383,8 +387,10 @@ object Steps {
       ts.zipWithIndex.map { case (t, i) => (name, i + 1, t.map(_.toDouble)) }
     }.toDF("score_name", "round", "total")
 
-    // unpivot the 7 score columns (F21)
-    val stackExpr = defs.map { case (n, _) => s"'${n.replace("'", "''")}', ${colForName(n)}" }
+    // unpivot the 7 score columns (F21) — cast each to double first: source
+    // DECIMAL(10,2)/int/null-typed columns must stack to one type
+    val stackExpr = defs
+      .map { case (n, _) => s"'${n.replace("'", "''")}', CAST(${colForName(n)} AS DOUBLE)" }
       .mkString(s"stack(${defs.size}, ", ", ", ") AS (score_name, point)")
     val points = scores.selectExpr("round", "UserProject_ID", stackExpr)
       .filter(col("point").isNotNull && col("point") =!= 0) // the zero-drop quirk
