@@ -22,6 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // the events table carries TIMESTAMP(NANOS) which parquet-mr maps to

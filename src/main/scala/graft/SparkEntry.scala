@@ -396,6 +396,38 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // A10 — describe()/summary per group (classifiers.ipynb cell 30).
+    "a10_describe" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          round(avg(col("o_totalprice")), 6).as("avg_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("status")
+    }),
+
+    // F18 — decimal-comma repair round-trip (journal-analysis.ipynb cell 10):
+    // synthesize a comma-decimal string, repair it, recover the double.
+    "f18_decimal_comma" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey").as("part_id"),
+          graft.analysis.Journals.repairDecimalComma(
+            regexp_replace(col("p_retailprice").cast("string"), "\\.", ","))
+            .as("repaired"))
+        .orderBy("part_id")
+    }),
+
+    // W1 scale path — distributed two-phase sequential ids must equal the
+    // global-window ids (graft.operators.Ids).
+    "w1_distributed_ids" -> ((s, dir) => {
+      graft.operators.Ids.distributedSequentialIds(
+          t(s, dir, "customer"), Seq("c_custkey"), "new_id")
+        .select(col("new_id"), col("c_custkey").as("cust_id"))
+        .orderBy("new_id")
+    }),
+
     // ETL step functions (graft.etl.Steps) driven by synth-shaped frames
     // derived deterministically from testdata, so the DuckDB gate covers
     // the pipeline logic itself (fixture-level tests live in scalatest).
@@ -774,6 +806,22 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "a10_describe" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  round(avg(o_totalprice), 6) AS avg_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f18_decimal_comma" ->
+      """SELECT p_partkey AS part_id,
+        |  CAST(replace(replace(CAST(p_retailprice AS VARCHAR), '.', ','), ',', '.') AS DOUBLE) AS repaired
+        |FROM part ORDER BY part_id""".stripMargin,
+
+    "w1_distributed_ids" ->
+      """SELECT row_number() OVER (ORDER BY c_custkey) AS new_id, c_custkey AS cust_id
+        |FROM customer ORDER BY new_id""".stripMargin,
 
     "etl_fill_call" ->
       """WITH calls AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Sequential-ID assignment (W1 — replaces itertools.count at
+  * /root/reference/synth/etl.py:215,269,348,461,488).
+  *
+  * Two implementations with an explicit scale tradeoff:
+  *
+  *  - [[globalRowNumber]]: `row_number()` over a global ORDER BY — exactly
+  *    reproducible ids, but the window serializes the table through ONE
+  *    task. Fine for dimension tables (calls, disciplines); wrong for
+  *    billion-row facts.
+  *
+  *  - [[distributedSequentialIds]]: sort once, then two-phase id assignment
+  *    — per-partition row_number plus a broadcast prefix-sum of partition
+  *    counts. Identical ids to the global window (dense, 1-based, ordered),
+  *    but every stage is parallel; this is the 100 TB path.
+  */
+object Ids {
+
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String], idCol: String): DataFrame =
+    df.withColumn(idCol,
+      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("bigint"))
+
+  def distributedSequentialIds(df: DataFrame, orderCols: Seq[String], idCol: String): DataFrame = {
+    // range-partition by the order key so partition order == global order
+    val sorted = df.repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition counts → cumulative offsets (tiny: one row per partition)
+    val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val wInPart = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    sorted
+      .withColumn("__rn", row_number().over(wInPart))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idCol, (col("__offset") + col("__rn")).cast("bigint"))
+      .drop("__pid", "__rn", "__offset")
+  }
+}
