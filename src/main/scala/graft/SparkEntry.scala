@@ -467,6 +467,24 @@ object SparkEntry {
         .orderBy("stmt")
     }),
 
+    // Sliding-window counts (graft.streaming.EventStreams.slidingCounts,
+    // batch twin of the streaming query — 1h window, 30m slide).
+    "w_sliding_events" -> ((s, dir) => {
+      graft.streaming.EventStreams.slidingCounts(t(s, dir, "events"), "30 minutes")
+        .select(fmt(col("window_start")).as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Approximate distinct (HLL++) beside the exact count — the sketch-based
+    // scale operator; rows-only (DuckDB's approx sketch differs by design).
+    "approx_distinct_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // --- LLM-data-pipeline operators (builder brief) ---
 
     // Exact dedup groups over md5(text) — one shuffle, map-side combine.
@@ -851,6 +869,13 @@ object SparkEntry {
       """SELECT 'INSERT INTO region VALUES (' || CAST(r_regionkey AS VARCHAR) || ', ''' ||
         |  replace(r_name, '''', '\''') || ''');' AS stmt
         |FROM region ORDER BY stmt""".stripMargin,
+
+    "w_sliding_events" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b1, event_type FROM events),
+        |w AS (SELECT b1 AS ws, event_type FROM b
+        |      UNION ALL SELECT b1 - INTERVAL '30 minutes', event_type FROM b)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper_id

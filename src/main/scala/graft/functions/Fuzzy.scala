@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, IntegerType}
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SURVEY §7.2.10) so this only runs on candidate pairs, never all-pairs.
   */
 case class PartialRatio(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "partial_ratio"
@@ -36,6 +36,15 @@ case class PartialRatio(left: Expression, right: Expression)
     val b = r.asInstanceOf[UTF8String].toString
     PartialRatio.compute(a, b)
   }
+
+  /** Real codegen (not CodegenFallback): emit a static call so the
+    * expression participates in whole-stage codegen — no Row boxing, no
+    * interpreted eval on the hot path. `defineCodeGen` supplies the
+    * null-propagation wrapper.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PartialRatio.compute($a.toString(), $b.toString())")
 }
 
 object PartialRatio {

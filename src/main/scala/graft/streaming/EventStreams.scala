@@ -28,11 +28,11 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Sliding-window variant (1h window, 15m slide). */
-  def slidingCounts(events: DataFrame): DataFrame =
+  /** Sliding-window variant (1h window, configurable slide). */
+  def slidingCounts(events: DataFrame, slide: String = "15 minutes"): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour", slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
