@@ -509,6 +509,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding-cosine near-dup pairs (exact, norm-precomputed; LSH
+    // prefilter is the scale path — see Similarity.cosinePairs docs).
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Text quality metrics (token counts, stopword ratio, quality score).
     "text_quality" -> ((s, dir) => {
       val stops = typedLit(Seq("the", "a"))
@@ -905,6 +912,13 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.18
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """SELECT doc_a, doc_b, sim FROM (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE sim >= 0.45 ORDER BY doc_a, doc_b""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),

@@ -15,15 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns, computed with a
-    * sequential fold (`aggregate`) so the summation order — and therefore
-    * the IEEE result — is deterministic and oracle-reproducible.
+  /** Cosine similarity between two double-array columns via the native
+    * [[graft.functions.DotProduct]] expression — a sequential primitive
+    * fold, so the summation order (and therefore the IEEE result) is
+    * deterministic, oracle-reproducible, and codegen-fast.
     */
   def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    val dot   = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val normA = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val normB = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (normA * normB)
+    import graft.functions.VectorOps.dotProduct
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
   }
 
   private def asDouble(c: org.apache.spark.sql.Column) =
@@ -47,6 +46,36 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs (builder brief: embedding-cosine
+    * near-dup as a dedup variant): all pairs above `threshold`, norms
+    * precomputed per row so each pair costs one dot product. Exact and
+    * oracle-reproducible (rounded before the threshold filter).
+    *
+    * Scale: this is the verification-grade exact path — O(n²) dot products.
+    * The 100 TB route prefilters candidates with [[srpSignature]] buckets
+    * (or IVF cells) and only scores within-bucket pairs.
+    */
+  def cosinePairs(
+      vecs: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    // Norms folded into the vectors once per ROW (normalize up front), so
+    // each pair costs exactly one native dot product (see DotProduct docs
+    // for why not zip_with/aggregate).
+    def side(s: String) = {
+      val raw = vecs.select(col(idCol).as(s"doc_$s"), asDouble(col(vecCol)).as(s"v_$s"))
+      val nrm = sqrt(dotProduct(col(s"v_$s"), col(s"v_$s")))
+      raw.select(col(s"doc_$s"), transform(col(s"v_$s"), x => x / nrm).as(s"v_$s"))
+    }
+    // repartition the stream side: the corpus often arrives as one small
+    // file split, and a nested-loop join over one partition would run the
+    // whole O(n²) scoring in a single task
+    side("a").repartition(col("doc_a")).join(side("b"), col("doc_a") < col("doc_b"))
+      .withColumn("sim", round(dotProduct(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
   }
 
   /** Signed-random-projection LSH signature: `bits` seeded hyperplanes, one
