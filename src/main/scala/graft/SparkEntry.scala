@@ -630,6 +630,15 @@ object SparkEntry {
           dim = 64, bits = 4)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN (seeded KMeans coarse quantizer, nProbe cells per query).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nCells = 8, nProbe = 2)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
     })
   )
 

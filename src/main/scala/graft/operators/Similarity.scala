@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -94,6 +96,52 @@ object Similarity {
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** IVF-style top-k (the other scale path the brief names): a seeded
+    * KMeans coarse quantizer assigns every corpus vector to a cell; each
+    * query probes only its `nProbe` nearest cells and scores those
+    * vectors. At 100 TB the cell assignment is a write-time partition
+    * column, so a probe reads nProbe/nCells of the corpus — classic IVF.
+    * Recall < 1 by construction (raise nProbe to trade).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
+
+    // centroids as a small broadcast frame (nCells × dim)
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centroids = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+
+    def assign(df: DataFrame, id: String, v: String, probes: Int) = {
+      val scored = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .crossJoin(broadcast(centroids))
+        // nearest by squared L2: |x|² const per row → rank by |c|² - 2x·c
+        .withColumn("d2",
+          dotProduct(col("centroid"), col("centroid")) -
+            lit(2.0) * dotProduct(col(v), col("centroid")))
+      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
+      scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= probes)
+        .select(col(id), col(v), col("cell"))
+    }
+
+    val cells = assign(corpus, "neighbor_id", "nvec", probes = 1)
+    val probes = assign(queries, "query_id", "qvec", probes = nProbe)
+    val scored = cells.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
   /** LSH-bucketed top-k: corpus and queries get SRP signatures; each query

@@ -37,6 +37,13 @@ class SimilaritySpec extends SparkSpec {
     assert(neighbors.contains(1L))
   }
 
+  test("ivfTopK: near-identical vector lands in the probed cell and is found") {
+    val r = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4,
+      nCells = 2, nProbe = 2, seed = 42L)
+    val neighbors = r.select("neighbor_id").as[Long].collect().toSet
+    assert(neighbors.contains(1L)) // v1 ≈ v0 must be probed with nProbe=nCells
+  }
+
   test("cosine is deterministic (sequential fold): same inputs → identical doubles") {
     val a = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4)
       .select("sim").as[Double].collect().toSeq
