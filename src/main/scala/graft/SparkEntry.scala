@@ -596,7 +596,8 @@ object SparkEntry {
           concat(lit("https://doi.org/10.1"), (col("doc_id") % 1000 + 1000).cast("string"),
             lit("/j."), col("source"), lit("."), col("doc_id").cast("string"),
             lit(".pdf")).as("url"))
-        .select(col("doc_id"), Doi.extractDoi(col("url")).as("doi"))
+        .select(col("doc_id"), Doi.extractDoi(col("url")).as("doi"),
+          element_at(Doi.extractAllStages(col("url")), 1).getField("stage").as("stage"))
         .orderBy("doc_id")
     }),
 

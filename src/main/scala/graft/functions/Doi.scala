@@ -82,4 +82,22 @@ object Doi {
     */
   def extractDoi(c: Column): Column =
     coalesce(doiRegex(c), doiRegexStrict(c), mapress(c), nature(c), cambridge(c))
+
+  /** Full generator parity (doi.py:13-42 yields EVERY stage's candidate
+    * with the extracting method's name): array of (stage, doi) structs,
+    * non-matching stages filtered out. `explode` it to get the reference's
+    * per-candidate stream for match-rate analyses
+    * (notebooks/unidentified.ipynb uses the stage names).
+    */
+  def extractAllStages(c: Column): Column = {
+    val stages = Seq(
+      "doi_regex"        -> doiRegex(c),
+      "doi_regex_strict" -> doiRegexStrict(c),
+      "mapress_regex"    -> mapress(c),
+      "nature_regex"     -> nature(c),
+      "cambridge_regex"  -> cambridge(c))
+    filter(
+      array(stages.map { case (n, e) => struct(lit(n).as("stage"), e.as("doi")) }: _*),
+      s => s.getField("doi").isNotNull)
+  }
 }

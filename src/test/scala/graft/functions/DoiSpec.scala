@@ -40,6 +40,18 @@ class DoiSpec extends SparkSpec {
     assert(extract("no identifiers here") === None)
   }
 
+  test("extractAllStages yields every matching stage with its name (doi.py:13-42 generator parity)") {
+    import spark.implicits._
+    val r = Seq("https://doi.org/10.1234/abc see also nature.com/articles/s41586-x")
+      .toDF("v")
+      .select(Doi.extractAllStages(col("v")).as("cands"))
+      .selectExpr("transform(cands, c -> c.stage) AS stages")
+      .as[Seq[String]].head()
+    assert(r.contains("doi_regex"))
+    assert(r.contains("nature_regex"))
+    assert(r.head === "doi_regex") // stage order preserved
+  }
+
   test("urlFix decodes %2F and drops spaces (doi.py:32-34)") {
     import spark.implicits._
     val r = Seq("10.1234%2Fab cd").toDF("v")
