@@ -24,7 +24,7 @@ fail = 0
 for name, sql in sorted(oracles.items()):
     if only and name not in only:
         continue
-    files = sorted(glob.glob(f"{out_dir}/{name}.parquet/*.parquet"))
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
         print(f"{name}: MISSING spark output"); fail += 1; continue
     spark_df = pq.read_table(files).to_pandas()

@@ -17,8 +17,11 @@ object Verify {
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
+        // NOTE: output path must be exactly `$outDir/$name` (no extension):
+        // the driver keys its oracle lookup by the literal directory name,
+        // so `$name.parquet` would orphan every oracle (round-2 regression).
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name.parquet")
+          .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
