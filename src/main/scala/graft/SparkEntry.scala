@@ -557,14 +557,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- rows-only entries (not ANSI-SQL-expressible; weaker check) ---
-
-    // MinHash LSH near-dup candidates (seeded, banded join — scale path).
+    // MinHash banded-LSH near-dup pairs (the 100 TB scale path): candidates
+    // form only inside (band, band-hash) buckets, then an exact-Jaccard
+    // verify pass makes the output equal brute-force Jaccard at the same
+    // threshold — which is exactly what the DuckDB oracle computes.
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
-          n = 3, numHashes = 8, maxDistance = 0.9)
+      Dedup.minhashBandedPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.7)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // --- rows-only entries (not ANSI-SQL-expressible; weaker check) ---
 
     // SimHash signatures + band buckets (xxhash64-based).
     "dedup_simhash" -> ((s, dir) => {
@@ -921,6 +924,35 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.18
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The banded-LSH path verifies candidates with exact Jaccard, so its
+    // oracle IS the brute-force Jaccard at the same threshold (recall of the
+    // 16x2 banding at j>=0.7 is 1 - (1-j^2)^16 ~ 1; a hash mismatch here
+    // would mean the banding dropped a real pair).
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2)
+        |SELECT doc_a, doc_b,
+        |  round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding_pairs" ->

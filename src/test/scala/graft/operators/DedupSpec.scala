@@ -35,11 +35,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("minhashCandidates surfaces exact/near dups via banded LSH (no all-pairs)") {
-    val cands = Dedup.minhashCandidates(docs, "text", "doc_id", n = 3,
-      numHashes = 8, maxDistance = 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(cands.contains((1L, 2L)))
+  test("minhashBandedPairs equals brute-force Jaccard at the same threshold") {
+    val banded = Dedup.minhashBandedPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded === brute)
+    assert(banded.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("ngramJaccardPairs: doc-frequency cap drops viral-shingle-only candidates") {
+    // docs 1,2 are exact dups; with every shared shingle above the cap the
+    // pair can't be *discovered*, proving the cap gates candidate generation
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.5, maxShingleDf = 1)
+    assert(capped.count() === 0)
   }
 
   test("simhashBuckets: identical docs share signature and bucket") {
