@@ -591,16 +591,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // F11/F12/F13/O5 — the real DOI extraction cascade over a synthesized
-    // URL-ish column (exercises Doi.extractDoi end to end).
+    // F11/F12/F13/O5 — the real DOI extraction cascade over synthesized
+    // URLs that exercise EVERY offline stage (doc_id % 6 picks the shape:
+    // standard DOI / strict-only / mapress / nature / cambridge / no-match),
+    // so the oracle validates stage precedence, normalization and the
+    // winning-stage name, not just the happy path.
     "doi_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = when(id % 6 === 0,
+          concat(lit("https://doi.org/10.1"), (id % 1000 + 1000).cast("string"),
+            lit("/j."), col("source"), lit("."), id.cast("string"), lit(".pdf")))
+        .when(id % 6 === 1,
+          concat(lit("https://org.example/10-"), (id % 9000 + 1000).cast("string"),
+            lit("/item-"), id.cast("string"), lit(".abstract")))
+        .when(id % 6 === 2,
+          concat(lit("https://www.biotaxa.org/zootaxa."), (id % 400 + 2000).cast("string"),
+            lit(".5."), (id % 9 + 1).cast("string")))
+        .when(id % 6 === 3,
+          concat(lit("https://www.nature.com/articles/s"), (id % 90000 + 10000).cast("string"),
+            lit("-"), (id % 900 + 100).cast("string"),
+            lit("-"), (id * 7 % 90000 + 10000).cast("string"), lit("-x")))
+        .when(id % 6 === 4,
+          concat(lit("https://www.cambridge.org/core/article?fileId=S"),
+            (id % 9000000 + 1000000).cast("string")))
+        .otherwise(lit("https://example.com/plain/article.html"))
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          concat(lit("https://doi.org/10.1"), (col("doc_id") % 1000 + 1000).cast("string"),
-            lit("/j."), col("source"), lit("."), col("doc_id").cast("string"),
-            lit(".pdf")).as("url"))
+        .select(col("doc_id"), url.as("url"))
         .select(col("doc_id"), Doi.extractDoi(col("url")).as("doi"),
-          element_at(Doi.extractAllStages(col("url")), 1).getField("stage").as("stage"))
+          // try_element_at: the no-match shape yields an EMPTY stage array,
+          // and ANSI-mode element_at throws on out-of-bounds instead of null
+          try_element_at(Doi.extractAllStages(col("url")), lit(1))
+            .getField("stage").as("stage"))
         .orderBy("doc_id")
     }),
 
@@ -1011,6 +1032,97 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
         |  md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Full offline cascade replicated in DuckDB: per-stage regex extracts
+    // (RE2 accepts the same (?i) inline flag), the normalize pipeline
+    // (upper -> strip trailing dots -> cut URL artifacts) for stages 1-2,
+    // prefix synthesis for stages 3-5, first-non-null doi and stage name.
+    "doi_extract" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 0 THEN 'https://doi.org/10.1' || CAST(doc_id % 1000 + 1000 AS VARCHAR)
+        |                  || '/j.' || source || '.' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |      WHEN 1 THEN 'https://org.example/10-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |                  || '/item-' || CAST(doc_id AS VARCHAR) || '.abstract'
+        |      WHEN 2 THEN 'https://www.biotaxa.org/zootaxa.' || CAST(doc_id % 400 + 2000 AS VARCHAR)
+        |                  || '.5.' || CAST(doc_id % 9 + 1 AS VARCHAR)
+        |      WHEN 3 THEN 'https://www.nature.com/articles/s' || CAST(doc_id % 90000 + 10000 AS VARCHAR)
+        |                  || '-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |                  || '-' || CAST(doc_id * 7 % 90000 + 10000 AS VARCHAR) || '-x'
+        |      WHEN 4 THEN 'https://www.cambridge.org/core/article?fileId=S'
+        |                  || CAST(doc_id % 9000000 + 1000000 AS VARCHAR)
+        |      ELSE 'https://example.com/plain/article.html' END AS url
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |    nullif(regexp_extract(url, '(?i)(10\.\d{4,9}/[-._;()/:A-Z0-9]+)', 1), '') AS s1,
+        |    nullif(regexp_extract(url, '(?i)(10.\d{4,9}/[-._A-Z0-9]+)', 1), '') AS s2,
+        |    nullif(regexp_extract(url, '(\w+taxa\.\d{1,4}\.\d+\.\d+)', 1), '') AS s3,
+        |    nullif(regexp_extract(url, '(s\d{5}-\d{3}-\d{5}-.)', 1), '') AS s4a,
+        |    nullif(regexp_extract(url, 'nature\.com/articles/([^/]+)', 1), '') AS s4b,
+        |    nullif(regexp_extract(url, 'fileId=(S[A-Z0-9]+)', 1), '') AS s5
+        |  FROM u),
+        |norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(upper(s1), '\.+$', ''), '[./](E?PDF|ABSTRACT|FULL|SHORT).*$', '') AS d1,
+        |    regexp_replace(regexp_replace(upper(s2), '\.+$', ''), '[./](E?PDF|ABSTRACT|FULL|SHORT).*$', '') AS d2,
+        |    CASE WHEN s3 IS NOT NULL THEN '10.11646/' || s3 END AS d3,
+        |    CASE WHEN s4a IS NOT NULL THEN '10.1038/' || s4a
+        |         WHEN s4b IS NOT NULL THEN '10.1038/' || s4b END AS d4,
+        |    CASE WHEN s5 IS NOT NULL THEN '10.1017/' || s5 END AS d5
+        |  FROM raw)
+        |SELECT doc_id, coalesce(d1, d2, d3, d4, d5) AS doi,
+        |  CASE WHEN d1 IS NOT NULL THEN 'doi_regex'
+        |       WHEN d2 IS NOT NULL THEN 'doi_regex_strict'
+        |       WHEN d3 IS NOT NULL THEN 'mapress_regex'
+        |       WHEN d4 IS NOT NULL THEN 'nature_regex'
+        |       WHEN d5 IS NOT NULL THEN 'cambridge_regex' END AS stage
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // rankedJournals now keeps a deterministic first-by-sort row per ISSN on
+    // each ranking side, so the whole pipeline is SQL-replicable.
+    "j9_journal_coverage" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(doc_id % 40 AS VARCHAR), 4, '0') || '-' ||
+        |    lpad(CAST((doc_id + 7) % 40 AS VARCHAR), 4, '0') AS issns
+        |  FROM documents),
+        |counts AS (
+        |  SELECT replace(issns, '-', '') AS issn, count(*) AS n_outputs
+        |  FROM docs GROUP BY 1),
+        |scopus AS (
+        |  SELECT issn, title AS scopus_title, citescore FROM (
+        |    SELECT replace(d.issns, '-', '') AS issn, 'J' || CAST(d.doc_id AS VARCHAR) AS title,
+        |      CAST(d.doc_id % 10 AS VARCHAR) AS citescore,
+        |      row_number() OVER (PARTITION BY replace(d.issns, '-', '')
+        |                         ORDER BY 'J' || CAST(d.doc_id AS VARCHAR), CAST(d.doc_id % 10 AS VARCHAR)) AS rn
+        |    FROM docs d WHERE d.doc_id % 4 = 0)
+        |  WHERE rn = 1),
+        |sjr AS (
+        |  SELECT issn, sjr, h_index FROM (
+        |    SELECT replace(d.issns, '-', '') AS issn,
+        |      CAST(replace(CAST(d.doc_id % 3 AS VARCHAR) || ',5', ',', '.') AS DOUBLE) AS sjr,
+        |      CAST(d.doc_id % 100 AS INT) AS h_index,
+        |      row_number() OVER (PARTITION BY replace(d.issns, '-', '')
+        |                         ORDER BY CAST(replace(CAST(d.doc_id % 3 AS VARCHAR) || ',5', ',', '.') AS DOUBLE),
+        |                                  CAST(d.doc_id % 100 AS INT)) AS rn
+        |    FROM docs d WHERE d.doc_id % 4 = 1)
+        |  WHERE rn = 1),
+        |ranked AS (
+        |  SELECT c.issn, c.n_outputs, s.citescore, j.sjr, j.h_index
+        |  FROM counts c LEFT JOIN scopus s ON c.issn = s.issn
+        |  LEFT JOIN sjr j ON c.issn = j.issn),
+        |base AS (
+        |  SELECT CASE WHEN citescore IS NOT NULL THEN 'CiteScore'
+        |              WHEN sjr IS NOT NULL THEN 'SJR'
+        |              ELSE 'Unranked' END AS ranking, n_outputs
+        |  FROM ranked)
+        |SELECT ranking, CAST(sum(n_outputs) AS BIGINT) AS n_outputs, count(*) AS n_journals
+        |FROM base GROUP BY 1
+        |UNION ALL
+        |SELECT 'Total', CAST(sum(n_outputs) AS BIGINT), count(*) FROM base
+        |ORDER BY ranking""".stripMargin
   )
 }

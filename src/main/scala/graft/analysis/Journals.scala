@@ -32,17 +32,33 @@ object Journals {
     explodeIssns(outputs, issnCol)
       .groupBy(col("issn")).agg(count(lit(1)).as("n_outputs"))
 
-  /** J9: counts ⟕ Scopus (CiteScore) ⟕ SJR on normalized ISSN, with U3
-    * dropDuplicates post-join (cell 12) and F20 zero-fill.
+  /** Deterministic one-row-per-ISSN keeper: row_number over an explicit
+    * ordering instead of `dropDuplicates`, whose survivor is plan-dependent
+    * (partitioning order) and therefore not oracle-reproducible.
+    */
+  private def keepFirstPerIssn(df: DataFrame, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("issn")).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** J9: counts ⟕ Scopus (CiteScore) ⟕ SJR on normalized ISSN (cell 12).
+    * The reference dedupes AFTER the join with an arbitrary-survivor
+    * `drop_duplicates`; here each ranking side is deduped BEFORE the join
+    * with a deterministic first-by-sort keeper — same row count and key set,
+    * but reproducible across engines and plan changes.
     */
   def rankedJournals(counts: DataFrame, scopus: DataFrame, sjr: DataFrame): DataFrame =
     counts
-      .join(explodeIssns(scopus, "issns")
-        .select(col("issn"), col("title").as("scopus_title"), col("citescore")), Seq("issn"), "left")
-      .join(explodeIssns(sjr, "issns")
-        .select(col("issn"), repairDecimalComma(col("sjr")).as("sjr"),
-          col("h_index").cast("int").as("h_index")), Seq("issn"), "left")
-      .dropDuplicates("issn")
+      .join(keepFirstPerIssn(
+        explodeIssns(scopus, "issns")
+          .select(col("issn"), col("title").as("scopus_title"), col("citescore")),
+        Seq(col("scopus_title"), col("citescore"))), Seq("issn"), "left")
+      .join(keepFirstPerIssn(
+        explodeIssns(sjr, "issns")
+          .select(col("issn"), repairDecimalComma(col("sjr")).as("sjr"),
+            col("h_index").cast("int").as("h_index")),
+        Seq(col("sjr"), col("h_index"))), Seq("issn"), "left")
 
   /** P8 + O2 (cell 14): journals absent from every ranking, by output count. */
   def missingFromRankings(ranked: DataFrame): DataFrame =
