@@ -18,6 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a narrow scan across the available parallelism. A small parquet
+    * file arrives as ONE split, which makes every downstream map stage
+    * (tokenize → shingle → 32 hashes) single-threaded. Gate on the actual
+    * scan partition count so a real 100 TB scan — already thousands of
+    * splits — skips the extra shuffle entirely; the repartition only fires
+    * when the input is under-parallel, where its O(input) cost is noise
+    * next to the per-shingle hash work it parallelizes.
+    */
+  private def spread(docs: DataFrame, idCol: String): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
+    else docs
+  }
+
+  /** Persist AND eagerly materialize a frame that has several downstream
+    * consumers. persist() alone is lazy: when one action has three stages
+    * reading the cache, the first tasks of each stage race to compute the
+    * same blocks (`Block rdd_N already exists` churn — observed tripling
+    * the most expensive map stage of the r4 minhash plan). The count()
+    * forces a single computation before any consumer starts. At scale this
+    * is the in-session analog of writing an intermediate table.
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
   /** Exact dedup: group on md5(text). One shuffle, map-side partial
     * aggregation, keeper = min id (deterministic).
     */
@@ -114,8 +142,9 @@ object Dedup {
     // feeds both the bucket explode and the per-doc size projection, and the
     // cache boundary stops predicate pushdown from substituting the shingle
     // expression into scan filters. At scale this would be a written
-    // intermediate table; in-session, persist() is its analog.
-    val sh = shingled(docs, textCol, idCol, n).persist()
+    // intermediate table; in-session, persist() is its analog. Eager (see
+    // [[materialized]]) so the three consumers don't race to recompute it.
+    val sh = materialized(shingled(spread(docs, idCol), textCol, idCol, n))
     // |A ∩ B| as a count of per-shingle pair slots: each retained shingle
     // bucket emits its intra-bucket pairs, and the (doc_a, doc_b) group
     // count IS the intersection size (shingle arrays are distinct). One
@@ -140,14 +169,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Seeded MinHash signature over a (bound-attribute) shingle array:
+  /** Seeded MinHash signatures over a shingle table (`doc_id`, `shingles`):
     * `numHashes` independent permutation surrogates, each the min of
-    * xxhash64(i, shingle) over the set. Map-only, zero shuffle, no RNG
-    * state — reproducible on any cluster layout.
+    * xxhash64(i, shingle) over the set. No RNG state — reproducible on any
+    * cluster layout.
+    *
+    * Shape matters here: the naive column form (`numHashes` × `transform` +
+    * `array_min` per row) runs every hash pass through the INTERPRETED
+    * higher-order-function path — no codegen, per-element allocation — and
+    * was the single hottest loop of the r4 profile. This formulation
+    * explodes the shingle set once and computes the mins as `numHashes`
+    * plain `min(xxhash64(i, shingle))` aggregates: every expression is
+    * whole-stage-codegen'd, the hash work spreads across all cores, and the
+    * groupBy gets map-side partial aggregation, so the shuffle carries one
+    * `numHashes`-wide row per (partition, doc), not per shingle. Docs with
+    * empty shingle sets vanish in the explode — same semantics as the old
+    * `filter(size > 0)`.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash + banded-LSH near-duplicate pairs — the 100 TB scale path.
     *
@@ -173,14 +220,8 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 4096): DataFrame = {
-    val sh = shingled(docs, textCol, idCol, n).persist()
-    // signature references `shingles` numHashes times — keep it a bound
-    // attribute (sh is persisted) and materialize `sig` as its own
-    // projection so the band hashes below reference the computed array.
-    val sigs = sh
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        minhashSignature(col("shingles"), bands * rowsPerBand).as("sig"))
+    val sh = materialized(shingled(spread(docs, idCol), textCol, idCol, n))
+    val sigs = minhashSignatures(sh, bands * rowsPerBand)
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     val buckets = sigs
@@ -197,12 +238,35 @@ object Dedup {
 
   /** SimHash bucketing: 64-bit signature, bucket on the top `bandBits` bits.
     * Near-dups collide in a bucket; intra-bucket verification (hamming or
-    * [[graft.functions.PartialRatio]]) follows. Pure map + one group — the
-    * cheapest near-dup screen available.
+    * [[graft.functions.PartialRatio]]) follows.
+    *
+    * Same explode-and-aggregate shape as [[minhashSignatures]], for the same
+    * reason: the per-row column form ([[graft.functions.TextStats.simhashFromHashes]],
+    * kept as the reference implementation) votes each of the 64 bits with an
+    * interpreted `aggregate` HOF — 64 uncompiled passes per document. Here
+    * the token hashes explode once and the 64 bit-votes are plain
+    * conditional `sum` aggregates in ONE codegen'd groupBy with map-side
+    * combine. Values are identical: the vote per bit is a sum over the same
+    * token-hash multiset, in any order. Docs with no tokens (no exploded
+    * rows) re-enter via the left join with the same signature the fold
+    * gives them: all-zero votes → simhash 0.
     */
-  def simhashBuckets(docs: DataFrame, textCol: String, idCol: String, bandBits: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), TextStats.tokenHashes(col(textCol)).as("thashes"))
-      .select(col("doc_id"), TextStats.simhashFromHashes(col("thashes")).as("simhash"))
+  def simhashBuckets(docs: DataFrame, textCol: String, idCol: String, bandBits: Int): DataFrame = {
+    val hashed = spread(docs, idCol)
+      .select(col(idCol).as("doc_id"), explode(TextStats.tokenize(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"v$i"))
+    val sig = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sims = hashed
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sims, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 64 - bandBits))
+  }
 }

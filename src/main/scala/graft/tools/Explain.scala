@@ -10,7 +10,8 @@ object Explain {
     val sfDir = args(0)
     val names = args(1).split(",")
     val run   = !args.contains("--no-run")
-    val spark = GraftSession.get("local[8]", shufflePartitions = 8)
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
     names.foreach { name =>
       val df = if (name == "entry") SparkEntry.entry(spark)
                else SparkEntry.queries(name)(spark, sfDir)
