@@ -80,20 +80,27 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
 
-  /** Signed-random-projection LSH signature: `bits` seeded hyperplanes, one
-    * sign bit each. Deterministic pseudo-random planes derived from
-    * xxhash64(seed, plane, dim) — no RNG state, reproducible on any cluster.
+  /** Signed-random-projection LSH signature: `bits` seeded Gaussian
+    * hyperplanes, one sign bit each. The planes are generated DRIVER-SIDE
+    * from the seed and shipped as array literals, and each projection is one
+    * compiled [[graft.functions.DotProduct]] call — a primitive loop inside
+    * whole-stage codegen. (The previous form expanded dim × bits arithmetic
+    * terms into the plan; at bits×tables×dim that megabyte-scale expression
+    * tree stalled Janino for minutes.) Seeded JDK RNG → the same planes on
+    * every executor and every run.
+    *
+    * `vec` must already be an `array<double>` column (cast once upstream —
+    * a per-bit element cast would re-run the interpreted `transform` for
+    * every plane).
     */
   def srpSignature(
       vec: org.apache.spark.sql.Column, dim: Int, bits: Int, seed: Long) = {
+    import graft.functions.VectorOps.dotProduct
     val bitCols = (0 until bits).map { p =>
-      // plane component h(p,d) mapped to [-0.5, 0.5)
-      val dot = (0 until dim).map { d =>
-        val h = xxhash64(lit(seed), lit(p), lit(d))
-        (element_at(vec, d + 1).cast("double")) *
-          ((h.cast("double") / lit(Long.MaxValue.toDouble)) / 2.0)
-      }.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val rnd = new java.util.Random(seed ^ (p + 1) * 0x9E3779B97F4A7C15L)
+      val plane = Array.fill(dim)(rnd.nextGaussian())
+      when(dotProduct(vec, lit(plane)) >= 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -109,9 +116,20 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxTrainSamples: Int = 100000): DataFrame = {
     import graft.functions.VectorOps.dotProduct
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    // Train the coarse quantizer on a seeded SAMPLE, never the full corpus:
+    // KMeans.fit iterates over its input several times, and at 100 TB a
+    // full-corpus fit is a non-starter. Cluster quality saturates long
+    // before maxTrainSamples — IVF centroids only need the coarse density
+    // shape. The count() is parquet-metadata-cheap; the sample is seeded so
+    // the quantizer (and therefore the probe result) is reproducible.
+    val nCorpus = corpus.count()
+    val trainSrc =
+      if (nCorpus > maxTrainSamples)
+        corpus.sample(withReplacement = false, maxTrainSamples.toDouble / nCorpus, seed)
+      else corpus
+    val train = trainSrc.select(array_to_vector(col(vecCol)).as("features"))
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
 
     // centroids as a small broadcast frame (nCells × dim)
@@ -144,27 +162,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** LSH-bucketed top-k: corpus and queries get SRP signatures; each query
-    * scores only corpus rows sharing its bucket. Recall < 1 by construction
-    * (trade via `bits`); at scale the bucket join replaces the broadcast
-    * cartesian of the brute-force path.
+  /** Multi-table SRP-LSH top-k: `tables` independent signatures of `bits`
+    * hyperplanes each; a corpus row is a candidate for a query if they share
+    * a bucket in ANY table (the classic L-tables LSH construction — a single
+    * table's recall decays as (1-θ/π)^bits, while L tables recover
+    * 1-(1-p^bits)^L). Candidates are scored inside the (table, bucket)
+    * equi-join and deduplicated with one groupBy — no all-pairs path, no
+    * re-join. At scale the shuffle carries O(N × tables) rows; raise
+    * `tables` to buy recall, raise `bits` to cut bucket sizes.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, bits: Int,
+      tables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L): DataFrame = {
     val sig = (df: DataFrame, id: String, v: String) =>
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v),
-        srpSignature(col(vecCol), dim, bits, seed).as("bucket"))
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .select(col(id), col(v),
+          posexplode(array((0 until tables).map(t =>
+            srpSignature(col(v), dim, bits, seed + t * 7919L)): _*))
+            .as(Seq("table", "bucket")))
     val c = sig(corpus, "neighbor_id", "nvec")
     val q = sig(queries, "query_id", "qvec")
-    val scored = c.join(q, Seq("bucket"))
+    val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+      // a pair colliding in several tables scores identically in each —
+      // one groupBy dedups without re-joining the vectors
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Per-query recall of an approximate top-k against the exact top-k:
+    * |approx ∩ exact| / |exact| over the neighbor-id sets. This is the
+    * quantified acceptance gate for the two approximate ANN paths — the
+    * analog of the reference's `partial_ratio >= 80` fuzzy-match gate
+    * (/root/reference/synth/resources.py:278-280): an approximation is only
+    * shippable with its error measured.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"),
+        round(col("hits").cast("double") / col("n"), 4).as("recall"))
   }
 }

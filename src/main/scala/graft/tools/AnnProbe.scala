@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Diagnostics main: prints recall@k of the two approximate ANN paths
+  * (SRP-LSH, IVF) against the brute-force cosine baseline at a given sf dir,
+  * across the parameter grid the product queries use. The numbers printed
+  * here are where the `ann_*_recall` query thresholds and the
+  * SimilaritySpec recall gates come from.
+  */
+object AnnProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = graft.GraftSession.get("local[16]", shufflePartitions = 16)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5).persist()
+    brute.count()
+
+    for ((bits, tables) <- Seq((4, 1), (4, 8), (4, 16), (3, 8), (3, 16), (2, 8))) {
+      val lsh = Similarity.lshTopK(emb, queries, k = 5, dim = 64, bits = bits, tables = tables)
+      val r = Similarity.recallAtK(lsh, brute).agg(
+        min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
+      println(f"lsh bits=$bits%-2d tables=$tables%-3d minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
+    }
+    for ((cells, probe) <- Seq((8, 1), (8, 2), (8, 4), (16, 4))) {
+      val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCells = cells, nProbe = probe)
+      val r = Similarity.recallAtK(ivf, brute).agg(
+        min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
+      println(f"ivf cells=$cells%-2d probe=$probe minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
+    }
+    spark.stop()
+  }
+}

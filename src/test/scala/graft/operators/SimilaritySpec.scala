@@ -44,6 +44,21 @@ class SimilaritySpec extends SparkSpec {
     assert(neighbors.contains(1L)) // v1 ≈ v0 must be probed with nProbe=nCells
   }
 
+  test("approximate ANN paths clear the recall@5 gate vs brute force (testdata corpus)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+    val lsh = Similarity.lshTopK(emb, q, k = 5, dim = 64, bits = 4, tables = 16)
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 4)
+    val lshAvg = Similarity.recallAtK(lsh, brute).agg(avg("recall")).as[Double].head()
+    val ivfAvg = Similarity.recallAtK(ivf, brute).agg(avg("recall")).as[Double].head()
+    info(f"lsh avg recall@5 = $lshAvg%.2f, ivf avg recall@5 = $ivfAvg%.2f")
+    assert(lshAvg >= 0.6, s"multi-table SRP-LSH recall regressed: $lshAvg")
+    assert(ivfAvg >= 0.6, s"IVF recall regressed: $ivfAvg")
+  }
+
   test("cosine is deterministic (sequential fold): same inputs → identical doubles") {
     val a = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4)
       .select("sim").as[Double].collect().toSeq
