@@ -475,13 +475,19 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
-    // Approximate distinct (HLL++) beside the exact count — the sketch-based
-    // scale operator; rows-only (DuckDB's approx sketch differs by design).
+    // Approximate distinct (HLL++) beside the exact count. DuckDB can't
+    // reproduce Spark's sketch value, but it CAN check the contract: the
+    // exact count matches and the sketch lands within 5% of it (rsd=0.01,
+    // so 5% is a wide, deterministic bound) — a sketch regression becomes
+    // a hash mismatch instead of an unchecked rows-only pass.
     "approx_distinct_users" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy("event_type")
     }),
 
@@ -617,11 +623,16 @@ object SparkEntry {
         .otherwise(lit("https://example.com/plain/article.html"))
       t(s, dir, "documents")
         .select(col("doc_id"), url.as("url"))
-        .select(col("doc_id"), Doi.extractDoi(col("url")).as("doi"),
+        // materialize the stage array ONCE (bound attribute): the winning
+        // doi is its first element (the array preserves cascade order), so
+        // the 5-stage regex battery runs a single time per row instead of
+        // once for extractDoi and again for the stage name.
+        .select(col("doc_id"), Doi.extractAllStages(col("url")).as("stages"))
+        .select(col("doc_id"),
           // try_element_at: the no-match shape yields an EMPTY stage array,
           // and ANSI-mode element_at throws on out-of-bounds instead of null
-          try_element_at(Doi.extractAllStages(col("url")), lit(1))
-            .getField("stage").as("stage"))
+          try_element_at(col("stages"), lit(1)).getField("doi").as("doi"),
+          try_element_at(col("stages"), lit(1)).getField("stage").as("stage"))
         .orderBy("doc_id")
     }),
 
@@ -1158,6 +1169,10 @@ object SparkEntry {
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     "ann_ivf_recall" ->
-      "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10"
+      "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    "approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
