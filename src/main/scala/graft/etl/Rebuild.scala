@@ -97,11 +97,22 @@ object Rebuild {
       partitioned.parquet(s"$outDir/$name")
     }
 
-  /** `synth dump` analog (cli.py:93-102): SQL-dump every table. */
-  def dumpAll(tables: Map[String, DataFrame]): String =
-    tables.toSeq.sortBy(_._1)
-      .map { case (name, df) => graft.sinks.SqlDump.dumpSql(df, name) }
-      .mkString("\n\n")
+  /** `synth dump` analog (cli.py:93-102): SQL-dump every table, DISTRIBUTED.
+    * The DDL header (schema-sized) is a driver-side file; the INSERT
+    * statements are written as a text dataset by the executors — no
+    * driver-side collect of table data, so a 100 TB fact table dumps at
+    * scan throughput instead of OOMing the driver (the old all-string form
+    * survives only as the test-sized `SqlDump.dumpSql`).
+    */
+  def dumpAll(tables: Map[String, DataFrame], outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/$name.ddl.sql"),
+        graft.sinks.SqlDump.createTableDdl(df, name) + "\n")
+      graft.sinks.SqlDump.write(df, name, s"$outDir/$name")
+    }
+  }
 
   /** CLI (`synth rebuild` analog, cli.py:66-74): `Rebuild <inDir> <outDir>`.
     *
@@ -177,9 +188,12 @@ object Rebuild {
 
     val tables = run(inputs)
     writeAll(tables, outDir)
-    tables.toSeq.sortBy(_._1).foreach { case (n, df) =>
-      System.err.println(s"[rebuild] $n: ${spark.read.parquet(s"$outDir/$n").count()} rows")
-    }
+    // names only — a per-table count() would re-read every output and
+    // double the rebuild's I/O just for a log line
+    System.err.println(s"[rebuild] wrote: ${tables.keys.toSeq.sorted.mkString(", ")}")
+    // optional `synth dump` analog: Rebuild <inDir> <outDir> --dump <dumpDir>
+    args.sliding(2).collectFirst { case Array("--dump", d) => d }
+      .foreach(dumpAll(tables, _))
     spark.stop()
   }
 }

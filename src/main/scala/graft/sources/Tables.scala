@@ -27,6 +27,37 @@ object Tables {
     else df
   }
 
+  /** S1's production shape: the reference's primary ingestion is four MySQL
+    * round databases read table-by-table (/root/reference/synth/utils.py:308-311,
+    * synth/etl.py:258,350,465). JDBC passthrough — `url` carries the
+    * dialect (mysql/mariadb/derby/...), `props` anything driver-specific
+    * (user, password, fetchsize). Single-partition read: right for the
+    * dimension tables; use [[jdbcPartitioned]] for anything fact-sized.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(props)
+      .load()
+
+  /** Range-partitioned JDBC read: Spark issues `numPartitions` bounded
+    * queries over `partitionColumn` in parallel — the difference between a
+    * single-connection drain and a cluster-wide parallel ingest when the
+    * source table is large. Bounds don't filter (rows outside land in the
+    * edge partitions); they only split the key space.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound).option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .options(props)
+      .load()
+
   /** Loads every table into a name->DataFrame map. Schema-only footer reads
     * happen at call time; no data scan until an action runs. Missing tables
     * are skipped rather than failing the whole load.

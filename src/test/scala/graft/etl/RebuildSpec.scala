@@ -177,9 +177,13 @@ class RebuildSpec extends SparkSpec {
     assert(meth1.getAs[Long]("count") === 1) // zero-drop
     assert(meth1.getAs[Double]("mean") === 0.5)
 
-    val dump = Rebuild.dumpAll(Map("round" -> tables("round")))
-    assert(dump.contains("CREATE TABLE `round`"))
-    assert(dump.contains("INSERT INTO round VALUES (1, 'Synthesys 1'"))
+    val dumpDir = java.nio.file.Files.createTempDirectory("dump").toString
+    Rebuild.dumpAll(Map("round" -> tables("round")), dumpDir)
+    val ddl = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dumpDir/round.ddl.sql"))
+    assert(ddl.contains("CREATE TABLE `round`"))
+    val stmts = spark.read.text(s"$dumpDir/round").collect().map(_.getString(0))
+    assert(stmts.exists(_.startsWith("INSERT INTO round VALUES (1, 'Synthesys 1'")))
   }
 
   test("writeAll partitions round-carrying tables by round") {
