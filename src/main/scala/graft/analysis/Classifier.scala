@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** F23 tokenization as a DataFrame stage (spaCy POS-filter + Porter stem
-    * are not available offline; the regex/stopword core is preserved).
+  /** F23 tokenization as a DataFrame stage: regex tokenize + Porter stem
+    * per token (the offline analog of cell 12's spaCy lemmas — a POS
+    * filter would need a tagger model, which the zero-egress environment
+    * can't ship; stemming reproduces the vocabulary-collapsing effect the
+    * TF-IDF stage depends on).
     */
   def tokenized(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("tokens", TextStats.tokenize(col(textCol)))
+    docs.withColumn("tokens", TextStats.stemmedTokens(col(textCol)))
 
   def pipeline(labelCol: String): Pipeline = {
     val indexer = new StringIndexer()

@@ -23,6 +23,14 @@ object TextStats {
     filter(split(cleaned, " +"), t => length(t) > 1)
   }
 
+  /** F23 tokenizer + Porter stem of every token — the offline analog of the
+    * reference's lemmatized token stream (classifiers.ipynb cell 12). The
+    * stem itself is the codegen'd [[PorterStem]] expression; only the array
+    * traversal goes through `transform`.
+    */
+  def stemmedTokens(c: Column): Column =
+    transform(tokenize(c), t => PorterStemColumn.porterStem(t))
+
   /** Whitespace token count — the cheap "how many tokens will the trainer
     * see" estimator.
     */
