@@ -581,10 +581,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // 64-bit document fingerprint (xxhash64 of normalized token stream).
+    // Document fingerprint of the normalized token stream (md5 form — the
+    // cross-engine-checkable variant; TextStats.fingerprint is the xxhash64
+    // join-key form, same normalization, oracle-equivalent by construction).
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextStats.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -1173,6 +1175,28 @@ object SparkEntry {
 
     "approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // partial_ratio is windowed Levenshtein, which DuckDB can replicate
+    // directly. The harness corpora guarantee len(text) >= 44, so the
+    // 40-char prefix is always the longer side and the 23-char needle
+    // yields exactly 18 windows; round() never sees a .5 tie because
+    // 100*(23-d)/23 has no half-integer values.
+    "fuzzy_partial_ratio" ->
+      """WITH pref AS (SELECT doc_id, substr(text,1,40) AS s FROM documents),
+        |win AS (SELECT doc_id,
+        |    round(100*(1.0 - levenshtein('spark table join filter', substr(s, i, 23))*1.0/23)) AS r
+        |  FROM pref, generate_series(1, 18) AS t(i))
+        |SELECT doc_id, CAST(max(r) AS INTEGER) AS score FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same tokenize normalization as Spark's TextStats.tokenize, then md5
+    // of the space-joined stream: lower → non-[a-z- ] to space → split on
+    // runs of spaces → drop tokens of length < 2.
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(
+        |    regexp_split_to_array(regexp_replace(lower(text), '[^a-z- ]', ' ', 'g'), ' +'),
+        |    t -> len(t) > 1), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

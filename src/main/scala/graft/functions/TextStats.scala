@@ -99,6 +99,14 @@ object TextStats {
   def fingerprint(c: Column): Column =
     xxhash64(array_join(tokenize(c), " "))
 
+  /** Cross-engine-checkable fingerprint variant: md5 of the same normalized
+    * token stream. xxhash64 is the fast join-key choice inside Spark, but
+    * no other engine reproduces Spark's seed — md5 is the portable form a
+    * mixed-engine pipeline (or the DuckDB oracle) can verify byte-for-byte.
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(array_join(tokenize(c), " ").cast("binary"))
+
   /** Per-token xxhash64 array — materialize this as its own projection (see
     * [[simhashFromHashes]]) so the tokenizer isn't re-inlined per bit.
     */

@@ -59,6 +59,31 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("simhash: hamming distance separates near-dups from unrelated docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again at dawn"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again at dusk"),
+      (3L, "catalyst rewrites logical plans into physical operators with codegen stages"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashBuckets(corpus, "text", "doc_id", bandBits = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)),
+      "near-dup pair must be closer than the unrelated pair")
+    assert(ham(sigs(1L), sigs(2L)) <= 16, "one-word edit must stay within 16/64 bits")
+  }
+
+  test("simhashBuckets (explode+aggregate) equals the per-row reference form") {
+    import graft.functions.TextStats
+    val fast = Dedup.simhashBuckets(docs, "text", "doc_id", bandBits = 8)
+      .select(col("doc_id"), col("simhash"))
+    val ref = docs
+      .select(col("doc_id"), TextStats.tokenHashes(col("text")).as("h"))
+      .select(col("doc_id"), TextStats.simhashFromHashes(col("h")).as("simhash"))
+    assert(fast.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(fast).count() === 0)
+  }
+
   test("shingled: fewer-than-n-token docs produce no shingles (guard path)") {
     val sh = Dedup.shingled(docs, "text", "doc_id", n = 3)
       .filter(col("doc_id") === 5L).select(size(col("shingles"))).as[Int].head()
