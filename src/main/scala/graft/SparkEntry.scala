@@ -573,13 +573,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // --- rows-only entries (not ANSI-SQL-expressible; weaker check) ---
-
-    // SimHash signatures + band buckets (xxhash64-based).
+    // SimHash signatures + band buckets. The query uses the portable
+    // md5-derived 60-bit hash so DuckDB can replicate the full pipeline
+    // (tokenize → per-token hash → 60 bit-votes → signature → bucket);
+    // the xxhash64 form stays the in-Spark default for dedup joins.
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashBuckets(t(s, dir, "documents"), "text", "doc_id", bandBits = 12)
+      Dedup.simhashBuckets(t(s, dir, "documents"), "text", "doc_id",
+          bandBits = 12, portableHash = true)
         .orderBy("doc_id")
     }),
+
+    // --- rows-only entries (not ANSI-SQL-expressible; weaker check) ---
 
     // Document fingerprint of the normalized token stream (md5 form — the
     // cross-engine-checkable variant; TextStats.fingerprint is the xxhash64
@@ -1188,6 +1192,32 @@ object SparkEntry {
         |    round(100*(1.0 - levenshtein('spark table join filter', substr(s, i, 23))*1.0/23)) AS r
         |  FROM pref, generate_series(1, 18) AS t(i))
         |SELECT doc_id, CAST(max(r) AS INTEGER) AS score FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Full simhash pipeline replicated on the portable md5-derived 60-bit
+    // token hash: same tokenize normalization, 60 bit-vote sums, signature
+    // reassembly, top-12-bit bucket. Generated programmatically — the 60
+    // per-bit sums are mechanical.
+    "dedup_simhash" -> {
+      val votes = (0 until 60)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(i => s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(regexp_replace(lower(text), '[^a-z- ]', ' ', 'g'), ' +'),
+         |    t -> len(t) > 1)) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+         |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $bits AS simhash FROM votes)
+         |SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash,
+         |  CAST(coalesce(s.simhash, 0) >> 48 AS BIGINT) AS bucket
+         |FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // Same tokenize normalization as Spark's TextStats.tokenize, then md5
     // of the space-joined stream: lower → non-[a-z- ] to space → split on

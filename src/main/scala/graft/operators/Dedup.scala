@@ -251,13 +251,22 @@ object Dedup {
     * rows) re-enter via the left join with the same signature the fold
     * gives them: all-zero votes → simhash 0.
     */
-  def simhashBuckets(docs: DataFrame, textCol: String, idCol: String, bandBits: Int): DataFrame = {
+  def simhashBuckets(docs: DataFrame, textCol: String, idCol: String,
+      bandBits: Int, portableHash: Boolean = false): DataFrame = {
+    // xxhash64 (64-bit, fastest) is the in-Spark default; `portableHash`
+    // derives a 60-bit hash from the md5 hex prefix instead — ~2× the hash
+    // cost, but reproducible in any engine with md5 (the DuckDB oracle
+    // replicates the whole pipeline bit-for-bit on it).
+    val nBits = if (portableHash) 60 else 64
+    val hashOf: Column => Column =
+      if (portableHash) t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+      else t => xxhash64(t)
     val hashed = spread(docs, idCol)
       .select(col(idCol).as("doc_id"), explode(TextStats.tokenize(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(i =>
+      .select(col("doc_id"), hashOf(col("tok")).as("h"))
+    val votes = (0 until nBits).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"v$i"))
-    val sig = (0 until 64)
+    val sig = (0 until nBits)
       .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     val sims = hashed
@@ -267,6 +276,6 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"))
       .join(sims, Seq("doc_id"), "left")
       .na.fill(0L, Seq("simhash"))
-      .withColumn("bucket", shiftrightunsigned(col("simhash"), 64 - bandBits))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), nBits - bandBits))
   }
 }
