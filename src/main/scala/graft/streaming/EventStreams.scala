@@ -36,6 +36,20 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the streaming analog of
+    * [[graft.operators.Dedup.exactGroups]]: drop rows whose key re-appears
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes it, so state is bounded
+    * by (key arrival rate × watermark), not by stream history — the only
+    * formulation that survives an unbounded 100 TB/day stream. Exactly-once
+    * pipelines pair it with an idempotent sink keyed on the same column.
+    */
+  def dedupedEvents(events: DataFrame, keyCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)

@@ -44,6 +44,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getAs[Long]("n") === 2L)
   }
 
+  test("dedupedEvents: duplicate keys dropped across micro-batches, state watermark-bounded") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.dedupedEvents(events)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (1L, ts("2024-01-01 10:00:30"), "click", 1.0), // same-batch dup
+        (2L, ts("2024-01-01 10:01:00"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00"), "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L)) // each key delivered exactly once
+    } finally q.stop()
+  }
+
   test("userSessions: mapGroupsWithState accumulates per-user state across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
