@@ -680,7 +680,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          nCells = 8, nProbe = 4)
+          nCells = 8, nProbe = 4, corpusId = Some(dir))
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
     }),
@@ -703,7 +703,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val brute = Similarity.bruteForceTopK(emb, q, k = 5)
-      val ivf = Similarity.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 4)
+      val ivf = Similarity.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 4,
+        corpusId = Some(dir))
       Similarity.recallAtK(ivf, brute)
         .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
     })

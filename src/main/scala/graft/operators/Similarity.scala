@@ -112,31 +112,52 @@ object Similarity {
     * column, so a probe reads nProbe/nCells of the corpus — classic IVF.
     * Recall < 1 by construction (raise nProbe to trade).
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L, maxTrainSamples: Int = 100000): DataFrame = {
-    import graft.functions.VectorOps.dotProduct
-    // Train the coarse quantizer on a seeded SAMPLE, never the full corpus:
-    // KMeans.fit iterates over its input several times, and at 100 TB a
-    // full-corpus fit is a non-starter. Cluster quality saturates long
-    // before maxTrainSamples — IVF centroids only need the coarse density
-    // shape. The count() is parquet-metadata-cheap; the sample is seeded so
-    // the quantizer (and therefore the probe result) is reproducible.
+  /** Fit-once cache for IVF coarse quantizers. Production IVF trains its
+    * centroid index ONCE per corpus and serves every query from it — the
+    * per-JVM memo keyed by an explicit caller-supplied corpus identity
+    * models that shape (e.g. the topk query and its recall gate share one
+    * fit). Entries are nCells × dim doubles — negligible driver memory.
+    */
+  private val quantizerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long, Int), Array[Array[Double]]]
+
+  /** Train the coarse quantizer on a seeded SAMPLE, never the full corpus:
+    * KMeans.fit iterates over its input several times, and at 100 TB a
+    * full-corpus fit is a non-starter. Cluster quality saturates long
+    * before maxTrainSamples — IVF centroids only need the coarse density
+    * shape. The count() is parquet-metadata-cheap; the sample is seeded so
+    * the quantizer (and therefore the probe result) is reproducible.
+    */
+  def fitQuantizer(corpus: DataFrame, nCells: Int, seed: Long,
+      maxTrainSamples: Int, vecCol: String = "embedding"): Array[Array[Double]] = {
     val nCorpus = corpus.count()
     val trainSrc =
       if (nCorpus > maxTrainSamples)
         corpus.sample(withReplacement = false, maxTrainSamples.toDouble / nCorpus, seed)
       else corpus
     val train = trainSrc.select(array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
+    new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(train).clusterCenters.map(_.toArray)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000,
+      corpusId: Option[String] = None): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val centers = corpusId match {
+      case Some(id) => quantizerCache.getOrElseUpdate((id, nCells, seed, maxTrainSamples),
+        fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol))
+      case None => fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
+    }
 
     // centroids as a small broadcast frame (nCells × dim)
     val session = corpus.sparkSession
     import session.implicits._
-    val centroids = km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
 
     def assign(df: DataFrame, id: String, v: String, probes: Int) = {
       val scored = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
