@@ -30,16 +30,50 @@ object Classifier {
   def tokenized(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("tokens", TextStats.stemmedTokens(col(textCol)))
 
-  def pipeline(labelCol: String): Pipeline = {
+  private def featureStages(labelCol: String) = {
     val indexer = new StringIndexer()
       .setInputCol(labelCol).setOutputCol("label").setStringOrderType("alphabetAsc")
     val cv = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("tf")
-      .setMinDF(2).setVocabSize(6000) // classifiers.ipynb cell 14
+      // TfidfVectorizer(max_df=0.95, min_df=2, max_features=6000), cell 16
+      .setMinDF(2).setMaxDF(0.95).setVocabSize(6000)
     val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    Array(indexer, cv, idf)
+  }
+
+  def pipeline(labelCol: String): Pipeline = {
     val lr = new LogisticRegression()
       .setMaxIter(50).setFeaturesCol("features").setLabelCol("label")
-    new Pipeline().setStages(Array(indexer, cv, idf, lr))
+      // SVC(class_weight='balanced'), cell 18 — spark.ml's analog is a
+      // per-row weight column (n / (n_classes * class_count), attached in
+      // trainAndScore)
+      .setWeightCol("class_weight")
+    new Pipeline().setStages(featureStages(labelCol) :+ lr)
+  }
+
+  /** The notebook's OTHER classifier (promised in its intro cell; the
+    * notebook never ships it — we do): multinomial Naive Bayes over the
+    * same TF-IDF features.
+    */
+  def naiveBayesPipeline(labelCol: String): Pipeline = {
+    val nb = new org.apache.spark.ml.classification.NaiveBayes()
+      .setModelType("multinomial").setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("class_weight")
+    new Pipeline().setStages(featureStages(labelCol) :+ nb)
+  }
+
+  /** class_weight='balanced' (cell 18): weight w(c) = n / (k * n_c), as a
+    * column joined per row — the spark.ml shape of sklearn's reweighting.
+    * One small broadcast join; the counts collect is k rows (invariant-
+    * sized, like the sampleBy label set).
+    */
+  def withBalancedWeights(docs: DataFrame, labelCol: String): DataFrame = {
+    val counts = docs.groupBy(col(labelCol)).count()
+    val n = docs.count().toDouble
+    val k = counts.count().toDouble
+    val weights = counts.select(col(labelCol),
+      (lit(n) / (lit(k) * col("count"))).as("class_weight"))
+    docs.join(broadcast(weights), Seq(labelCol))
   }
 
   /** Stratified 80/20 split (cell 16's train_test_split(stratify=y)). */
@@ -56,10 +90,11 @@ object Classifier {
     * gate (cell 18).
     */
   def trainAndScore(docs: DataFrame, textCol: String, labelCol: String,
-                    seed: Long = 42L): (PipelineModel, Double) = {
-    val toks = tokenized(docs, textCol)
+                    seed: Long = 42L,
+                    makePipeline: String => Pipeline = pipeline): (PipelineModel, Double) = {
+    val toks = withBalancedWeights(tokenized(docs, textCol), labelCol)
     val (train, test) = stratifiedSplit(toks, labelCol, 0.8, seed)
-    val model = pipeline(labelCol).fit(train)
+    val model = makePipeline(labelCol).fit(train)
     val evaluator = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")
     val accuracy = evaluator.evaluate(model.transform(test))

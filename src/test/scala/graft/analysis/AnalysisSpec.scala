@@ -59,6 +59,23 @@ class ClassifierSpec extends SparkSpec {
     assert(accuracy === 1.0) // linearly separable fixture
   }
 
+  test("Naive Bayes variant (the notebook's promised second classifier) also separates the fixture") {
+    val (_, accuracy) = Classifier.trainAndScore(docs, "text", "topic",
+      makePipeline = Classifier.naiveBayesPipeline)
+    assert(accuracy >= 0.9, s"NB accuracy $accuracy")
+  }
+
+  test("balanced class weights: w(c) = n / (k * n_c), rarer class weighted higher") {
+    val skewed = (Seq.fill(30)("alpha") ++ Seq.fill(10)("beta")).zipWithIndex
+      .map { case (t, i) => (i.toLong, s"doc $i", t) }.toDF("doc_id", "text", "topic")
+    val w = Classifier.withBalancedWeights(skewed, "topic")
+      .select("topic", "class_weight").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w("alpha") - 40.0 / (2 * 30)) < 1e-9)
+    assert(math.abs(w("beta") - 40.0 / (2 * 10)) < 1e-9)
+    assert(w("beta") > w("alpha"))
+  }
+
   test("stratified split keeps both classes in train (cell 16)") {
     val (train, test) = Classifier.stratifiedSplit(
       Classifier.tokenized(docs, "text"), "topic", 0.8, seed = 42L)
