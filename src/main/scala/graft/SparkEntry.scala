@@ -553,6 +553,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII scrub over synthesized dirty text (email + phone + IPv4 injected
+    // deterministically per doc so the oracle validates every redaction
+    // pattern, not just the no-op path).
+    "text_pii_scrub" -> ((s, dir) => {
+      val dirty = concat(
+        lit("contact u"), col("doc_id"), lit("@mail.example.org or +1-555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+        lit(" :: "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.scrubPii(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // Within-doc repetition score (Gopher-style duplicate-bigram fraction).
+    "text_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.repetitionScore(col("text")).as("rep_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Batch sessionization over events: 30-minute-gap sessions, per-user
+    // session counts. One shuffle on user_id; lag + running sum share the
+    // same window ordering.
+    "events_sessions" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_seq")).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Multimodal plumbing — opaque binary column + byte-level metadata
     // (decode itself is the stubbed stage, see graft.operators.Multimodal).
     "multimodal_meta" -> ((s, dir) => {
@@ -1219,6 +1251,58 @@ object SparkEntry {
          |FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // Same dirty-text synthesis, same three redaction regexes (fixed-shape
+    // patterns — no greedy-optional suffixes, which differ across regex
+    // engines), same order (emails first).
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        concat('contact u', doc_id, '@mail.example.org or +1-555-01',
+        |               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+        |               ' ip 10.0.0.', CAST(doc_id % 256 AS VARCHAR), ' :: ', text),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?\d{1,3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(regexp_replace(lower(text), '[^a-z- ]', ' ', 'g'), ' +'),
+        |    t -> len(t) > 1) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bigrams
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(bigrams) > 0
+        |    THEN round(1.0 - len(list_distinct(bigrams))*1.0/len(bigrams), 6)
+        |    ELSE 0.0 END AS rep_score
+        |FROM bg ORDER BY doc_id""".stripMargin,
+
+    // Gap compare in integral microseconds (epoch_us truncates ns→us the
+    // same way Spark's `ts DIV 1000` load conversion does).
+    "events_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM b)
+        |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same tokenize normalization as Spark's TextStats.tokenize, then md5
     // of the space-joined stream: lower → non-[a-z- ] to space → split on

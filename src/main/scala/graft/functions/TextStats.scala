@@ -107,6 +107,40 @@ object TextStats {
   def fingerprintMd5(c: Column): Column =
     md5(array_join(tokenize(c), " ").cast("binary"))
 
+  /** PII scrub — the redaction pass every training-data pipeline runs
+    * before anything else sees the text. Regex-based (emails, then
+    * international-ish phone runs, then IPv4), replacement tokens in the
+    * <TYPE> convention. Order matters: emails first so their digit runs
+    * can't half-match the phone pattern. Pure codegen'd regexp_replace —
+    * map-only, zero shuffle at any scale.
+    */
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    // fixed-shape pattern (no trailing optionals): greedy-suffix behavior
+    // differs between regex engines, identical fixed shapes do not
+    val noPhone = regexp_replace(noEmail,
+      "\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>")
+    regexp_replace(noPhone,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+  }
+
+  /** Within-document repetition score (the Gopher-style "fraction of
+    * duplicate word bigrams" filter signal): 1 − |distinct bigrams| /
+    * |bigrams|, 0 for docs with fewer than 2 tokens. Map-only; the bigram
+    * array lives inside one projection and never shuffles.
+    */
+  def repetitionScore(c: Column): Column = {
+    val toks = tokenize(c)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    when(size(bigrams) > 0,
+      round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Per-token xxhash64 array — materialize this as its own projection (see
     * [[simhashFromHashes]]) so the tokenizer isn't re-inlined per bit.
     */

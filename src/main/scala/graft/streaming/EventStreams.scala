@@ -36,6 +36,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Batch sessionization: a user's session breaks when the gap to the
+    * previous event exceeds `gapMinutes`. One lag window + one running sum
+    * over the same (user, time) ordering — a single shuffle on user_id,
+    * both windows in one Window exec. Gaps compare in integral
+    * MICROSECONDS (`unix_micros`) so the oracle comparison is exact — a
+    * seconds-truncated diff disagrees across engines on sub-second
+    * fractions. The streaming analog is [[userSessions]] with a
+    * GroupStateTimeout; this is the batch twin for historical data.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("brk",
+        when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .drop("brk")
+  }
+
   /** Streaming exact dedup — the streaming analog of
     * [[graft.operators.Dedup.exactGroups]]: drop rows whose key re-appears
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keeps

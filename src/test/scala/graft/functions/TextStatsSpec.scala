@@ -48,6 +48,28 @@ class TextStatsSpec extends SparkSpec {
     assert(r(0) !== r(2))
   }
 
+  test("scrubPii: redacts emails, phones and IPv4s, leaves clean text alone") {
+    val r = Seq(
+      "mail bob.smith+x@corp.example.co.uk now",
+      "call +44-123-4567 or 1-555-0100 today",
+      "host 192.168.1.254 is up",
+      "no pii here at all").toDF("v")
+      .select(TextStats.scrubPii(col("v"))).as[String].collect()
+    assert(r(0) === "mail <EMAIL> now")
+    assert(r(1) === "call <PHONE> or <PHONE> today")
+    assert(r(2) === "host <IP> is up")
+    assert(r(3) === "no pii here at all")
+  }
+
+  test("repetitionScore: duplicate bigram fraction, 0 for short docs") {
+    val r = Seq(
+      "spark spark spark spark spark",  // 4 bigrams, 1 distinct → 0.75
+      "one two three four five",        // all distinct → 0.0
+      "word").toDF("v")                 // < 2 tokens → 0.0
+      .select(TextStats.repetitionScore(col("v"))).as[Double].collect()
+    assert(r.toSeq === Seq(0.75, 0.0, 0.0))
+  }
+
   test("simhash: near-identical docs within small hamming distance, unrelated docs far") {
     def sig(texts: String*): Seq[Long] = {
       texts.toSeq.toDF("v")

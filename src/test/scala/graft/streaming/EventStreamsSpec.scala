@@ -44,6 +44,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getAs[Long]("n") === 2L)
   }
 
+  test("sessionize: 30-minute gap splits sessions, running seq per user") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L),
+      (2L, ts("2024-01-01 10:10:00"), 7L), // same session (10 min gap)
+      (3L, ts("2024-01-01 11:00:00"), 7L), // 50 min gap → new session
+      (4L, ts("2024-01-01 10:00:00"), 9L)) // other user: own session 1
+      .toDF("event_id", "ts", "user_id")
+    val r = EventStreams.sessionize(events, gapMinutes = 30)
+      .select("event_id", "session_seq")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("dedupedEvents: duplicate keys dropped across micro-batches, state watermark-bounded") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
