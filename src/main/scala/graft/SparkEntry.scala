@@ -568,9 +568,14 @@ object SparkEntry {
     }),
 
     // Within-doc repetition score (Gopher-style duplicate-bigram fraction).
+    // Staged projections keep toks/bigrams as bound attributes — inlining
+    // them re-runs the regex tokenizer per array element (30× slower).
     "text_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextStats.repetitionScore(col("text")).as("rep_score"))
+        .select(col("doc_id"), TextStats.tokenize(col("text")).as("toks"))
+        .select(col("doc_id"), TextStats.bigramsOf(col("toks")).as("bigrams"))
+        .select(col("doc_id"),
+          TextStats.repetitionFromBigrams(col("bigrams")).as("rep_score"))
         .orderBy("doc_id")
     }),
 

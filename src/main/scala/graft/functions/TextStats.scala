@@ -125,21 +125,27 @@ object TextStats {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
   }
 
-  /** Within-document repetition score (the Gopher-style "fraction of
-    * duplicate word bigrams" filter signal): 1 − |distinct bigrams| /
-    * |bigrams|, 0 for docs with fewer than 2 tokens. Map-only; the bigram
-    * array lives inside one projection and never shuffles.
+  /** Word-bigram array from a token array. `toks` MUST be a bound
+    * attribute (its own projection), not an inline `tokenize(...)` — the
+    * lambda references it per position, and Catalyst would re-inline the
+    * regex tokenizer per element (measured 30× on `text_repetition`:
+    * 6.1 s → 0.2 s at sf0.1 after staging the projections).
     */
-  def repetitionScore(c: Column): Column = {
-    val toks = tokenize(c)
-    val bigrams = when(size(toks) >= 2,
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition score (the Gopher-style "fraction of
+    * duplicate word bigrams" filter signal): 1 − |distinct bigrams| /
+    * |bigrams|, 0 for docs with fewer than 2 bigrams. Same bound-attribute
+    * contract as [[bigramsOf]] — this references `bigrams` three times.
+    */
+  def repetitionFromBigrams(bigrams: Column): Column =
     when(size(bigrams) > 0,
       round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams), 6))
       .otherwise(lit(0.0))
-  }
 
   /** Per-token xxhash64 array — materialize this as its own projection (see
     * [[simhashFromHashes]]) so the tokenizer isn't re-inlined per bit.

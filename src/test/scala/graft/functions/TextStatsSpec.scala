@@ -66,7 +66,9 @@ class TextStatsSpec extends SparkSpec {
       "spark spark spark spark spark",  // 4 bigrams, 1 distinct → 0.75
       "one two three four five",        // all distinct → 0.0
       "word").toDF("v")                 // < 2 tokens → 0.0
-      .select(TextStats.repetitionScore(col("v"))).as[Double].collect()
+      .select(TextStats.tokenize(col("v")).as("toks"))
+      .select(TextStats.bigramsOf(col("toks")).as("bigrams"))
+      .select(TextStats.repetitionFromBigrams(col("bigrams"))).as[Double].collect()
     assert(r.toSeq === Seq(0.75, 0.0, 0.0))
   }
 
