@@ -600,6 +600,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: every 50th doc plays the eval set; flag
+    // corpus docs sharing >= 3 word-3-gram shingles with any of them.
+    "dedup_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationFlags(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3, minShared = 3)
+        .orderBy("doc_id")
+    }),
+
     // MinHash banded-LSH near-dup pairs (the 100 TB scale path): candidates
     // form only inside (band, band-hash) buckets, then an exact-Jaccard
     // verify pass makes the output equal brute-force Jaccard at the same
@@ -1289,6 +1300,35 @@ object SparkEntry {
         |    THEN round(1.0 - len(list_distinct(bigrams))*1.0/len(bigrams), 6)
         |    ELSE 0.0 END AS rep_score
         |FROM bg ORDER BY doc_id""".stripMargin,
+
+    // Same word-3-gram shingles (slice semantics: DuckDB list[a:b] is
+    // 1-based inclusive; range(a,b) excludes b), distinct per doc, so the
+    // join count per (doc, bench) pair is the intersection size.
+    "dedup_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(regexp_replace(lower(text), '[^a-z- ]', ' ', 'g'), ' +'),
+        |    t -> len(t) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS shingles
+        |  FROM tk),
+        |ce AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0),
+        |be AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+        |ov AS (
+        |  SELECT doc_id, bench_id, count(*) AS n_shared
+        |  FROM ce JOIN be USING (s) GROUP BY 1, 2 HAVING count(*) >= 3),
+        |agg AS (
+        |  SELECT doc_id, max(n_shared) AS max_shared, count(DISTINCT bench_id) AS n_bench_hits
+        |  FROM ov GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(max_shared, 0) AS BIGINT) AS max_shared,
+        |  CAST(coalesce(n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+        |  coalesce(max_shared, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Gap compare in integral microseconds (epoch_us truncates ns→us the
     // same way Spark's `ts DIV 1000` load conversion does).

@@ -236,6 +236,38 @@ object Dedup {
     verifyExactJaccard(cand, sh, threshold)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` word n-gram shingles with ANY benchmark document — the
+    * standard "is my training set contaminated with my eval set" pass.
+    * Candidate generation is a shingle equi-join (never all-pairs), and
+    * the benchmark side is broadcast: eval sets are KB–MB even when the
+    * corpus is 100 TB, so the flag pass costs one corpus map + one
+    * broadcast join + one aggregation. Reports, per corpus doc, the
+    * largest qualifying overlap and how many benchmark docs it hits.
+    */
+  def contaminationFlags(
+      corpus: DataFrame, benchmark: DataFrame, textCol: String, idCol: String,
+      n: Int, minShared: Int): DataFrame = {
+    val ce = shingled(spread(corpus, idCol), textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val be = shingled(benchmark, textCol, idCol, n)
+      .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh"))
+    // shingle arrays are distinct per doc, so the pair count IS |∩|
+    val overlap = ce.join(broadcast(be), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val perDoc = overlap.groupBy(col("doc_id"))
+      .agg(max(col("n_shared")).as("max_shared"),
+        countDistinct(col("bench_id")).as("n_bench_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        (coalesce(col("max_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** SimHash bucketing: 64-bit signature, bucket on the top `bandBits` bits.
     * Near-dups collide in a bucket; intra-bucket verification (hamming or
     * [[graft.functions.PartialRatio]]) follows.

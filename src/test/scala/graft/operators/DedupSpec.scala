@@ -59,6 +59,19 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("contaminationFlags: shingle overlap with the benchmark set is flagged, clean docs are not") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val r = Dedup.contaminationFlags(corpus, bench, "text", "doc_id", n = 3, minShared = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) === ((3L, 1L, true))) // 3 shared 3-grams with one bench doc
+    assert(r(2L) === ((0L, 0L, false)))
+  }
+
   test("simhash: hamming distance separates near-dups from unrelated docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again at dawn"),
