@@ -579,6 +579,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Interval-join attribution (batch twin of the stream-stream join):
+    // purchases attributed to preceding views of the same user within
+    // 30 minutes; per-user counts + attributed value.
+    "events_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.viewPurchaseAttribution(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), windowMinutes = 30)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("attributed_value"))
+        .orderBy("user_id")
+    }),
+
+    // Composed keep/drop decision — the C4/Gopher-shape filter pipeline
+    // end-to-end: quality floor + language gate + repetition ceiling +
+    // exact-dup keeper, one boolean per document.
+    "pipeline_keep" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextStats.qualityScore(col("text")).as("quality"),
+          TextStats.langIdRules(col("text"), Seq(
+            "en" -> Seq("the", "a"),
+            "fr" -> Seq("le", "la"),
+            "es" -> Seq("el", "los"))).as("lang"),
+          (row_number().over(w) === 1).as("is_keeper"))
+        .select(col("doc_id"), col("quality"), col("lang"), col("is_keeper"),
+          TextStats.tokenize(col("text")).as("toks"))
+        .select(col("doc_id"), col("quality"), col("lang"), col("is_keeper"),
+          TextStats.bigramsOf(col("toks")).as("bigrams"))
+        .select(col("doc_id"), col("quality"), col("lang"), col("is_keeper"),
+          TextStats.repetitionFromBigrams(col("bigrams")).as("rep_score"))
+        .withColumn("keep",
+          col("quality") >= 0.8 && col("lang") === "en" &&
+            col("rep_score") < 0.1 && col("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // Batch sessionization over events: 30-minute-gap sessions, per-user
     // session counts. One shuffle on user_id; lag + running sum share the
     // same window ordering.
@@ -1329,6 +1369,67 @@ object SparkEntry {
         |  coalesce(max_shared, 0) >= 3 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
         |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Interval bounds compared at MICROsecond precision on both sides:
+    // Spark's loaded timestamps ARE the ns-truncated micros, and DuckDB's
+    // epoch_us truncates identically — so the boundary cases agree exactly.
+    "events_attribution" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_attributed,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM v JOIN p USING (user_id)
+        |WHERE epoch_us(purchase_ts) >= epoch_us(view_ts)
+        |  AND epoch_us(purchase_ts) <= epoch_us(view_ts) + 1800000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The composed filter decision: each component reuses its standalone
+    // oracle's formulation (quality, lang cascade, bigram repetition,
+    // min-id-per-md5 keeper).
+    "pipeline_keep" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    round(0.4 * (CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |        + 0.4 * (len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text))
+        |        + 0.2 * (CASE WHEN (len(text) + 1) * 1.0 / len(string_split(trim(text), ' '))
+        |                      BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6) AS quality,
+        |    (min(doc_id) OVER (PARTITION BY md5(text))) = doc_id AS is_keeper
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h_en = m AND m > 0 THEN 'en'
+        |         WHEN h_fr = m AND m > 0 THEN 'fr'
+        |         WHEN h_es = m AND m > 0 THEN 'es'
+        |         ELSE 'und' END AS lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a'))) AS h_en,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('le', 'la'))) AS h_fr,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('el', 'los'))) AS h_es,
+        |      greatest(
+        |        len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a'))),
+        |        len(list_filter(string_split(lower(text), ' '), x -> x IN ('le', 'la'))),
+        |        len(list_filter(string_split(lower(text), ' '), x -> x IN ('el', 'los')))) AS m
+        |    FROM documents)),
+        |tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(regexp_replace(lower(text), '[^a-z- ]', ' ', 'g'), ' +'),
+        |    t -> len(t) > 1) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bigrams
+        |  FROM tk),
+        |rep AS (
+        |  SELECT doc_id, CASE WHEN len(bigrams) > 0
+        |    THEN round(1.0 - len(list_distinct(bigrams))*1.0/len(bigrams), 6)
+        |    ELSE 0.0 END AS rep_score
+        |  FROM bg)
+        |SELECT b.doc_id, b.quality, l.lang, b.is_keeper, r.rep_score,
+        |  (b.quality >= 0.8 AND l.lang = 'en' AND r.rep_score < 0.1 AND b.is_keeper) AS keep
+        |FROM base b JOIN lang l USING (doc_id) JOIN rep r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Gap compare in integral microseconds (epoch_us truncates ns→us the
     // same way Spark's `ts DIV 1000` load conversion does).

@@ -36,6 +36,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream-stream interval join: attribute each purchase to the view
+    * events of the same user within the preceding `windowMinutes`. Both
+    * sides carry watermarks, so the join state evicts once event time
+    * passes the interval — the only stream-stream join shape that is
+    * state-bounded on an unbounded stream. Works unchanged on batch
+    * frames (the batch twin is oracled as `events_attribution`).
+    */
+  def viewPurchaseAttribution(
+      views: DataFrame, purchases: DataFrame, windowMinutes: Int): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    v.join(p, expr(
+      s"""user_id = p_user_id AND
+         |purchase_ts >= view_ts AND
+         |purchase_ts <= view_ts + INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Batch sessionization: a user's session breaks when the gap to the
     * previous event exceeds `gapMinutes`. One lag window + one running sum
     * over the same (user, time) ordering — a single shuffle on user_id,

@@ -44,6 +44,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getAs[Long]("n") === 2L)
   }
 
+  test("viewPurchaseAttribution: stream-stream interval join, out-of-window purchase dropped") {
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventStreams.viewPurchaseAttribution(df(views), df(purchases), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      views.addData((1L, ts("2024-01-01 10:00:00"), 7L, 0.0))
+      purchases.addData(
+        (2L, ts("2024-01-01 10:20:00"), 7L, 9.99),  // within 30 min → attributed
+        (3L, ts("2024-01-01 11:30:00"), 7L, 5.00))  // 90 min later → dropped
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("view_id", "purchase_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize: 30-minute gap splits sessions, running seq per user") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L),
