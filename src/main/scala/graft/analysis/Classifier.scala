@@ -101,6 +101,16 @@ object Classifier {
     (model, accuracy)
   }
 
+  /** Confusion matrix (cell 18's `confusion_matrix` /
+    * `classification_report` input): (label, prediction, n) counts over a
+    * transformed frame — pivot or report however downstream wants.
+    */
+  def confusionMatrix(model: PipelineModel, docs: DataFrame, textCol: String,
+                      labelCol: String): DataFrame =
+    model.transform(withBalancedWeights(tokenized(docs, textCol), labelCol))
+      .groupBy(col("label"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+
   /** PCA(2) projection of the TF-IDF features (cell 32's plot input). */
   def pca2(model: PipelineModel, docs: DataFrame, textCol: String): DataFrame = {
     val feats = model.transform(tokenized(docs, textCol))

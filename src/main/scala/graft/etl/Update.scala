@@ -1,0 +1,66 @@
+package graft.etl
+
+import graft.sources.{HttpEnrichment, HttpFetcher}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `synth update` analog (/root/reference/synth/cli.py:77-91): refresh the
+  * enrichment resource caches — in the reference, (re)fetching DOI
+  * metadata from Crossref into `doi_metadata.db` over a 20-thread pool.
+  *
+  * Spark shape: the keys needing refresh are the anti-join of referenced
+  * DOIs vs the cache table (only misses fan out), the fetch runs inside
+  * the rate-limited `mapPartitions` shell ([[HttpEnrichment.fetchMisses]]
+  * — the cluster is the thread pool), and the merged cache is written
+  * back as a plain table. Nothing network-bound ever runs in the
+  * verify/bench path; this entrypoint is the explicitly-online command.
+  */
+object Update {
+
+  /** Pure refresh step: fetch cache misses among `outputs`' DOIs, merge
+    * last-write-wins into the cache frame. Fetcher injected (live runs
+    * pass an [[HttpFetcher]], tests a deterministic fake).
+    */
+  def refreshDoiMetadata(
+      outputs: DataFrame, cache: DataFrame,
+      fetcher: String => Option[String],
+      maxPerSecond: Double = 10.0): DataFrame = {
+    val keys = outputs
+      .select(col("doi").as("key"))
+      .filter(col("key").isNotNull && length(col("key")) > 0)
+    val fetched = HttpEnrichment.fetchMisses(keys, cache, fetcher, maxPerSecond)
+    HttpEnrichment.mergeCache(cache, fetched)
+  }
+
+  /** CLI: `Update <outputsParquet> <cacheDir> <baseUrl>` — e.g. baseUrl
+    * `https://api.crossref.org` fetches `<baseUrl>/works/<doi>`. The cache
+    * dir is read if present (else starts empty) and overwritten with the
+    * merged result.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(outputsPath, cacheDir, baseUrl) = args.take(3)
+    val spark = graft.GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+    import spark.implicits._
+    val outputs = spark.read.parquet(outputsPath)
+    val cache =
+      if (new java.io.File(cacheDir).exists()) spark.read.parquet(cacheDir)
+      else Seq.empty[(String, String)].toDF("key", "value")
+    val fetcher = new HttpFetcher(
+      key => s"$baseUrl/works/$key",
+      headers = Map("User-Agent" -> "graft/0.1 (mailto:ops@example.org)"))
+    val merged = refreshDoiMetadata(outputs, cache, fetcher)
+    // write via temp + swap: the cache is also this job's input
+    val tmp = cacheDir + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(cacheDir)
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(target)
+    }
+    new java.io.File(tmp).renameTo(target): Unit
+    spark.stop()
+  }
+}

@@ -83,6 +83,14 @@ class ClassifierSpec extends SparkSpec {
     assert(train.count() + test.count() === 40)
   }
 
+  test("confusionMatrix: diagonal dominates on the separable fixture (cell 18)") {
+    val (model, _) = Classifier.trainAndScore(docs, "text", "topic")
+    val cm = Classifier.confusionMatrix(model, docs, "text", "topic")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val diag = cm.collect { case ((l, p), n) if l == p => n }.sum
+    assert(diag === 40L) // every fixture doc on the diagonal
+  }
+
   test("PCA(2) projection emits 2-dim vectors (cell 32)") {
     val (model, _) = Classifier.trainAndScore(docs, "text", "topic")
     val p = Classifier.pca2(model, docs, "text").head()
