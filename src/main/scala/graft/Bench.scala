@@ -47,7 +47,13 @@ object Bench {
       System.gc() // let ContextCleaner reap broadcasts/shuffles off-clock
       val value =
         if (times.length < runs) -1.0
-        else times.sorted.apply(runs / 2)
+        else {
+          val s = times.sorted
+          // true median: middle element odd, mean of the two middles even
+          // (picking s(runs/2) for even runs would report the WORST run
+          // at runs=2)
+          if (runs % 2 == 1) s(runs / 2) else (s(runs / 2 - 1) + s(runs / 2)) / 2.0
+        }
       (name, value)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

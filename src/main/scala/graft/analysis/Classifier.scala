@@ -64,15 +64,23 @@ object Classifier {
 
   /** class_weight='balanced' (cell 18): weight w(c) = n / (k * n_c), as a
     * column joined per row — the spark.ml shape of sklearn's reweighting.
-    * One small broadcast join; the counts collect is k rows (invariant-
-    * sized, like the sampleBy label set).
+    * One aggregation job (the k-row collect yields n and k for free) and
+    * one small broadcast join.
     */
   def withBalancedWeights(docs: DataFrame, labelCol: String): DataFrame = {
-    val counts = docs.groupBy(col(labelCol)).count()
-    val n = docs.count().toDouble
-    val k = counts.count().toDouble
-    val weights = counts.select(col(labelCol),
-      (lit(n) / (lit(k) * col("count"))).as("class_weight"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val session = docs.sparkSession
+    val counts = docs.groupBy(col(labelCol)).count().collect()
+    val n = counts.map(_.getLong(1)).sum.toDouble
+    val k = counts.length.toDouble
+    val schema = StructType(Seq(
+      docs.schema(labelCol).copy(nullable = true),
+      StructField("class_weight", DoubleType)))
+    val weights = session.createDataFrame(
+      java.util.Arrays.asList(
+        counts.map(r => Row(r.get(0), n / (k * r.getLong(1)))): _*),
+      schema)
     docs.join(broadcast(weights), Seq(labelCol))
   }
 
@@ -103,11 +111,13 @@ object Classifier {
 
   /** Confusion matrix (cell 18's `confusion_matrix` /
     * `classification_report` input): (label, prediction, n) counts over a
-    * transformed frame — pivot or report however downstream wants.
+    * transformed frame — pivot or report however downstream wants. No
+    * weight column here: weightCol only matters at fit time, so attaching
+    * it on the scoring path would be wasted work.
     */
   def confusionMatrix(model: PipelineModel, docs: DataFrame, textCol: String,
                       labelCol: String): DataFrame =
-    model.transform(withBalancedWeights(tokenized(docs, textCol), labelCol))
+    model.transform(tokenized(docs, textCol))
       .groupBy(col("label"), col("prediction"))
       .agg(count(lit(1)).as("n"))
 

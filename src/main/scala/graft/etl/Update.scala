@@ -47,20 +47,31 @@ object Update {
       if (new java.io.File(cacheDir).exists()) spark.read.parquet(cacheDir)
       else Seq.empty[(String, String)].toDF("key", "value")
     val fetcher = new HttpFetcher(
-      key => s"$baseUrl/works/$key",
+      // percent-encode the key: real DOIs contain '<', '>', spaces, '#'
+      // (SICI DOIs) — raw interpolation would crash URI parsing or
+      // silently truncate the path at '#'
+      key => s"$baseUrl/works/" + java.net.URLEncoder.encode(key, "UTF-8"),
       headers = Map("User-Agent" -> "graft/0.1 (mailto:ops@example.org)"))
     val merged = refreshDoiMetadata(outputs, cache, fetcher)
-    // write via temp + swap: the cache is also this job's input
-    val tmp = cacheDir + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    // write via temp, then swap via RENAMES only (never delete-then-rename:
+    // a crash between delete and rename would destroy the only cache copy).
+    // Every rename is checked — failing loudly with the data still on disk
+    // beats exiting 0 with the cache gone.
+    val tmp = new java.io.File(cacheDir + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.getPath)
     val target = new java.io.File(cacheDir)
-    if (target.exists()) {
+    val backup = new java.io.File(cacheDir + "_prev")
+    if (backup.exists()) {
       def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        require(f.delete(), s"could not delete stale backup entry $f")
       }
-      rm(target)
+      rm(backup)
     }
-    new java.io.File(tmp).renameTo(target): Unit
+    if (target.exists())
+      require(target.renameTo(backup), s"could not move $target aside to $backup")
+    require(tmp.renameTo(target), s"could not move $tmp into place at $target" +
+      (if (backup.exists()) s" — previous cache preserved at $backup" else ""))
     spark.stop()
   }
 }

@@ -39,6 +39,13 @@ object Dedup {
     * the most expensive map stage of the r4 minhash plan). The count()
     * forces a single computation before any consumer starts. At scale this
     * is the in-session analog of writing an intermediate table.
+    *
+    * Lifetime contract: the cache lives until the session drops it — the
+    * returned frame feeds lazy consumers, so this function cannot
+    * unpersist. Verify/Bench call `spark.catalog.clearCache()` after
+    * every query; a long-lived caller looping over corpora must do the
+    * same (or unpersist the operator's result lineage) or caches
+    * accumulate.
     */
   private def materialized(df: DataFrame): DataFrame = {
     val p = df.persist()

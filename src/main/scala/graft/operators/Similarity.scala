@@ -117,9 +117,12 @@ object Similarity {
     * per-JVM memo keyed by an explicit caller-supplied corpus identity
     * models that shape (e.g. the topk query and its recall gate share one
     * fit). Entries are nCells × dim doubles — negligible driver memory.
+    * The corpusId names a DATASET VERSION, not a path: if the data behind
+    * an id is rewritten in the same JVM, pass a fresh id (the memo is
+    * deliberately not invalidated by `spark.catalog.clearCache()`).
     */
   private val quantizerCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Long, Int), Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long, Int), Array[Array[Double]]]
 
   /** Train the coarse quantizer on a seeded SAMPLE, never the full corpus:
     * KMeans.fit iterates over its input several times, and at 100 TB a
@@ -148,7 +151,8 @@ object Similarity {
       corpusId: Option[String] = None): DataFrame = {
     import graft.functions.VectorOps.dotProduct
     val centers = corpusId match {
-      case Some(id) => quantizerCache.getOrElseUpdate((id, nCells, seed, maxTrainSamples),
+      case Some(id) => quantizerCache.getOrElseUpdate(
+        (id, vecCol, nCells, seed, maxTrainSamples),
         fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol))
       case None => fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
     }

@@ -45,6 +45,15 @@ class HttpFetcher(
       val resp = client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
     } catch {
-      case _: java.io.IOException | _: InterruptedException => None
+      case _: InterruptedException =>
+        // preserve cancellation: Spark interrupts the task thread to kill
+        // it — clearing the flag would keep the rate-limited partition
+        // loop fetching for minutes after the job is cancelled
+        Thread.currentThread().interrupt()
+        None
+      case _: java.io.IOException => None
+      // a key that doesn't form a legal URI is a miss, not a job-killer
+      // (one malformed DOI must not fail the whole cache refresh)
+      case _: IllegalArgumentException => None
     }
 }
