@@ -97,6 +97,43 @@ object Rebuild {
       partitioned.parquet(s"$outDir/$name")
     }
 
+  /** The fact tables' repeated-join keys: the visitor-project star is what
+    * analysis queries join over and over (the view, score lookups,
+    * per-project request rollups). Bucketing these by their join key at
+    * write time lets every later fact-fact join plan as a SortMergeJoin
+    * with NO Exchange (BucketingSpec proves the plan shape) — at 100 TB
+    * that removes the dominant recurring shuffle.
+    */
+  val bucketKeys: Map[String, String] = Map(
+    "visitor_project" -> "id",
+    "access_request" -> "visitor_project_id",
+    "evaluation_score" -> "visitor_project_id",
+    "vw_project_access_requests" -> "visitor_project_id")
+
+  /** Bucketed variant of [[writeAll]]: tables with a registered join key
+    * are written `bucketBy(nBuckets, key).sortBy(key)` as saved tables
+    * (bucket metadata lives in the session catalog); the rest stay plain
+    * parquet in `outDir`. Table names are prefixed `prefix` to keep
+    * catalogs from different runs apart.
+    */
+  def writeAllBucketed(
+      tables: Map[String, DataFrame], outDir: String,
+      nBuckets: Int, prefix: String = "graft_"): Unit =
+    tables.foreach { case (name, df) =>
+      bucketKeys.get(name) match {
+        case Some(key) =>
+          val t = s"$prefix$name"
+          df.sparkSession.sql(s"DROP TABLE IF EXISTS $t")
+          df.write.mode("overwrite")
+            .bucketBy(nBuckets, key).sortBy(key)
+            .saveAsTable(t)
+        case None =>
+          val w = df.write.mode("overwrite")
+          val partitioned = if (df.columns.contains("round")) w.partitionBy("round") else w
+          partitioned.parquet(s"$outDir/$name")
+      }
+    }
+
   /** `synth dump` analog (cli.py:93-102): SQL-dump every table, DISTRIBUTED.
     * The DDL header (schema-sized) is a driver-side file; the INSERT
     * statements are written as a text dataset by the executors — no
@@ -187,7 +224,12 @@ object Rebuild {
       doiMetadata = resource("doi_metadata", emptyMeta))
 
     val tables = run(inputs)
-    writeAll(tables, outDir)
+    // optional `--bucket <n>`: write the visitor-project star bucketed by
+    // its join keys (shuffle-free repeated joins downstream)
+    args.sliding(2).collectFirst { case Array("--bucket", n) => n.toInt } match {
+      case Some(n) => writeAllBucketed(tables, outDir, n)
+      case None    => writeAll(tables, outDir)
+    }
     // names only — a per-table count() would re-read every output and
     // double the rebuild's I/O just for a log line
     System.err.println(s"[rebuild] wrote: ${tables.keys.toSeq.sorted.mkString(", ")}")

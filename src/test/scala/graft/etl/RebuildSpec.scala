@@ -186,6 +186,26 @@ class RebuildSpec extends SparkSpec {
     assert(stmts.exists(_.startsWith("INSERT INTO round VALUES (1, 'Synthesys 1'")))
   }
 
+  test("writeAllBucketed: star tables land bucketed, their view join plans with no shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("rebuild_b").toString
+    val vp = (1L to 100L).map(i => (i, s"p$i")).toDF("id", "title")
+    val ar = (1L to 300L).map(i => (i, i % 100 + 1)).toDF("id", "visitor_project_id")
+    Rebuild.writeAllBucketed(
+      Map("visitor_project" -> vp, "access_request" -> ar, "round" -> vp.limit(1)),
+      dir, nBuckets = 4, prefix = "spec_")
+    // non-star table → plain parquet
+    assert(new java.io.File(s"$dir/round").exists())
+    val joined = spark.table("spec_visitor_project").as("vp")
+      .join(spark.table("spec_access_request").as("ar"),
+        col("vp.id") === col("ar.visitor_project_id"))
+    assert(joined.count() === 300)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed star join should not shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS spec_visitor_project")
+    spark.sql("DROP TABLE IF EXISTS spec_access_request")
+  }
+
   test("writeAll partitions round-carrying tables by round") {
     val dir = java.nio.file.Files.createTempDirectory("rebuild").toString
     val df = Seq((1, 1, "x"), (2, 2, "y")).toDF("id", "round", "v")
