@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the performance work in PLANS.md is only
+  * durable if the plans KEEP their shape. These assert the load-bearing
+  * physical-plan properties at sf0.001 — pushdown reaching the scan,
+  * dimension joins broadcasting, and (the big one) a sweep over EVERY
+  * registered query asserting no accidental cartesian / nested-loop join
+  * outside the two labeled exact-baseline queries.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  private def available: Boolean = new java.io.File(s"$dir/lineitem.parquet").exists()
+
+  test("s1_scan_project: predicates push down to the parquet scan, schema pruned") {
+    assume(available)
+    val p = plan("s1_scan_project")
+    // the PushedFilters list truncates in toString — assert on its head
+    // and on the (untruncated) DataFilters mirror of the range predicate
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushdown section in scan:\n$p")
+    assert(p.contains("> 30.0)"), s"quantity filter not in the scan's data filters:\n$p")
+    assert(!p.contains("l_comment"), "unprojected column reached the scan schema")
+  }
+
+  test("j1_denorm: dimension joins broadcast, fact side never shuffles") {
+    assume(available)
+    val p = plan("j1_denorm")
+    assert(p.contains("BroadcastHashJoin"), s"dim join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side shuffled for a dim join:\n$p")
+  }
+
+  test("dedup_exact: map-side partial aggregation before the single shuffle") {
+    assume(available)
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than one hash exchange for a single groupBy:\n$p")
+  }
+
+  // queries whose plans legitimately contain a cartesian/nested-loop join:
+  //  - dedup_embedding_pairs / ann_cosine_topk: semantically all-pairs
+  //    (labeled exact baselines; bucketed alternatives registered)
+  //  - ann_lsh_recall / ann_ivf_recall: embed the brute-force baseline to
+  //    measure recall against
+  //  - ann_ivf_topk: crossJoin(broadcast(centroids)) — rows × nCells, a
+  //    bounded broadcast cross, not data × data
+  //  - w4_zscore: broadcasts a ONE-ROW stats frame (the documented
+  //    alternative to an empty-frame whole-table window)
+  private val allPairsByDesign = Set(
+    "dedup_embedding_pairs", "ann_cosine_topk",
+    "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore")
+
+  test("no accidental cartesian/nested-loop join anywhere in the query surface") {
+    assume(available)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allPairsByDesign)
+      .flatMap { name =>
+        val p =
+          try plan(name)
+          catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+        spark.catalog.clearCache() // dedup queries persist intermediates
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning an all-pairs join that should not: $offenders")
+  }
+}
