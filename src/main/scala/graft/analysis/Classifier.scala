@@ -121,6 +121,40 @@ object Classifier {
       .groupBy(col("label"), col("prediction"))
       .agg(count(lit(1)).as("n"))
 
+  /** Low-confidence outliers (/root/reference/notebooks/outliers.ipynb
+    * cells 4-5): score every doc, z-score the winning-class probability,
+    * keep rows below `zThreshold` (default −2.5, the notebook's value).
+    * The z-score uses the two-pass agg + one-row broadcast shape (NOT an
+    * empty-frame whole-table window — that would serialize the table
+    * through one task; same rationale as the oracled `w4_zscore`).
+    */
+  def lowConfidenceOutliers(model: PipelineModel, docs: DataFrame, textCol: String,
+                            zThreshold: Double = -2.5): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = model.transform(tokenized(docs, textCol))
+      .withColumn("probability_max",
+        org.apache.spark.sql.functions.array_max(vector_to_array(col("probability"))))
+    val stats = scored.agg(
+      avg(col("probability_max")).as("mu"),
+      stddev_samp(col("probability_max")).as("sigma"))
+    scored.crossJoin(broadcast(stats))
+      .withColumn("z_score", (col("probability_max") - col("mu")) / col("sigma"))
+      .filter(col("z_score") < zThreshold)
+      .select(col("doc_id"), col("prediction"), col("probability_max"),
+        round(col("z_score"), 4).as("z_score"))
+  }
+
+  /** Cell 6: token frequency over the outlier set — which vocabulary the
+    * classifier is unsure about.
+    */
+  def outlierTokenCounts(outliers: DataFrame, docs: DataFrame, textCol: String,
+                         topK: Int = 10): DataFrame =
+    docs.join(outliers.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(explode(TextStats.stemmedTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+
   /** PCA(2) projection of the TF-IDF features (cell 32's plot input). */
   def pca2(model: PipelineModel, docs: DataFrame, textCol: String): DataFrame = {
     val feats = model.transform(tokenized(docs, textCol))

@@ -91,6 +91,21 @@ class ClassifierSpec extends SparkSpec {
     assert(diag === 40L) // every fixture doc on the diagonal
   }
 
+  test("lowConfidenceOutliers: ambiguous doc is the confidence outlier (outliers.ipynb cells 4-6)") {
+    // the separable fixture plus ONE doc mixing both topics' vocabulary —
+    // its winning-class probability sits far below the confident mass
+    val ambiguous = Seq((999L, "football pitch neural network striker gradient goal descent", "sports"))
+      .toDF("doc_id", "text", "topic")
+    val all = docs.unionByName(ambiguous)
+    val (model, _) = Classifier.trainAndScore(docs, "text", "topic")
+    val outliers = Classifier.lowConfidenceOutliers(model, all, "text", zThreshold = -2.5)
+    val ids = outliers.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(999L), "the mixed-vocabulary doc must be a confidence outlier")
+    val toks = Classifier.outlierTokenCounts(outliers, all, "text")
+      .select("token").as[String].collect()
+    assert(toks.nonEmpty && toks.length <= 10)
+  }
+
   test("PCA(2) projection emits 2-dim vectors (cell 32)") {
     val (model, _) = Classifier.trainAndScore(docs, "text", "topic")
     val p = Classifier.pca2(model, docs, "text").head()
