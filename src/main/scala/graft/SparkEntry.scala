@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
-import graft.operators.{Dedup, Rounds, Similarity}
+import graft.operators.{Curation, Dedup, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -671,6 +671,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Near-dup CLUSTERS over the banded-LSH pair set: min-label propagation
+    // to connected components, one keeper per cluster. The oracle recomputes
+    // the >= 0.7 Jaccard pairs brute-force and closes them transitively with
+    // a recursive CTE — so this checks the component labels, sizes and
+    // keeper flags end-to-end, not just the edges.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashBandedPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.7)
+      Dedup.clusterAssignments(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style rule-based quality gate (word-count / mean-word-length /
+    // alphabetic-ratio / stopword floors), measurements + per-rule flags.
+    "curation_gopher" -> ((s, dir) => {
+      Curation.gopherFlags(t(s, dir, "documents"), "text", "doc_id",
+          stopwords = Seq("the", "a", "and"), minWords = 30)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic hash-based subsample: the sampling decision is a pure
+    // function of doc_id (md5 fraction < 0.25), so retries/re-runs/other
+    // engines agree row-for-row — which is exactly what the oracle checks.
+    "curation_sample" -> ((s, dir) => {
+      Curation.sampleByHash(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"),
+          round(Curation.hashFraction(col("doc_id")), 6).as("hash_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source cap (the per-domain cap of web-corpus builds): keep at
+    // most 15 docs per source, chosen by hash order with id tiebreak.
+    "curation_source_cap" -> ((s, dir) => {
+      Curation.perSourceCap(t(s, dir, "documents"), "doc_id", "source", cap = 15)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy("doc_id")
+    }),
+
+    // Repeated-span statistics (substring-level dedup signal, Lee et al.
+    // 2021): per doc, distinct 4-gram spans occurring in >= 3 documents.
+    "text_span_dup" -> ((s, dir) => {
+      Curation.repeatedSpanStats(t(s, dir, "documents"), "text", "doc_id",
+          n = 4, minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
     // --- rows-only entries (not ANSI-SQL-expressible; weaker check) ---
 
     // Document fingerprint of the normalized token stream (md5 form — the
@@ -1106,6 +1153,124 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Connected components via transitive closure (recursive CTE) over the
+    // brute-force >= 0.7 Jaccard pairs — checks labels, sizes and keepers.
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_id, csizes.cluster_size,
+        |  lab.doc_id = lab.cluster_id AS is_keeper
+        |FROM lab JOIN csizes USING (cluster_id)
+        |ORDER BY lab.doc_id""".stripMargin,
+
+    "curation_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words,
+        |    CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words) AS mwl,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |      / len(words) AS ar,
+        |    len(list_filter(words, x -> list_contains(['the', 'a', 'and'], x))) AS sw
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  round(mwl, 4) AS mean_word_len,
+        |  round(ar, 4) AS alpha_ratio,
+        |  CAST(sw AS BIGINT) AS stopword_hits,
+        |  n_words BETWEEN 30 AND 100000 AS flag_word_count,
+        |  mwl BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+        |  ar >= 0.8 AS flag_alpha_ratio,
+        |  sw >= 2 AS flag_stopwords,
+        |  (n_words BETWEEN 30 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND ar >= 0.8 AND sw >= 2 AS quality_pass
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "curation_sample" ->
+      """SELECT doc_id, source,
+        |  round(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |        / 1152921504606846976.0, 6) AS hash_frac
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < 0.25
+        |ORDER BY doc_id""".stripMargin,
+
+    "curation_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |                 / 1152921504606846976.0, doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, sample_rank
+        |FROM ranked WHERE sample_rank <= 15
+        |ORDER BY doc_id""".stripMargin,
+
+    // Repeated 4-gram spans in >= 3 distinct docs; per-doc dup-span counts.
+    // Docs with < 4 tokens keep an EMPTY span list (not dropped) to match
+    // Spark's shingled(), which emits an empty array for short docs.
+    "text_span_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 4 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |                    i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+        |    ELSE [] END AS spans
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(spans) AS span FROM sh),
+        |hot AS (SELECT span FROM ex GROUP BY span HAVING count(*) >= 3),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans
+        |  FROM ex JOIN hot USING (span) GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(len(s.spans) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CASE WHEN len(s.spans) > 0
+        |    THEN round(CAST(coalesce(p.n_dup_spans, 0) AS DOUBLE) / len(s.spans), 6)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM sh s LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """SELECT doc_a, doc_b, sim FROM (

@@ -26,7 +26,7 @@ object Dedup {
     * when the input is under-parallel, where its O(input) cost is noise
     * next to the per-shingle hash work it parallelizes.
     */
-  private def spread(docs: DataFrame, idCol: String): DataFrame = {
+  private[operators] def spread(docs: DataFrame, idCol: String): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
     else docs
@@ -273,6 +273,85 @@ object Dedup {
         coalesce(col("max_shared"), lit(0L)).as("max_shared"),
         coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
         (coalesce(col("max_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  /** Connected components over a near-duplicate pair set — the dedup
+    * endgame: pair detection (MinHash/SimHash/embedding) emits edges, but
+    * the KEEP/DROP decision needs one keeper per duplicate CLUSTER, and
+    * near-dup relations are not transitive-safe without it (a~b, b~c ⇒ a,c
+    * in one cluster even if a~c was never emitted).
+    *
+    * Algorithm: iterated min-label propagation ("hash-to-min") expressed as
+    * DataFrame joins — label(v) starts at min(v, neighbors) and each round
+    * takes the min of the neighbors' labels, converging in O(component
+    * diameter) rounds. Near-dup clusters are dense and tiny (boilerplate
+    * families), so diameter is small; each round is one equi-shuffle join +
+    * one aggregation over O(edges) rows, nothing driver-side but the
+    * convergence flag. Results are persisted per round and the previous
+    * round unpersisted, so lineage stays bounded; a multi-thousand-round
+    * graph (not a dedup graph) would want periodic reliable checkpoints
+    * instead.
+    *
+    * Input: columns `doc_a`, `doc_b`. Output: (`doc_id`, `cluster_id`) for
+    * every endpoint, `cluster_id` = min doc id of the component.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val half  = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // localCheckpoint (eager), not persist: each round's frame feeds the
+    // next round's JOINS, so lineage — and with it plan size, optimizer and
+    // codegen time per round — would otherwise grow linearly with rounds.
+    // Truncating lineage keeps every round's plan constant-size. On a real
+    // cluster a long-lived job would use reliable checkpoints instead
+    // (localCheckpoint blocks are lost with an executor).
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nbr_min")).as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // candidate label for v = min over neighbors u of label(u); carry a
+      // per-row `changed` flag so convergence needs no second join
+      val prop = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_cid")), "src")
+        .groupBy(col("dst"))
+        .agg(min(col("src_cid")).as("nbr_cid"))
+        .select(col("dst").as("doc_id"), col("nbr_cid"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_cid"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_cid") < col("cluster_id")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIterations rounds")
+    labels
+  }
+
+  /** Cluster assignment over a whole corpus: every document gets a
+    * `cluster_id` (its component's min id via [[duplicateClusters]], or
+    * itself when it has no near-dup), the cluster size, and the keeper flag
+    * (`doc_id == cluster_id` — deterministic min-id keeper, same policy as
+    * [[exactGroups]]).
+    */
+  def clusterAssignments(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = duplicateClusters(pairs)
+    val lab = docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
   /** SimHash bucketing: 64-bit signature, bucket on the top `bandBits` bits.

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox and the lazy dog ran over a hill", "srcA"),
+    (2L, "a b", "srcA"),
+    (3L, "supercalifragilisticexpialidocious antidisestablishmentarianism floccinaucinihilipilification", "srcB"),
+    (4L, "the data and the plan and the scan and the hash and a key", "srcB"))
+    .toDF("doc_id", "text", "source")
+
+  test("hashFraction is deterministic and uniform-ish in [0,1)") {
+    val fracs = spark.range(0, 1000)
+      .select(Curation.hashFraction(col("id")).as("f"))
+      .as[Double].collect()
+    assert(fracs.forall(f => f >= 0.0 && f < 1.0))
+    // same key -> same fraction on recompute
+    val again = spark.range(0, 1000)
+      .select(Curation.hashFraction(col("id")).as("f"))
+      .as[Double].collect()
+    assert(fracs.sameElements(again))
+    // crude uniformity: a quarter-split lands near 250
+    val below = fracs.count(_ < 0.25)
+    assert(below > 150 && below < 350, s"got $below below 0.25")
+  }
+
+  test("sampleByHash keeps a stable subset of the expected size") {
+    val big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    val n = Curation.sampleByHash(big, "doc_id", 0.5).count()
+    assert(n > 800 && n < 1200, s"got $n of 2000 at fraction 0.5")
+    // subset property: a smaller fraction's sample is contained in a larger's
+    val small = Curation.sampleByHash(big, "doc_id", 0.1)
+    val large = Curation.sampleByHash(big, "doc_id", 0.5)
+    assert(small.exceptAll(large).count() === 0)
+  }
+
+  test("perSourceCap keeps at most cap rows per source, ranks from 1") {
+    val capped = Curation.perSourceCap(docs, "doc_id", "source", cap = 1)
+    val bySource = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.values.forall(_ <= 1))
+    assert(capped.select(min(col("sample_rank"))).as[Long].head() === 1L)
+  }
+
+  test("gopherFlags measurements and rule conjunction") {
+    val flags = Curation.gopherFlags(docs, "text", "doc_id",
+      stopwords = Seq("the", "a", "and"), minWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(flags(1L).getAs[Long]("n_words") === 12L)
+    assert(flags(1L).getAs[Boolean]("quality_pass"))
+    // doc 2: too few words
+    assert(!flags(2L).getAs[Boolean]("flag_word_count"))
+    assert(!flags(2L).getAs[Boolean]("quality_pass"))
+    // doc 3: mean word length way over 10, no stopwords
+    assert(!flags(3L).getAs[Boolean]("flag_mean_word_len"))
+    assert(!flags(3L).getAs[Boolean]("flag_stopwords"))
+    // alpha ratio is 1.0 for plain words
+    assert(flags(1L).getAs[Double]("alpha_ratio") === 1.0)
+  }
+
+  test("repeatedSpanStats counts corpus-repeated spans per doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta other words here"),
+      (3L, "alpha beta gamma delta closing line now"),
+      (4L, "nothing shared with the others at all"))
+      .toDF("doc_id", "text")
+    val stats = Curation.repeatedSpanStats(corpus, "text", "doc_id", n = 4, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "alpha beta gamma delta" appears in 3 docs -> each gets 1 dup span
+    assert(stats(1L)._2 === 1L)
+    assert(stats(2L)._2 === 1L)
+    assert(stats(3L)._2 === 1L)
+    assert(stats(4L)._2 === 0L)
+    // n_spans = tokens - 3 for docs with >= 4 tokens
+    assert(stats(1L)._1 === 3L)
+  }
+}

@@ -102,4 +102,27 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_id") === 5L).select(size(col("shingles"))).as[Int].head()
     assert(sh === 0)
   }
+
+  test("duplicateClusters: components over a chain and a separate pair") {
+    // chain 1-2-3-4 (diameter 3, needs real propagation) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterAssignments: singletons keep themselves, clusters keep min id") {
+    val corpus = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((2L, 3L)).toDF("doc_a", "doc_b")
+    val rows = Dedup.clusterAssignments(corpus, "doc_id", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(rows(1L) === ((1L, 1L, true)))
+    assert(rows(2L) === ((2L, 2L, true)))
+    assert(rows(3L) === ((2L, 2L, false)))
+    assert(rows(7L) === ((7L, 1L, true)))
+  }
 }
