@@ -842,6 +842,51 @@ object SparkEntry {
         corpusId = Some(dir))
       Similarity.recallAtK(ivf, brute)
         .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans cells, exact
+    // cosine within a cell only. Subset of dedup_embedding_pairs by
+    // construction (precision 1); recall measured by dedup_semantic_recall.
+    "dedup_semantic" -> ((s, dir) => {
+      Similarity.semanticPairs(t(s, dir, "embeddings"), threshold = 0.45,
+          nCells = 8, corpusId = Some(dir), assignProbes = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Recall gate for the semantic path: fraction of the exact cosine pairs
+    // (threshold 0.45) that survive the cluster partition. The DuckDB
+    // oracle recomputes the exact pair count and asserts the boolean, so a
+    // silent recall regression becomes a hash mismatch.
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosinePairs(emb, threshold = 0.45)
+      val sem = Similarity.semanticPairs(emb, threshold = 0.45,
+        nCells = 8, corpusId = Some(dir), assignProbes = 2)
+      Similarity.pairRecall(sem, exact, bar = 0.5)
+    }),
+
+    // Corpus-trained unigram-LM quality score (CCNet-shaped perplexity
+    // filter, self-trained — no external LM in a zero-egress engine).
+    "text_unigram_lm" -> ((s, dir) => {
+      Curation.unigramLmScore(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // GPT-style concat-and-chunk sequence packing: per source, docs in id
+    // order cut every 2048 tokens; per-doc chunk span.
+    "pack_chunks" -> ((s, dir) => {
+      Curation.packChunks(t(s, dir, "documents"), "text", "doc_id", "source",
+          budget = 2048L)
+        .orderBy("doc_id")
+    }),
+
+    // Distinctive keywords: top-3 tokens per doc by tf, df-capped at 80%
+    // of the corpus (integer-exact tf-idf shape; the harness corpus has a
+    // deliberately tiny common vocabulary, so 50% would keep ~1 token).
+    "text_keywords" -> ((s, dir) => {
+      Curation.distinctiveKeywords(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, maxDfFrac = 0.8)
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -1430,6 +1475,69 @@ object SparkEntry {
 
     "ann_ivf_recall" ->
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    // Semantic-dedup recall gate: DuckDB can't run the KMeans partition, but
+    // it CAN recompute the exact pair universe and assert the boolean.
+    "dedup_semantic_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+        |FROM (
+        |  SELECT a.vec_id FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+        |)""".stripMargin,
+
+    "text_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |  FROM documents),
+        |cnts AS (SELECT token, count(*) AS tf_corpus FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf_corpus) AS DOUBLE) AS total FROM cnts),
+        |lp AS (
+        |  SELECT t.doc_id, c.tf_corpus,
+        |    CAST(round(ln(c.tf_corpus / (SELECT total FROM tot)), 6)
+        |         AS DECIMAL(18,6)) AS lp
+        |  FROM toks t JOIN cnts c USING (token))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(min(tf_corpus) AS BIGINT) AS min_tf,
+        |  round(CAST(-sum(lp) AS DOUBLE) / count(*), 4) AS avg_nll
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pack_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS cum_before
+        |  FROM base)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(cum_before / 2048) AS BIGINT) AS chunk_first,
+        |  CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 2048) AS BIGINT)
+        |    AS chunk_last,
+        |  CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 2048)
+        |       - floor(cum_before / 2048) + 1 AS BIGINT) AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |    FROM documents)
+        |  WHERE len(token) >= 3),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |keep AS (SELECT token FROM dfreq, nd WHERE df <= n_docs * 0.8),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, tf.token) AS rank
+        |  FROM tf JOIN keep USING (token))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok

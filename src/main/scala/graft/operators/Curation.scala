@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextStats
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -87,6 +88,112 @@ object Curation {
       .withColumn("quality_pass",
         col("flag_word_count") && col("flag_mean_word_len") &&
           col("flag_alpha_ratio") && col("flag_stopwords"))
+  }
+
+  /** Corpus-trained unigram language-model score — the shape of CCNet's
+    * perplexity-based quality filter (Wenzek et al. 2020), with the LM
+    * trained ON the corpus itself (no external model ships with a zero-
+    * egress engine): token negative log-likelihood under the corpus unigram
+    * distribution, averaged per document. Boilerplate and template docs
+    * score LOW (their tokens are corpus-frequent); rare-token noise scores
+    * HIGH — threshold both tails. Also emits `min_tf`, the corpus frequency
+    * of the document's rarest token (an integer-exact rarity signal).
+    *
+    * Determinism contract: per-token log-probs are rounded to 6 dp and
+    * summed as `decimal(18,6)` — an order-free exact sum, so the result is
+    * reproducible across partitionings and engines (the double `ln` is
+    * computed on bit-identical inputs in IEEE double both sides).
+    *
+    * Scale shape: token explode → one count aggregation (map-side combine)
+    * → equi-join tokens-to-counts (AQE broadcasts the vocab side when it
+    * fits) → one per-doc aggregation. O(total tokens) shuffled narrow rows,
+    * no all-pairs, no driver state.
+    */
+  def unigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(trim(col(textCol))), " ")).as("token"))
+    // persisted + eagerly counted: feeds BOTH the vocab count table and the
+    // scoring join (lazy persist lets the two consumers race — see
+    // Dedup.materialized)
+    val t = toks.persist(); t.count()
+    val counts = t.groupBy(col("token")).agg(count(lit(1)).as("tf_corpus"))
+    val totals = counts.agg(sum(col("tf_corpus")).as("total"))
+    t.join(counts, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        round(log(col("tf_corpus").cast("double") / col("total")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("tf_corpus")).as("min_tf"),
+        sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"), col("min_tf"),
+        round((-col("sum_lp")).cast("double") / col("n_tokens"), 4).as("avg_nll"))
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: per source, documents in
+    * id order are conceptually concatenated into one token stream and cut
+    * every `budget` tokens — the standard pretraining packing (no padding
+    * waste, documents straddle chunk boundaries). Emits, per document, the
+    * first/last chunk it lands in and how many chunks it spans — the
+    * shard-planning stat a tokenizer fleet partitions work by.
+    *
+    * `budget` should be a power of two (it is in practice: 1k/2k/4k/8k
+    * context): division by a power of two is EXACT in IEEE double, so the
+    * chunk ids are exact integers even at 100 TB cumulative token counts
+    * (< 2^53). One shuffle (window partitioned by source, ordered by id).
+    * A degenerate single-source corpus serializes its running sum through
+    * one partition — same tradeoff, and same two-phase fix, as the
+    * documented global-window id assigner ([[graft.operators.Ids]]).
+    */
+  def packChunks(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        TextStats.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("cum_before") / budget).as("chunk_first"),
+        // last token of the doc sits at cum_before + n_tokens - 1; an empty
+        // doc spans nothing and stays in its boundary chunk
+        floor((col("cum_before") + greatest(col("n_tokens"), lit(1L)) - 1) / budget)
+          .as("chunk_last"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+  }
+
+  /** Distinctive keywords per document: top-`k` tokens by in-document term
+    * frequency, EXCLUDING corpus-common tokens (document frequency above
+    * `maxDfFrac` of the corpus — statistics-driven stopword removal, the
+    * df-cap half of tf-idf kept integer-exact so any engine reproduces the
+    * ranking bit-for-bit; tf desc, token asc tiebreak).
+    *
+    * Scale shape: explode → per-(doc, token) count → per-token doc
+    * frequency (both with map-side combine) → semi-join back (AQE
+    * broadcasts the kept-vocab side when small) → per-doc top-k window.
+    * All keyed shuffles, no all-pairs.
+    */
+  def distinctiveKeywords(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, maxDfFrac: Double, minLen: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), " ")).as("token"))
+      .filter(length(col("token")) >= minLen)
+    // per-(doc, token) counts feed BOTH the doc-frequency table and the
+    // final ranking join — persist + eager count (Dedup.materialized shape)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")).persist()
+    tf.count()
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val keep = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFrac)
+      .select(col("token"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
+    tf.join(keep, Seq("token"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"))
   }
 
   /** Per-document repeated-span statistics — the substring-level dedup

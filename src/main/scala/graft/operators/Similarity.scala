@@ -223,6 +223,95 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): a seeded KMeans coarse clustering partitions the
+    * corpus in embedding space, and duplicate pairs are only searched
+    * WITHIN a cluster — the published recipe for embedding-level dedup at
+    * web scale, where the exact all-pairs pass ([[cosinePairs]]) is
+    * O(n²)-impossible. Reported similarities are exact (same rounded
+    * cosine as the brute-force path), so the output is a SUBSET of
+    * [[cosinePairs]] at the same threshold: precision is 1 by
+    * construction and the only approximation is recall — pairs split
+    * across cluster boundaries are missed. The oracled
+    * `dedup_semantic_recall` gate quantifies exactly that loss.
+    *
+    * Scale shape: quantizer fit on a seeded sample (fit-once memo via
+    * `corpusId`, like IVF), one broadcast-assign pass, one shuffle on the
+    * cell id, intra-cell pair scoring — O(Σ cell²) dot products instead
+    * of O(n²); raise `nCells` to cut the per-cell quadratic term.
+    * `assignProbes` > 1 assigns every vector to its n nearest cells
+    * (overlapping clusters): pairs that straddle a single cell boundary
+    * still meet in the runner-up cell, buying recall for ~probes² × the
+    * pair-scoring cost (pairs sharing several cells are deduplicated in
+    * one groupBy — their exact sims are identical).
+    */
+  def semanticPairs(
+      corpus: DataFrame, threshold: Double, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000,
+      corpusId: Option[String] = None, assignProbes: Int = 1): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val centers = corpusId match {
+      case Some(id) => quantizerCache.getOrElseUpdate(
+        (id, vecCol, nCells, seed, maxTrainSamples),
+        fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol))
+      case None => fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
+    }
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+
+    // Normalize once per row (each pair then costs ONE dot product) and
+    // assign the nearest cell. Persisted + eagerly counted before the
+    // self-join: the projection is expensive (normalize + nCells dot
+    // products + window) and both join sides consume it — without the
+    // cache boundary Catalyst would duplicate it into each side.
+    val base = {
+      val raw = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      val nrm = sqrt(dotProduct(col("v"), col("v")))
+      val unit = raw.select(col("id"), transform(col("v"), x => x / nrm).as("v"))
+      val scored = unit.crossJoin(broadcast(centroids))
+        .withColumn("d2",
+          dotProduct(col("centroid"), col("centroid")) -
+            lit(2.0) * dotProduct(col("v"), col("centroid")))
+      val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))
+      val assigned = scored.withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= assignProbes)
+        .select(col("cell"), col("id"), col("v"))
+        .persist()
+      assigned.count()
+      assigned
+    }
+    def side(s: String) =
+      base.select(col("cell"), col("id").as(s"doc_$s"), col("v").as(s"v_$s"))
+    side("a").repartition(col("cell"))
+      .join(side("b"), Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("sim", round(dotProduct(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      // a pair sharing several probe cells scores identically in each —
+      // one groupBy dedups without re-joining the vectors
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("sim")).as("sim"))
+  }
+
+  /** Pair-level recall of an approximate near-dup pair set against the
+    * exact one: |approx ∩ exact| / |exact| over (doc_a, doc_b) keys. The
+    * acceptance gate for [[semanticPairs]] — same stance as [[recallAtK]]:
+    * an approximation is only shippable with its error measured.
+    */
+  def pairRecall(approx: DataFrame, exact: DataFrame, bar: Double): DataFrame = {
+    val e = exact.select(col("doc_a"), col("doc_b"))
+    val hits = e.join(approx.select(col("doc_a"), col("doc_b")),
+      Seq("doc_a", "doc_b"), "left_semi")
+    e.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact_pairs"),
+        (col("n_found") >= col("n_exact_pairs") * bar).as("recall_ok"))
+  }
+
   /** Per-query recall of an approximate top-k against the exact top-k:
     * |approx ∩ exact| / |exact| over the neighbor-id sets. This is the
     * quantified acceptance gate for the two approximate ANN paths — the

@@ -52,9 +52,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
   //    bounded broadcast cross, not data × data
   //  - w4_zscore: broadcasts a ONE-ROW stats frame (the documented
   //    alternative to an empty-frame whole-table window)
+  //  - dedup_semantic: crossJoin(broadcast(centroids)) — rows × nCells cell
+  //    assignment, the same bounded shape as ann_ivf_topk
+  //  - dedup_semantic_recall: embeds the exact all-pairs baseline (like the
+  //    ann recall gates) plus two one-row count crosses
+  //  - text_unigram_lm / text_keywords: broadcast a ONE-ROW corpus total
+  //    (total tokens / doc count) against the per-token frame
   private val allPairsByDesign = Set(
     "dedup_embedding_pairs", "ann_cosine_topk",
-    "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore")
+    "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore",
+    "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm", "text_keywords")
 
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)

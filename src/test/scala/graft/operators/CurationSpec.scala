@@ -78,4 +78,62 @@ class CurationSpec extends SparkSpec {
     // n_spans = tokens - 3 for docs with >= 4 tokens
     assert(stats(1L)._1 === 3L)
   }
+
+  test("unigramLmScore: common-token docs score low, rare-token docs high") {
+    val corpus = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare"),
+      (3L, "common common unique1 unique2"))
+      .toDF("doc_id", "text")
+    val scored = Curation.unigramLmScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 12 tokens total: common ×9, rare ×1, unique1/unique2 ×1 each
+    assert(scored(1L).getAs[Long]("n_tokens") === 4L)
+    assert(scored(1L).getAs[Long]("min_tf") === 9L)
+    assert(scored(2L).getAs[Long]("min_tf") === 1L)
+    // doc 1 is all-common -> avg_nll = -ln(9/12) exactly
+    val expected = BigDecimal(-math.log(9.0 / 12.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored(1L).getAs[Double]("avg_nll") === expected)
+    // rarer tokens -> strictly higher surprise
+    assert(scored(3L).getAs[Double]("avg_nll") >
+      scored(2L).getAs[Double]("avg_nll"))
+    assert(scored(2L).getAs[Double]("avg_nll") >
+      scored(1L).getAs[Double]("avg_nll"))
+  }
+
+  test("packChunks: concat-and-chunk spans per source, straddling counted") {
+    // srcA token counts in id order: 11, 2 -> budget 8:
+    //   doc 1 covers tokens [0,11) -> chunks 0..1 (straddles the boundary)
+    //   doc 2 covers tokens [11,13) -> chunk 1
+    val packed = Curation.packChunks(docs, "text", "doc_id", "source", budget = 8L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(packed(1L).getAs[Long]("chunk_first") === 0L)
+    assert(packed(1L).getAs[Long]("chunk_last") === 1L)
+    assert(packed(1L).getAs[Long]("n_chunks") === 2L)
+    assert(packed(2L).getAs[Long]("chunk_first") === 1L)
+    assert(packed(2L).getAs[Long]("n_chunks") === 1L)
+    // srcB restarts its stream: doc 3 (3 tokens) is chunk 0
+    assert(packed(3L).getAs[Long]("chunk_first") === 0L)
+    assert(packed(3L).getAs[Long]("chunk_last") === 0L)
+  }
+
+  test("distinctiveKeywords: df cap drops corpus-common tokens, tf ranks") {
+    val corpus = Seq(
+      (1L, "shared topicx topicx topicx othera"),
+      (2L, "shared topicy othera othera"),
+      (3L, "shared topicz"),
+      (4L, "shared filler"))
+      .toDF("doc_id", "text")
+    // "shared" df=4/4 -> dropped at cap 0.6; "othera" df=2/4 kept
+    val kw = Curation.distinctiveKeywords(corpus, "text", "doc_id",
+      k = 2, maxDfFrac = 0.6)
+    val byDoc = kw.collect().groupBy(_.getLong(0))
+    val top1 = byDoc(1L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("token"))
+    assert(top1.head === "topicx") // tf 3 beats othera tf 1
+    assert(!byDoc.values.flatten.exists(_.getAs[String]("token") === "shared"))
+    // tf tie in doc 3 region: rank is deterministic (token asc tiebreak)
+    val top3 = byDoc(3L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("token"))
+    assert(top3 === Seq("topicz"))
+  }
 }

@@ -59,6 +59,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAvg >= 0.6, s"IVF recall regressed: $ivfAvg")
   }
 
+  test("semanticPairs: subset of exact pairs (precision 1), recall gated") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val exact = Similarity.cosinePairs(emb, threshold = 0.45)
+    val sem = Similarity.semanticPairs(emb, threshold = 0.45, nCells = 4,
+      assignProbes = 2)
+    // precision 1 by construction: every semantic pair is a true pair with
+    // the identical rounded sim
+    assert(sem.exceptAll(exact).count() === 0)
+    val nExact = exact.count()
+    val nFound = sem.count()
+    info(s"semantic pairs: $nFound of $nExact exact pairs recovered")
+    assert(nExact === 0 || nFound.toDouble / nExact >= 0.5,
+      s"semantic recall regressed: $nFound/$nExact")
+    // the oracled gate agrees
+    val gate = Similarity.pairRecall(sem, exact, bar = 0.5).collect().head
+    assert(gate.getAs[Boolean]("recall_ok"))
+  }
+
   test("cosine is deterministic (sequential fold): same inputs → identical doubles") {
     val a = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4)
       .select("sim").as[Double].collect().toSeq
