@@ -880,6 +880,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Source-mixture sampling: 20k-token budget split across sources by an
+    // integer weight derived from the source name (stand-in for a curated
+    // weights table); big-share sources exercise the keep-whole cap at
+    // sf0.01, small-share ones the hash downsample.
+    "curation_mix" -> ((s, dir) => {
+      Curation.sourceMix(t(s, dir, "documents"), "text", "doc_id", "source",
+          weight = substring(col("source"), 4, 10).cast("int") % 4 + 1,
+          tokenBudget = 20000L)
+        .orderBy("doc_id")
+    }),
+
     // Distinctive keywords: top-3 tokens per doc by tf, df-capped at 80%
     // of the corpus (integer-exact tf-idf shape; the harness corpus has a
     // deliberately tiny common vocabulary, so 50% would keep ~1 token).
@@ -1520,6 +1531,25 @@ object SparkEntry {
         |  CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 2048)
         |       - floor(cum_before / 2048) + 1 AS BIGINT) AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "curation_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source, sum(n_tokens) AS src_tokens, max(w) AS w
+        |  FROM base GROUP BY 1),
+        |sw AS (SELECT sum(w) AS sum_w FROM tot),
+        |frac AS (
+        |  SELECT source, least(1.0, w / sum_w * 20000 / src_tokens) AS keep_frac
+        |  FROM tot, sw)
+        |SELECT b.doc_id, b.source, b.n_tokens, round(f.keep_frac, 6) AS keep_frac
+        |FROM base b JOIN frac f USING (source)
+        |WHERE CAST(concat('0x', substr(md5(b.doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < f.keep_frac
+        |ORDER BY doc_id""".stripMargin,
 
     "text_keywords" ->
       """WITH toks AS (

@@ -163,6 +163,43 @@ object Curation {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
   }
 
+  /** Source-mixture sampling to a token budget — the "data mixing" pass of
+    * a pretraining build: each source gets a share of `tokenBudget`
+    * proportional to its weight, and is hash-downsampled ([[hashFraction]] —
+    * pure function of the row key, so re-runs and other engines agree
+    * row-for-row) to approximately that many tokens. A source smaller than
+    * its share is kept whole (`keep_frac` capped at 1) — the standard
+    * under-sized-source behavior (upsampling is a repeat pass, not a
+    * sampling pass).
+    *
+    * `weight` must be a function of `sourceCol` alone and INTEGER-VALUED
+    * (cast to double): the weight sum is then exact in IEEE double
+    * regardless of aggregation order, which keeps `keep_frac` — and
+    * therefore the kept-row set — deterministic across partitionings and
+    * engines.
+    *
+    * Scale shape: one per-source aggregation (tiny result: one row per
+    * source), one broadcast join back, one map-side hash filter. The
+    * document table is never shuffled.
+    */
+  def sourceMix(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, weight: Column, tokenBudget: Long): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextStats.tokenCount(col(textCol)).cast("bigint").as("n_tokens"),
+      weight.cast("double").as("w"))
+    val tot = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"), max(col("w")).as("w"))
+    val sumw = tot.agg(sum(col("w")).as("sum_w"))
+    val frac = tot.crossJoin(broadcast(sumw))
+      .select(col("source"),
+        least(lit(1.0), col("w") / col("sum_w") * tokenBudget / col("src_tokens"))
+          .as("keep_frac"))
+    base.join(broadcast(frac), Seq("source"))
+      .filter(hashFraction(col("doc_id")) < col("keep_frac"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("keep_frac"), 6).as("keep_frac"))
+  }
+
   /** Distinctive keywords per document: top-`k` tokens by in-document term
     * frequency, EXCLUDING corpus-common tokens (document frequency above
     * `maxDfFrac` of the corpus — statistics-driven stopword removal, the

@@ -56,12 +56,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
   //    assignment, the same bounded shape as ann_ivf_topk
   //  - dedup_semantic_recall: embeds the exact all-pairs baseline (like the
   //    ann recall gates) plus two one-row count crosses
-  //  - text_unigram_lm / text_keywords: broadcast a ONE-ROW corpus total
-  //    (total tokens / doc count) against the per-token frame
+  //  - text_unigram_lm / text_keywords / curation_mix: broadcast a ONE-ROW
+  //    corpus total (total tokens / doc count / weight sum) against the
+  //    per-token or per-source frame
   private val allPairsByDesign = Set(
     "dedup_embedding_pairs", "ann_cosine_topk",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore",
-    "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm", "text_keywords")
+    "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm", "text_keywords",
+    "curation_mix")
 
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)

@@ -118,6 +118,29 @@ class CurationSpec extends SparkSpec {
     assert(packed(3L).getAs[Long]("chunk_last") === 0L)
   }
 
+  test("sourceMix: shares follow weights, undersized sources kept whole") {
+    val corpus = (0 until 200).map { i =>
+      val src = if (i < 100) "big" else if (i < 190) "mid" else "tiny"
+      (i.toLong, "tok tok tok tok tok tok tok tok tok tok", src) // 10 tokens/doc
+    }.toDF("doc_id", "text", "source")
+    // weights big=1 mid=1 tiny=2; budget 1000 tokens:
+    //   tiny share = 2/4*1000 = 500 > its 100 tokens -> kept whole (frac 1)
+    //   big/mid share = 250 -> frac 0.25 of 1000/900 tokens
+    val w = when(col("source") === "tiny", 2).otherwise(1)
+    val mixed = Curation.sourceMix(corpus, "text", "doc_id", "source", w, 1000L)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("tiny") === 10L) // undersized source fully kept
+    assert(bySrc("big") > 10 && bySrc("big") < 40) // ~25 of 100 at frac 0.25
+    // determinism: same inputs -> same kept set
+    val again = Curation.sourceMix(corpus, "text", "doc_id", "source", w, 1000L)
+    assert(mixed.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    // keep_frac column: capped at 1 for tiny
+    val fracs = mixed.select("source", "keep_frac").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(fracs("tiny") === 1.0)
+    assert(fracs("big") === 0.25)
+  }
+
   test("distinctiveKeywords: df cap drops corpus-common tokens, tf ranks") {
     val corpus = Seq(
       (1L, "shared topicx topicx topicx othera"),
