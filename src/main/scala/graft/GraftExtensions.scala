@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.PartialRatio
+import graft.functions.{DotProduct, PartialRatio, PorterStem}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -8,23 +8,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** SparkSessionExtensions entry point (SURVEY §7.3: custom Catalyst surface).
   *
   * Registers the engine's native expressions with the session function
-  * registry, so SQL users get them too:
+  * registry, so SQL users get the full custom-function surface too:
   *
   * {{{
   *   spark.sql("SELECT partial_ratio(title, candidate) FROM pairs")
+  *   spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
+  *   spark.sql("SELECT porter_stem(token) FROM tokens")
   * }}}
   *
   * Enabled via `spark.sql.extensions=graft.GraftExtensions` (GraftSession
   * sets it by default).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+  private def register(
+      ext: SparkSessionExtensions, name: String, className: String,
+      arity: Int, build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      new FunctionIdentifier("partial_ratio"),
-      new ExpressionInfo(classOf[PartialRatio].getName, "partial_ratio"),
+      new FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "partial_ratio(a, b) takes exactly 2 arguments")
-        PartialRatio(children.head, children(1))
+        require(children.length == arity,
+          s"$name takes exactly $arity argument${if (arity == 1) "" else "s"}")
+        build(children)
       }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "partial_ratio", classOf[PartialRatio].getName, 2,
+      c => PartialRatio(c.head, c(1)))
+    register(ext, "dot_product", classOf[DotProduct].getName, 2,
+      c => DotProduct(c.head, c(1)))
+    register(ext, "porter_stem", classOf[PorterStem].getName, 1,
+      c => PorterStem(c.head))
   }
 }

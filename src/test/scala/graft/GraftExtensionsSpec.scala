@@ -14,4 +14,13 @@ class GraftExtensionsSpec extends SparkSpec {
   test("arity is enforced") {
     intercept[Exception](spark.sql("SELECT partial_ratio('a')").collect())
   }
+
+  test("dot_product and porter_stem are registered as SQL functions") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
+        "porter_stem('running') AS stem").head()
+    assert(r.getAs[Double]("dp") === 11.0)
+    assert(r.getAs[String]("stem") === "run")
+    intercept[Exception](spark.sql("SELECT porter_stem('a', 'b')").collect())
+  }
 }
