@@ -65,6 +65,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm", "text_keywords",
     "curation_mix")
 
+  test("curation_mix: document table is never shuffled (map-side hash filter)") {
+    assume(available)
+    val p = plan("curation_mix")
+    // allowed exchanges: the per-source totals aggregation (+ AQE artifacts)
+    // and broadcasts — but no hashpartitioning of the full document relation
+    // by doc_id/source for the final join, which must be broadcast
+    assert(p.contains("BroadcastHashJoin"), s"mix join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"document table shuffled for the mix join:\n$p")
+  }
+
+  test("pack_chunks: exactly one exchange (the per-source window)") {
+    assume(available)
+    val p = plan("pack_chunks")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than one hash exchange for a single window:\n$p")
+    assert(p.contains("Window"), "no window operator in the packing plan")
+  }
+
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -141,6 +141,31 @@ class CurationSpec extends SparkSpec {
     assert(fracs("big") === 0.25)
   }
 
+  test("gopherFlags is batch/stream unified: map-only, runs on a stream") {
+    // the rule-based quality gate has no shuffle of its own, so the SAME
+    // code runs unchanged over a streaming source — the filter-at-ingest
+    // deployment shape (score documents as they arrive, before any batch
+    // dedup pass ever sees them)
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val q = Curation.gopherFlags(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        stopwords = Seq("the", "a", "and"), minWords = 5)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox and the lazy dog ran over a hill"),
+        (2L, "a b"))
+      q.processAllAvailable()
+      val rows = spark.table("gopher_stream")
+        .select("doc_id", "quality_pass")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows(1L) && !rows(2L))
+    } finally q.stop()
+  }
+
   test("distinctiveKeywords: df cap drops corpus-common tokens, tf ranks") {
     val corpus = Seq(
       (1L, "shared topicx topicx topicx othera"),
