@@ -113,6 +113,33 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("incrementalDedupFlags: exact and near flags against a corpus") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (101L, "completely different content with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // identical to corpus doc 100 -> exact + near
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      // near-dup of corpus doc 100 (one word changed) -> near only
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda CHANGED"),
+      // novel -> neither
+      (3L, "fresh words that no corpus document has ever seen before today"))
+      .toDF("doc_id", "text")
+    val flags = Dedup.incrementalDedupFlags(batch, corpus, "text", "doc_id",
+        n = 3, minShared = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flags(1L).getAs[Boolean]("exact_dup"))
+    assert(flags(1L).getAs[Boolean]("near_dup"))
+    assert(flags(1L).getAs[Long]("n_corpus_hits") === 1L)
+    assert(!flags(2L).getAs[Boolean]("exact_dup"))
+    assert(flags(2L).getAs[Boolean]("near_dup"))
+    assert(flags(2L).getAs[Long]("max_shared") >= 5L)
+    assert(!flags(3L).getAs[Boolean]("exact_dup"))
+    assert(!flags(3L).getAs[Boolean]("near_dup"))
+    assert(flags(3L).getAs[Long]("max_shared") === 0L)
+  }
+
   test("clusterAssignments: singletons keep themselves, clusters keep min id") {
     val corpus = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((2L, 3L)).toDF("doc_a", "doc_b")
