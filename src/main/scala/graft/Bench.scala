@@ -28,7 +28,14 @@ object Bench {
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd.count(), NOT count(): count() wraps the query in a new
+        // Aggregate and re-optimizes, letting Catalyst ELIMINATE work the
+        // real query does — left outer joins with unique right keys drop
+        // out entirely (measured: text_span_dup 0.5 s under count() vs
+        // 12 s real) and unused output columns are pruned to a bare scan.
+        // toRdd executes the query's own physical plan, producing every
+        // output row — what a consumer writing the result would pay.
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -251,7 +251,16 @@ object Curation {
   def repeatedSpanStats(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int, minDocs: Int): DataFrame = {
-    val sh = Dedup.shingled(Dedup.spread(docs, idCol), textCol, idCol, n)
+    // Persisted + eagerly counted before the explode and the sizes branch:
+    // without the cache boundary InferFiltersFromGenerate pushes
+    // `size(spans) > 0` past the projections and the whole span expression
+    // is re-evaluated (twice per row, interpreted, on the un-repartitioned
+    // scan split) inside the scan Filter — measured 11 s of the query's
+    // 12 s at sf0.1. (The old 0.5 s bench reading was an artifact of
+    // count()-time join elimination, not of this pipeline being cheap —
+    // see Bench.timeOnce.)
+    val sh = Dedup.materialized(
+      Dedup.shingled(Dedup.spread(docs, idCol), textCol, idCol, n))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("span"))
     // distinct-doc count per span; shingles are distinct within a doc, so
     // count(*) IS the distinct-document frequency — no countDistinct needed

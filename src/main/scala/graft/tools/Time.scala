@@ -16,7 +16,9 @@ object Time {
     names.foreach { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // toRdd.count() — same rationale as Bench: count() re-optimizes and
+        // can eliminate joins / prune the expensive output columns
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         sec
