@@ -68,4 +68,44 @@ object Multimodal {
           greatest((col("n_bytes") / chunkSize).cast("int") - 1, lit(0)),
           lit(every))).as("frame_no"))
       .withColumn("offset", col("frame_no") * chunkSize)
+
+  /** One media embedding row — shaped exactly like the `embeddings` table
+    * (`vec_id`, `embedding: Array[Float]`) so the output plugs straight
+    * into the similarity/dedup operators.
+    */
+  case class MediaVec(vec_id: Long, embedding: Array[Float])
+
+  /** Feature-extraction plumbing: payload → `dim`-float embedding, batch
+    * per partition (a real model would load once per partition and run
+    * batched inference — the Pandas-UDF batch shape in Scala). The
+    * "model" is a deterministic STUB: a seeded rolling hash per dimension,
+    * L2-normalized, so downstream ANN/dedup results are reproducible. The
+    * output feeds [[Similarity]] unchanged — the multimodal →
+    * embedding → near-dup/ANN pipeline is a composition, not a new
+    * operator.
+    */
+  def featureStub(media: DataFrame, dim: Int): Dataset[MediaVec] = {
+    implicit val enc = Encoders.product[MediaVec]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+          val v = new Array[Float](dim)
+          var d = 0
+          while (d < dim) {
+            var h = 1125899906842597L ^ (d * 0x9E3779B97F4A7C15L)
+            var i = 0
+            while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+            v(d) = ((h % 1000003L).toFloat / 1000003f)
+            d += 1
+          }
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          val unit = if (norm == 0) v else v.map(x => (x / norm).toFloat)
+          MediaVec(r.media_id, unit)
+        }
+      }
+  }
 }

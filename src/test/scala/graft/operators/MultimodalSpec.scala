@@ -27,4 +27,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 4) // 39 bytes / 8 ≈ 4 full chunks
     assert(frames.map(_.getAs[Int]("offset")).toSet === Set(0, 8, 16, 24))
   }
+
+  test("featureStub composes with the similarity operators end-to-end") {
+    // duplicate payloads -> identical unit vectors -> cosine 1.0 pair;
+    // the multimodal -> embedding -> near-dup pipeline is a composition
+    val withDup = media.union(
+      Seq((4L, "fake-image-bytes-aaaa".getBytes("UTF-8"), "image"))
+        .toDF("media_id", "payload", "media_type"))
+    val vecs = Multimodal.featureStub(withDup, dim = 16).toDF()
+    assert(vecs.count() === 4)
+    // deterministic across runs
+    val again = Multimodal.featureStub(withDup, dim = 16).toDF()
+    assert(vecs.exceptAll(again).count() === 0)
+    val pairs = Similarity.cosinePairs(vecs, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 4L))) // exactly the payload duplicates
+  }
 }
