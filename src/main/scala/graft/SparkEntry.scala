@@ -880,6 +880,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact length quantiles per source — the corpus-profiling stat a
+    // curation pass thresholds against (exact interpolated percentile;
+    // DuckDB's quantile_cont has the same definition). Scale note: exact
+    // percentile buffers each group's values — fine for per-source groups
+    // of profile stats; at extreme group sizes swap to approx_percentile
+    // (t-digest sketch, mergeable, bounded memory) and drop the oracle to
+    // a bound check like approx_distinct_users.
+    "text_length_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // Incremental dedup: the src0 shard plays the "new batch" arriving
     // against the rest of the corpus — exact content-hash flag + capped
     // shingle-overlap near-dup flag per new doc.
@@ -1543,6 +1561,14 @@ object SparkEntry {
         |  CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 2048)
         |       - floor(cum_before / 2048) + 1 AS BIGINT) AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_length_quantiles" ->
+      """SELECT source,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """WITH batch AS (SELECT * FROM documents WHERE source = 'src0'),
