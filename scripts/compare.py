@@ -38,6 +38,16 @@ for name, sql in sorted(oracles.items()):
         print(f"{name}: COLUMN MISMATCH spark={list(s.columns)} duck={list(d.columns)}"); fail += 1; continue
     if len(s) != len(d):
         print(f"{name}: ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"); fail += 1; continue
+    # array-valued cells (list<...> columns) are unhashable for sort_values;
+    # canonicalize them to tuples on BOTH sides first
+    def tuplify(df):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__")
+                    and not isinstance(v, (str, bytes)) else v)
+        return df
+    s, d = tuplify(s), tuplify(d)
     sv = s.sort_values(list(s.columns)).reset_index(drop=True)
     dv = d.sort_values(list(d.columns)).reset_index(drop=True)
     # dtype check (schema-match proxy)

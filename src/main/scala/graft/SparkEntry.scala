@@ -880,6 +880,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-vector int8 quantization (4x embedding storage cut) with the
+    // reconstruction-error bound proven per row.
+    "embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .orderBy("vec_id")
+    }),
+
     // Exact length quantiles per source — the corpus-profiling stat a
     // curation pass thresholds against (exact interpolated percentile;
     // DuckDB's quantile_cont has the same definition). Scale note: exact
@@ -1561,6 +1568,21 @@ object SparkEntry {
         |  CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 2048)
         |       - floor(cum_before / 2048) + 1 AS BIGINT) AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
+        |SELECT vec_id,
+        |  CASE WHEN scale > 0
+        |    THEN list_transform(e, x -> CAST(round(x / scale * 127) AS INT))
+        |    ELSE list_transform(e, x -> 0) END AS q8,
+        |  round(scale, 6) AS scale,
+        |  CASE WHEN scale > 0
+        |    THEN round(list_max(list_transform(e,
+        |           x -> abs(x - CAST(round(x / scale * 127) AS INT) * scale / 127.0))), 6)
+        |    ELSE 0.0 END AS max_abs_err
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "text_length_quantiles" ->
       """SELECT source,

@@ -297,6 +297,35 @@ object Similarity {
       .agg(max(col("sim")).as("sim"))
   }
 
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * standard 4× storage/bandwidth cut for vector corpora: scale = max|x|
+    * of the vector, q = round(x / scale × 127). Emits the quantized
+    * vector, the (rounded) scale, and the max absolute reconstruction
+    * error — bounded by scale/254, and the emitted column PROVES the
+    * bound per row (same measured-error stance as the recall gates).
+    * Map-only, zero shuffle; deterministic: IEEE division and
+    * round-half-up on identical doubles in any engine.
+    *
+    * The `q8`/`scale` projections each re-derive `scale` inline — that's
+    * fine here (array_max of an abs map is cheap, unlike the shingle
+    * pipelines), and keeping the operator a single select keeps it usable
+    * inside any projection list.
+    */
+  def quantizeInt8(vecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x)))
+    val q = (x: org.apache.spark.sql.Column) => round(x / scale * 127).cast("int")
+    vecs.select(
+      col(idCol).as("vec_id"),
+      when(scale > 0, transform(v, x => q(x)))
+        .otherwise(transform(v, x => lit(0))).as("q8"),
+      round(scale, 6).as("scale"),
+      when(scale > 0,
+        round(array_max(transform(v, x => abs(x - q(x) * scale / 127.0d))), 6))
+        .otherwise(lit(0.0)).as("max_abs_err"))
+  }
+
   /** Pair-level recall of an approximate near-dup pair set against the
     * exact one: |approx ∩ exact| / |exact| over (doc_a, doc_b) keys. The
     * acceptance gate for [[semanticPairs]] — same stance as [[recallAtK]]:
