@@ -887,6 +887,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Quantization quality gate: top-5 cosine neighbors computed on the
+    // DEQUANTIZED int8 vectors vs the float baseline — avg recall@5 emitted
+    // as a value (fully oracled: DuckDB replicates the dequantization
+    // bit-for-bit, so the recall itself is cross-checked, not just a bar).
+    "ann_quantized_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val deq = Similarity.quantizeInt8(emb)
+        .select(col("vec_id"),
+          transform(col("q8"), x => x * col("scale") / lit(127.0d)).as("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      val deqQ = deq.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+      val qtop = Similarity.bruteForceTopK(deq, deqQ, k = 5)
+      Similarity.recallAtK(qtop, brute)
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 4).as("avg_recall"))
+    }),
+
     // Exact length quantiles per source — the corpus-profiling stat a
     // curation pass thresholds against (exact interpolated percentile;
     // DuckDB's quantile_cont has the same definition). Scale note: exact
@@ -1583,6 +1601,39 @@ object SparkEntry {
         |           x -> abs(x - CAST(round(x / scale * 127) AS INT) * scale / 127.0))), 6)
         |    ELSE 0.0 END AS max_abs_err
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "ann_quantized_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        |dq AS (SELECT vec_id,
+        |        CASE WHEN scale > 0
+        |          THEN list_transform(e,
+        |                 x -> CAST(round(x / scale * 127) AS INT) * round(scale, 6) / 127.0)
+        |          ELSE list_transform(e, x -> 0.0) END AS e
+        |       FROM s),
+        |bt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rn
+        |    FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 5),
+        |qt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rn
+        |    FROM dq q, dq c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 5),
+        |rec AS (
+        |  SELECT b.query_id,
+        |    round(count(q.neighbor_id) / 5.0, 4) AS recall
+        |  FROM bt b LEFT JOIN qt q USING (query_id, neighbor_id)
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(avg(recall), 4) AS avg_recall
+        |FROM rec""".stripMargin,
 
     "text_length_quantiles" ->
       """SELECT source,

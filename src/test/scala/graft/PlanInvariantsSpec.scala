@@ -59,11 +59,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
   //  - text_unigram_lm / text_keywords / curation_mix: broadcast a ONE-ROW
   //    corpus total (total tokens / doc count / weight sum) against the
   //    per-token or per-source frame
+  //  - ann_quantized_recall: embeds TWO brute-force baselines (float and
+  //    dequantized) to oracle the quantization's ranking loss
   private val allPairsByDesign = Set(
     "dedup_embedding_pairs", "ann_cosine_topk",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore",
     "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm", "text_keywords",
-    "curation_mix")
+    "curation_mix", "ann_quantized_recall")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)
