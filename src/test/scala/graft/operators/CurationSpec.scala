@@ -118,6 +118,25 @@ class CurationSpec extends SparkSpec {
     assert(packed(3L).getAs[Long]("chunk_last") === 0L)
   }
 
+  test("packChunks invariants hold corpus-wide (testdata)") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val packed = Curation.packChunks(docs, "text", "doc_id", "source", budget = 256L)
+    // span arithmetic: chunk_first <= chunk_last, n_chunks is the span width
+    assert(packed.filter(col("chunk_last") < col("chunk_first")).count() === 0)
+    assert(packed.filter(
+      col("n_chunks") =!= col("chunk_last") - col("chunk_first") + 1).count() === 0)
+    // per source: the stream starts at chunk 0 and chunk_first is monotonic
+    // in doc order (concatenation never goes backwards)
+    val firsts = packed.groupBy("source").agg(min("chunk_first").as("f"))
+    assert(firsts.filter(col("f") =!= 0L).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val nonMono = packed
+      .withColumn("prev", lag(col("chunk_first"), 1).over(w))
+      .filter(col("prev").isNotNull && col("chunk_first") < col("prev"))
+    assert(nonMono.count() === 0)
+  }
+
   test("sourceMix: shares follow weights, undersized sources kept whole") {
     val corpus = (0 until 200).map { i =>
       val src = if (i < 100) "big" else if (i < 190) "mid" else "tiny"

@@ -78,6 +78,26 @@ class SimilaritySpec extends SparkSpec {
     assert(gate.getAs[Boolean]("recall_ok"))
   }
 
+  test("quantizeInt8: range and reconstruction-error bound hold corpus-wide") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.quantizeInt8(emb)
+    // every quantized component within int8 symmetric range
+    val badRange = q.filter(
+      array_max(transform(col("q8"), x => abs(x))) > 127).count()
+    assert(badRange === 0)
+    // emitted error column respects the scale/254 bound (+ rounding slack:
+    // the error column is rounded to 6 dp, and `scale` itself to 6 dp)
+    val badBound = q.filter(
+      col("max_abs_err") > col("scale") / 254.0 + 1e-6).count()
+    assert(badBound === 0)
+    // zero vector degenerates to zeros with zero error
+    import spark.implicits._
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")).head()
+    assert(z.getAs[Seq[Int]]("q8").forall(_ === 0))
+    assert(z.getAs[Double]("max_abs_err") === 0.0)
+  }
+
   test("cosine is deterministic (sequential fold): same inputs → identical doubles") {
     val a = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 4)
       .select("sim").as[Double].collect().toSeq
