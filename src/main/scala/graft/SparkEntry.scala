@@ -630,6 +630,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // As-of join: each purchase matched to the user's most recent view
+    // at-or-before it (graft.operators.AsOf — tagged union + carry-forward
+    // window, one shuffle, no join node). View side deduped per (user, ts)
+    // so the carried winner is deterministic; the oracle is DuckDB's
+    // native ASOF LEFT JOIN.
+    "events_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      graft.operators.AsOf.asofJoin(purchases, views,
+          key = "user_id", leftTs = "purchase_ts", rightTs = "view_ts")
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"), col("view_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Multimodal plumbing — opaque binary column + byte-level metadata
     // (decode itself is the stubbed stage, see graft.operators.Multimodal).
     "multimodal_meta" -> ((s, dir) => {
@@ -708,6 +729,24 @@ object SparkEntry {
       Curation.perSourceCap(t(s, dir, "documents"), "doc_id", "source", cap = 15)
         .select(col("doc_id"), col("source"), col("sample_rank"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic shuffle-and-shard export: md5-mod shard id + in-shard
+    // position by hash order — the reproducible global shuffle a trainer
+    // streams shards from (replaces orderBy(rand())).
+    "curation_shards" -> ((s, dir) => {
+      Curation.shuffledShards(t(s, dir, "documents"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("source"), col("shard"), col("shard_pos"))
+        .orderBy("doc_id")
+    }),
+
+    // Sliding-window token chunking (the embedding/RAG chunk pass):
+    // 64-token windows advancing by 16 — every token covered, tail window
+    // kept short. Map-only, zero shuffle.
+    "text_chunks" -> ((s, dir) => {
+      Curation.slidingChunks(t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 64, stride = 16)
+        .orderBy("doc_id", "chunk_id")
     }),
 
     // Repeated-span statistics (substring-level dedup signal, Lee et al.
@@ -1353,6 +1392,34 @@ object SparkEntry {
         |FROM ranked WHERE sample_rank <= 15
         |ORDER BY doc_id""".stripMargin,
 
+    // Shard = md5-int mod 8 (integer-exact across engines); position =
+    // rank by md5 hex within the shard, id tiebreak.
+    "curation_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS hex,
+        |    CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 8
+        |         AS INT) AS shard
+        |  FROM documents)
+        |SELECT doc_id, source, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Same start/slice arithmetic: starts 0,16,32,… while start < n,
+    // ⌈(n−64+16)/16⌉ of them (min 1); DuckDB list slices are 1-based
+    // inclusive like Spark's slice(start, length) with end clamping.
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      greatest(CAST(ceil((len(t) - 64 + 16) / 16.0) AS INT), 1) - 1)) AS cid
+        |  FROM toks)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  array_to_string(t[cid*16 + 1 : cid*16 + 64], ' ') AS chunk_text,
+        |  len(list_filter(t[cid*16 + 1 : cid*16 + 64], x -> len(x) > 0)) AS n_tokens
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
     // Repeated 4-gram spans in >= 3 distinct docs; per-doc dup-span counts.
     // Docs with < 4 tokens keep an EMPTY span list (not dropped) to match
     // Spark's shingled(), which emits an empty array for short docs.
@@ -1914,6 +1981,20 @@ object SparkEntry {
         |  FROM b)
         |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
+    // union+window implementation (ties impossible: view side is deduped
+    // per (user, ts) in both formulations).
+    "events_asof" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, epoch_us(p.purchase_ts) AS purchase_us, v.view_id,
+        |  epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS lag_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+        |ORDER BY purchase_id""".stripMargin,
 
     // Same tokenize normalization as Spark's TextStats.tokenize, then md5
     // of the space-joined stream: lower → non-[a-z- ] to space → split on

@@ -233,6 +233,69 @@ object Curation {
       .select(col("doc_id"), col("rank"), col("token"), col("tf"))
   }
 
+  /** Deterministic shuffle-and-shard export — the last pass of a training-
+    * data build: deal documents into `nShards` shards pseudo-randomly and
+    * give each a position within its shard, so shard files can be written
+    * (and later streamed by a trainer) in a globally-shuffled order that is
+    * a pure function of the data. Shard = md5-derived integer mod nShards
+    * (integer-exact, any engine agrees); position = rank by the md5 hex
+    * within the shard, id tiebreak. This replaces `orderBy(rand())` — whose
+    * output depends on seed plumbing, partition layout and Spark version —
+    * with a reproducible global shuffle.
+    *
+    * Scale shape: one shuffle on the shard id (nShards partitions); the
+    * within-shard sort is exactly the sort a sharded writer needs anyway,
+    * so `df.repartition(col("shard")).sortWithinPartitions("shard_pos")`
+    * writes trainer-ready shard files with no extra exchange. Shard sizes
+    * are multinomial-uniform (md5), so no skew beyond sqrt-n noise.
+    */
+  def shuffledShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val hex = md5(col(idCol).cast("string").cast("binary"))
+    val key = conv(substring(hex, 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", hex)
+      .withColumn("shard", (key % nShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("bigint"))
+  }
+
+  /** Sliding-window token chunking — the embedding/RAG chunk pass: each
+    * document's whitespace tokens are cut into windows of `size` tokens
+    * advancing by `stride` (overlap = size − stride keeps context across
+    * boundaries). Distinct from [[packChunks]], which packs MANY docs into
+    * fixed budgets for pretraining; this splits EACH doc for retrieval
+    * indexing, and its output feeds [[Multimodal.featureStub]]-style
+    * embedding + the [[Similarity]] operators downstream.
+    *
+    * Chunk starts are 0, stride, 2·stride, … while start < n (every token
+    * lands in ≥1 chunk; a final short window is emitted rather than
+    * dropping the tail). Map-only: project tokens once, explode the
+    * per-doc start sequence, slice — zero shuffle, and the chunk count per
+    * doc is ⌈max(n−size+stride, 1)/stride⌉ rows, bounded and predictable
+    * at 100 TB.
+    */
+  def slidingChunks(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got chunkTokens=$chunkTokens stride=$stride")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    // chunk starts 0, stride, 2·stride, … while start < n — ⌈(n−size+stride)/stride⌉
+    // of them, min 1 so an empty doc still emits its (empty) chunk row
+    val nStarts = greatest(
+      ceil((size(col("toks")) - lit(chunkTokens) + lit(stride)).cast("double") / stride),
+      lit(1)).cast("int")
+    toks
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), nStarts - 1)), col("toks"))
+      .select(col("doc_id"), col("pos").cast("bigint").as("chunk_id"),
+        slice(col("toks"), col("col") * stride + 1, lit(chunkTokens)).as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"),
+        size(filter(col("chunk_toks"), t => length(t) > 0)).cast("bigint")
+          .as("n_tokens"))
+  }
+
   /** Per-document repeated-span statistics — the substring-level dedup
     * signal of "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al. 2021), at word n-gram granularity: a span is "duplicated"

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // quotes: (key, ts, px); trades: (key, ts, trade_id)
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 10:00:05"), 2.0),
+    ("A", ts("2024-01-01 10:00:20"), 3.0),
+    ("B", ts("2024-01-01 10:00:03"), 9.0)
+  ).toDF("sym", "q_ts", "px")
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 09:59:59"), 100L), // before any quote
+    ("A", ts("2024-01-01 10:00:05"), 101L), // equal ts -> matches that quote
+    ("A", ts("2024-01-01 10:00:07"), 102L), // between quotes
+    ("A", ts("2024-01-01 10:01:00"), 103L), // long after last quote
+    ("B", ts("2024-01-01 10:00:10"), 104L),
+    ("C", ts("2024-01-01 10:00:00"), 105L)  // key with no quotes at all
+  ).toDF("sym", "t_ts", "trade_id")
+
+  private def run(direction: String, tolerance: Option[Long] = None) =
+    AsOf.asofJoin(trades, quotes, key = "sym", leftTs = "t_ts", rightTs = "q_ts",
+        direction = direction, tolerance = tolerance)
+      .select("trade_id", "px")
+      .as[(Long, Option[Double])].collect().toMap
+
+  test("backward: most recent quote at-or-before each trade") {
+    assert(run("backward") === Map(
+      100L -> None,        // no quote yet
+      101L -> Some(2.0),   // equal timestamp matches
+      102L -> Some(2.0),
+      103L -> Some(3.0),
+      104L -> Some(9.0),
+      105L -> None))       // key never quoted
+  }
+
+  test("forward: earliest quote at-or-after each trade") {
+    assert(run("forward") === Map(
+      100L -> Some(1.0),
+      101L -> Some(2.0),   // equal timestamp matches in forward too
+      102L -> Some(3.0),
+      103L -> None,        // nothing after
+      104L -> None,
+      105L -> None))
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    // 10-second tolerance: trade 103 is 40s after quote 3 -> dropped
+    assert(run("backward", tolerance = Some(10L * 1000000L)) === Map(
+      100L -> None, 101L -> Some(2.0), 102L -> Some(2.0),
+      103L -> None, 104L -> Some(9.0), 105L -> None))
+  }
+
+  test("left row count and columns are preserved") {
+    val out = AsOf.asofJoin(trades, quotes, "sym", "t_ts", "q_ts")
+    assert(out.count() === trades.count())
+    assert(out.columns.toSeq === Seq("sym", "t_ts", "trade_id", "q_ts", "px"))
+  }
+
+  test("non-key column overlap is rejected") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(trades, trades.withColumnRenamed("t_ts", "q_ts"),
+        "sym", "t_ts", "q_ts")
+    }
+  }
+}

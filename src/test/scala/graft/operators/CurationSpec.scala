@@ -203,4 +203,53 @@ class CurationSpec extends SparkSpec {
     val top3 = byDoc(3L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("token"))
     assert(top3 === Seq("topicz"))
   }
+
+  test("shuffledShards: stable shards, dense in-shard positions, no skew blowup") {
+    val big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    val out = Curation.shuffledShards(big, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "shard_pos").cache()
+    assert(out.count() === 1000)
+    // every shard id in [0, 4); positions dense 1..size within each shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("shard_pos").as("lo"), max("shard_pos").as("hi"))
+      .collect()
+    assert(byShard.map(_.getInt(0)).toSet.subsetOf(Set(0, 1, 2, 3)))
+    byShard.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === r.getLong(1))
+      // uniform-ish: each shard within 2x of fair share
+      assert(r.getLong(1) > 125 && r.getLong(1) < 500)
+    }
+    // deterministic across recomputes
+    val again = Curation.shuffledShards(big, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "shard_pos")
+    assert(out.exceptAll(again).count() === 0)
+    out.unpersist()
+  }
+
+  test("slidingChunks: full coverage, overlap, short tail, empty doc") {
+    val corpus = Seq(
+      (1L, (1 to 9).map(i => s"w$i").mkString(" ")), // 9 tokens
+      (2L, "only three tokens"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.slidingChunks(corpus, "text", "doc_id",
+        chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // doc 1: starts 0,2,4,6 (start stops once a window reaches the end);
+    // the last window is the short tail
+    assert(out((1L, 0L)) === ("w1 w2 w3 w4", 4L))
+    assert(out((1L, 1L)) === ("w3 w4 w5 w6", 4L))
+    assert(out((1L, 2L)) === ("w5 w6 w7 w8", 4L))
+    assert(out((1L, 3L)) === ("w7 w8 w9", 3L))
+    assert(!out.contains((1L, 4L)))
+    // doc 2 fits in one window
+    assert(out((2L, 0L)) === ("only three tokens", 3L))
+    assert(!out.contains((2L, 1L)))
+    // empty doc emits one empty chunk with 0 tokens
+    assert(out((3L, 0L)) === ("", 0L))
+    // coverage: every token of doc 1 appears in some chunk
+    val covered = (0L to 3L).flatMap(i => out((1L, i))._1.split(" ")).toSet
+    assert(covered === (1 to 9).map(i => s"w$i").toSet)
+  }
 }
