@@ -974,6 +974,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Same computation through the bloom-prefiltered exact arm (Spark's
+    // internal BloomFilterMightContain over a corpus-hash sketch): the
+    // batch side of the digest semi-join shrinks to dups + fpp before the
+    // shuffle. Same oracle as dedup_incremental — green = equivalent.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedupFlags(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "text", "doc_id", n = 3, minShared = 10, bloomFpp = Some(0.01))
+        .orderBy("doc_id")
+    }),
+
     // Source-mixture sampling: 20k-token budget split across sources by an
     // integer weight derived from the source name (stand-in for a curated
     // weights table); big-share sources exercise the keep-whole cap at
@@ -997,7 +1010,65 @@ object SparkEntry {
 
   // -------------------------------------------------------------- oracleSql
 
+  /** Shared by `dedup_incremental` and `dedup_incremental_bloom`: the bloom
+    * prefilter is output-transparent (false positives die in the exact
+    * semi-join, false negatives are impossible), so one oracle checks both
+    * implementations — the driver's green row IS the equivalence proof.
+    */
+  private val incrementalDedupOracle: String =
+    """WITH batch AS (SELECT * FROM documents WHERE source = 'src0'),
+      |corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+      |ex AS (
+      |  SELECT DISTINCT b.doc_id FROM batch b
+      |  JOIN corpus c ON md5(b.text) = md5(c.text)),
+      |btoks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+      |                x -> len(x) > 1) AS toks
+      |  FROM batch),
+      |ctoks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+      |                x -> len(x) > 1) AS toks
+      |  FROM corpus),
+      |bsh AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |    ELSE [] END) AS sh
+      |  FROM btoks),
+      |csh AS (
+      |  SELECT doc_id AS corpus_id, unnest(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |    ELSE [] END) AS sh
+      |  FROM ctoks),
+      |keep AS (SELECT sh FROM csh GROUP BY sh HAVING count(*) <= 64),
+      |ov AS (
+      |  SELECT doc_id, max(n_shared) AS max_shared,
+      |         count(DISTINCT corpus_id) AS n_corpus_hits
+      |  FROM (
+      |    SELECT b.doc_id, c.corpus_id, count(*) AS n_shared
+      |    FROM bsh b
+      |    JOIN (SELECT * FROM csh JOIN keep USING (sh)) c USING (sh)
+      |    GROUP BY 1, 2
+      |    HAVING count(*) >= 10)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(e.doc_id IS NOT NULL, FALSE) AS exact_dup,
+      |  CAST(coalesce(o.max_shared, 0) AS BIGINT) AS max_shared,
+      |  CAST(coalesce(o.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits,
+      |  coalesce(o.max_shared, 0) >= 10 AS near_dup
+      |FROM (SELECT doc_id FROM batch) d
+      |LEFT JOIN ex e USING (doc_id)
+      |LEFT JOIN ov o USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalDedupOracle,
+    "dedup_incremental_bloom" -> incrementalDedupOracle,
     "s1_scan_project" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty, l_returnflag AS flag
         |FROM lineitem
@@ -1709,57 +1780,6 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "dedup_incremental" ->
-      """WITH batch AS (SELECT * FROM documents WHERE source = 'src0'),
-        |corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
-        |ex AS (
-        |  SELECT DISTINCT b.doc_id FROM batch b
-        |  JOIN corpus c ON md5(b.text) = md5(c.text)),
-        |btoks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
-        |                x -> len(x) > 1) AS toks
-        |  FROM batch),
-        |ctoks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
-        |                x -> len(x) > 1) AS toks
-        |  FROM corpus),
-        |bsh AS (
-        |  SELECT doc_id, unnest(
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |    ELSE [] END) AS sh
-        |  FROM btoks),
-        |csh AS (
-        |  SELECT doc_id AS corpus_id, unnest(
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |    ELSE [] END) AS sh
-        |  FROM ctoks),
-        |keep AS (SELECT sh FROM csh GROUP BY sh HAVING count(*) <= 64),
-        |ov AS (
-        |  SELECT doc_id, max(n_shared) AS max_shared,
-        |         count(DISTINCT corpus_id) AS n_corpus_hits
-        |  FROM (
-        |    SELECT b.doc_id, c.corpus_id, count(*) AS n_shared
-        |    FROM bsh b
-        |    JOIN (SELECT * FROM csh JOIN keep USING (sh)) c USING (sh)
-        |    GROUP BY 1, 2
-        |    HAVING count(*) >= 10)
-        |  GROUP BY 1)
-        |SELECT d.doc_id,
-        |  coalesce(e.doc_id IS NOT NULL, FALSE) AS exact_dup,
-        |  CAST(coalesce(o.max_shared, 0) AS BIGINT) AS max_shared,
-        |  CAST(coalesce(o.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits,
-        |  coalesce(o.max_shared, 0) >= 10 AS near_dup
-        |FROM (SELECT doc_id FROM batch) d
-        |LEFT JOIN ex e USING (doc_id)
-        |LEFT JOIN ov o USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
 
     "curation_mix" ->
       """WITH base AS (

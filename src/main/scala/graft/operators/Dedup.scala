@@ -301,10 +301,51 @@ object Dedup {
     * written once and reused per batch, not recomputed (they are exactly
     * the frames this function derives from `corpus`).
     */
+  /** Wrap a driver-built bloom filter as a codegen'd Catalyst predicate:
+    * Spark's internal `BloomFilterMightContain` (the expression behind
+    * AQE's runtime row-level filtering, not SQL-exposed) over a binary
+    * literal of the serialized sketch. `value` must be a LongType column
+    * hashed the same way the filter was built (we standardize on
+    * `xxhash64`); the sketch's `putLong`/`mightContainLong` agree across
+    * builds because both sides are Spark's own sketch implementation.
+    */
+  private[operators] def bloomMightContain(
+      bf: org.apache.spark.util.sketch.BloomFilter, value: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expr(value)))
+  }
+
+  /** @param bloomFpp when set, the exact-dup arm prefilters the BATCH with
+    *   a bloom filter built over the corpus content hashes before the
+    *   digest semi-join — the semi-join then shuffles only true dups plus
+    *   an `fpp` fraction of the batch instead of the whole batch, and the
+    *   corpus side is read in ONE shuffle-free pass (the filter build).
+    *   Output is IDENTICAL to the plain path: the exact join removes the
+    *   false positives and bloom filters have no false negatives — which
+    *   is why `dedup_incremental_bloom` ships under the SAME DuckDB oracle
+    *   as `dedup_incremental`. Sizing: ~1.2 bytes/key at fpp=0.01, so the
+    *   driver-held sketch works to ~10⁹ corpus keys (~GB); past that,
+    *   partition the corpus and ship per-partition filters, or keep the
+    *   plain semi-join.
+    */
   def incrementalDedupFlags(
       batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
-      n: Int, minShared: Int, maxShingleDf: Int = 64): DataFrame = {
-    val bh = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      n: Int, minShared: Int, maxShingleDf: Int = 64,
+      bloomFpp: Option[Double] = None): DataFrame = {
+    val bh0 = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val bh = bloomFpp match {
+      case Some(fpp) =>
+        val hashes = corpus.select(xxhash64(md5(col(textCol))).as("h64"))
+        val bf = hashes.stat.bloomFilter("h64",
+          math.max(hashes.count(), 1L), fpp)
+        bh0.filter(bloomMightContain(bf, xxhash64(col("h"))))
+      case None => bh0
+    }
     val ch = corpus.select(md5(col(textCol)).as("h"))
     val exact = bh.join(ch, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))

@@ -140,6 +140,28 @@ class DedupSpec extends SparkSpec {
     assert(flags(3L).getAs[Long]("max_shared") === 0L)
   }
 
+  test("bloom-prefiltered incremental dedup is row-identical to the plain path") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // 200-doc corpus, batch = 50 exact dups + 50 novel docs: big enough
+    // that a bloom false NEGATIVE (the only way outputs could diverge)
+    // would be visible as a missing exact_dup row
+    val corpus = spark.range(0, 200)
+      .select(col("id").as("doc_id"), concat(lit("corpus doc body "), col("id")).as("text"))
+    val batch = spark.range(1000, 1100)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, concat(lit("corpus doc body "), col("id") - 1000))
+          .otherwise(concat(lit("novel content "), col("id"))).as("text"))
+    val plain = Dedup.incrementalDedupFlags(batch, corpus, "text", "doc_id",
+      n = 3, minShared = 2)
+    val bloom = Dedup.incrementalDedupFlags(batch, corpus, "text", "doc_id",
+      n = 3, minShared = 2, bloomFpp = Some(0.01))
+    assert(bloom.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(bloom).count() === 0)
+    assert(bloom.filter(col("exact_dup")).count() === 50)
+    // the prefilter really is in the plan (a codegen'd might_contain, not a UDF)
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
   test("clusterAssignments: singletons keep themselves, clusters keep min id") {
     val corpus = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((2L, 3L)).toDF("doc_a", "doc_b")
