@@ -1,0 +1,46 @@
+package graft.sinks
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Trainer-ready sharded export: deal rows into `nShards` reproducibly
+  * shuffled shards ([[Curation.shuffledShards]] — md5-mod shard id,
+  * hash-order position) and write ONE file per shard, rows already in
+  * shard_pos order, under `path/shard=<i>/`.
+  *
+  * This is the write-side contract a training loader wants: a fixed shard
+  * count it can assign to data-loader workers, a globally-shuffled order
+  * that is a pure function of the data (re-runs produce byte-identical
+  * shards — no `orderBy(rand())`), and within-shard order preserved by
+  * parquet row order so the loader streams sequentially with no sort.
+  *
+  * Plan shape: `repartition(nShards, shard)` is the ONE shuffle;
+  * `sortWithinPartitions` sorts each shard in its task (no global sort,
+  * no range exchange); `partitionBy("shard")` then splits files by the
+  * directory column each task already holds exclusively, so every shard
+  * directory gets exactly one file. At 100 TB, nShards is picked so a
+  * shard fits a loader worker (e.g. 10k shards of ~10 GB); the per-task
+  * sort spills gracefully if a shard exceeds executor memory.
+  *
+  * One caveat is inherited from hash partitioning: `repartition(n, col)`
+  * routes by `hash(shard) % n`, which for n = nShards need not be a
+  * bijection shard→task — two shards can share a task and some tasks get
+  * none. Files stay correct (partitionBy splits them), but a skewed
+  * assignment would serialize two shards' sorts through one task, so we
+  * route by the shard id ITSELF via range partitioning on the already
+  * uniform integer — `repartitionByRange(nShards, shard)` gives each
+  * shard its own task at equal row counts (md5 uniformity), which is the
+  * layout the sort and the writer want.
+  */
+object ShardWriter {
+
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String): Unit =
+    Curation.shuffledShards(df, idCol, nShards)
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .drop("shuffle_key")
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+}

@@ -1,0 +1,48 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ShardWriterSpec extends SparkSpec {
+
+  test("writeShards: one file per shard, rows in shuffled order, reproducible") {
+    val dir = Files.createTempDirectory("shards").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/out"
+    val df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+
+    ShardWriter.writeShards(df, "doc_id", nShards = 4, path)
+
+    // every shard directory exists and holds exactly one parquet file
+    val shardDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSeq ===
+      Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${d.getName} has ${parts.length} files")
+    }
+
+    // full read-back: nothing lost, nothing duplicated
+    val back = spark.read.parquet(path)
+    assert(back.count() === 400)
+    assert(back.select("doc_id").distinct().count() === 400)
+
+    // within a shard file, physical row order IS shard_pos order (the
+    // loader can stream sequentially with no sort)
+    val one = spark.read.parquet(path + "/shard=2")
+      .select("shard_pos").collect().map(_.getLong(0))
+    assert(one.toSeq === one.sorted.toSeq)
+    assert(one.head === 1L && one.last === one.length.toLong)
+
+    // reproducible: a second write yields the identical doc_id sequence
+    val path2 = dir.getAbsolutePath + "/out2"
+    ShardWriter.writeShards(df, "doc_id", nShards = 4, path2)
+    val seq1 = spark.read.parquet(path + "/shard=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val seq2 = spark.read.parquet(path2 + "/shard=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(seq1 === seq2 && seq1.nonEmpty)
+  }
+}
