@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PartialRatio, PorterStem}
+import graft.functions.{DotProduct, PartialRatio, PorterStem, SmallestK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql("SELECT partial_ratio(title, candidate) FROM pairs")
   *   spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
   *   spark.sql("SELECT porter_stem(token) FROM tokens")
+  *   spark.sql("SELECT key, smallest_k(struct(-score, id), 5) FROM t GROUP BY key")
   * }}}
   *
   * Enabled via `spark.sql.extensions=graft.GraftExtensions` (GraftSession
@@ -39,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => DotProduct(c.head, c(1)))
     register(ext, "porter_stem", classOf[PorterStem].getName, 1,
       c => PorterStem(c.head))
+    register(ext, "smallest_k", classOf[SmallestK].getName, 2, { c =>
+      require(c(1).foldable, "smallest_k: k must be a literal")
+      SmallestK(c.head, c(1).eval().asInstanceOf[Number].intValue)
+    })
   }
 }

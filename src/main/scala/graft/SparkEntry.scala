@@ -1005,6 +1005,15 @@ object SparkEntry {
       Curation.distinctiveKeywords(t(s, dir, "documents"), "text", "doc_id",
           k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")
+    }),
+
+    // Same keywords through the bounded SmallestK heap aggregate (map-side
+    // partial top-k, no per-group sort) — same oracle as text_keywords, so
+    // the driver's green row proves the aggregate agrees with the window.
+    "text_keywords_topk" -> ((s, dir) => {
+      Curation.distinctiveKeywordsViaTopKAgg(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, maxDfFrac = 0.8)
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -1065,6 +1074,28 @@ object SparkEntry {
       |LEFT JOIN ex e USING (doc_id)
       |LEFT JOIN ov o USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by `text_keywords` (row_number window) and `text_keywords_topk`
+    * (bounded SmallestK heap aggregate): same total order, different
+    * physical plan — one oracle checks both implementations.
+    */
+  private val keywordsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+      |    FROM documents)
+      |  WHERE len(token) >= 3),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |keep AS (SELECT token FROM dfreq, nd WHERE df <= n_docs * 0.8),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, tf.token) AS rank
+      |  FROM tf JOIN keep USING (token))
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> incrementalDedupOracle,
@@ -1800,23 +1831,8 @@ object SparkEntry {
         |      / 1152921504606846976.0 < f.keep_frac
         |ORDER BY doc_id""".stripMargin,
 
-    "text_keywords" ->
-      """WITH toks AS (
-        |  SELECT doc_id, token FROM (
-        |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
-        |    FROM documents)
-        |  WHERE len(token) >= 3),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |keep AS (SELECT token FROM dfreq, nd WHERE df <= n_docs * 0.8),
-        |ranked AS (
-        |  SELECT tf.doc_id, tf.token, tf.tf,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf DESC, tf.token) AS rank
-        |  FROM tf JOIN keep USING (token))
-        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf
-        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_keywords" -> keywordsOracle,
+    "text_keywords_topk" -> keywordsOracle,
 
     "approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok

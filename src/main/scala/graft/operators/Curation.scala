@@ -213,11 +213,46 @@ object Curation {
     */
   def distinctiveKeywords(docs: DataFrame, textCol: String, idCol: String,
       k: Int, maxDfFrac: Double, minLen: Int = 3): DataFrame = {
+    val tf = dfCappedTf(docs, textCol, idCol, maxDfFrac, minLen)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
+    tf.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"))
+  }
+
+  /** [[distinctiveKeywords]] through the bounded [[graft.functions.SmallestK]]
+    * heap aggregate instead of a row_number window. Identical output
+    * (`text_keywords_topk` ships under the SAME oracle as `text_keywords`),
+    * different physics: the window form sorts EVERY (doc, token) row in
+    * each shuffle partition and then discards all but k; the aggregate
+    * keeps a k-element heap per doc WITH map-side partial aggregation, so
+    * the exchange carries ≤ k rows per (map task, doc) and nothing larger
+    * than k is ever sorted. At 100 TB that is the difference between
+    * sorting the token table and streaming it once.
+    */
+  def distinctiveKeywordsViaTopKAgg(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, maxDfFrac: Double, minLen: Int = 3): DataFrame = {
+    val tf = dfCappedTf(docs, textCol, idCol, maxDfFrac, minLen)
+    // struct ordering is field-by-field: -tf ascending = tf descending,
+    // token ascending tiebreak — same total order as the window form
+    tf.groupBy(col("doc_id"))
+      .agg(graft.functions.TopK.smallestK(
+        struct((-col("tf")).as("neg_tf"), col("token"), col("tf")), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.token").as("token"), col("col.tf").as("tf"))
+  }
+
+  /** Shared head of the keyword queries: per-(doc, token) term frequencies
+    * with corpus-common tokens removed (document frequency above
+    * `maxDfFrac`). The tf frame feeds BOTH the doc-frequency table and the
+    * ranking stage — persist + eager count (Dedup.materialized shape).
+    */
+  private def dfCappedTf(docs: DataFrame, textCol: String, idCol: String,
+      maxDfFrac: Double, minLen: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(lower(trim(col(textCol))), " ")).as("token"))
       .filter(length(col("token")) >= minLen)
-    // per-(doc, token) counts feed BOTH the doc-frequency table and the
-    // final ranking join — persist + eager count (Dedup.materialized shape)
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf")).persist()
     tf.count()
@@ -226,11 +261,7 @@ object Curation {
     val keep = dfreq.crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("n_docs") * maxDfFrac)
       .select(col("token"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
     tf.join(keep, Seq("token"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("rank"), col("token"), col("tf"))
   }
 
   /** Deterministic shuffle-and-shard export — the last pass of a training-
