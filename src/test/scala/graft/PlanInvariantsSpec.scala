@@ -65,6 +65,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "dedup_embedding_pairs", "ann_cosine_topk",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore",
     "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm", "text_keywords",
+    // shares text_keywords' head: the 1-row count broadcast cross join is a
+    // scalar broadcast, not an all-pairs
+    "text_keywords_topk",
     "curation_mix", "ann_quantized_recall")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
