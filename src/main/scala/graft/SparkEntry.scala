@@ -944,6 +944,27 @@ object SparkEntry {
           round(avg(col("recall")), 4).as("avg_recall"))
     }),
 
+    // Dimension-truncation ANN gate (matryoshka-style storage knob: keep a
+    // 16-dim prefix of the 64-dim embedding — 4x less memory/IO per probe)
+    // — same FULLY-oracled ranking-loss shape as ann_quantized_recall:
+    // DuckDB replicates the truncation, so the recall VALUE is
+    // cross-checked, not just bounded. Measured verdict on THIS corpus:
+    // 0.08 — the synthetic embeddings are iid across dimensions, so a
+    // prefix keeps ~1/4 of the energy and none of the ranking (real
+    // matryoshka-trained embeddings front-load variance and pass). That
+    // is the point of shipping the gate: int8 measured 0.98 (enable),
+    // truncation measured 0.08 (do not enable) — the knob is gated by
+    // measurement, not by assumption.
+    "ann_truncated_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tr = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      val ttop = Similarity.bruteForceTopK(tr, tr.filter(col("vec_id") < 10), k = 5)
+      Similarity.recallAtK(ttop, brute)
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 4).as("avg_recall"))
+    }),
+
     // Exact length quantiles per source — the corpus-profiling stat a
     // curation pass thresholds against (exact interpolated percentile;
     // DuckDB's quantile_cont has the same definition). Scale note: exact
@@ -1794,6 +1815,34 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rn
         |    FROM dq q, dq c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 5),
+        |rec AS (
+        |  SELECT b.query_id,
+        |    round(count(q.neighbor_id) / 5.0, 4) AS recall
+        |  FROM bt b LEFT JOIN qt q USING (query_id, neighbor_id)
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(avg(recall), 4) AS avg_recall
+        |FROM rec""".stripMargin,
+
+    // Same two-baseline recall shape as ann_quantized_recall, with the
+    // int8 dequantization swapped for a 16-dim prefix slice.
+    "ann_truncated_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |tr AS (SELECT vec_id, e[1:16] AS e FROM v),
+        |bt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rn
+        |    FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 5),
+        |qt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rn
+        |    FROM tr q, tr c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |  WHERE rn <= 5),
         |rec AS (
         |  SELECT b.query_id,

@@ -163,6 +163,20 @@ object Rebuild {
     * unmatched_home_institutions.json, geocities.parquet and (optional)
     * output_dois.parquet / doi_metadata.parquet caches.
     */
+  /** S10/S11's production shape: the reference's `synth rebuild` target is
+    * a live MySQL analysis database (synth/utils.py:308-311 builds the
+    * target session; synth/etl.py:149-178 drops and recreates the schema).
+    * `overwrite` mode reproduces the ClearAnalysisDB → CreateAnalysisDB →
+    * insert sequence per table. Writes go through Spark's JDBC batch
+    * writer — each partition streams its rows in `batchsize` inserts, so
+    * nothing is collected to the driver.
+    */
+  def writeAllJdbc(tables: Map[String, DataFrame], url: String,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      df.write.mode("overwrite").jdbc(url, name, props)
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = graft.GraftSession.get(
@@ -236,6 +250,9 @@ object Rebuild {
     // optional `synth dump` analog: Rebuild <inDir> <outDir> --dump <dumpDir>
     args.sliding(2).collectFirst { case Array("--dump", d) => d }
       .foreach(dumpAll(tables, _))
+    // optional JDBC target (the reference's actual sink): --jdbc <url>
+    args.sliding(2).collectFirst { case Array("--jdbc", u) => u }
+      .foreach(writeAllJdbc(tables, _))
     spark.stop()
   }
 }

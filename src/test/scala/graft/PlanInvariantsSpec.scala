@@ -68,7 +68,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // shares text_keywords' head: the 1-row count broadcast cross join is a
     // scalar broadcast, not an all-pairs
     "text_keywords_topk",
-    "curation_mix", "ann_quantized_recall")
+    "curation_mix", "ann_quantized_recall",
+    // embeds the same two brute-force baselines as ann_quantized_recall
+    "ann_truncated_recall")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)

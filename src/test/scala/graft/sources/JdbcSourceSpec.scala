@@ -50,4 +50,26 @@ class JdbcSourceSpec extends SparkSpec {
     assert(round.length === 1)
     assert(round.head.getAs[String]("name") === "Synthesys 1")
   }
+
+  test("writeAllJdbc round-trips analysis tables through a JDBC target") {
+    import spark.implicits._
+    val round = Seq(
+      (1, "Synthesys 1", java.sql.Timestamp.valueOf("2010-01-01 00:00:00"), true, 1.5),
+      (2, "Synthesys 2", java.sql.Timestamp.valueOf("2012-01-01 00:00:00"), false, 2.5))
+      .toDF("id", "name", "date_open", "active", "score")
+    val country = Seq((1, "GB"), (2, "FR")).toDF("id", "code")
+    graft.etl.Rebuild.writeAllJdbc(Map("round_t" -> round, "country_t" -> country), url)
+    // overwrite semantics: a second write replaces, never appends (the
+    // reference's ClearAnalysisDB -> CreateAnalysisDB -> insert sequence)
+    graft.etl.Rebuild.writeAllJdbc(Map("round_t" -> round, "country_t" -> country), url)
+    val back = Tables.jdbc(spark, url, "round_t")
+    assert(back.count() === 2)
+    val r1 = back.filter($"id" === 1).collect().head
+    assert(r1.getAs[String]("name") === "Synthesys 1")
+    assert(r1.getAs[Boolean]("active"))
+    assert(r1.getAs[Double]("score") === 1.5)
+    assert(r1.getAs[java.sql.Timestamp]("date_open") ===
+      java.sql.Timestamp.valueOf("2010-01-01 00:00:00"))
+    assert(Tables.jdbc(spark, url, "country_t").count() === 2)
+  }
 }
