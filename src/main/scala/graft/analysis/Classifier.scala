@@ -62,6 +62,23 @@ object Classifier {
     new Pipeline().setStages(featureStages(labelCol) :+ nb)
   }
 
+  /** The notebook's LITERAL model (cell 18: SVC, hinge loss): spark.ml's
+    * LinearSVC, wrapped in OneVsRest for the multiclass case. LinearSVC
+    * has no predict_proba — which is exactly why the probability consumers
+    * ([[lowConfidenceOutliers]], the outliers-notebook flow) run on
+    * [[pipeline]]'s LogisticRegression — but the held-out accuracy gate
+    * gets model-for-model parity with the reference here.
+    */
+  def linearSvcPipeline(labelCol: String): Pipeline = {
+    val svc = new org.apache.spark.ml.classification.LinearSVC()
+      .setMaxIter(50).setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("class_weight")
+    val ovr = new org.apache.spark.ml.classification.OneVsRest()
+      .setClassifier(svc).setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("class_weight")
+    new Pipeline().setStages(featureStages(labelCol) :+ ovr)
+  }
+
   /** class_weight='balanced' (cell 18): weight w(c) = n / (k * n_c), as a
     * column joined per row — the spark.ml shape of sklearn's reweighting.
     * One aggregation job (the k-row collect yields n and k for free) and

@@ -65,6 +65,12 @@ class ClassifierSpec extends SparkSpec {
     assert(accuracy >= 0.9, s"NB accuracy $accuracy")
   }
 
+  test("LinearSVC variant (the notebook's literal SVC model) passes the same gate") {
+    val (_, accuracy) = Classifier.trainAndScore(docs, "text", "topic",
+      makePipeline = Classifier.linearSvcPipeline)
+    assert(accuracy === 1.0, s"SVC accuracy $accuracy")
+  }
+
   test("balanced class weights: w(c) = n / (k * n_c), rarer class weighted higher") {
     val skewed = (Seq.fill(30)("alpha") ++ Seq.fill(10)("beta")).zipWithIndex
       .map { case (t, i) => (i.toLong, s"doc $i", t) }.toDF("doc_id", "text", "topic")
