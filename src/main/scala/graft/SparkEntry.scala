@@ -911,6 +911,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bigram step-up of the LM score: add-one-smoothed P(w2|w1) — catches
+    // shuffled/noisy token streams whose unigrams look normal.
+    "text_bigram_lm" -> ((s, dir) => {
+      Curation.bigramLmScore(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // GPT-style concat-and-chunk sequence packing: per source, docs in id
     // order cut every 2048 tokens; per-doc chunk span.
     "pack_chunks" -> ((s, dir) => {
@@ -1756,6 +1763,32 @@ object SparkEntry {
         |  FROM toks t JOIN cnts c USING (token))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(min(tf_corpus) AS BIGINT) AS min_tf,
+        |  round(CAST(-sum(lp) AS DOUBLE) / count(*), 4) AS avg_nll
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Add-one-smoothed bigram NLL; c(w1·) derived from the bigram counts,
+    // V = corpus-wide distinct token count, decimal-exact per-doc sums.
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks),
+        |bgc AS (SELECT bg, count(*) AS c2 FROM e GROUP BY 1),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM bgc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM (
+        |        SELECT unnest(t) AS token FROM toks)),
+        |lp AS (
+        |  SELECT e.doc_id, b.c2,
+        |    CAST(round(ln((b.c2 + 1) / CAST(x.c1 + v.v AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS lp
+        |  FROM e
+        |  JOIN bgc b USING (bg)
+        |  JOIN ctx x ON string_split(e.bg, ' ')[1] = x.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(min(c2) AS BIGINT) AS min_bigram_tf,
         |  round(CAST(-sum(lp) AS DOUBLE) / count(*), 4) AS avg_nll
         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -131,6 +131,63 @@ object Curation {
         round((-col("sum_lp")).cast("double") / col("n_tokens"), 4).as("avg_nll"))
   }
 
+  /** Corpus-trained BIGRAM language-model score — the context-model step
+    * up from [[unigramLmScore]] (real perplexity filters are n-gram LMs;
+    * CCNet's is a 5-gram KenLM). Per document: average negative
+    * log-likelihood of its bigrams under add-one-smoothed corpus bigram
+    * probabilities, P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V). Repetitive
+    * boilerplate scores LOW (its bigrams are corpus-frequent); shuffled
+    * or noisy token streams score HIGH even when their UNIGRAMS are
+    * common — the signal the unigram score cannot see.
+    *
+    * Same determinism contract as the unigram score: per-bigram log-probs
+    * are integer-ratio logs rounded to 6 dp and summed as decimal(18,6)
+    * (order-free exact), so any engine reproduces the value bit-for-bit.
+    *
+    * Scale shape: bigrams are built MAP-SIDE per row (zip_with over two
+    * array slices — no shuffle, no position window); the exploded bigram
+    * table is persisted+counted (it feeds the bigram-count table, the
+    * context-count table derived from it, and the scoring join). Two
+    * keyed count aggregations + two equi-joins + one per-doc aggregation;
+    * O(total bigrams) narrow rows, no all-pairs, no driver state.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), " ").as("t"))
+    val withBigrams = toks.select(col("doc_id"),
+      zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)).as("bgs"),
+      col("t"))
+    // persist + eager count BEFORE the explode: the bigram expression must
+    // not be re-inlined into a Generate-inferred scan filter (the
+    // InferFiltersFromGenerate trap measured on the shingle operators)
+    val m = withBigrams.persist(); m.count()
+    val e = m.select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val bgCounts = e.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // c(w1·) = occurrences of w1 as a bigram context — derived from the
+    // bigram counts, not re-scanned
+    val ctxCounts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vocab = m.select(explode(col("t")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    e.join(bgCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        min(col("c2")).as("min_bigram_tf"),
+        sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"), col("min_bigram_tf"),
+        round((-col("sum_lp")).cast("double") / col("n_bigrams"), 4).as("avg_nll"))
+  }
+
   /** GPT-style concat-and-chunk sequence packing: per source, documents in
     * id order are conceptually concatenated into one token stream and cut
     * every `budget` tokens — the standard pretraining packing (no padding

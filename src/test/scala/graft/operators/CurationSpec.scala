@@ -204,6 +204,31 @@ class CurationSpec extends SparkSpec {
     assert(top3 === Seq("topicz"))
   }
 
+  test("bigramLmScore: shuffled token order scores worse than normal order") {
+    // docs 1-3 share bigram structure; doc 4 has the SAME unigram
+    // histogram as doc 1 but shuffled order -> rare bigrams -> higher NLL
+    // (the signal the unigram score cannot see)
+    val corpus = Seq(
+      (1L, "red fish blue fish red fish"),
+      (2L, "red fish blue fish red fish"),
+      (3L, "red fish blue fish red fish"),
+      (4L, "fish fish red blue fish red"),
+      (5L, "solo")) // < 2 tokens -> no bigrams -> absent from output
+      .toDF("doc_id", "text")
+    val out = Curation.bigramLmScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("avg_nll"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 === 5L) // 6 tokens -> 5 bigrams
+    assert(out(1L) === out(2L))
+    assert(out(4L)._2 > out(1L)._2,
+      s"shuffled doc should score worse: ${out(4L)._2} vs ${out(1L)._2}")
+    // same unigram histograms -> unigram score CANNOT separate them
+    val uni = Curation.unigramLmScore(corpus.filter($"doc_id" <= 4), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    assert(uni(1L) === uni(4L))
+  }
+
   test("shuffledShards: stable shards, dense in-shard positions, no skew blowup") {
     val big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     val out = Curation.shuffledShards(big, "doc_id", nShards = 4)
