@@ -70,4 +70,45 @@ class AsOfSpec extends SparkSpec {
         "sym", "t_ts", "q_ts")
     }
   }
+
+  test("randomized: agrees with a linear-scan reference on both directions + tolerance") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Vector("a", "b", "c", "d")
+      def stamp(sec: Int) = new Timestamp(sec * 1000L)
+      // unique (key, ts) on the right side (the operator's documented precondition)
+      val rRows = (1 to 150).map(i =>
+          (keys(rnd.nextInt(keys.size)), rnd.nextInt(2000)))
+        .distinct.zipWithIndex
+        .map { case ((k, sec), i) => (k, sec, 1000L + i) }
+      val lRows = (1 to 120).map(i =>
+        (keys(rnd.nextInt(keys.size)), rnd.nextInt(2000), i.toLong))
+      val right = rRows.map { case (k, s, id) => (k, stamp(s), id) }
+        .toDF("sym", "q_ts", "quote_id")
+      val left = lRows.map { case (k, s, id) => (k, stamp(s), id) }
+        .toDF("sym", "t_ts", "trade_id")
+
+      def reference(direction: String, tolSec: Option[Int]): Map[Long, Option[Long]] =
+        lRows.map { case (k, ts, id) =>
+          val cands = rRows.filter(r => r._1 == k &&
+            (if (direction == "backward") r._2 <= ts else r._2 >= ts) &&
+            tolSec.forall(t => math.abs(r._2 - ts) <= t))
+          val best =
+            if (cands.isEmpty) None
+            else if (direction == "backward") Some(cands.maxBy(_._2)._3)
+            else Some(cands.minBy(_._2)._3)
+          id -> best
+        }.toMap
+
+      for ((dir, tol) <- Seq(("backward", None), ("forward", None),
+                             ("backward", Some(100)), ("forward", Some(100)))) {
+        val got = AsOf.asofJoin(left, right, "sym", "t_ts", "q_ts",
+            direction = dir, tolerance = tol.map(_ * 1000000L))
+          .select("trade_id", "quote_id")
+          .as[(Long, Option[Long])].collect().toMap
+        assert(got === reference(dir, tol), s"seed=$seed dir=$dir tol=$tol")
+      }
+    }
+  }
 }
