@@ -71,6 +71,48 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("tolerance form equals the state-bounded streaming formulation (interval join + max_by)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    def stamp(sec: Int) = new Timestamp(sec * 1000L)
+    // events shaped like the testdata: views (right) unique per (user, ts)
+    val viewRows = (1 to 200).map(i => (1L + rnd.nextInt(6), rnd.nextInt(3600)))
+      .distinct.zipWithIndex.map { case ((u, s), i) => (u, s, 5000L + i) }
+    val purchRows = (1 to 150).map(i => (1L + rnd.nextInt(6), rnd.nextInt(3600), i.toLong))
+    val views = viewRows.map { case (u, s, id) => (u, stamp(s), id) }
+      .toDF("user_id", "view_ts", "view_id")
+    val purchases = purchRows.map { case (u, s, id) => (u, stamp(s), id) }
+      .toDF("p_user_id", "purchase_ts", "purchase_id")
+
+    val windowMinutes = 30
+    // batch as-of with tolerance = the window
+    val asof = AsOf.asofJoin(
+        purchases.withColumnRenamed("p_user_id", "user_id"),
+        views, "user_id", "purchase_ts", "view_ts",
+        tolerance = Some(windowMinutes * 60L * 1000000L))
+      .select("purchase_id", "view_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // the streaming-legal form: watermarked interval join (state bounded
+    // by the interval) + latest-view-per-purchase — runs unchanged on
+    // readStream sources (EventStreamsSpec drives the interval join there)
+    val interval = graft.streaming.EventStreams.viewPurchaseAttribution(
+      views.select(col("user_id"), col("view_ts").as("ts"), col("view_id").as("event_id")),
+      purchases.select(col("p_user_id").as("user_id"), col("purchase_ts").as("ts"),
+        col("purchase_id").as("event_id"), lit(0.0).as("value")),
+      windowMinutes)
+    val streaming = interval.groupBy(col("purchase_id"))
+      .agg(max_by(col("view_id"), struct(col("view_ts"), col("view_id"))).as("view_id"))
+      .as[(Long, Long)].collect().toMap
+
+    // matched purchases agree exactly; asof's null rows are exactly the
+    // purchases the inner interval join drops
+    assert(asof.collect { case (p, Some(v)) => p -> v } === streaming)
+    assert(asof.filter(_._2.isEmpty).keySet ===
+      purchRows.map(_._3).toSet -- streaming.keySet)
+  }
+
   test("randomized: agrees with a linear-scan reference on both directions + tolerance") {
     import spark.implicits._
     for (seed <- Seq(1, 7, 42)) {

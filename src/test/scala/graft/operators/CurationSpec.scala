@@ -251,6 +251,28 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chunk -> embed -> ANN composes end-to-end (the RAG indexing pipeline)") {
+    // documents -> sliding chunks -> featureStub embeddings -> brute-force
+    // top-k: the retrieval-indexing path is a composition of the shipped
+    // operators, no glue code beyond column renames
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => s"alpha$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"beta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.slidingChunks(corpus, "text", "doc_id",
+        chunkTokens = 16, stride = 8)
+      .withColumn("media_id", col("doc_id") * 1000 + col("chunk_id"))
+      .withColumn("payload", col("chunk_text").cast("binary"))
+      .withColumn("media_type", lit("text/plain"))
+    val emb = Multimodal.featureStub(chunks, dim = 8).toDF() // (vec_id, embedding)
+    val topk = Similarity.bruteForceTopK(emb, emb.limit(2), k = 3)
+    assert(topk.count() === 6) // 2 queries x top-3
+    assert(topk.select("query_id").distinct().count() === 2)
+    // every neighbor is a real chunk id, never the query itself
+    val rows = topk.collect()
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+  }
+
   test("slidingChunks: full coverage, overlap, short tail, empty doc") {
     val corpus = Seq(
       (1L, (1 to 9).map(i => s"w$i").mkString(" ")), // 9 tokens
