@@ -911,6 +911,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Salted skew join (operators/SkewJoin): identical ROWS to the plain
+    // equi-join — the salt only changes the partitioning — so the plain
+    // join IS the oracle. AQE skew handling is the first line of defense;
+    // salting is the plan-level fallback this query keeps honest.
+    "j_salted_skew" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.operators.SkewJoin.saltedJoin(orders, cust, "o_custkey",
+          saltFactor = 4, saltBy = "o_orderkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_nationkey")
+    }),
+
+    // The documented scale path of text_length_quantiles made real:
+    // approx_percentile (t-digest-style sketch, mergeable, bounded
+    // memory) beside the exact interpolated percentile, with the sketch
+    // value asserted within 10% — same contract pattern as
+    // approx_distinct_users (DuckDB can't reproduce the sketch, but it
+    // CAN check the exact column and the bound).
+    "text_length_quantiles_approx" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          expr("approx_percentile(n_chars, 0.5, 100)").as("p50_sketch"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"), col("p50"),
+          (abs(col("p50_sketch") - col("p50")) <= col("p50") * 0.1).as("approx_ok"),
+          col("n_docs"))
+        .orderBy("source")
+    }),
+
     // Bigram step-up of the LM score: add-one-smoothed P(w2|w1) — catches
     // shuffled/noisy token streams whose unigrams look normal.
     "text_bigram_lm" -> ((s, dir) => {
@@ -1765,6 +1800,19 @@ object SparkEntry {
         |  CAST(min(tf_corpus) AS BIGINT) AS min_tf,
         |  round(CAST(-sum(lp) AS DOUBLE) / count(*), 4) AS avg_nll
         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The plain join is the oracle for the salted join — same rows by
+    // construction, different partitioning.
+    "j_salted_skew" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_length_quantiles_approx" ->
+      """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  TRUE AS approx_ok, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Add-one-smoothed bigram NLL; c(w1·) derived from the bigram counts,
     // V = corpus-wide distinct token count, decimal-exact per-doc sums.

@@ -64,7 +64,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
   private val allPairsByDesign = Set(
     "dedup_embedding_pairs", "ann_cosine_topk",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore",
-    "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm", "text_keywords",
+    "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm",
+    // 1-row V broadcast, the same scalar cross join as text_unigram_lm
+    "text_bigram_lm",
+    "text_keywords",
     // shares text_keywords' head: the 1-row count broadcast cross join is a
     // scalar broadcast, not an all-pairs
     "text_keywords_topk",
