@@ -31,8 +31,19 @@ object Similarity {
     transform(c, x => x.cast("double"))
 
   /** Brute-force cosine top-k: broadcast the query vectors, score the corpus
-    * once, rank per query. Similarity is rounded to 4 dp before ranking with
-    * a vec_id tiebreak, making the top-k set deterministic across engines.
+    * once, keep a bounded k-heap per query ([[graft.functions.SmallestK]]).
+    * Similarity is rounded to 4 dp before ranking with a vec_id tiebreak,
+    * making the top-k set deterministic across engines — the struct
+    * (−sim, neighbor_id) reproduces exactly the window form's
+    * (sim desc, id asc) total order, and every recall-gate oracle
+    * re-verifies that after this rewrite.
+    *
+    * Why the heap and not `row_number().over(partitionBy(query_id))`: the
+    * window form shuffles and SORTS all q×N scored rows to keep k per
+    * query; the aggregate partial-truncates to k per map task before the
+    * exchange — the scored rows never leave their partition. The `0.0 −`
+    * normalizes a rounded −0.0 so the negated sort key can't split the
+    * zero tie across engines.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -42,12 +53,13 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.smallestK(
+        struct((lit(0.0) - col("sim")).as("neg_sim"), col("neighbor_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        (lit(0.0) - col("col.neg_sim")).as("sim"))
   }
 
   /** Embedding-cosine near-dup pairs (builder brief: embedding-cosine
