@@ -53,6 +53,16 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+    rankTopK(scored, k)
+  }
+
+  /** Shared ranking tail of the three top-k paths (brute/LSH/IVF): k
+    * smallest (−sim, neighbor_id) structs per query via the bounded
+    * [[graft.functions.SmallestK]] heap — identical total order to
+    * `row_number() over (order by sim desc, neighbor_id)`, without
+    * shuffling or sorting anything beyond k rows per (task, query).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.smallestK(
         struct((lit(0.0) - col("sim")).as("neg_sim"), col("neighbor_id")), k).as("top"))
@@ -60,7 +70,6 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"),
         (lit(0.0) - col("col.neg_sim")).as("sim"))
-  }
 
   /** Embedding-cosine near-dup pairs (builder brief: embedding-cosine
     * near-dup as a dedup variant): all pairs above `threshold`, norms
@@ -192,11 +201,7 @@ object Similarity {
     val scored = cells.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Multi-table SRP-LSH top-k: `tables` independent signatures of `bits`
@@ -228,11 +233,7 @@ object Similarity {
       // one groupBy dedups without re-joining the vectors
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
