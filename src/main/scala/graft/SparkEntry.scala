@@ -682,6 +682,24 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Signature-estimate prefilter between banding and exact verify — the
+    // 100 TB shape: the wide shingle-set re-join only runs on candidates
+    // whose estimated Jaccard clears threshold - margin. Same oracle as
+    // dedup_minhash: green = the prefilter dropped nothing.
+    "dedup_minhash_prefiltered" -> ((s, dir) => {
+      Dedup.minhashEstimatedPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.7)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Estimator audit for the prefilter: avg/max |estimate - exact| bounds
+    // over every banded candidate, plus the exact >= 0.7 pair count DuckDB
+    // recomputes brute-force (ANN-recall-gate contract).
+    "dedup_minhash_est_gate" -> ((s, dir) => {
+      Dedup.minhashEstimateErrors(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.7)
+    }),
+
     // SimHash signatures + band buckets. The query uses the portable
     // md5-derived 60-bit hash so DuckDB can replicate the full pipeline
     // (tokenize → per-token hash → 60 bit-votes → signature → bucket);
@@ -1082,6 +1100,37 @@ object SparkEntry {
 
   // -------------------------------------------------------------- oracleSql
 
+  /** Shared by `dedup_minhash` and `dedup_minhash_prefiltered`: both verify
+    * candidates with exact Jaccard, so brute-force exact Jaccard at the same
+    * threshold is the oracle for each — and one green row per variant proves
+    * the banding (and, for the prefiltered arm, the signature-estimate
+    * margin filter) dropped no qualifying pair.
+    */
+  private val minhashPairsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+      |                x -> len(x) > 1) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+      |  FROM toks WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT doc_a, doc_b,
+      |  round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Shared by `dedup_incremental` and `dedup_incremental_bloom`: the bloom
     * prefilter is output-transparent (false positives die in the exact
     * semi-join, false negatives are impossible), so one oracle checks both
@@ -1443,8 +1492,16 @@ object SparkEntry {
     // The banded-LSH path verifies candidates with exact Jaccard, so its
     // oracle IS the brute-force Jaccard at the same threshold (recall of the
     // 16x2 banding at j>=0.7 is 1 - (1-j^2)^16 ~ 1; a hash mismatch here
-    // would mean the banding dropped a real pair).
-    "dedup_minhash" ->
+    // would mean the banding dropped a real pair). Shared with the
+    // estimate-prefiltered variant: its green row additionally proves the
+    // conservative prefilter (est >= threshold - margin) dropped no pair.
+    "dedup_minhash" -> minhashPairsOracle,
+    "dedup_minhash_prefiltered" -> minhashPairsOracle,
+
+    // DuckDB cannot run MinHash, but it CAN recompute the exact >= 0.7 pair
+    // count brute-force and assert the estimator error booleans — a seeding
+    // or banding regression becomes a hash mismatch.
+    "dedup_minhash_est_gate" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
@@ -1461,13 +1518,11 @@ object SparkEntry {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1,2)
-        |SELECT doc_a, doc_b,
-        |  round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS avg_err_ok, TRUE AS max_err_ok
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7""".stripMargin,
 
     // Connected components via transitive closure (recursive CTE) over the
     // brute-force >= 0.7 Jaccard pairs — checks labels, sizes and keepers.

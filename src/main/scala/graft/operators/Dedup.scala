@@ -227,21 +227,123 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 4096): DataFrame = {
+    val (cand, sh, _) = bandedCandidates(docs, textCol, idCol, n,
+      bands, rowsPerBand, maxBucket, persistSigs = false)
+    verifyExactJaccard(cand, sh, threshold)
+  }
+
+  /** Signature-agreement Jaccard estimate for candidate pairs: the fraction
+    * of MinHash positions on which the two signatures agree is an unbiased
+    * estimator of the Jaccard similarity (variance j(1-j)/numHashes). The
+    * `zip_with`/`aggregate` pair runs on the interpreted HOF path, but
+    * unlike the r4 signature hot loop it executes once per CANDIDATE PAIR
+    * (a banded, bucket-capped set — orders of magnitude smaller than the
+    * corpus) over fixed 32-long arrays, so the explode-and-aggregate rule
+    * for corpus-wide loops does not apply.
+    */
+  private def signatureAgreement(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v
+    ).cast("double") / numHashes
+
+  /** [[minhashBandedPairs]] with a signature-estimate PREFILTER between
+    * candidate generation and exact verification — the shape that matters at
+    * 100 TB. The exact-verify join must re-join each candidate to its full
+    * shingle set (wide rows: every shingle of both docs travels to the
+    * pair); the estimate needs only the 32-long signatures that already
+    * exist. Dropping candidates whose estimated Jaccard is below
+    * `threshold - margin` shrinks the wide verify join's input to the
+    * near-dup population; band buckets are noisy (one matching band proves
+    * only that 2 of 32 positions agree), so most false candidates go.
+    *
+    * The margin makes the prefilter conservative: a pair at true Jaccard j
+    * has estimate ~ Binomial(numHashes, j)/numHashes, so with the default
+    * margin 0.25 at threshold 0.7 (keep est ≥ 0.45, i.e. ≥ 3σ below the
+    * mean at j = 0.7) the probability of dropping a qualifying pair is
+    * ~1e-3 at the threshold boundary and vanishes above it. The output
+    * therefore equals [[minhashBandedPairs]] — registered under the SAME
+    * DuckDB oracle (brute-force exact Jaccard), so the green row is the
+    * proof on each corpus. Estimate accuracy itself is gated by
+    * `dedup_minhash_est_gate`.
+    */
+  def minhashEstimatedPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 4096,
+      margin: Double = 0.25): DataFrame = {
+    val (cand, sh, sigs) =
+      bandedCandidates(docs, textCol, idCol, n, bands, rowsPerBand, maxBucket)
+    val kept = withAgreement(cand, sigs, bands * rowsPerBand)
+      .filter(col("est") >= threshold - margin)
+      .select(col("doc_a"), col("doc_b"))
+    verifyExactJaccard(kept, sh, threshold)
+  }
+
+  /** Estimate-vs-exact error audit over the full banded candidate set: one
+    * row with boolean error bounds (avg |est - exact| and max |est - exact|)
+    * plus the count of candidates whose EXACT Jaccard clears `threshold`.
+    * The error bounds follow the binomial std sqrt(j(1-j)/32) ≤ 0.09: avg
+    * ≤ 0.10, max ≤ 0.35 leaves ~3σ headroom over any candidate population.
+    * `n_pairs` equals the [[minhashBandedPairs]] output count under the
+    * same banding-recall assumption its oracle already rests on, so DuckDB
+    * can recompute it brute-force while asserting the booleans it cannot
+    * check (the ANN-recall-gate contract): an estimator regression — a
+    * seeding bug, a band/slice off-by-one — becomes a hash mismatch.
+    */
+  def minhashEstimateErrors(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double = 0.7,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    val (cand, sh, sigs) =
+      bandedCandidates(docs, textCol, idCol, n, bands, rowsPerBand, maxBucket)
+    val exact = verifyExactJaccard(cand, sh, threshold = 0.0)
+    withAgreement(cand, sigs, bands * rowsPerBand)
+      .join(exact, Seq("doc_a", "doc_b"))
+      .select(abs(col("est") - col("jaccard")).as("err"), col("jaccard"))
+      .agg(
+        sum((col("jaccard") >= threshold).cast("long")).as("n_pairs"),
+        (avg(col("err")) <= 0.10).as("avg_err_ok"),
+        (max(col("err")) <= 0.35).as("max_err_ok"))
+  }
+
+  /** Shared head of the banded-LSH paths: candidate pairs plus the
+    * materialized shingle and signature tables they join back to.
+    * `persistSigs` is set by the estimate path, which reads `sigs` twice
+    * (band explode + agreement join) — without the boundary Catalyst
+    * duplicates the whole signature aggregation into both consumers; the
+    * plain verify path reads it once and skips the cache.
+    */
+  private def bandedCandidates(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, maxBucket: Int,
+      persistSigs: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sh = materialized(shingled(spread(docs, idCol), textCol, idCol, n))
-    val sigs = minhashSignatures(sh, bands * rowsPerBand)
+    val rawSigs = minhashSignatures(sh, bands * rowsPerBand)
+    val sigs = if (persistSigs) materialized(rawSigs) else rawSigs
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-    val buckets = sigs
+    val cand = sigs
       .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-    val cand = buckets
       .select(explode(intraBucketPairs(col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    verifyExactJaccard(cand, sh, threshold)
+    (cand, sh, sigs)
   }
+
+  /** Join candidate pairs back to their signatures and attach the
+    * [[signatureAgreement]] estimate as `est`.
+    */
+  private def withAgreement(cand: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame =
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est", signatureAgreement(col("sig_a"), col("sig_b"), numHashes))
 
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` word n-gram shingles with ANY benchmark document — the

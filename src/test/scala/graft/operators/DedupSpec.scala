@@ -44,6 +44,25 @@ class DedupSpec extends SparkSpec {
     assert(banded.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
+  test("minhashEstimatedPairs: estimate prefilter is output-identical to the plain banded path") {
+    val pre = Dedup.minhashEstimatedPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.minhashBandedPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pre === banded)
+  }
+
+  test("minhashEstimateErrors: exact dup estimates at 1.0 and bounds hold") {
+    val row = Dedup.minhashEstimateErrors(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .head()
+    // candidates here are the exact dup (est must be exactly 1.0 — identical
+    // shingle sets give identical signatures) and the near dups; both bound
+    // booleans must hold on this fixture
+    assert(row.getAs[Long]("n_pairs") >= 3L)
+    assert(row.getAs[Boolean]("avg_err_ok"))
+    assert(row.getAs[Boolean]("max_err_ok"))
+  }
+
   test("ngramJaccardPairs: doc-frequency cap drops viral-shingle-only candidates") {
     // docs 1,2 are exact dups; with every shared shingle above the cap the
     // pair can't be *discovered*, proving the cap gates candidate generation
