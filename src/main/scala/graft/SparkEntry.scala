@@ -749,6 +749,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source cap through the bounded smallest_k heap — same oracle as
+    // curation_source_cap: green = heap ≡ window. The heap form shuffles
+    // ≤ cap rows per (map task, source) instead of sorting every source's
+    // documents inside the exchange.
+    "curation_cap_topk" -> ((s, dir) => {
+      Curation.perSourceCapViaTopKAgg(t(s, dir, "documents"), "doc_id", "source",
+          cap = 15)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic shuffle-and-shard export: md5-mod shard id + in-shard
     // position by hash order — the reproducible global shuffle a trainer
     // streams shards from (replaces orderBy(rand())).
@@ -1099,6 +1109,22 @@ object SparkEntry {
   )
 
   // -------------------------------------------------------------- oracleSql
+
+  /** Shared by `curation_source_cap` (row_number window) and
+    * `curation_cap_topk` (bounded smallest_k heap): same (hash, id) total
+    * order, so one oracle checks both — the green pair is the equivalence
+    * proof.
+    */
+  private val sourceCapOracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+      |                 / 1152921504606846976.0, doc_id) AS sample_rank
+      |  FROM documents)
+      |SELECT doc_id, source, sample_rank
+      |FROM ranked WHERE sample_rank <= 15
+      |ORDER BY doc_id""".stripMargin
 
   /** Shared by `dedup_minhash` and `dedup_minhash_prefiltered`: both verify
     * candidates with exact Jaccard, so brute-force exact Jaccard at the same
@@ -1601,16 +1627,10 @@ object SparkEntry {
         |      / 1152921504606846976.0 < 0.25
         |ORDER BY doc_id""".stripMargin,
 
-    "curation_source_cap" ->
-      """WITH ranked AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
-        |                 / 1152921504606846976.0, doc_id) AS sample_rank
-        |  FROM documents)
-        |SELECT doc_id, source, sample_rank
-        |FROM ranked WHERE sample_rank <= 15
-        |ORDER BY doc_id""".stripMargin,
+    // Shared by the window (curation_source_cap) and smallest_k-heap
+    // (curation_cap_topk) cap forms — one oracle, green = equivalent.
+    "curation_source_cap" -> sourceCapOracle,
+    "curation_cap_topk" -> sourceCapOracle,
 
     // Shard = md5-int mod 8 (integer-exact across engines); position =
     // rank by md5 hex within the shard, id tiebreak.

@@ -50,6 +50,30 @@ object Curation {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** [[perSourceCap]] through the bounded [[graft.functions.SmallestK]]
+    * heap aggregate instead of a row_number window — registered under the
+    * SAME oracle as `curation_source_cap`, so the green row proves the two
+    * forms equivalent. Same physics argument as
+    * [[distinctiveKeywordsViaTopKAgg]], and it bites harder here: the cap
+    * pass runs over the ENTIRE corpus, and the window form sorts every
+    * document row of each source inside the exchange before discarding all
+    * but `cap`, while the heap form partial-aggregates map-side so the
+    * shuffle carries ≤ `cap` rows per (map task, source) — at a 100 TB
+    * corpus with a 10k-doc domain cap that is the difference between
+    * shuffling the corpus and shuffling ~the output.
+    *
+    * Output is (id, source, sample_rank) — the window form's extra
+    * passthrough columns ride the kept struct at scale if needed.
+    */
+  def perSourceCapViaTopKAgg(df: DataFrame, idCol: String, sourceCol: String,
+      cap: Int): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(graft.functions.TopK.smallestK(
+        struct(hashFraction(col(idCol)).as("hf"), col(idCol).as("id")), cap).as("top"))
+      .select(col(sourceCol), posexplode(col("top")))
+      .select(col("col.id").as(idCol), col(sourceCol),
+        (col("pos") + 1).cast("bigint").as("sample_rank"))
+
   /** Gopher-style rule-based quality flags (Rae et al. 2021, §A1.1.1 — the
     * published heuristics, re-expressed as codegen'd columns): word count
     * bounds, mean word length bounds, alphabetic-word ratio, minimum

@@ -45,6 +45,17 @@ class CurationSpec extends SparkSpec {
     assert(capped.select(min(col("sample_rank"))).as[Long].head() === 1L)
   }
 
+  test("perSourceCapViaTopKAgg is row-identical to the window form") {
+    val window = Curation.perSourceCap(docs, "doc_id", "source", cap = 2)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+    val heap = Curation.perSourceCapViaTopKAgg(docs, "doc_id", "source", cap = 2)
+    assert(heap.exceptAll(window).count() === 0)
+    assert(window.exceptAll(heap).count() === 0)
+    // the heap really is in the plan: an ObjectHashAggregate over
+    // smallest_k, not a window sort
+    assert(heap.queryExecution.executedPlan.toString.contains("smallest_k"))
+  }
+
   test("gopherFlags measurements and rule conjunction") {
     val flags = Curation.gopherFlags(docs, "text", "doc_id",
       stopwords = Seq("the", "a", "and"), minWords = 5)
