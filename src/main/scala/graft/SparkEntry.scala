@@ -759,6 +759,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Z-order (Morton) clustering key over two range-filter dimensions —
+    // the write-time sort key that gives parquet min/max pruning on BOTH
+    // columns. Pure codegen'd bit arithmetic; the oracle replays the
+    // identical shift/mask chain in DuckDB.
+    "curation_zorder" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"),
+          graft.functions.ZOrder.interleave(
+            col("o_custkey"), floor(col("o_totalprice")).cast("bigint")).as("zkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // Deterministic shuffle-and-shard export: md5-mod shard id + in-shard
     // position by hash order — the reproducible global shuffle a trainer
     // streams shards from (replaces orderBy(rand())).
@@ -1631,6 +1643,28 @@ object SparkEntry {
     // (curation_cap_topk) cap forms — one oracle, green = equivalent.
     "curation_source_cap" -> sourceCapOracle,
     "curation_cap_topk" -> sourceCapOracle,
+
+    // The identical magic-number spread chain (Morton 1966), stage by
+    // stage, on DuckDB's BIGINT bit operators — integer-exact, so the
+    // comparison is a hash match, not an approximation.
+    "curation_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_custkey AS BIGINT) & 4294967295 AS xa,
+        |    CAST(floor(o_totalprice) AS BIGINT) & 4294967295 AS xb
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, (xa | (xa << 16)) & 281470681808895 AS xa,
+        |                          (xb | (xb << 16)) & 281470681808895 AS xb FROM base),
+        |s2 AS (SELECT o_orderkey, (xa | (xa << 8)) & 71777214294589695 AS xa,
+        |                          (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+        |s3 AS (SELECT o_orderkey, (xa | (xa << 4)) & 1085102592571150095 AS xa,
+        |                          (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+        |s4 AS (SELECT o_orderkey, (xa | (xa << 2)) & 3689348814741910323 AS xa,
+        |                          (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+        |s5 AS (SELECT o_orderkey, (xa | (xa << 1)) & 6148914691236517205 AS xa,
+        |                          (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+        |SELECT o_orderkey, xa | (xb << 1) AS zkey FROM s5
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Shard = md5-int mod 8 (integer-exact across engines); position =
     // rank by md5 hex within the shard, id tiebreak.
