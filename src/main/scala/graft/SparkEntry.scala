@@ -710,6 +710,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SimHash pairs at hamming <= 3 with the pigeonhole completeness
+    // guarantee (4 bands > 3 differing bits ⇒ every qualifying pair shares
+    // a band). The oracle recomputes ALL pairs brute-force from the
+    // portable signatures — an equality check on the banding, not a recall
+    // gate.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3, bands = 4, portableHash = true)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Containment (|A∩B| / min set size) near-dup pairs — catches the
+    // doc-inside-doc copy symmetric Jaccard misses (a 10x-larger wrapper
+    // caps Jaccard at ~0.1 while containment is 1.0).
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Near-dup CLUSTERS over the banded-LSH pair set: min-label propagation
     // to connected components, one keeper per cluster. The oracle recomputes
     // the >= 0.7 Jaccard pairs brute-force and closes them transitively with
@@ -2114,6 +2134,62 @@ object SparkEntry {
          |FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // Brute-force ALL pairs at hamming <= 3 from the same portable
+    // signatures — the pigeonhole guarantee means the banded Spark path
+    // must produce exactly this set (equality, not recall).
+    "dedup_simhash_pairs" -> {
+      val votes = (0 until 60)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(i => s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(regexp_replace(lower(text), '[^a-z- ]', ' ', 'g'), ' +'),
+         |    t -> len(t) > 1)) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+         |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $bits AS simhash FROM votes),
+         |full_sigs AS (
+         |  SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+         |  FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM full_sigs a JOIN full_sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // Same shingle universe as the Jaccard oracles; only the denominator
+    // changes (min set size instead of union).
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2)
+        |SELECT doc_a, doc_b,
+        |  round(n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same dirty-text synthesis, same three redaction regexes (fixed-shape
     // patterns — no greedy-optional suffixes, which differ across regex

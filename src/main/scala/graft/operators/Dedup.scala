@@ -144,19 +144,51 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = 64): DataFrame = {
-    // Materialize the shingle table once, BEFORE any filter/explode: it
-    // feeds both the bucket explode and the per-doc size projection, and the
-    // cache boundary stops predicate pushdown from substituting the shingle
-    // expression into scan filters. At scale this would be a written
-    // intermediate table; in-session, persist() is its analog. Eager (see
-    // [[materialized]]) so the three consumers don't race to recompute it.
+      n: Int, threshold: Double, maxShingleDf: Int = 64): DataFrame =
+    pairIntersections(docs, textCol, idCol, n, maxShingleDf)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("size_a") + col("size_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) ≥ `threshold` —
+    * the one-sided overlap score (Broder 1997's containment, the measure
+    * behind doc-inside-doc detection). Symmetric Jaccard MISSES the
+    * boilerplate-wrapped copy: a 200-shingle doc embedded verbatim in a
+    * 2000-shingle page has containment 1.0 but Jaccard ≤ 0.1. Same
+    * candidate generation and cost shape as [[ngramJaccardPairs]]; only
+    * the denominator differs.
+    */
+  def containmentPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, maxShingleDf: Int = 64): DataFrame =
+    pairIntersections(docs, textCol, idCol, n, maxShingleDf)
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+
+  /** Shared head of the exact-overlap pair scores (Jaccard, containment):
+    * candidate pairs from per-shingle buckets with their intersection count
+    * and both set sizes.
+    *
+    * Materializes the shingle table once, BEFORE any filter/explode: it
+    * feeds both the bucket explode and the per-doc size projection, and the
+    * cache boundary stops predicate pushdown from substituting the shingle
+    * expression into scan filters. At scale this would be a written
+    * intermediate table; in-session, persist() is its analog. Eager (see
+    * [[materialized]]) so the three consumers don't race to recompute it.
+    * |A ∩ B| is computed as a count of per-shingle pair slots: each
+    * retained shingle bucket emits its intra-bucket pairs, and the
+    * (doc_a, doc_b) group count IS the intersection size (shingle arrays
+    * are distinct). One shuffle on shingle + one on the narrow pair key —
+    * no self-join, no per-pair array materialization.
+    */
+  private def pairIntersections(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, maxShingleDf: Int): DataFrame = {
     val sh = materialized(shingled(spread(docs, idCol), textCol, idCol, n))
-    // |A ∩ B| as a count of per-shingle pair slots: each retained shingle
-    // bucket emits its intra-bucket pairs, and the (doc_a, doc_b) group
-    // count IS the intersection size (shingle arrays are distinct). One
-    // shuffle on shingle + one on the narrow pair key — no self-join, no
-    // per-pair array materialization.
     val inter = sh
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle"))
@@ -169,11 +201,6 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b")), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("size_a") + col("size_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Seeded MinHash signatures over a shingle table (`doc_id`, `shingles`):
@@ -579,6 +606,16 @@ object Dedup {
     */
   def simhashBuckets(docs: DataFrame, textCol: String, idCol: String,
       bandBits: Int, portableHash: Boolean = false): DataFrame = {
+    val nBits = if (portableHash) 60 else 64
+    simhashSignatures(docs, textCol, idCol, portableHash)
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), nBits - bandBits))
+  }
+
+  /** Per-document 64-bit (60-bit portable) SimHash signatures — the shared
+    * head of [[simhashBuckets]] and [[simhashPairs]].
+    */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      portableHash: Boolean = false): DataFrame = {
     // xxhash64 (64-bit, fastest) is the in-Spark default; `portableHash`
     // derives a 60-bit hash from the md5 hex prefix instead — ~2× the hash
     // cost, but reproducible in any engine with md5 (the DuckDB oracle
@@ -609,6 +646,52 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"))
       .join(sims, Seq("doc_id"), "left")
       .na.fill(0L, Seq("simhash"))
-      .withColumn("bucket", shiftrightunsigned(col("simhash"), nBits - bandBits))
+  }
+
+  /** SimHash near-duplicate pairs with an EXACT completeness guarantee:
+    * every pair within hamming distance ≤ `maxHamming` of each other's
+    * signature is emitted. Candidates form only where two signatures share
+    * one of `bands` contiguous signature bands exactly; by pigeonhole,
+    * `maxHamming` differing bits cannot touch all `bands` bands when
+    * `bands > maxHamming`, so a qualifying pair ALWAYS shares at least one
+    * band — banding here is a pure partitioning trick, not an
+    * approximation, and the brute-force oracle checks equality, not
+    * recall. Verification is one codegen'd `bit_count(a ^ b)` per
+    * candidate.
+    *
+    * Scale shape: one shuffle on (band, band-value) — O(docs × bands) rows
+    * — then a signature equi-join on the candidate set; no all-pairs path.
+    * Degenerate bands (e.g. thousands of zero-signature empty docs in one
+    * bucket) are the same skew case as MinHash's `maxBucket`, but here a
+    * cap would break the completeness proof, so over-full buckets are
+    * kept; filter empty docs upstream if the corpus has them in volume.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      portableHash: Boolean = false): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
+    val nBits = if (portableHash) 60 else 64
+    require(nBits % bands == 0, s"bands must divide $nBits")
+    val bandWidth = nBits / bands
+    val sigs = materialized(
+      simhashSignatures(docs, textCol, idCol, portableHash))
+    val bandCols = (0 until bands).map(b => struct(
+      lit(b).as("band"),
+      shiftrightunsigned(col("simhash"), b * bandWidth)
+        .bitwiseAND(lit((1L << bandWidth) - 1)).as("bv")))
+    val cand = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(intraBucketPairs(col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("bigint").as("hamming"))
   }
 }

@@ -63,6 +63,38 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Boolean]("max_err_ok"))
   }
 
+  test("containmentPairs catches the doc-inside-doc copy that Jaccard misses") {
+    // distinct alphabetic filler tokens (digits would be stripped by the
+    // tokenizer, collapsing the wrapper to one repeated word)
+    val wrapper = (2 to 41).map(i => "f" * i).mkString(" ")
+    val inner = "the quick brown fox jumps over the lazy dog again"
+    val cdocs = Seq(
+      (1L, inner),
+      (2L, s"$wrapper $inner"), // inner embedded in 8x wrapper
+      (3L, "completely unrelated content about database engines and query plans"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cdocs, "text", "doc_id", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccardPairs(cdocs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.contains((1L, 2L)))
+    assert(!jac.contains((1L, 2L))) // jaccard diluted by the wrapper
+    assert(!cont.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhashPairs equals brute-force hamming filter (pigeonhole completeness)") {
+    val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute)
+    assert(banded.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L }) // exact dup
+  }
+
   test("ngramJaccardPairs: doc-frequency cap drops viral-shingle-only candidates") {
     // docs 1,2 are exact dups; with every shared shingle above the cap the
     // pair can't be *discovered*, proving the cap gates candidate generation
