@@ -43,4 +43,29 @@ object ShardWriter {
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(path)
+
+  /** Z-order-clustered parquet write: range-partition and sort the rows by
+    * the Morton key of (`colA`, `colB`) so each of the `nFiles` output
+    * files covers a TILE in (a, b) space — parquet min/max statistics then
+    * prune range filters on EITHER column, where a single-key sort gives
+    * pruning on one column and full scans on the other
+    * ([[graft.functions.ZOrder]]; the scheme behind lakehouse clustering
+    * keys).
+    *
+    * Plan shape: ONE range exchange on the key (driver samples the key
+    * distribution — no global sort), per-task sort, no partitionBy
+    * directory explosion: min/max stats do the pruning, so the layout
+    * stays `nFiles` flat files a reader lists cheaply. At 100 TB, pick
+    * `nFiles` for ~1 GB files; appends re-cluster per batch directory
+    * (z-order degrades gracefully under append — each batch's files stay
+    * tiled).
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      nFiles: Int, path: String): Unit =
+    df.withColumn("__z", graft.functions.ZOrder.interleave(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .parquet(path)
 }

@@ -45,4 +45,36 @@ class ShardWriterSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(seq1 === seq2 && seq1.nonEmpty)
   }
+
+  test("writeZOrdered: per-file min/max tiles prune a 2-D box a single-key sort cannot") {
+    val dir = Files.createTempDirectory("zorder").toFile
+    dir.deleteOnExit()
+    val grid = spark.range(0, 4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+
+    val zPath = dir.getAbsolutePath + "/z"
+    ShardWriter.writeZOrdered(grid, "a", "b", nFiles = 16, zPath)
+    val aPath = dir.getAbsolutePath + "/bya"
+    grid.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions(col("a"), col("b"))
+      .write.mode("overwrite").parquet(aPath)
+
+    // per-FILE min/max — exactly the statistics parquet pruning sees
+    def overlapping(path: String): Int = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")))
+          .head()
+        r.getLong(0) <= 7 && r.getLong(1) >= 0 && r.getLong(2) <= 7 && r.getLong(3) >= 0
+      }
+    }
+    // the box a,b in [0,7]^2: z-order isolates it in one 16x16-tile file;
+    // the (a, b) sort clusters a but spans all of b in every file
+    assert(overlapping(zPath) === 1)
+    assert(overlapping(aPath) >= 2)
+    // nothing lost in the clustered write
+    assert(spark.read.parquet(zPath).count() === 4096)
+  }
 }
