@@ -943,6 +943,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
     }),
 
+    // PQ-compressed ANN (ADC scan over m-byte codes + exact re-rank of a
+    // refine*k shortlist) — the memory-bound scale path; recall measured
+    // by ann_pq_recall below.
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          refine = 32, corpusId = Some(dir))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+      val pq = Similarity.pqTopK(emb, q, k = 5, refine = 32, corpusId = Some(dir))
+      Similarity.recallAtK(pq, brute)
+        .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
+    }),
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans cells, exact
     // cosine within a cell only. Subset of dedup_embedding_pairs by
     // construction (precision 1); recall measured by dedup_semantic_recall.
@@ -1901,6 +1920,9 @@ object SparkEntry {
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     "ann_ivf_recall" ->
+      "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    "ann_pq_recall" ->
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     // Semantic-dedup recall gate: DuckDB can't run the KMeans partition, but

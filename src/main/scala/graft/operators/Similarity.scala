@@ -372,4 +372,119 @@ object Similarity {
       .select(col("query_id"),
         round(col("hits").cast("double") / col("n"), 4).as("recall"))
   }
+
+  // ------------------------------------------------------- product quantization
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Int, Long, Int), Array[Array[Array[Double]]]]
+
+  /** Train per-subspace PQ codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the (normalized)
+    * vector into `m` contiguous subvectors and fit an independent
+    * `ksub`-centroid KMeans per subspace on a seeded sample. Returns
+    * `[m][ksub][dim/m]` centroids. Like [[fitQuantizer]], the fit reads a
+    * bounded sample, never the corpus — and the m fits each see only a
+    * dim/m-wide projection of it.
+    */
+  def fitPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, seed: Long,
+      maxTrainSamples: Int, vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val nCorpus = corpus.count()
+    val trainSrc =
+      if (nCorpus > maxTrainSamples)
+        corpus.sample(withReplacement = false, maxTrainSamples.toDouble / nCorpus, seed)
+      else corpus
+    val normed = trainSrc.select(normalize(asDouble(col(vecCol))).as("v"))
+    val dim = normed.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    // one bounded materialization feeds all m sub-fits
+    val cached = normed.persist()
+    cached.count()
+    val books = (0 until m).map { j =>
+      val sub = cached.select(
+        array_to_vector(slice(col("v"), j * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed ^ (j + 1) * 0x9E3779B97F4A7C15L)
+        .setFeaturesCol("features").fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    cached.unpersist()
+    books
+  }
+
+  private def normalize(v: org.apache.spark.sql.Column) = {
+    import graft.functions.VectorOps.dotProduct
+    val nrm = sqrt(dotProduct(v, v))
+    when(nrm > 0, transform(v, x => x / nrm)).otherwise(v)
+  }
+
+  /** PQ-compressed ANN top-k with asymmetric-distance scoring and exact
+    * re-ranking — the MEMORY-bound scale path: at 100 TB of float
+    * embeddings the corpus cannot be held (or even streamed cheaply) as
+    * floats, but m bytes/vector of PQ codes compress it 16–32×, and the
+    * scan side of the search touches ONLY the codes.
+    *
+    * Pipeline: normalize → encode corpus once (per subspace, argmin over
+    * `ksub` compiled dot-product distances — all codegen'd literals, same
+    * shipping trick as [[srpSignature]]) → per query build the m×ksub ADC
+    * lookup table (query-side work only) → approximate score of every
+    * (query, code) row is m `element_at` lookups — no float vector on the
+    * scan side → bounded-heap shortlist of `refine`×k → EXACT cosine
+    * re-rank of the shortlist only (k·refine true-vector fetches per
+    * query, the standard refinement step). Output shape matches
+    * [[bruteForceTopK]]; accuracy is gated by `ann_pq_recall`.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000,
+      corpusId: Option[String] = None): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val books = corpusId match {
+      case Some(id) => pqCache.getOrElseUpdate(
+        (id, vecCol, m, ksub, seed, maxTrainSamples),
+        fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol))
+      case None => fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
+    }
+    val subDim = books(0)(0).length
+
+    // corpus → (neighbor_id, nvec, code_0..code_{m-1}); the codes are what
+    // a production index PERSISTS (m bytes/row) — nvec is carried here only
+    // because the same frame serves the re-rank fetch in-session
+    def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
+    val codeCols = (0 until m).map { j =>
+      val dists = array(books(j).map(c =>
+        dotProduct(lit(c), lit(c)) - lit(2.0) * dotProduct(subv(col("nvec"), j), lit(c))): _*)
+      array_position(dists, array_min(dists)).cast("int").as(s"code_$j")
+    }
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), normalize(asDouble(col(vecCol))).as("nvec"))
+      .select(col("neighbor_id") +: col("nvec") +: codeCols: _*)
+
+    // query → ADC tables: t_j[c] = q_j · centroid_{j,c} (ksub entries per
+    // subspace, built once per query row; the broadcast ships q×m×ksub
+    // doubles)
+    val tableCols = (0 until m).map { j =>
+      array(books(j).map(c => dotProduct(subv(col("qvec"), j), lit(c))): _*).as(s"t_$j")
+    }
+    val qt = queries
+      .select(col(idCol).as("query_id"), normalize(asDouble(col(vecCol))).as("qvec"))
+      .select(col("query_id") +: col("qvec") +: tableCols: _*)
+
+    // ADC score = Σ_j t_j[code_j]: m array lookups per (query, row) — the
+    // only per-corpus-row work in the scan
+    val adc = (0 until m)
+      .map(j => element_at(col(s"t_$j"), col(s"code_$j")))
+      .reduce(_ + _)
+    val shortlist = rankTopK(
+      codes.join(broadcast(qt), col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(adc, 4)),
+      k * refine)
+
+    // exact re-rank of the shortlist: true vectors are fetched for
+    // k·refine candidates per query only
+    val rescored = shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(codes.select(col("neighbor_id"), col("nvec")), "neighbor_id")
+      .join(broadcast(qt.select(col("query_id"), col("qvec"))), "query_id")
+      .withColumn("sim", round(dotProduct(col("qvec"), col("nvec")), 4))
+    rankTopK(rescored, k)
+  }
 }

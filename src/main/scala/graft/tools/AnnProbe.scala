@@ -31,6 +31,13 @@ object AnnProbe {
         min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
       println(f"ivf cells=$cells%-2d probe=$probe minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
     }
+    for (refine <- Seq(4, 8, 16, 32)) {
+      val pq = Similarity.pqTopK(emb, queries, k = 5, refine = refine,
+        corpusId = Some(sfDir))
+      val r = Similarity.recallAtK(pq, brute).agg(
+        min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
+      println(f"pq m=8 ksub=16 refine=$refine%-3d minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
+    }
     spark.stop()
   }
 }

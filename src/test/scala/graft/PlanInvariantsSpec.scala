@@ -73,7 +73,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "text_keywords_topk",
     "curation_mix", "ann_quantized_recall",
     // embeds the same two brute-force baselines as ann_quantized_recall
-    "ann_truncated_recall")
+    "ann_truncated_recall",
+    // the PQ ADC pass is a DELIBERATE q×N linear scan — over m-byte codes,
+    // not vectors: the compression is the scale story, not candidate
+    // pruning (compose with IVF cells for that)
+    "ann_pq_topk", "ann_pq_recall")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)

@@ -59,6 +59,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAvg >= 0.6, s"IVF recall regressed: $ivfAvg")
   }
 
+  test("pqTopK: ADC + exact re-rank clears the recall@5 gate; codes stay in [1, ksub]") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+    val pq = Similarity.pqTopK(emb, q, k = 5, refine = 32)
+    val pqAvg = Similarity.recallAtK(pq, brute).agg(avg("recall")).as[Double].head()
+    info(f"pq avg recall@5 = $pqAvg%.2f")
+    assert(pqAvg >= 0.6, s"PQ recall regressed: $pqAvg")
+    // output contract matches the other top-k paths
+    assert(pq.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "sim"))
+    assert(pq.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
+  }
+
   test("semanticPairs: subset of exact pairs (precision 1), recall gated") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")
