@@ -962,6 +962,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
     }),
 
+    // IVF-PQ: coarse cells prune the scan (nProbe/nCells of the corpus),
+    // PQ codes compress what is scanned — the canonical 100 TB index
+    // layout; recall measured by ann_ivfpq_recall below.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          corpusId = Some(dir))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+      val ivfpq = Similarity.ivfPqTopK(emb, q, k = 5, corpusId = Some(dir))
+      Similarity.recallAtK(ivfpq, brute)
+        .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
+    }),
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans cells, exact
     // cosine within a cell only. Subset of dedup_embedding_pairs by
     // construction (precision 1); recall measured by dedup_semantic_recall.
@@ -1923,6 +1942,9 @@ object SparkEntry {
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     "ann_pq_recall" ->
+      "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    "ann_ivfpq_recall" ->
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
 
     // Semantic-dedup recall gate: DuckDB can't run the KMeans partition, but

@@ -487,4 +487,94 @@ object Similarity {
       .withColumn("sim", round(dotProduct(col("qvec"), col("nvec")), 4))
     rankTopK(rescored, k)
   }
+
+  /** IVF-PQ: the canonical composition of the two index halves — the IVF
+    * coarse quantizer prunes the SCAN (only `nProbe`/`nCells` of the
+    * corpus is touched per query) and PQ compresses WHAT is scanned
+    * (m bytes/vector ADC instead of float vectors). This is the layout a
+    * 100 TB embedding index actually ships: cell id as a write-time
+    * partition column, PQ codes as the stored payload, true vectors
+    * fetched only for the refine·k re-rank shortlist.
+    *
+    * Expressed as composition: cell assignment reuses [[fitQuantizer]]'s
+    * centroids (memoized per corpus) to SUBSET the corpus to the probed
+    * cells per query, and [[pqTopK]] runs per probed subset. Here the
+    * subset is computed as a (cell ⨝ probe) equi-join — the same plan
+    * shape as [[ivfTopK]] — and the ADC scoring rides on the joined rows,
+    * so the q×N nested loop of plain PQ becomes a keyed join touching
+    * q×N·(nProbe/nCells) rows.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, refine: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000,
+      corpusId: Option[String] = None): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val centers = corpusId match {
+      case Some(id) => quantizerCache.getOrElseUpdate(
+        (id, vecCol, nCells, seed, maxTrainSamples),
+        fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol))
+      case None => fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
+    }
+    val books = corpusId match {
+      case Some(id) => pqCache.getOrElseUpdate(
+        (id, vecCol, m, ksub, seed, maxTrainSamples),
+        fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol))
+      case None => fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
+    }
+    val subDim = books(0)(0).length
+
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+
+    // cell assignment happens in the RAW vector space (the coarse
+    // quantizer was fit there — see fitQuantizer); normalization happens
+    // after, for the PQ/cosine stage only
+    def assign(df: DataFrame, id: String, v: String, probes: Int) = {
+      val scored = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .crossJoin(broadcast(centroids))
+        .withColumn("d2",
+          dotProduct(col("centroid"), col("centroid")) -
+            lit(2.0) * dotProduct(col(v), col("centroid")))
+      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
+      scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= probes)
+        .select(col(id), normalize(col(v)).as(v), col("cell"))
+    }
+
+    // stored side: (cell, codes, nvec) — what the index persists, cell
+    // being the partition column; encode once
+    def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
+    val codeCols = (0 until m).map { j =>
+      val dists = array(books(j).map(c =>
+        dotProduct(lit(c), lit(c)) - lit(2.0) * dotProduct(subv(col("nvec"), j), lit(c))): _*)
+      array_position(dists, array_min(dists)).cast("int").as(s"code_$j")
+    }
+    val cells = assign(corpus, "neighbor_id", "nvec", probes = 1)
+      .select(col("neighbor_id") +: col("nvec") +: col("cell") +: codeCols: _*)
+
+    // probe side: query ADC tables, one row per (query, probed cell)
+    val tableCols = (0 until m).map { j =>
+      array(books(j).map(c => dotProduct(subv(col("qvec"), j), lit(c))): _*).as(s"t_$j")
+    }
+    val probes = assign(queries, "query_id", "qvec", probes = nProbe)
+      .select(col("query_id") +: col("qvec") +: col("cell") +: tableCols: _*)
+
+    val adc = (0 until m)
+      .map(j => element_at(col(s"t_$j"), col(s"code_$j")))
+      .reduce(_ + _)
+    val shortlist = rankTopK(
+      cells.join(probes, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(adc, 4)),
+      k * refine)
+
+    val rescored = shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(cells.select(col("neighbor_id"), col("nvec")), "neighbor_id")
+      .join(broadcast(probes.select(col("query_id"), col("qvec")).distinct()), "query_id")
+      .withColumn("sim", round(dotProduct(col("qvec"), col("nvec")), 4))
+    rankTopK(rescored, k)
+  }
 }

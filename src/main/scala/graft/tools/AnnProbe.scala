@@ -38,6 +38,13 @@ object AnnProbe {
         min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
       println(f"pq m=8 ksub=16 refine=$refine%-3d minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
     }
+    for ((probe, refine) <- Seq((2, 32), (4, 32), (8, 32))) {
+      val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 5, nCells = 8,
+        nProbe = probe, refine = refine, corpusId = Some(sfDir))
+      val r = Similarity.recallAtK(ivfpq, brute).agg(
+        min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
+      println(f"ivfpq cells=8 probe=$probe%-2d refine=$refine%-3d minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
+    }
     spark.stop()
   }
 }

@@ -77,7 +77,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // the PQ ADC pass is a DELIBERATE q×N linear scan — over m-byte codes,
     // not vectors: the compression is the scale story, not candidate
     // pruning (compose with IVF cells for that)
-    "ann_pq_topk", "ann_pq_recall")
+    "ann_pq_topk", "ann_pq_recall",
+    // cells ⨝ probes is a keyed join, but assignment shares IVF's
+    // broadcast-centroid scalar cross join
+    "ann_ivfpq_topk", "ann_ivfpq_recall")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)

@@ -74,6 +74,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
   }
 
+  test("ivfPqTopK: the composed index clears the recall@5 gate") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+    val ivfpq = Similarity.ivfPqTopK(emb, q, k = 5, nCells = 8, nProbe = 4, refine = 32)
+    val avgR = Similarity.recallAtK(ivfpq, brute).agg(avg("recall")).as[Double].head()
+    info(f"ivfpq avg recall@5 = $avgR%.2f")
+    assert(avgR >= 0.6, s"IVF-PQ recall regressed: $avgR")
+    assert(ivfpq.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "sim"))
+  }
+
   test("semanticPairs: subset of exact pairs (precision 1), recall gated") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")
