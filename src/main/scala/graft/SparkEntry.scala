@@ -800,6 +800,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact stratified train/val/test split: per source, rank by md5 hex
+    // and cut at floor(n*0.1) / floor(n*0.2) — proportions exact per
+    // stratum, assignment a pure function of the data (oracle replays the
+    // same rank/count windows row-for-row).
+    "curation_split" -> ((s, dir) => {
+      Curation.stratifiedSplit(t(s, dir, "documents"), "doc_id", "source",
+          testFrac = 0.1, valFrac = 0.1)
+        .select(col("doc_id"), col("source"), col("split_rank"),
+          col("n_stratum"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Sliding-window token chunking (the embedding/RAG chunk pass):
     // 64-token windows advancing by 16 — every token covered, tail window
     // kept short. Map-only, zero shuffle.
@@ -1735,6 +1747,22 @@ object SparkEntry {
         |SELECT doc_id, source, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Same rank/count windows over the same md5-hex order; the CASE cuts
+    // replay Spark's floor(n*frac) boundaries with the same FP literals.
+    "curation_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS hex FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hex, doc_id) AS split_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_stratum
+        |  FROM h)
+        |SELECT doc_id, source, split_rank, n_stratum,
+        |  CASE WHEN split_rank <= floor(n_stratum * 0.1) THEN 'test'
+        |       WHEN split_rank <= floor(n_stratum * 0.2) THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same start/slice arithmetic: starts 0,16,32,… while start < n,
     // ⌈(n−64+16)/16⌉ of them (min 1); DuckDB list slices are 1-based

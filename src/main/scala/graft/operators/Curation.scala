@@ -371,6 +371,46 @@ object Curation {
       .withColumn("shard_pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Exact stratified train/val/test split — the evaluation-hygiene pass of
+    * a training-data build: within every stratum (source/domain/language),
+    * rows are ranked by their md5 hex (a reproducible pseudo-random order,
+    * id tiebreak — same construction as [[shuffledShards]]) and the first
+    * ⌊n·testFrac⌋ become `test`, the next rows through ⌊n·(testFrac+valFrac)⌋
+    * become `val`, the rest `train`. Unlike a plain [[hashFraction]]
+    * threshold (per-stratum proportions only in expectation), the rank/count
+    * form hits the requested proportions EXACTLY per stratum, which is what
+    * a holdout set sliced from a skewed source mix needs. The assignment is
+    * a pure function of the data: re-runs, retries and other engines agree
+    * row-for-row, and a document can never migrate between train and test
+    * across incremental rebuilds of the same snapshot.
+    *
+    * Plan shape: one shuffle on the stratum key; the rank window and the
+    * per-stratum count window share that partitioning, so Catalyst runs
+    * both in a single exchange. Stratum cardinality is domains/languages
+    * (small groups, many of them) — the per-group sort is the same cost
+    * class as [[perSourceCap]]. Degenerate single-stratum corpora serialize
+    * one group through one task; at 100 TB with one giant stratum, fall
+    * back to the [[hashFraction]]-threshold split, which is map-only and
+    * exact in expectation.
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+      testFrac: Double, valFrac: Double): DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
+      "fractions must be non-negative and sum below 1")
+    val hex = md5(col(idCol).cast("string").cast("binary"))
+    val rankW = Window.partitionBy(col(strataCol)).orderBy(col("__hex"), col(idCol))
+    val cntW = Window.partitionBy(col(strataCol))
+    df.withColumn("__hex", hex)
+      .withColumn("split_rank", row_number().over(rankW).cast("bigint"))
+      .withColumn("n_stratum", count(lit(1)).over(cntW))
+      .withColumn("split",
+        when(col("split_rank") <= floor(col("n_stratum") * testFrac), "test")
+          .when(col("split_rank") <= floor(col("n_stratum") * (testFrac + valFrac)),
+            "val")
+          .otherwise("train"))
+      .drop("__hex")
+  }
+
   /** Sliding-window token chunking — the embedding/RAG chunk pass: each
     * document's whitespace tokens are cut into windows of `size` tokens
     * advancing by `stride` (overlap = size − stride keeps context across

@@ -44,6 +44,29 @@ object ShardWriter {
       .partitionBy("shard")
       .parquet(path)
 
+  /** JSONL variant of [[writeShards]] — the interchange format most
+    * training loaders and data-inspection tools actually consume (one JSON
+    * object per line). Same deal-and-sort physics: one shuffle to route
+    * rows to their shard's task, per-task sort by shard position, one text
+    * file per `shard=<i>/` directory with rows already in shuffled order.
+    *
+    * Serialization is `to_json(struct(...))` — Jackson inside codegen, no
+    * UDF; the row becomes a single `value` string column, which is the one
+    * schema Spark's text writer accepts. Column order inside each object
+    * follows the input schema, so re-runs are byte-identical like the
+    * parquet path. At 100 TB prefer parquet shards (columnar, compressed,
+    * stats); JSONL is the interop sink, ~3-5× larger on disk.
+    */
+  def writeJsonlShards(df: DataFrame, idCol: String, nShards: Int, path: String): Unit =
+    Curation.shuffledShards(df, idCol, nShards)
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .select(col("shard"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .text(path)
+
   /** Z-order-clustered parquet write: range-partition and sort the rows by
     * the Morton key of (`colA`, `colB`) so each of the `nFiles` output
     * files covers a TILE in (a, b) space — parquet min/max statistics then

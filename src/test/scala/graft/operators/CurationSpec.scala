@@ -38,6 +38,38 @@ class CurationSpec extends SparkSpec {
     assert(small.exceptAll(large).count() === 0)
   }
 
+  test("stratifiedSplit hits exact per-stratum proportions, deterministically") {
+    val corpus = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 700, "big").otherwise("small").as("source"))
+    val split = Curation.stratifiedSplit(corpus, "doc_id", "source",
+      testFrac = 0.1, valFrac = 0.2)
+
+    // exact counts per stratum: floor(700*0.1)=70 test, floor(700*0.3)-70=140
+    // val; floor(300*0.1)=30 test, floor(300*0.3)-30=60 val
+    val counts = split.groupBy("source", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("big", "test")) === 70L)
+    assert(counts(("big", "val")) === 140L)
+    assert(counts(("big", "train")) === 490L)
+    assert(counts(("small", "test")) === 30L)
+    assert(counts(("small", "val")) === 60L)
+    assert(counts(("small", "train")) === 210L)
+
+    // every row labeled, nothing dropped or duplicated
+    assert(split.count() === 1000L)
+
+    // pure function of the data: identical assignment on recompute
+    val again = Curation.stratifiedSplit(corpus, "doc_id", "source", 0.1, 0.2)
+      .select("doc_id", "split")
+    assert(split.select("doc_id", "split").exceptAll(again).count() === 0)
+
+    // one shuffle: the rank and count windows share the stratum exchange
+    val exchanges = split.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges")
+  }
+
   test("perSourceCap keeps at most cap rows per source, ranks from 1") {
     val capped = Curation.perSourceCap(docs, "doc_id", "source", cap = 1)
     val bySource = capped.groupBy("source").count().as[(String, Long)].collect().toMap

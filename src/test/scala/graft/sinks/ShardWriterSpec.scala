@@ -46,6 +46,39 @@ class ShardWriterSpec extends SparkSpec {
     assert(seq1 === seq2 && seq1.nonEmpty)
   }
 
+  test("writeJsonlShards: one text file per shard, parseable lines, same deal as parquet") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/out"
+    val df = spark.range(0, 200)
+      .select(col("id").as("doc_id"), concat(lit("text-"), col("id")).as("text"))
+
+    ShardWriter.writeJsonlShards(df, "doc_id", nShards = 4, path)
+
+    val shardDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === 4)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length === 1, s"${d.getName} has ${parts.length} files")
+    }
+
+    // each line is a JSON object carrying the original columns
+    val back = spark.read.json(path)
+    assert(back.count() === 200)
+    assert(back.select("doc_id").distinct().count() === 200)
+    assert(back.columns.toSet === Set("doc_id", "text", "shard"))
+
+    // the JSONL deal matches the parquet deal: same doc_ids per shard
+    val pq = dir.getAbsolutePath + "/pq"
+    ShardWriter.writeShards(df, "doc_id", nShards = 4, pq)
+    val jsonlShard = back.filter(col("shard") === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pqShard = spark.read.parquet(pq + "/shard=2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(jsonlShard === pqShard && jsonlShard.nonEmpty)
+  }
+
   test("writeZOrdered: per-file min/max tiles prune a 2-D box a single-key sort cannot") {
     val dir = Files.createTempDirectory("zorder").toFile
     dir.deleteOnExit()
