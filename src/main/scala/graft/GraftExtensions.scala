@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PartialRatio, PorterStem, SmallestK}
+import graft.functions.{DotProduct, MisraGries, PartialRatio, PorterStem, SmallestK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "smallest_k", classOf[SmallestK].getName, 2, { c =>
       require(c(1).foldable, "smallest_k: k must be a literal")
       SmallestK(c.head, c(1).eval().asInstanceOf[Number].intValue)
+    })
+    register(ext, "freq_items_mg", classOf[MisraGries].getName, 2, { c =>
+      require(c(1).foldable, "freq_items_mg: k must be a literal")
+      MisraGries(c.head, c(1).eval().asInstanceOf[Number].intValue)
     })
   }
 }

@@ -800,6 +800,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact heavy hitters via the Misra-Gries two-pass: k=256 bounded
+    // counters find candidates (complete above N/257), exact counts verify
+    // — output is exact, so the oracle is a plain DuckDB GROUP BY. The
+    // token frame feeds both passes: persist + count (explode-trap rule).
+    "text_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .persist()
+      toks.count()
+      Curation.heavyHitters(toks, "word", k = 256, minShare = 0.005)
+        .select(col("word"), col("cnt"), col("n_total"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
     // Exact stratified train/val/test split: per source, rank by md5 hex
     // and cut at floor(n*0.1) / floor(n*0.2) — proportions exact per
     // stratum, assignment a pure function of the data (oracle replays the
@@ -1747,6 +1761,17 @@ object SparkEntry {
         |SELECT doc_id, source, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // The sketch only PRUNES (completeness above N/257 > the 0.5% gate),
+    // so the exact two-pass output equals the plain exact group-count.
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT word, count(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+        |FROM toks GROUP BY word
+        |HAVING count(*) > (SELECT n_total FROM tot) * 0.005
+        |ORDER BY cnt DESC, word""".stripMargin,
 
     // Same rank/count windows over the same md5-hex order; the CASE cuts
     // replay Spark's floor(n*frac) boundaries with the same FP literals.

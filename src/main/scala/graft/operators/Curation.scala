@@ -371,6 +371,42 @@ object Curation {
       .withColumn("shard_pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Exact heavy hitters by the two-pass sketch-then-verify pattern: which
+    * items (tokens, domains, user agents) exceed `minShare` of all
+    * occurrences — answered EXACTLY without ever shuffling the full item
+    * domain. Pass 1 runs the bounded [[graft.functions.MisraGries]] summary
+    * (k counters per task, merged map-side) alongside the total count in ONE
+    * aggregate; its completeness guarantee (any item above N/(k+1) survives)
+    * makes the ≤ k candidates a superset of every qualifying item whenever
+    * `minShare > 1/(k+1)` — enforced here. Pass 2 broadcast-semi-joins the
+    * occurrence stream down to candidates and counts those exactly.
+    *
+    * The output is therefore EXACT (the sketch only prunes), which is what
+    * lets a DuckDB oracle check it row-for-row — and what a 100 TB corpus
+    * audit wants: `groupBy(item).count()` shuffles billions of distinct
+    * tokens to answer a question about the top dozen; this ships k counters
+    * per task plus one broadcast of ≤ k candidates.
+    *
+    * `items` is one row per occurrence (pre-exploded; callers persist it —
+    * it feeds both passes).
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int,
+      minShare: Double): DataFrame = {
+    require(minShare * (k + 1) > 1,
+      s"completeness needs minShare > 1/(k+1): minShare=$minShare k=$k")
+    // one-row frame feeding both the candidate list and the total: persist
+    // and materialize once, or both consumers re-run the sketch scan
+    val pass1 = items.agg(
+      graft.functions.MisraGries.freqItemsMg(col(itemCol), k).as("summary"),
+      count(lit(1)).as("n_total")).persist()
+    pass1.count()
+    val candidates = pass1.select(explode(col("summary.item")).as(itemCol))
+    items.join(broadcast(candidates), itemCol)
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(pass1.select(col("n_total"))))
+      .filter(col("cnt") > col("n_total") * minShare)
+  }
+
   /** Exact stratified train/val/test split — the evaluation-hygiene pass of
     * a training-data build: within every stratum (source/domain/language),
     * rows are ranked by their md5 hex (a reproducible pseudo-random order,

@@ -72,6 +72,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // scalar broadcast, not an all-pairs
     "text_keywords_topk",
     "curation_mix", "ann_quantized_recall",
+    // the n_total scalar (1-row count broadcast) rides a cross join, same
+    // shape as curation_mix; the candidate join itself is a broadcast
+    // equi-join on the ≤ k sketch survivors
+    "text_heavy_hitters",
     // embeds the same two brute-force baselines as ann_quantized_recall
     "ann_truncated_recall",
     // the PQ ADC pass is a DELIBERATE q×N linear scan — over m-byte codes,
