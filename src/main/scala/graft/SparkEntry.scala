@@ -800,6 +800,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis): top-100
+    // by u^(1/w) with u = md5 fraction, w = token count — token-budget
+    // sampling whose draw is a pure function of the data. Plans as
+    // TakeOrderedAndProject (per-task top-k, no global sort).
+    "curation_weighted_sample" -> ((s, dir) => {
+      Curation.weightedSample(t(s, dir, "documents"), "doc_id",
+          TextStats.tokenCount(col("text")), k = 100)
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("doc_id")
+    }),
+
     // Exact heavy hitters via the Misra-Gries two-pass: k=256 bounded
     // counters find candidates (complete above N/257), exact counts verify
     // — output is exact, so the oracle is a plain DuckDB GROUP BY. The
@@ -1761,6 +1774,22 @@ object SparkEntry {
         |SELECT doc_id, source, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Same ES keys from the same md5-derived u; selection compares the
+    // UN-rounded keys in both engines (adjacent order-stat gaps ~n^-2
+    // dwarf cross-libm pow ulps), output rounds to 6dp.
+    "curation_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |top AS (
+        |  SELECT doc_id, n_tokens, pow(u, 1.0 / n_tokens) AS k
+        |  FROM t ORDER BY k DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_tokens, round(k, 6) AS es_key
+        |FROM top ORDER BY doc_id""".stripMargin,
 
     // The sketch only PRUNES (completeness above N/257 > the 0.5% gate),
     // so the exact two-pass output equals the plain exact group-count.

@@ -371,6 +371,30 @@ object Curation {
       .withColumn("shard_pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    * keep the k rows with the LARGEST u^(1/w), where u is the row's
+    * [[hashFraction]] and w its weight — inclusion probabilities
+    * proportional to weight, in one pass, no RNG state. The published ES
+    * scheme expects u ~ Uniform(0,1); deriving u from the md5 of the key
+    * keeps the whole draw a pure function of the data (the same
+    * reproducibility argument as [[sampleByHash]]), so re-runs, retries and
+    * other engines select the identical sample.
+    *
+    * The canonical curation use is w = token count: a token-budget
+    * subsample where a document's chance of inclusion matches its share of
+    * the training tokens, rather than flat per-doc odds that overweight
+    * short documents.
+    *
+    * Plan shape: the key is map-side arithmetic; the global top-k plans as
+    * `TakeOrderedAndProject` — each task keeps its local k, the driver
+    * merges task heads, nothing resembling a global sort. At 100 TB this
+    * is the same physics as any top-k: shuffle volume k per task.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame =
+    df.withColumn("es_key", pow(hashFraction(col(idCol)), lit(1.0) / weight))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+
   /** Exact heavy hitters by the two-pass sketch-then-verify pattern: which
     * items (tokens, domains, user agents) exceed `minShare` of all
     * occurrences — answered EXACTLY without ever shuffling the full item

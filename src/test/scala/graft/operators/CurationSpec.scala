@@ -38,6 +38,25 @@ class CurationSpec extends SparkSpec {
     assert(small.exceptAll(large).count() === 0)
   }
 
+  test("weightedSample: inclusion tracks weight, deterministic, top-k plan") {
+    // 500 heavy (w=10) + 500 light (w=1): ES inclusion odds ~10:1, so a
+    // 200-sample is dominated by heavy rows (expectation ~183 vs ~17)
+    val rows = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 500, 10.0).otherwise(1.0).as("w"))
+    val sample = Curation.weightedSample(rows, "doc_id", col("w"), k = 200)
+    val heavy = sample.filter(col("doc_id") < 500).count()
+    assert(heavy > 150 && heavy <= 200, s"heavy rows in sample: $heavy of 200")
+
+    // pure function of the data: same selection on recompute
+    val again = Curation.weightedSample(rows, "doc_id", col("w"), k = 200)
+    assert(sample.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+
+    // the global top-k plans as TakeOrderedAndProject, not a global sort
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
   test("stratifiedSplit hits exact per-stratum proportions, deterministically") {
     val corpus = spark.range(0, 1000)
       .select(col("id").as("doc_id"),
