@@ -481,10 +481,19 @@ object SparkEntry {
     // so 5% is a wide, deterministic bound) — a sketch regression becomes
     // a hash mismatch instead of an unchecked rows-only pass.
     "approx_distinct_users" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      // The exact and HLL aggregates run as SEPARATE aggregations joined on
+      // the 5-row key: in one agg, the distinct-rewrite plans
+      // partial_approx_count_distinct grouped by (event_type, user_id) —
+      // the 1641-long HLL buffer (rsd 0.01) per DISTINCT USER, ~850 MB of
+      // aggregation state through the shuffle for 65k users. Split, the
+      // exact arm shuffles (type, user) pairs with no payload and the HLL
+      // arm keeps 5 sketches total: 2.2 s → 1.2 s at sf0.1.
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      exact.join(approx, Seq("event_type"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.05).as("approx_ok"))
