@@ -451,20 +451,43 @@ object Similarity {
         fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol))
       case None => fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
     }
-    val subDim = books(0)(0).length
+    val codes = pqEncode(corpus, books, idCol, vecCol)
+    pqSearch(codes, codes.select(col("neighbor_id"), col("nvec")),
+      queries, books, k, refine, idCol, vecCol)
+  }
 
-    // corpus → (neighbor_id, nvec, code_0..code_{m-1}); the codes are what
-    // a production index PERSISTS (m bytes/row) — nvec is carried here only
-    // because the same frame serves the re-rank fetch in-session
+  /** Corpus → (neighbor_id, nvec, code_0..code_{m-1}): per subspace, argmin
+    * over `ksub` compiled dot-product distances (all codegen'd literals).
+    * The codes are what a production index PERSISTS (m bytes/row) — nvec
+    * rides along only for callers that re-rank from the same frame.
+    */
+  private def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val subDim = books(0)(0).length
     def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
-    val codeCols = (0 until m).map { j =>
+    val codeCols = books.indices.map { j =>
       val dists = array(books(j).map(c =>
         dotProduct(lit(c), lit(c)) - lit(2.0) * dotProduct(subv(col("nvec"), j), lit(c))): _*)
       array_position(dists, array_min(dists)).cast("int").as(s"code_$j")
     }
-    val codes = corpus
+    corpus
       .select(col(idCol).as("neighbor_id"), normalize(asDouble(col(vecCol))).as("nvec"))
       .select(col("neighbor_id") +: col("nvec") +: codeCols: _*)
+  }
+
+  /** The ADC search half: score codes against per-query lookup tables,
+    * shortlist `refine`×k by the bounded heap, exact-re-rank the shortlist
+    * against `rerankVecs` (neighbor_id, nvec). Shared by the in-session
+    * [[pqTopK]] and the on-disk [[pqTopKFromIndex]] paths.
+    */
+  private def pqSearch(codes: DataFrame, rerankVecs: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int, refine: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val m = books.length
+    val subDim = books(0)(0).length
+    def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
 
     // query → ADC tables: t_j[c] = q_j · centroid_{j,c} (ksub entries per
     // subspace, built once per query row; the broadcast ships q×m×ksub
@@ -489,10 +512,56 @@ object Similarity {
     // exact re-rank of the shortlist: true vectors are fetched for
     // k·refine candidates per query only
     val rescored = shortlist.select(col("query_id"), col("neighbor_id"))
-      .join(codes.select(col("neighbor_id"), col("nvec")), "neighbor_id")
+      .join(rerankVecs, "neighbor_id")
       .join(broadcast(qt.select(col("query_id"), col("qvec"))), "query_id")
       .withColumn("sim", round(dotProduct(col("qvec"), col("nvec")), 4))
     rankTopK(rescored, k)
+  }
+
+  /** Persist a PQ index: `path/codebooks` (subspace, centroid_id, centroid)
+    * and `path/codes` (neighbor_id, code_0..code_{m-1}) — the build-once /
+    * query-many split of a production vector index. The codes table is the
+    * 16–32×-compressed representation the search scans; true vectors stay
+    * in the source corpus and are fetched only for re-ranking. At 100 TB
+    * the codes table is the thing that fits: ~m bytes a vector plus the id.
+    *
+    * Codebooks are m×ksub rows — driver-sized BY CONSTRUCTION (the fit
+    * already returns them to the driver; persisting them is one tiny file).
+    */
+  def writePqIndex(corpus: DataFrame, path: String,
+      m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
+    books.indices.flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
+      .toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    pqEncode(corpus, books, idCol, vecCol).drop("nvec")
+      .write.mode("overwrite").parquet(path + "/codes")
+  }
+
+  /** ANN top-k against a [[writePqIndex]] index on disk: codebooks reload
+    * to driver literals (m×ksub rows — the same driver-sized object the
+    * fit produced), the scan reads ONLY the codes table, and the re-rank
+    * fetches true vectors from the live corpus. With the same seed, the
+    * results are row-identical to the in-session [[pqTopK]] — asserted by
+    * SimilaritySpec.
+    */
+  def pqTopKFromIndex(path: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      refine: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = spark.read.parquet(path + "/codebooks")
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }.toArray
+    val codes = spark.read.parquet(path + "/codes")
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(asDouble(col(vecCol))).as("nvec"))
+    pqSearch(codes, vecs, queries, books, k, refine, idCol, vecCol)
   }
 
   /** IVF-PQ: the canonical composition of the two index halves — the IVF

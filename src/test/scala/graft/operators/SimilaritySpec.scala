@@ -74,6 +74,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
   }
 
+  test("PQ index on disk: write/read round-trip returns the in-session answer") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("pqidx").toFile
+    idx.deleteOnExit()
+    val path = idx.getAbsolutePath + "/index"
+
+    Similarity.writePqIndex(emb, path)
+    // the persisted layout: small codebooks table + m-byte-per-row codes
+    val cb = spark.read.parquet(path + "/codebooks")
+    assert(cb.count() === 8L * 16L)
+    val codes = spark.read.parquet(path + "/codes")
+    assert(codes.count() === emb.count())
+    assert(codes.columns.toSet ===
+      (Set("neighbor_id") ++ (0 until 8).map(j => s"code_$j")))
+
+    // same seed -> same codebooks -> row-identical results to pqTopK
+    val fromIndex = Similarity.pqTopKFromIndex(path, emb, q, k = 5, refine = 32)
+    val inSession = Similarity.pqTopK(emb, q, k = 5, refine = 32)
+    assert(fromIndex.exceptAll(inSession).count() === 0)
+    assert(inSession.exceptAll(fromIndex).count() === 0)
+  }
+
   test("ivfPqTopK: the composed index clears the recall@5 gate") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
