@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
-import graft.operators.{Curation, Dedup, Rounds, Similarity}
+import graft.operators.{Curation, Dedup, Incremental, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -549,6 +549,43 @@ object SparkEntry {
         .agg(sum(TextStats.tokenCount(col("text")).cast("bigint")).as("total_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy("source")
+    }),
+
+    // Incremental rebuild, additive algebra: the corpus split into 3
+    // hash-batches, a per-source state table computed per batch, states
+    // merged — SAME oracle as text_token_totals, so green proves the
+    // split-merge reproduces the full recompute exactly (the 100 TB
+    // nightly-delta shape: merge state, never rescan the corpus).
+    "text_token_totals_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val states = (0 until 3).map { i =>
+        Incremental.tokenTotalsState(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i),
+          "text", "source")
+      }
+      Incremental.mergeTokenTotals(states, "source").orderBy("source")
+    }),
+
+    // Incremental rebuild, sketch algebra: per-batch DataSketches HLL
+    // states union losslessly (the same user in two batches lands in the
+    // same buckets), so the merged estimate carries the single-pass error
+    // bound — gated against the full-recompute exact count, same shape as
+    // approx_distinct_users.
+    "approx_distinct_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val states = (0 until 4).map { i =>
+        Incremental.distinctSketchState(
+          ev.filter(pmod(xxhash64(col("event_id")), lit(4)) === i),
+          "event_type", "user_id")
+      }
+      val merged = Incremental.mergeDistinctSketches(states, "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("approx_ok"))
+        .orderBy("event_type")
     }),
 
     // Rule-based language ID (function-word hits, profile order tiebreak).
@@ -1233,6 +1270,12 @@ object SparkEntry {
     * order, so one oracle checks both — the green pair is the equivalence
     * proof.
     */
+  private val tokenTotalsOracle: String =
+    """SELECT source,
+      |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val sourceCapOracle: String =
     """WITH ranked AS (
       |  SELECT doc_id, source,
@@ -1902,11 +1945,11 @@ object SparkEntry {
         |                    BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "text_token_totals" ->
-      """SELECT source,
-        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
-        |  count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Shared by the single-pass (text_token_totals) and the split-merge
+    // (text_token_totals_incremental) forms — green = additive state
+    // tables reproduce the full recompute exactly.
+    "text_token_totals" -> tokenTotalsOracle,
+    "text_token_totals_incremental" -> tokenTotalsOracle,
 
     "text_lang_id" ->
       """SELECT doc_id,
@@ -2229,6 +2272,12 @@ object SparkEntry {
     "text_keywords_topk" -> keywordsOracle,
 
     "approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same exact column + bound flag: the merged-sketch estimate must sit
+    // within 5% of the full-recompute distinct count.
+    "approx_distinct_incremental" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
