@@ -81,6 +81,28 @@ object Curation {
     * pipeline can tune thresholds without recomputing; `quality_pass` is the
     * conjunction. Pure map-side — zero shuffle.
     */
+  /** The [[gopherFlags]] rule conjunction as ONE boolean column — the
+    * filter-shaped form a streaming ingest stage (or any projection that
+    * must keep its payload columns) applies directly. Same raw
+    * measurements, same bounds; CurationSpec asserts it equal to
+    * `gopherFlags(...).quality_pass` row-for-row.
+    */
+  def gopherPass(textCol: Column,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8, minStopwordHits: Int = 2): Column = {
+    val words = split(trim(textCol), "\\s+")
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      size(words)
+    val alphaRatio = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") /
+      size(words)
+    val stopHits = size(filter(words, w => array_contains(typedLit(stopwords), w)))
+    size(words).between(minWords, maxWords) &&
+      meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+      (alphaRatio >= minAlphaRatio) && (stopHits >= minStopwordHits)
+  }
+
   def gopherFlags(
       docs: DataFrame, textCol: String, idCol: String,
       stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
