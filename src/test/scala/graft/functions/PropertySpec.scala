@@ -74,4 +74,48 @@ object FunctionProperties extends Properties("graft.functions") {
       val twice = Porter.stem(once)
       twice.nonEmpty && twice.length <= once.length
     }
+
+  // --- MisraGries.Summary: the MG invariants under random streams + merges
+
+  private val stream: Gen[List[Int]] =
+    Gen.chooseNum(0, 400).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 30)))
+
+  private def summarize(items: Seq[Int], k: Int): MisraGries.Summary = {
+    val s = new MisraGries.Summary(k)
+    items.foreach(i => s.add(i, 1L, () => i))
+    s
+  }
+
+  private def effective(s: MisraGries.Summary): Map[Int, Long] = {
+    val b = scala.collection.mutable.Map.empty[Int, Long]
+    s.foreachEffective((item, n) => b(item.asInstanceOf[Int]) = n)
+    b.toMap
+  }
+
+  private def mgInvariants(est: Map[Int, Long], items: Seq[Int], k: Int): Prop = {
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    val bound = n / (k + 1)
+    Prop.all(
+      Prop(est.size <= k) :| "at most k entries",
+      Prop(est.forall { case (i, e) => e >= 1 && e <= exact.getOrElse(i, 0L) }) :|
+        "estimates positive, never above exact",
+      Prop(est.forall { case (i, e) => exact(i) - e <= bound }) :|
+        "undercount within N/(k+1)",
+      Prop(exact.forall { case (i, c) => c <= bound || est.contains(i) }) :|
+        "heavy items present")
+  }
+
+  property("MisraGries single-stream invariants (random streams, random k)") =
+    forAll(stream, Gen.chooseNum(1, 12)) { (items, k) =>
+      mgInvariants(effective(summarize(items, k)), items, k)
+    }
+
+  property("MisraGries merge invariants (random split point, merged summaries)") =
+    forAll(stream, stream, Gen.chooseNum(2, 12)) { (a, b, k) =>
+      val merged = summarize(a, k)
+      val other = summarize(b, k)
+      other.foreachEffective((item, n) => merged.add(item, n, () => item))
+      mgInvariants(effective(merged), a ++ b, k)
+    }
 }
