@@ -639,6 +639,51 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // The WHOLE curation build as one oracled query: quality gate →
+    // near-dup cluster keeper (banded MinHash pairs + connected components
+    // AMONG SURVIVORS) → per-source cap → exact stratified split, with a
+    // per-document disposition. Stage COMPOSITION is what this proves
+    // cross-engine: each downstream stage's windows/counts run over the
+    // upstream survivors only — which is exactly where composition bugs
+    // (caps computed pre-filter, split fractions over the raw corpus)
+    // would hide. The oracle replays the full chain in one CTE, including
+    // the recursive transitive closure over brute-force Jaccard pairs.
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // persist + count: the HOF-heavy gate would otherwise re-run in every
+      // downstream branch (pair gen, assignment, keeper join, final select)
+      val gated = docs.select(col("doc_id"), col("source"), col("text"),
+        Curation.gopherPass(col("text"), stopwords = Seq("the", "a", "and"),
+          minWords = 30).as("q_pass"))
+        .persist()
+      gated.count()
+      val survivors = gated.filter(col("q_pass"))
+      val pairs = Dedup.minhashBandedPairs(survivors, "text", "doc_id",
+        n = 3, threshold = 0.7)
+      val assign = Dedup.clusterAssignments(survivors, "doc_id", pairs)
+      val keepers = survivors
+        .join(assign.filter(col("is_keeper")).select("doc_id"), Seq("doc_id"))
+      val ranked = keepers.withColumn("cap_rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(Curation.hashFraction(col("doc_id")), col("doc_id")))
+          .cast("bigint"))
+      val capped = ranked.filter(col("cap_rank") <= 15)
+      val split = Curation.stratifiedSplit(capped, "doc_id", "source",
+          testFrac = 0.1, valFrac = 0.1)
+        .select(col("doc_id"), col("split"))
+      gated.select(col("doc_id"), col("source"), col("q_pass"))
+        .join(assign.select(col("doc_id"), col("is_keeper")), Seq("doc_id"), "left")
+        .join(ranked.select(col("doc_id"), col("cap_rank")), Seq("doc_id"), "left")
+        .join(split, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(!col("q_pass"), "quality")
+            .when(!col("is_keeper"), "near_duplicate")
+            .when(col("cap_rank") > 15, "source_cap")
+            .otherwise("kept").as("reason"),
+          coalesce(col("split"), lit("")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Composed keep/drop decision — the C4/Gopher-shape filter pipeline
     // end-to-end: quality floor + language gate + repetition ceiling +
     // exact-dup keeper, one boolean per document.
@@ -1752,6 +1797,92 @@ object SparkEntry {
         |  lab.doc_id = lab.cluster_id AS is_keeper
         |FROM lab JOIN csizes USING (cluster_id)
         |ORDER BY lab.doc_id""".stripMargin,
+
+    // The full chain: gopher gate (same measurements as curation_gopher) →
+    // brute-force Jaccard pairs + recursive transitive closure among the
+    // survivors (same machinery as dedup_clusters, subset input) → cap
+    // ranks over keepers (same hash order as curation_source_cap) → split
+    // windows over the capped set (same cuts as curation_split).
+    "pipeline_e2e" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, text,
+        |    (len(words) BETWEEN 30 AND 100000)
+        |      AND (CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+        |             / len(words) BETWEEN 3.0 AND 10.0)
+        |      AND (CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |             / len(words) >= 0.8)
+        |      AND (len(list_filter(words, x -> list_contains(['the', 'a', 'and'], x))) >= 2)
+        |      AS q_pass
+        |  FROM w),
+        |surv AS (SELECT doc_id, source, text FROM g WHERE q_pass),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM surv),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |keep AS (
+        |  SELECT s.doc_id, s.source,
+        |    coalesce(l.cluster_id, s.doc_id) = s.doc_id AS is_keeper
+        |  FROM surv s LEFT JOIN labels l ON l.doc_id = s.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |                 / 1152921504606846976.0, doc_id) AS cap_rank
+        |  FROM keep WHERE is_keeper),
+        |capped AS (SELECT doc_id, source FROM ranked WHERE cap_rank <= 15),
+        |sp AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM capped),
+        |spl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN r <= floor(n * 0.1) THEN 'test'
+        |         WHEN r <= floor(n * 0.2) THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM sp)
+        |SELECT g.doc_id, g.source,
+        |  CASE WHEN NOT g.q_pass THEN 'quality'
+        |       WHEN NOT k.is_keeper THEN 'near_duplicate'
+        |       WHEN r2.cap_rank > 15 THEN 'source_cap'
+        |       ELSE 'kept' END AS reason,
+        |  coalesce(spl.split, '') AS split
+        |FROM g
+        |LEFT JOIN keep k ON k.doc_id = g.doc_id
+        |LEFT JOIN ranked r2 ON r2.doc_id = g.doc_id
+        |LEFT JOIN spl ON spl.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "curation_gopher" ->
       """WITH w AS (
