@@ -891,6 +891,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-group exact heavy hitters: which tokens exceed 2% of THEIR
+    // source's occurrences — the sketch keyed by source (k counters per
+    // group per task), exact recount of candidates only. Oracled as
+    // equality with DuckDB's plain per-source group-count.
+    "text_heavy_hitters_by_source" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .persist()
+      toks.count()
+      Curation.heavyHittersPerGroup(toks, "word", "source", k = 256,
+          minShare = 0.02)
+        .select(col("source"), col("word"), col("cnt"), col("n_total"))
+        .orderBy(col("source"), col("cnt").desc, col("word"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis): top-100
     // by u^(1/w) with u = md5 fraction, w = token count — token-budget
     // sampling whose draw is a pure function of the data. Plans as
@@ -1957,6 +1972,18 @@ object SparkEntry {
         |SELECT doc_id, source, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Per-source exact counts over the per-source total: the sketch only
+    // prunes within each group, so equality with the plain group-count.
+    "text_heavy_hitters_by_source" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tot AS (SELECT source, count(*) AS n_total FROM toks GROUP BY 1),
+        |cnts AS (SELECT source, word, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        |SELECT c.source, c.word, c.cnt, t.n_total
+        |FROM cnts c JOIN tot t ON c.source = t.source
+        |WHERE c.cnt > t.n_total * 0.02
+        |ORDER BY c.source, c.cnt DESC, c.word""".stripMargin,
 
     // Same ES keys from the same md5-derived u; selection compares the
     // UN-rounded keys in both engines (adjacent order-stat gaps ~n^-2

@@ -453,6 +453,30 @@ object Curation {
       .filter(col("cnt") > col("n_total") * minShare)
   }
 
+  /** Per-group [[heavyHitters]]: which items exceed `minShare` of THEIR
+    * GROUP's occurrences (per-domain dominant tokens, per-language boiler-
+    * plate). Same two-pass physics with the sketch keyed by the group —
+    * the [[graft.functions.MisraGries]] buffer merges per (task, group) so
+    * the exchange carries k counters per group per task, and the exact
+    * recount touches only candidate (group, item) pairs. Completeness is
+    * per group: `minShare > 1/(k+1)` of the group's own total.
+    */
+  def heavyHittersPerGroup(items: DataFrame, itemCol: String, groupCol: String,
+      k: Int, minShare: Double): DataFrame = {
+    require(minShare * (k + 1) > 1,
+      s"completeness needs minShare > 1/(k+1): minShare=$minShare k=$k")
+    val pass1 = items.groupBy(col(groupCol)).agg(
+      graft.functions.MisraGries.freqItemsMg(col(itemCol), k).as("summary"),
+      count(lit(1)).as("n_total")).persist()
+    pass1.count()
+    val candidates = pass1
+      .select(col(groupCol), explode(col("summary.item")).as(itemCol))
+    items.join(broadcast(candidates), Seq(groupCol, itemCol))
+      .groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(pass1.select(col(groupCol), col("n_total"))), Seq(groupCol))
+      .filter(col("cnt") > col("n_total") * minShare)
+  }
+
   /** Exact stratified train/val/test split — the evaluation-hygiene pass of
     * a training-data build: within every stratum (source/domain/language),
     * rows are ranked by their md5 hex (a reproducible pseudo-random order,

@@ -67,6 +67,16 @@ object ShardWriter {
       .partitionBy("shard")
       .text(path)
 
+  /** Read a [[writeJsonlShards]] directory back with a DECLARED schema —
+    * schema-on-read, never inference: at 100 TB, `spark.read.json` without
+    * a schema runs a full extra pass over the data just to guess types
+    * (and guesses wider than the writer meant). The `shard` partition
+    * column comes from the directory layout for free.
+    */
+  def readJsonlShards(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Z-order-clustered parquet write: range-partition and sort the rows by
     * the Morton key of (`colA`, `colB`) so each of the `nFiles` output
     * files covers a TILE in (a, b) space — parquet min/max statistics then

@@ -69,6 +69,17 @@ class ShardWriterSpec extends SparkSpec {
     assert(back.select("doc_id").distinct().count() === 200)
     assert(back.columns.toSet === Set("doc_id", "text", "shard"))
 
+    // schema-on-read round trip: declared schema, no inference pass
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val declared = ShardWriter.readJsonlShards(spark, path, schema)
+    assert(declared.schema.fieldNames.toSet === Set("doc_id", "text", "shard"))
+    assert(declared.count() === 200)
+    assert(declared.select("doc_id").exceptAll(df.select("doc_id")).count() === 0)
+
     // the JSONL deal matches the parquet deal: same doc_ids per shard
     val pq = dir.getAbsolutePath + "/pq"
     ShardWriter.writeShards(df, "doc_id", nShards = 4, pq)
