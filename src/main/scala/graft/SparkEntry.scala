@@ -684,6 +684,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Ordered funnel conversion: per user, earliest view, earliest click
+    // STRICTLY AFTER it, earliest purchase strictly after that — the
+    // classic product-analytics sequence query as three keyed
+    // aggregate-then-join stages (no window over the full event stream).
+    // Times emitted as unix micros (-1 = stage not reached).
+    "events_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("view_us"),
+          coalesce(unix_micros(col("t_click")), lit(-1L)).as("click_us"),
+          coalesce(unix_micros(col("t_purchase")), lit(-1L)).as("purchase_us"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: users grouped by the week of their first event;
+    // for each cohort, distinct active users at each whole-week offset.
+    // Two aggregations + one keyed join; offsets are exact bigint
+    // arithmetic on aligned week boundaries (UTC, no DST).
+    "events_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_w"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_w"))
+        .distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_w"),
+          ((unix_micros(col("act_w")) - unix_micros(col("cohort_w"))) /
+            lit(604800000000L)).cast("bigint").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("cohort_w")).as("cohort_week_us"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort_week_us", "week_offset")
+    }),
+
     // Composed keep/drop decision — the C4/Gopher-shape filter pipeline
     // end-to-end: quality floor + language gate + repetition ceiling +
     // exact-dup keeper, one boolean per document.
@@ -2678,6 +2725,39 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
     // union+window implementation (ties impossible: view side is deduped
     // per (user, ts) in both formulations).
+    // Strict-order comparisons run at MICROsecond precision on both sides
+    // (epoch_us) — the parquet carries nanos, Spark's loader truncates to
+    // micros, and min() commutes with the monotone truncation.
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(v.t_view)
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(c.t_click)
+        |      GROUP BY 1)
+        |SELECT v.user_id, epoch_us(v.t_view) AS view_us,
+        |  coalesce(epoch_us(c.t_click), -1) AS click_us,
+        |  coalesce(epoch_us(p.t_purchase), -1) AS purchase_us
+        |FROM v
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |co AS (SELECT user_id, date_trunc('week', first_ts) AS cw FROM f),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT epoch_us(co.cw) AS cohort_week_us,
+        |  (epoch_us(a.aw) - epoch_us(co.cw)) // 604800000000 AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN co ON a.user_id = co.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_asof" ->
       """WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
