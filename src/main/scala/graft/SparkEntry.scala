@@ -684,6 +684,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Event-rate anomaly detection: hourly counts per type, z-score from
+    // EXACT integer sums (s1, s2 as bigints — both engines derive
+    // mean/var/z through the identical IEEE operation chain, so the
+    // compare is exact without tolerance). Two aggs + a broadcast join;
+    // the hourly frame feeds both, so persist + count.
+    "events_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      hourly.count()
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nh"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .withColumn("vr",
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("nh")) /
+            (col("nh") - 1))
+        .withColumn("z",
+          when(col("vr") > 0,
+            round((col("n").cast("double") - col("s1").cast("double") / col("nh")) /
+              sqrt(col("vr")), 6))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+          col("n"), col("z"), (abs(col("z")) > 2.5).as("is_anomaly"))
+        .orderBy("event_type", "hour_us")
+    }),
+
     // Ordered funnel conversion: per user, earliest view, earliest click
     // STRICTLY AFTER it, earliest purchase strictly after that — the
     // classic product-analytics sequence query as three keyed
@@ -878,6 +906,19 @@ object SparkEntry {
       val pairs = Dedup.minhashBandedPairs(docs, "text", "doc_id",
         n = 3, threshold = 0.7)
       Dedup.clusterAssignments(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // Quality-aware dedup: per near-dup cluster, keep the HIGHEST-quality
+    // member (rounded qualityScore — cross-engine equality proven by
+    // text_quality — with id tiebreak) instead of the arbitrary min-id.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashBandedPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.7)
+      Dedup.clusterKeepersByScore(
+          docs.withColumn("quality", TextStats.qualityScore(col("text"))),
+          "doc_id", "quality", pairs)
         .orderBy("doc_id")
     }),
 
@@ -1860,6 +1901,56 @@ object SparkEntry {
         |FROM lab JOIN csizes USING (cluster_id)
         |ORDER BY lab.doc_id""".stripMargin,
 
+    // Same recursive-CTE clustering as dedup_clusters; the keeper window
+    // ranks by the rounded score (text_quality proves its cross-engine
+    // equality) with id tiebreak.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(0.4 * (CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |        + 0.4 * (len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text))
+        |        + 0.2 * (CASE WHEN (len(text) + 1) * 1.0 / len(string_split(trim(text), ' '))
+        |                      BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6) AS score
+        |  FROM documents)
+        |SELECT lab.doc_id, lab.cluster_id, q.score,
+        |  row_number() OVER (PARTITION BY lab.cluster_id
+        |                     ORDER BY q.score DESC, lab.doc_id) = 1 AS is_keeper
+        |FROM lab JOIN q ON q.doc_id = lab.doc_id
+        |ORDER BY lab.doc_id""".stripMargin,
+
     // The full chain: gopher gate (same measurements as curation_gopher) →
     // brute-force Jaccard pairs + recursive transitive closure among the
     // survivors (same machinery as dedup_clusters, subset input) → cap
@@ -2725,6 +2816,29 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
     // union+window implementation (ties impossible: view side is deduped
     // per (user, ts) in both formulations).
+    // Same integer sums (s1, s2 bigint-exact), same IEEE chain for
+    // mean/var/z — the compare is exact; round(,6) guards the last ulp.
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS nh, sum(n) AS s1, sum(n * n) AS s2
+        |  FROM hourly GROUP BY 1),
+        |j AS (
+        |  SELECT hourly.event_type, h, n,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh) / (nh - 1) AS vr,
+        |    CAST(s1 AS DOUBLE) / nh AS mean
+        |  FROM hourly JOIN st ON hourly.event_type = st.event_type),
+        |z AS (
+        |  SELECT event_type, h, n,
+        |    CASE WHEN vr > 0 THEN round((CAST(n AS DOUBLE) - mean) / sqrt(vr), 6)
+        |         ELSE 0.0 END AS z
+        |  FROM j)
+        |SELECT event_type, epoch_us(h) AS hour_us, n, z,
+        |  abs(z) > 2.5 AS is_anomaly
+        |FROM z ORDER BY event_type, hour_us""".stripMargin,
+
     // Strict-order comparisons run at MICROsecond precision on both sides
     // (epoch_us) — the parquet carries nanos, Spark's loader truncates to
     // micros, and min() commutes with the monotone truncation.

@@ -589,6 +589,30 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Quality-aware cluster keeper — the production refinement of
+    * [[clusterAssignments]]'s min-id rule: within each near-dup cluster,
+    * keep the HIGHEST-scoring member (id tiebreak), so dedup removes the
+    * worst copies instead of an arbitrary one. `scoreCol` must be an
+    * engine-deterministic score (e.g. the rounded
+    * [[graft.functions.TextStats.qualityScore]], whose cross-engine
+    * equality `text_quality` proves) or the keeper choice itself becomes
+    * nondeterministic. One extra shuffle over the labeling: the per-cluster
+    * rank window, partitioned by cluster id — clusters are dup groups
+    * (tiny), so the window sorts a handful of rows per group.
+    */
+  def clusterKeepersByScore(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = duplicateClusters(pairs)
+    val lab = docs.select(col(idCol).as("doc_id"), col(scoreCol).as("score"))
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lab.withColumn("is_keeper", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("score"), col("is_keeper"))
+  }
+
   /** SimHash bucketing: 64-bit signature, bucket on the top `bandBits` bits.
     * Near-dups collide in a bucket; intra-bucket verification (hamming or
     * [[graft.functions.PartialRatio]]) follows.
