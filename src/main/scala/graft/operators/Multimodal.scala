@@ -69,6 +69,45 @@ object Multimodal {
           lit(every))).as("frame_no"))
       .withColumn("offset", col("frame_no") * chunkSize)
 
+  /** A resized media row: id + transformed payload + the target dims. */
+  case class ResizedMedia(media_id: Long, payload: Array[Byte],
+                          width: Int, height: Int)
+
+  /** Resize plumbing: payload → payload at (`targetW`, `targetH`), batch
+    * per partition — binary in, binary out, the transform-in-place shape
+    * of a real thumbnailing pass (decoder + scaler would initialize once
+    * per partition). The scaler is a deterministic STUB: the output
+    * payload is the input sampled at a stride proportional to the area
+    * ratio (so output size tracks target area the way a real re-encode
+    * roughly would), which keeps downstream size accounting and the plan
+    * shape honest without codecs in the container.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    implicit val enc = Encoders.product[ResizedMedia]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+          val meta = DecodeStub.decode(r)
+          val areaRatio = (targetW.toLong * targetH).toDouble /
+            (meta.width.toLong * meta.height)
+          val outLen = math.max(1, math.min(bytes.length,
+            math.round(bytes.length * areaRatio).toInt))
+          val out = new Array[Byte](if (bytes.isEmpty) 0 else outLen)
+          var i = 0
+          while (i < out.length) {
+            out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+            i += 1
+          }
+          ResizedMedia(r.media_id, out, targetW, targetH)
+        }
+      }
+  }
+
   /** One media embedding row — shaped exactly like the `embeddings` table
     * (`vec_id`, `embedding: Array[Float]`) so the output plugs straight
     * into the similarity/dedup operators.

@@ -28,6 +28,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("offset")).toSet === Set(0, 8, 16, 24))
   }
 
+  test("resizeStub: binary-in binary-out, size tracks target area, deterministic") {
+    val small = Multimodal.resizeStub(media, targetW = 16, targetH = 16).toDF()
+    assert(small.count() === media.count())
+    // every output row carries the target dims; payload emptiness and the
+    // shrink bound track the input (empty in -> empty out)
+    val rows = small.collect()
+    assert(rows.forall(r => r.getAs[Int]("width") === 16 && r.getAs[Int]("height") === 16))
+    val inSizes = media.collect().map(r =>
+      r.getAs[Long]("media_id") ->
+        Option(r.getAs[Array[Byte]]("payload")).map(_.length).getOrElse(0)).toMap
+    rows.foreach { r =>
+      val out = r.getAs[Array[Byte]]("payload").length
+      val in = inSizes(r.getAs[Long]("media_id"))
+      assert(out <= in, s"resize grew ${r.getAs[Long]("media_id")}: $in -> $out")
+      assert((out > 0) === (in > 0), "payload emptiness must track the input")
+    }
+    // pure function of the input: identical payloads on recompute
+    val again = Multimodal.resizeStub(media, 16, 16).toDF()
+    assert(small.exceptAll(again).count() === 0)
+  }
+
   test("featureStub composes with the similarity operators end-to-end") {
     // duplicate payloads -> identical unit vectors -> cosine 1.0 pair;
     // the multimodal -> embedding -> near-dup pipeline is a composition
