@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
-import graft.operators.{Curation, Dedup, Incremental, Rounds, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, Incremental, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -907,6 +907,35 @@ object SparkEntry {
         n = 3, threshold = 0.7)
       Dedup.clusterAssignments(docs, "doc_id", pairs)
         .orderBy("doc_id")
+    }),
+
+    // Distributed BPE training (Sennrich 2016): one corpus pass builds the
+    // word-frequency dict, then each merge step shuffles only vocab-sized
+    // (pair, freq) rows. Merge table is deterministic (count desc,
+    // lexicographic tiebreak); BpeSpec pins the paper's canonical example.
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.learnMerges(t(s, dir, "documents"), "text", nMerges = 10)
+        .toDF("step", "left", "right")
+        .select(col("step").cast("bigint"), col("left"), col("right"))
+        .orderBy("step")
+    }),
+
+    // BPE acceptance gate (recall-gate convention): the learned table has
+    // the requested size, merges are distinct, and applying them strictly
+    // shrinks the corpus token count (every merge had count >= 2).
+    "bpe_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", nMerges = 10)
+      val t0 = Bpe.segment(docs, "text", "doc_id", Nil)
+        .agg(sum(size(col("tokens"))).as("t0"))
+      val tN = Bpe.segment(docs, "text", "doc_id", merges)
+        .agg(sum(size(col("tokens"))).as("tN"))
+      t0.crossJoin(tN).select(
+        lit(merges.size.toLong).as("n_merges"),
+        lit(merges.map(m => (m.left, m.right)).distinct.size == merges.size)
+          .as("distinct_ok"),
+        (col("tN") < col("t0")).as("shrink_ok"))
     }),
 
     // Quality-aware dedup: per near-dup cluster, keep the HIGHEST-quality
@@ -1900,6 +1929,14 @@ object SparkEntry {
         |  lab.doc_id = lab.cluster_id AS is_keeper
         |FROM lab JOIN csizes USING (cluster_id)
         |ORDER BY lab.doc_id""".stripMargin,
+
+    // Gate convention: Spark computes the booleans; the oracle pins the
+    // expected table size and TRUE flags (a training regression becomes a
+    // hash mismatch). bpe_merges itself is rows-only — iterative argmax
+    // has no tractable SQL replay; BpeSpec pins the canonical example.
+    "bpe_gate" ->
+      """SELECT CAST(10 AS BIGINT) AS n_merges, TRUE AS distinct_ok,
+        |  TRUE AS shrink_ok""".stripMargin,
 
     // Same recursive-CTE clustering as dedup_clusters; the keeper window
     // ranks by the rounded score (text_quality proves its cross-engine

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-construction step of a training-data pipeline, run as an
+  * iterative Spark job like [[Dedup.duplicateClusters]]:
+  *
+  *  1. ONE corpus pass aggregates the word-frequency dictionary — after
+  *     this, every iteration works on the vocabulary (thousands of rows),
+  *     never the corpus. This is the published algorithm's structure: BPE
+  *     trains on word counts, and it is what makes training tractable at
+  *     100 TB (the corpus is touched once; the loop's shuffles carry
+  *     (pair, freq) rows bounded by vocab size).
+  *  2. Each iteration: count adjacent symbol pairs weighted by word
+  *     frequency (one agg), take the most frequent pair (count desc,
+  *     lexicographic tiebreak — deterministic), merge it in every word
+  *     (map-only), `localCheckpoint` to keep the plan constant-size
+  *     across iterations (the [[Dedup.duplicateClusters]] lesson).
+  *
+  * Training stops early when no pair repeats (max count < 2 — merging a
+  * unique pair memorizes a word, not a unit).
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (its own symbol, never merged into by
+    * accident — words as character sequences end with it, per the paper).
+    */
+  val EndOfWord = "</w>"
+
+  /** The learned table: merge `step` joins (`left`, `right`) → `left+right`. */
+  final case class Merge(step: Int, left: String, right: String)
+
+  private def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2 // left-to-right, non-overlapping
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn up to `nMerges` merges from the corpus' whitespace words. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges > 0, "nMerges must be positive")
+
+    // the one corpus-wide pass: word-frequency dictionary
+    var words: Dataset[(Seq[String], Long)] = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => ((w.map(_.toString) :+ EndOfWord): Seq[String], f) }
+      .localCheckpoint()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val best = words
+        .flatMap { case (s, f) => s.zip(s.tail).map { case (a, b) => (a, b, f) } }
+        .toDF("a", "b", "freq")
+        .groupBy("a", "b").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .head(1)
+      if (best.isEmpty || best.head.getAs[Long]("n") < 2) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += Merge(step, a, b)
+        words = words
+          .map { case (s, f) => (mergeOnce(s, a, b), f) }
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table to the corpus: each word re-segmented by
+    * replaying the merges in order (map-only — the table ships as a task
+    * closure, exactly how a trained tokenizer deploys). Returns
+    * (id, tokens) with subword units, end-of-word markers attached.
+    */
+  def segment(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.step).map(m => (m.left, m.right))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+          var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+          ordered.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+          syms
+        }
+        (id, toks.toSeq)
+      }
+      .toDF("doc_id", "tokens")
+  }
+}

@@ -76,6 +76,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // shape as curation_mix; the candidate join itself is a broadcast
     // equi-join on the ≤ k sketch survivors
     "text_heavy_hitters",
+    // 1-row × 1-row scalar cross (before/after token totals)
+    "bpe_gate",
     // embeds the same two brute-force baselines as ann_quantized_recall
     "ann_truncated_recall",
     // the PQ ADC pass is a DELIBERATE q×N linear scan — over m-byte codes,
