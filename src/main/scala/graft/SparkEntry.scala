@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
-import graft.operators.{Bpe, Curation, Dedup, Incremental, Rounds, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -907,6 +907,21 @@ object SparkEntry {
         n = 3, threshold = 0.7)
       Dedup.clusterAssignments(docs, "doc_id", pairs)
         .orderBy("doc_id")
+    }),
+
+    // Declarative data-quality expectations (Deequ-shaped): the checklist
+    // an ingestion runs before publishing a snapshot. Row-local checks
+    // fold into ONE aggregation pass; uniqueness is one groupBy (never an
+    // Expand of mixed countDistincts); FK containment one broadcast
+    // anti-join count.
+    "quality_report" -> ((s, dir) => {
+      import Expectations._
+      report(t(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1.0, 50.0),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        FkIn("l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        RowCountBetween(1L, 10000000000L)))
     }),
 
     // Distributed BPE training (Sennrich 2016): one corpus pass builds the
@@ -1929,6 +1944,42 @@ object SparkEntry {
         |  lab.doc_id = lab.cluster_id AS is_keeper
         |FROM lab JOIN csizes USING (cluster_id)
         |ORDER BY lab.doc_id""".stripMargin,
+
+    // Each check replayed as a plain SQL count; labels match the Scala
+    // label() strings character for character.
+    "quality_report" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+        |SELECT t.* , t.violations = 0 AS pass FROM (
+        |  SELECT 'fk_in[o_orderkey]' AS "check", 'l_orderkey' AS "column",
+        |    n_rows,
+        |    CAST((SELECT count(*) FROM lineitem l
+        |          WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS BIGINT) AS violations
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'in_range[1.0,50.0]', 'l_quantity', n_rows,
+        |    CAST((SELECT count(*) FROM lineitem
+        |          WHERE l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0)
+        |      AS BIGINT)
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'not_null', 'l_orderkey', n_rows,
+        |    CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'row_count[1,10000000000]', '*', n_rows,
+        |    CAST(CASE WHEN n_rows BETWEEN 1 AND 10000000000 THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'unique', 'l_orderkey,l_linenumber', n_rows,
+        |    CAST((SELECT coalesce(sum(c - 1), 0)
+        |          FROM (SELECT count(*) AS c FROM lineitem
+        |                GROUP BY l_orderkey, l_linenumber) g WHERE c > 1)
+        |      AS BIGINT)
+        |  FROM n
+        |) t
+        |ORDER BY "check", "column" """.stripMargin,
 
     // Gate convention: Spark computes the booleans; the oracle pins the
     // expected table size and TRUE flags (a training regression becomes a
