@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IngestWithDigestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch ingest dedups against the whole history, idempotently") {
+    val dir = Files.createTempDirectory("digest").toFile
+    dir.deleteOnExit()
+    val corpus = dir.getAbsolutePath + "/corpus"
+    val digest = dir.getAbsolutePath + "/digest"
+    val cp = dir.getAbsolutePath + "/cp"
+
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+
+    val q = IngestWithDigest.start(docs, corpus, digest, cp)
+    try {
+      // batch 1: two docs + an intra-batch dup (doc 3 repeats doc 1)
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() === 2)
+
+      // batch 2: a HISTORICAL dup (beta) and a new doc — watermark-free
+      // history dedup is the point: beta arrived in an earlier batch
+      input.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 5L))
+    } finally q.stop()
+
+    // idempotency: replaying an already-landed batchId is a no-op
+    val replay = Seq((9L, "delta")).toDF("doc_id", "text")
+    IngestWithDigest.processBatch(replay, batchId = 1L, corpus, digest)
+    assert(spark.read.parquet(corpus).count() === 3, "replayed batchId re-appended")
+
+    // a genuinely new batchId with a new doc still lands
+    IngestWithDigest.processBatch(replay, batchId = 7L, corpus, digest)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 5L, 9L))
+  }
+}
