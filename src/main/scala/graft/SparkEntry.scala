@@ -1436,6 +1436,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Temperature-2 source mixing: weights derived from the corpus itself
+    // (⌊√tokens_s⌋ — integer-exact sum, IEEE-exact sqrt, so the kept set
+    // is bit-reproducible; other temperatures would need cross-libm pow).
+    "curation_mix_temp" -> ((s, dir) => {
+      Curation.sourceMixTemperature2(t(s, dir, "documents"), "text", "doc_id",
+          "source", tokenBudget = 10000L)
+        .orderBy("doc_id")
+    }),
+
     // Distinctive keywords: top-3 tokens per doc by tf, df-capped at 80%
     // of the corpus (integer-exact tf-idf shape; the harness corpus has a
     // deliberately tiny common vocabulary, so 50% would keep ~1 token).
@@ -2645,6 +2654,28 @@ object SparkEntry {
         |sw AS (SELECT sum(w) AS sum_w FROM tot),
         |frac AS (
         |  SELECT source, least(1.0, w / sum_w * 20000 / src_tokens) AS keep_frac
+        |  FROM tot, sw)
+        |SELECT b.doc_id, b.source, b.n_tokens, round(f.keep_frac, 6) AS keep_frac
+        |FROM base b JOIN frac f USING (source)
+        |WHERE CAST(concat('0x', substr(md5(b.doc_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < f.keep_frac
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same derived weights: floor(sqrt(src_tokens)) summed as integers,
+    // identical left-to-right division chain.
+    "curation_mix_temp" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source, sum(n_tokens) AS src_tokens,
+        |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM base GROUP BY 1),
+        |sw AS (SELECT sum(w) AS sum_w FROM tot),
+        |frac AS (
+        |  SELECT source,
+        |    least(1.0, CAST(w AS DOUBLE) / sum_w * 10000 / src_tokens) AS keep_frac
         |  FROM tot, sw)
         |SELECT b.doc_id, b.source, b.n_tokens, round(f.keep_frac, 6) AS keep_frac
         |FROM base b JOIN frac f USING (source)

@@ -303,6 +303,39 @@ object Curation {
         round(col("keep_frac"), 6).as("keep_frac"))
   }
 
+  /** Temperature-scaled source mixing at T = 2 — the data-mixing knob of
+    * pretraining recipes (sampling sources ∝ share^(1/T) flattens the mix:
+    * giant sources are downweighted, tail sources upweighted, T→∞ is
+    * uniform). Weights derive from the corpus itself: w_s =
+    * ⌊√(tokens_s)⌋ — INTEGER-floored, so the weight sum is exact in any
+    * aggregation order, and √ on a <2^53 integer is a single IEEE-exact
+    * operation, which keeps the whole quota chain (and so the kept-row
+    * set) bit-reproducible across engines. T = 2 is the specific
+    * temperature where that exactness is free; other temperatures need
+    * `pow` and land in cross-libm territory.
+    *
+    * Same plan as [[sourceMix]]: one tiny per-source agg, one broadcast
+    * join, map-side hash filter — the corpus is never shuffled.
+    */
+  def sourceMixTemperature2(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, tokenBudget: Long): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextStats.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+    val tot = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("w", floor(sqrt(col("src_tokens").cast("double"))).cast("bigint"))
+    val sumw = tot.agg(sum(col("w")).as("sum_w"))
+    val frac = tot.crossJoin(broadcast(sumw))
+      .select(col("source"),
+        least(lit(1.0),
+          col("w").cast("double") / col("sum_w") * tokenBudget / col("src_tokens"))
+          .as("keep_frac"))
+    base.join(broadcast(frac), Seq("source"))
+      .filter(hashFraction(col("doc_id")) < col("keep_frac"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("keep_frac"), 6).as("keep_frac"))
+  }
+
   /** Distinctive keywords per document: top-`k` tokens by in-document term
     * frequency, EXCLUDING corpus-common tokens (document frequency above
     * `maxDfFrac` of the corpus — statistics-driven stopword removal, the

@@ -71,7 +71,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // shares text_keywords' head: the 1-row count broadcast cross join is a
     // scalar broadcast, not an all-pairs
     "text_keywords_topk",
-    "curation_mix", "ann_quantized_recall",
+    "curation_mix",
+    // same 1-row weight-sum broadcast cross as curation_mix
+    "curation_mix_temp",
+    "ann_quantized_recall",
     // the n_total scalar (1-row count broadcast) rides a cross join, same
     // shape as curation_mix; the candidate join itself is a broadcast
     // equi-join on the ≤ k sketch survivors
