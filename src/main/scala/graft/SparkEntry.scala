@@ -1436,6 +1436,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Source upsampling (the repeat pass for tail sources): each doc
+    // emitted (source-derived) 1-3 times with an epoch column. Map-only
+    // row explosion, no shuffle.
+    "curation_upsample" -> ((s, dir) => {
+      Curation.upsampleRepeats(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          repeats = substring(col("source"), 4, 10).cast("int") % 3 + 1)
+        .select(col("doc_id"), col("source"), col("epoch").cast("bigint"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // Temperature-2 source mixing: weights derived from the corpus itself
     // (⌊√tokens_s⌋ — integer-exact sum, IEEE-exact sqrt, so the kept set
     // is bit-reproducible; other temperatures would need cross-libm pow).
@@ -2660,6 +2671,11 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(b.doc_id::VARCHAR), 1, 15)) AS BIGINT)
         |      / 1152921504606846976.0 < f.keep_frac
         |ORDER BY doc_id""".stripMargin,
+
+    "curation_upsample" ->
+      """SELECT doc_id, source, unnest(generate_series(1,
+        |    CAST(substr(source, 4) AS INT) % 3 + 1)) AS epoch
+        |FROM documents ORDER BY doc_id, epoch""".stripMargin,
 
     // Same derived weights: floor(sqrt(src_tokens)) summed as integers,
     // identical left-to-right division chain.

@@ -336,6 +336,18 @@ object Curation {
         round(col("keep_frac"), 6).as("keep_frac"))
   }
 
+  /** Source upsampling — the repeat pass [[sourceMix]] defers to for
+    * under-sized sources: emit each document `repeats` times with an
+    * `epoch` column (1..n), so a tail source can appear multiple times in
+    * the training mix while the loader still distinguishes the copies
+    * (epoch-aware shuffling, loss masking, dedup exclusion all key on it).
+    * `repeats` must be a positive integer column, typically a function of
+    * the source. Map-only row explosion — no shuffle; output size is the
+    * weighted corpus, which is the point.
+    */
+  def upsampleRepeats(docs: DataFrame, repeats: Column): DataFrame =
+    docs.withColumn("epoch", explode(sequence(lit(1), repeats.cast("int"))))
+
   /** Distinctive keywords per document: top-`k` tokens by in-document term
     * frequency, EXCLUDING corpus-common tokens (document frequency above
     * `maxDfFrac` of the corpus — statistics-driven stopword removal, the
