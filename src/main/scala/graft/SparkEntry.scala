@@ -684,6 +684,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Daily + cumulative active users: DAU per day, first-seen new users,
+    // and the running total of known users (cumulative DISTINCT expressed
+    // as a running SUM over first-seen counts — no re-scan per day). The
+    // running window is 30 rows (days), not the event stream.
+    "events_dau" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val dau = ev.distinct().groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(firsts, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(unix_micros(col("day")).as("day_us"), col("dau"),
+          col("new_users"), col("cum_users"))
+        .orderBy("day_us")
+    }),
+
     // Event-rate anomaly detection: hourly counts per type, z-score from
     // EXACT integer sums (s1, s2 as bigints — both engines derive
     // mean/var/z through the identical IEEE operation chain, so the
@@ -2951,6 +2973,18 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
     // union+window implementation (ties impossible: view side is deduped
     // per (user, ts) in both formulations).
+    "events_dau" ->
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+        |f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+        |nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT epoch_us(dau.day) AS day_us, dau.dau,
+        |  coalesce(nu.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM dau LEFT JOIN nu ON dau.day = nu.day
+        |ORDER BY day_us""".stripMargin,
+
     // Same integer sums (s1, s2 bigint-exact), same IEEE chain for
     // mean/var/z — the compare is exact; round(,6) guards the last ulp.
     "events_anomaly" ->
