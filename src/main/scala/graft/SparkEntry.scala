@@ -706,6 +706,27 @@ object SparkEntry {
         .orderBy("day_us")
     }),
 
+    // Rolling 7-day active users: each (user, active-day) pair is exploded
+    // to the 7 report-days it supports, then one distinct-count per
+    // report-day — the scale idiom for sliding DISTINCT windows (explode
+    // ×7 then ONE keyed agg, never a re-scan per day); report days
+    // restricted to observed days.
+    "events_wau" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val support = d.select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + expr("interval 6 days"),
+          expr("interval 1 day"))).as("report_day"))
+      val observed = d.select(col("day").as("report_day")).distinct()
+      support.join(observed, Seq("report_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(unix_micros(col("report_day")).as("day_us"), col("wau"))
+        .orderBy("day_us")
+    }),
+
     // Event-rate anomaly detection: hourly counts per type, z-score from
     // EXACT integer sums (s1, s2 as bigints — both engines derive
     // mean/var/z through the identical IEEE operation chain, so the
@@ -2973,6 +2994,19 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
     // union+window implementation (ties impossible: view side is deduped
     // per (user, ts) in both formulations).
+    "events_wau" ->
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |      AS report_day
+        |  FROM d),
+        |o AS (SELECT DISTINCT day AS report_day FROM d)
+        |SELECT epoch_us(s.report_day) AS day_us,
+        |  count(DISTINCT s.user_id) AS wau
+        |FROM s JOIN o ON s.report_day = o.report_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_dau" ->
       """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
