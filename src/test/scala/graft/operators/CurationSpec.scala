@@ -87,6 +87,21 @@ class CurationSpec extends SparkSpec {
     val exchanges = split.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected 1 exchange, got $exchanges")
+
+    // tiny-stratum edges, exact floor-cut semantics: 4 rows fund nothing
+    // (floor(4·0.1) = floor(4·0.2) = 0 → all train, nothing dropped);
+    // 5 rows fund a val row but no test row (floor(5·0.1)=0, floor(5·0.2)=1)
+    val tiny4 = spark.range(0, 4)
+      .select(col("id").as("doc_id"), lit("t").as("source"))
+    val s4 = Curation.stratifiedSplit(tiny4, "doc_id", "source", 0.1, 0.1)
+    assert(s4.count() === 4)
+    assert(s4.filter(col("split") =!= "train").count() === 0)
+    val tiny5 = spark.range(0, 5)
+      .select(col("id").as("doc_id"), lit("t").as("source"))
+    val s5 = Curation.stratifiedSplit(tiny5, "doc_id", "source", 0.1, 0.1)
+    assert(s5.filter(col("split") === "test").count() === 0)
+    assert(s5.filter(col("split") === "val").count() === 1)
+    assert(s5.filter(col("split") === "train").count() === 4)
   }
 
   test("perSourceCap keeps at most cap rows per source, ranks from 1") {
