@@ -1157,6 +1157,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The SAME computation through the TEXTUAL SQL surface — temp view +
+    // spark.sql + the GraftExtensions-registered partial_ratio function.
+    // Shares fuzzy_partial_ratio's oracle: green = the SQL API path
+    // (parser → function registry → same Catalyst expression) is
+    // row-identical to the DataFrame API path.
+    "fuzzy_partial_ratio_sql" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id,
+                 partial_ratio(substring(text, 1, 40),
+                               'spark table join filter') AS score
+               FROM documents_v ORDER BY doc_id""")
+    }),
+
     // F11/F12/F13/O5 — the real DOI extraction cascade over synthesized
     // URLs that exercise EVERY offline stage (doc_id % 6 picks the shape:
     // standard DOI / strict-only / mapress / nature / cambridge / no-match),
@@ -1525,6 +1538,13 @@ object SparkEntry {
     * order, so one oracle checks both — the green pair is the equivalence
     * proof.
     */
+  private val partialRatioOracle: String =
+    """WITH pref AS (SELECT doc_id, substr(text,1,40) AS s FROM documents),
+      |win AS (SELECT doc_id,
+      |    round(100*(1.0 - levenshtein('spark table join filter', substr(s, i, 23))*1.0/23)) AS r
+      |  FROM pref, generate_series(1, 18) AS t(i))
+      |SELECT doc_id, CAST(max(r) AS INTEGER) AS score FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val tokenTotalsOracle: String =
     """SELECT source,
       |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
@@ -2760,12 +2780,9 @@ object SparkEntry {
     // 40-char prefix is always the longer side and the 23-char needle
     // yields exactly 18 windows; round() never sees a .5 tie because
     // 100*(23-d)/23 has no half-integer values.
-    "fuzzy_partial_ratio" ->
-      """WITH pref AS (SELECT doc_id, substr(text,1,40) AS s FROM documents),
-        |win AS (SELECT doc_id,
-        |    round(100*(1.0 - levenshtein('spark table join filter', substr(s, i, 23))*1.0/23)) AS r
-        |  FROM pref, generate_series(1, 18) AS t(i))
-        |SELECT doc_id, CAST(max(r) AS INTEGER) AS score FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "fuzzy_partial_ratio" -> partialRatioOracle,
+    // Shared with the DataFrame form — green = SQL path ≡ DataFrame path.
+    "fuzzy_partial_ratio_sql" -> partialRatioOracle,
 
     // Full simhash pipeline replicated on the portable md5-derived 60-bit
     // token hash: same tokenize normalization, 60 bit-vote sums, signature
