@@ -706,6 +706,24 @@ object SparkEntry {
         .orderBy("day_us")
     }),
 
+    // Per-user activity deciles: ntile(10) over per-user event counts —
+    // the power-user segmentation cut. The window ranks one row per USER
+    // (not the event stream); deterministic order (count desc, user asc).
+    "events_user_deciles" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      counts
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("n_events").desc, col("user_id")))
+            .cast("bigint"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("total_events"),
+          min(col("n_events")).as("min_events"),
+          max(col("n_events")).as("max_events"))
+        .orderBy("decile")
+    }),
+
     // Rolling 7-day active users: each (user, active-day) pair is exploded
     // to the 7 report-days it supports, then one distinct-count per
     // report-day — the scale idiom for sliding DISTINCT windows (explode
@@ -3011,6 +3029,18 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
     // union+window implementation (ties impossible: view side is deduped
     // per (user, ts) in both formulations).
+    // Same ntile over the same deterministic order; remainder-to-early-
+    // buckets semantics are standard SQL in both engines.
+    "events_user_deciles" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |d AS (SELECT user_id, n_events,
+        |        ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+        |      FROM c)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  min(n_events) AS min_events, max(n_events) AS max_events
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_wau" ->
       """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |s AS (
