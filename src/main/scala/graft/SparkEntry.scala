@@ -1411,9 +1411,13 @@ object SparkEntry {
     }),
 
     // Per-vector int8 quantization (4x embedding storage cut) with the
-    // reconstruction-error bound proven per row.
+    // reconstruction-error bound proven per row. The quantized vector is
+    // emitted as its JSON text (both engines print int lists as compact
+    // `[1,-2,...]`) so the driver's row-sort compares a plain string —
+    // an array column crashes pandas' sort_values in the harness.
     "embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .withColumn("q8", to_json(col("q8")))
         .orderBy("vec_id")
     }),
 
@@ -2655,9 +2659,9 @@ object SparkEntry {
         |s AS (SELECT vec_id, e,
         |        list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
         |SELECT vec_id,
-        |  CASE WHEN scale > 0
+        |  CAST(to_json(CASE WHEN scale > 0
         |    THEN list_transform(e, x -> CAST(round(x / scale * 127) AS INT))
-        |    ELSE list_transform(e, x -> 0) END AS q8,
+        |    ELSE list_transform(e, x -> 0) END) AS VARCHAR) AS q8,
         |  round(scale, 6) AS scale,
         |  CASE WHEN scale > 0
         |    THEN round(list_max(list_transform(e,
