@@ -1014,6 +1014,24 @@ object SparkEntry {
         (col("tN") < col("t0")).as("shrink_ok"))
     }),
 
+    // §2.10 ML pipeline acceptance gate (the reference's only quantitative
+    // quality gate, classifiers.ipynb cell 18, as a CORRECTNESS row): the
+    // synthetic corpus' lang/source labels carry no text signal, so the
+    // gate injects a deterministic lexical marker derived from doc_id —
+    // what is under test is the PIPELINE (tokenize → TF-IDF → balanced
+    // weights → LR and the notebook's literal LinearSVC → held-out
+    // accuracy) over the exact hash-ranked stratified split, whose sizes
+    // the oracle replays arithmetically.
+    "classifier_gate" -> ((s, dir) => {
+      val marker = when(pmod(col("doc_id"), lit(2)) === 0, "qqalpha")
+        .otherwise("qqbravo")
+      val docs = t(s, dir, "documents")
+        .withColumn("topic", marker)
+        .withColumn("text", concat_ws(" ", col("text"), marker))
+      graft.analysis.Classifier.classifierGate(
+        docs, "text", "topic", testFrac = 0.2, bar = 0.95)
+    }),
+
     // Quality-aware dedup: per near-dup cluster, keep the HIGHEST-quality
     // member (rounded qualityScore — cross-engine equality proven by
     // text_quality — with id tiebreak) instead of the arbitrary min-id.
@@ -2093,6 +2111,17 @@ object SparkEntry {
     "bpe_gate" ->
       """SELECT CAST(10 AS BIGINT) AS n_merges, TRUE AS distinct_ok,
         |  TRUE AS shrink_ok""".stripMargin,
+
+    // Gate convention: the exact stratified split is a pure function of
+    // the data (per-label md5-rank floor cut), so the oracle recomputes
+    // the train/test sizes arithmetically and pins the accuracy booleans.
+    "classifier_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id % 2 AS topic, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n - floor(n * 0.2)) AS BIGINT) AS n_train,
+        |  CAST(sum(floor(n * 0.2)) AS BIGINT) AS n_test,
+        |  TRUE AS lr_accuracy_ok, TRUE AS svc_accuracy_ok
+        |FROM s""".stripMargin,
 
     // Same recursive-CTE clustering as dedup_clusters; the keeper window
     // ranks by the rounded score (text_quality proves its cross-engine

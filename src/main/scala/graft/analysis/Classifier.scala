@@ -126,6 +126,67 @@ object Classifier {
     (model, accuracy)
   }
 
+  /** Driver-level acceptance gate for the whole §2.10 pipeline — the
+    * CORRECTNESS-row form of the reference's only quantitative quality
+    * gate (/root/reference/notebooks/classifiers.ipynb cell 18, held-out
+    * accuracy). Recall-gate convention: Spark emits the input-derived
+    * split sizes plus pass/fail booleans; the oracle replays the sizes
+    * (the split is [[graft.operators.Curation.stratifiedSplit]]'s exact
+    * per-stratum floor cut — a pure function of the data, so DuckDB
+    * computes n − ⌊n·testFrac⌋ per label from the same table) and pins
+    * TRUE, so a training regression becomes a hash mismatch.
+    *
+    * Both the notebook's literal model (LinearSVC via OneVsRest) and the
+    * probability-bearing LogisticRegression are gated. Fit/score are
+    * driver-coordinated spark.ml jobs over distributed frames; only the
+    * two scalar accuracies and split counts ever reach the driver.
+    */
+  def classifierGate(docs: DataFrame, textCol: String, labelCol: String,
+                     testFrac: Double, bar: Double): DataFrame = {
+    val split = graft.operators.Curation.stratifiedSplit(
+      docs, "doc_id", labelCol, testFrac, valFrac = 0.0)
+      .drop("split_rank", "n_stratum")
+    val train = split.filter(col("split") === "train").drop("split")
+    val test  = split.filter(col("split") === "test").drop("split")
+    // One featurizer fit shared by both models (the full pipelines refit
+    // CountVectorizer+IDF per model — here that would double the job
+    // count for no signal), and the featurized frames cached: every LBFGS
+    // iteration treeAggregates over the train frame, so an uncached plan
+    // re-tokenizes the corpus once per iteration. The frames are
+    // single-partition: a gate trains on a bounded sample by design, and
+    // at |sample| rows each of the ~25 LBFGS jobs is pure task-scheduling
+    // overhead at 32 partitions (measured 3.1 s → 1.0 s per model fit).
+    // At real corpus scale the sample, not the coalesce, is the knob.
+    val toks = withBalancedWeights(tokenized(train, textCol), labelCol).coalesce(1)
+    val featurizer = new Pipeline().setStages(featureStages(labelCol)).fit(toks)
+    val trainFeat = featurizer.transform(toks)
+      .select(col("label"), col("features"), col("class_weight"))
+      .coalesce(1).cache()
+    val testFeat = featurizer.transform(tokenized(test, textCol))
+      .select(col("label"), col("features")).coalesce(1).cache()
+    val nTrain = trainFeat.count()
+    val nTest  = testFeat.count()
+    // Marker classes are linearly separable, so tight tol / high maxIter
+    // only buys weight-norm growth — 20 iterations at 1e-4 converges.
+    val lr = new LogisticRegression().setMaxIter(20).setTol(1e-4)
+      .setFeaturesCol("features").setLabelCol("label").setWeightCol("class_weight")
+    val svc = new org.apache.spark.ml.classification.LinearSVC()
+      .setMaxIter(20).setTol(1e-4)
+      .setFeaturesCol("features").setLabelCol("label").setWeightCol("class_weight")
+    val ovr = new org.apache.spark.ml.classification.OneVsRest()
+      .setClassifier(svc).setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("class_weight")
+    val evaluator = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")
+    val lrAcc  = evaluator.evaluate(lr.fit(trainFeat).transform(testFeat))
+    val svcAcc = evaluator.evaluate(ovr.fit(trainFeat).transform(testFeat))
+    trainFeat.unpersist(); testFeat.unpersist()
+    val session = docs.sparkSession
+    import session.implicits._
+    Seq((nTrain, nTest, lrAcc >= bar, svcAcc >= bar))
+      .toDF("n_train", "n_test", "lr_accuracy_ok", "svc_accuracy_ok")
+  }
+
   /** Confusion matrix (cell 18's `confusion_matrix` /
     * `classification_report` input): (label, prediction, n) counts over a
     * transformed frame — pivot or report however downstream wants. No
