@@ -460,6 +460,125 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // FillVisitorProject (etl.py:448-561) — the 48-column flagship table,
+    // driven end-to-end through graft.etl.Steps.fillVisitorProject over
+    // synth-shaped frames derived deterministically from the TPC-H tables:
+    // J4 user join, J5 GUID inner join (guid-less users drop their
+    // projects), J6 institution alias cleaning with the 'nil' sentinel,
+    // J7 country-code translation through fillCountry ids, J8 call-ordinal
+    // positional join, J11 specific-discipline mapping translation, F3
+    // legacy datetime round-trip, F6 bool(None)=false casts, P3 'edit'
+    // filter, W1 sequential ids. The oracle replays every stage in SQL.
+    "etl_visitor_project" -> ((s, dir) => {
+      val rounds = explode(array(lit(1), lit(2), lit(3), lit(4)))
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+
+      val calls = t(s, dir, "orders").filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey").cast("int").as("callID"),
+          col("o_orderkey").cast("int").as("call"),
+          col("o_orderdate").as("dateOpen"), col("o_orderdate").as("dateClosed"),
+          (m(col("o_orderkey"), 4) + 1).cast("int").as("round"))
+      val (callTable, _) = graft.etl.Steps.fillCall(calls)
+
+      val spec = t(s, dir, "part")
+        .select(col("p_partkey").cast("int").as("SpecificDisciplineID"),
+          col("p_brand").as("SpecificDisciplineName"),
+          length(col("p_brand")).cast("int").as("DisciplineID"),
+          (m(col("p_partkey"), 4) + 1).cast("int").as("round"))
+      val (_, specMapping) = graft.etl.Steps.fillSpecificDiscipline(spec)
+
+      val iso = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("Country_Code"),
+          col("n_name").as("Country_Name"))
+      val (_, countryMapping) = graft.etl.Steps.fillCountry(iso)
+
+      val users = t(s, dir, "customer").withColumn("round", rounds)
+        .select(col("round"), col("c_custkey").cast("int").as("User_ID"),
+          when(m(col("c_custkey"), 2) === 0, "F").otherwise("M").as("Gender"),
+          col("c_nationkey").cast("string").as("Nationality_Country_code"),
+          m(col("c_custkey"), 3).cast("string").as("Researcher_status"),
+          m(col("c_custkey"), 5).cast("string").as("Discipline1"),
+          lit("d2").as("Discipline2"), lit("d3").as("Discipline3"),
+          lit("university").as("Home_Institution_Type"),
+          lit("dept").as("Home_Institution_Dept"),
+          col("c_mktsegment").as("Home_Institution_Name"),
+          concat(lit("Town "), m(col("c_custkey"), 10)).as("Home_Institution_Town"),
+          m(col("c_custkey"), 25).cast("string").as("Home_Institution_Country_code"),
+          lit("PC1").as("Home_Institution_Postcode"),
+          m(col("c_custkey"), 7).cast("int").as("Number_of_visits"),
+          m(col("c_custkey"), 30).cast("int").as("Duration_of_stays"),
+          lit(null).cast("string").as("Nationality_OtherText"),
+          lit("no").as("Remote_user"),
+          lit("yes").as("Travel_and_Subsistence_reimbursed"),
+          col("c_name").as("jobTitle"))
+
+      val userGuids = t(s, dir, "customer")
+        .filter(m(col("c_custkey"), 10) =!= 0).withColumn("round", rounds)
+        .select(col("round"), col("c_custkey").cast("int").as("user_id"),
+          (col("c_custkey") * 10 + col("round")).cast("bigint").as("guid"),
+          concat(lit("age_"), m(col("c_custkey"), 5)).as("age_range"))
+
+      val o = col("o_orderkey")
+      val projects = t(s, dir, "orders")
+        .select((m(o, 4) + 1).cast("int").as("round"),
+          o.cast("int").as("UserProject_ID"),
+          col("o_custkey").cast("int").as("User_ID"),
+          when(m(o, 7) === 0, "edit").otherwise("submitted").as("Application_State"),
+          (m(o, 8) + 1).cast("string").as("Call_Submitted"),
+          col("o_orderpriority").as("UserProject_Title"),
+          lit("objectives").as("UserProject_Objectives"),
+          lit("achievements").as("UserProject_Achievements"),
+          m(o, 14).cast("int").as("length_of_visit"),
+          col("o_orderdate").as("start_date"), col("o_orderdate").as("finish_date"),
+          concat(lit("TAF-"), o).as("TAF_ID"),
+          when(m(o, 3) === 2, lit(null)).otherwise(m(o, 3)).cast("int").as("Home_Facilities"),
+          col("o_orderstatus").as("Acceptance"),
+          lit("summary").as("UserProject_Summary"),
+          when(m(o, 5) === 4, lit(null)).otherwise(m(o, 2)).cast("int").as("New_User"),
+          lit("reasons").as("UserProject_Facility_Reasons"),
+          date_format(col("o_orderdate"), "EEE MMM dd HH:mm:ss 'GMT' yyyy")
+            .as("Submission_Date"),
+          m(o, 2).cast("int").as("Support_Final"),
+          m(o, 5).cast("string").as("Project_Discipline"),
+          (m(o, 2000) + 1).cast("int").as("Project_Specific_Discipline"),
+          when(m(o, 11) === 0, lit(null)).otherwise(m(o, 2)).cast("int")
+            .as("Previous_Application"),
+          lit("training").as("Training_Requirement"),
+          col("o_orderpriority").as("Supporter_Institution"),
+          lit("approved").as("Administration_State"),
+          m(o, 2).cast("int").as("Group_leader"),
+          lit("members").as("Group_Members"),
+          lit("background").as("UserProject_Background"),
+          lit("reasons").as("UserProject_Reasons"),
+          lit("expectations").as("UserProject_Expectations"),
+          lit("outputs").as("UserProject_Outputs"),
+          col("o_orderstatus").as("Group_Leader_Institution"),
+          lit("no").as("Visit_Funded_Previously"))
+
+      val aliases = Map(
+        "BUILDING" -> "The Building Consortium", "MACHINERY" -> "nil",
+        "1-URGENT" -> "Urgent Priority Group", "3-MEDIUM" -> "nil",
+        "F" -> "Finished Group", "P" -> "nil")
+
+      val (table, _) = graft.etl.Steps.fillVisitorProject(
+        projects, users, userGuids, callTable, specMapping, countryMapping, aliases)
+      table.select(col("id").cast("bigint").as("id"),
+          col("original_project_id"), col("title"), col("user_guid"),
+          col("user_age_range"), col("length_of_visit"),
+          fmt(col("start")).as("start"), fmt(col("end")).as("end"),
+          col("taf_id"), col("home_facilities"), col("application_state"),
+          col("new_user"), fmt(col("submission_date")).as("submission_date"),
+          col("support_final"), col("project_specific_discipline"),
+          col("call_submitted").cast("bigint").as("call_submitted"),
+          col("previous_application"), col("supporter_institution"),
+          col("group_leader"), col("group_leader_institution"), col("gender"),
+          col("nationality").cast("bigint").as("nationality"),
+          col("home_institution_name"), col("home_institution_town"),
+          col("home_institution_country").cast("bigint").as("home_institution_country"),
+          col("number_of_visits"), col("round"))
+        .orderBy("id")
+    }),
+
     // S12/F25 — SQL-dump sink statements as a distributed text column.
     "s12_sql_dump" -> ((s, dir) => {
       graft.sinks.SqlDump.insertStatements(
@@ -1949,6 +2068,84 @@ object SparkEntry {
         |              FROM scanned GROUP BY name)
         |SELECT row_number() OVER (ORDER BY first_seen) AS id, name, discipline_id
         |FROM canonical ORDER BY id""".stripMargin,
+
+    // Full SQL replay of fillVisitorProject over the same derived frames:
+    // call ordinals, specific-discipline canonicalization, country ids by
+    // code order, exploded per-round users, the guid inner join (guid-less
+    // users drop), the positional call join, alias CASE with 'nil'→NULL,
+    // bool(None)=false casts, and the legacy-datetime round-trip.
+    "etl_visitor_project" ->
+      """WITH calls AS (
+        |  SELECT CAST(o_orderkey AS INT) AS call, CAST(o_orderkey % 4 + 1 AS INT) AS round
+        |  FROM orders WHERE o_orderkey < 400),
+        |ords AS (
+        |  SELECT round, row_number() OVER (ORDER BY round, call) AS call_id,
+        |         row_number() OVER (PARTITION BY round ORDER BY call) AS ordinal
+        |  FROM calls),
+        |spec AS (SELECT CAST(p_partkey AS INT) AS sid, p_brand AS name,
+        |                CAST(p_partkey % 4 + 1 AS INT) AS round FROM part),
+        |scanned AS (SELECT *, row_number() OVER (ORDER BY round DESC, sid) AS scan_order
+        |            FROM spec),
+        |cids AS (SELECT name, row_number() OVER (ORDER BY min(scan_order)) AS new_id
+        |         FROM scanned GROUP BY name),
+        |specmap AS (SELECT s.round, s.sid, c.new_id FROM scanned s JOIN cids c USING (name)),
+        |country AS (SELECT CAST(n_nationkey AS VARCHAR) AS code,
+        |                   row_number() OVER (ORDER BY CAST(n_nationkey AS VARCHAR)) AS cid
+        |            FROM nation),
+        |rounds AS (SELECT unnest([1, 2, 3, 4]) AS round),
+        |users AS (SELECT r.round, CAST(c_custkey AS INT) AS user_id, c_custkey AS ck,
+        |                 c_mktsegment, c_nationkey
+        |          FROM customer CROSS JOIN rounds r),
+        |guids AS (SELECT round, user_id, CAST(ck * 10 + round AS BIGINT) AS guid,
+        |                 'age_' || (ck % 5) AS age_range
+        |          FROM users WHERE ck % 10 <> 0),
+        |proj AS (SELECT CAST(o_orderkey % 4 + 1 AS INT) AS round,
+        |                CAST(o_orderkey AS INT) AS pid, CAST(o_custkey AS INT) AS uid,
+        |                o_orderkey AS o, o_orderpriority, o_orderstatus, o_orderdate
+        |         FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT p.round, p.pid, p.o, p.o_orderpriority, p.o_orderstatus, p.o_orderdate,
+        |         g.guid, g.age_range, u.ck, u.c_mktsegment, u.c_nationkey,
+        |         ords.call_id, sm.new_id AS psd, nat.cid AS nat_id, home.cid AS home_id
+        |  FROM proj p
+        |  JOIN guids g ON p.round = g.round AND p.uid = g.user_id
+        |  JOIN users u ON p.round = u.round AND p.uid = u.user_id
+        |  JOIN ords ON p.round = ords.round AND (p.o % 8 + 1) = ords.ordinal
+        |  LEFT JOIN specmap sm ON p.round = sm.round AND (p.o % 2000 + 1) = sm.sid
+        |  LEFT JOIN country nat ON CAST(u.c_nationkey AS VARCHAR) = nat.code
+        |  LEFT JOIN country home ON CAST(u.ck % 25 AS VARCHAR) = home.code)
+        |SELECT row_number() OVER (ORDER BY round, pid) AS id,
+        |  pid AS original_project_id,
+        |  o_orderpriority AS title,
+        |  guid AS user_guid, age_range AS user_age_range,
+        |  CAST(o % 14 AS INT) AS length_of_visit,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS start,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "end",
+        |  'TAF-' || o AS taf_id,
+        |  coalesce((CASE WHEN o % 3 = 2 THEN NULL ELSE o % 3 END) <> 0, FALSE)
+        |    AS home_facilities,
+        |  'submitted' AS application_state,
+        |  coalesce((CASE WHEN o % 5 = 4 THEN NULL ELSE o % 2 END) <> 0, FALSE) AS new_user,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS submission_date,
+        |  coalesce(o % 2 <> 0, FALSE) AS support_final,
+        |  CAST(psd AS INT) AS project_specific_discipline,
+        |  CAST(call_id AS BIGINT) AS call_submitted,
+        |  coalesce((CASE WHEN o % 11 = 0 THEN NULL ELSE o % 2 END) <> 0, FALSE)
+        |    AS previous_application,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 'Urgent Priority Group'
+        |    WHEN '3-MEDIUM' THEN NULL ELSE o_orderpriority END AS supporter_institution,
+        |  coalesce(o % 2 <> 0, FALSE) AS group_leader,
+        |  CASE o_orderstatus WHEN 'F' THEN 'Finished Group'
+        |    WHEN 'P' THEN NULL ELSE o_orderstatus END AS group_leader_institution,
+        |  CASE WHEN ck % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+        |  CAST(nat_id AS BIGINT) AS nationality,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'The Building Consortium'
+        |    WHEN 'MACHINERY' THEN NULL ELSE c_mktsegment END AS home_institution_name,
+        |  'Town ' || (ck % 10) AS home_institution_town,
+        |  CAST(home_id AS BIGINT) AS home_institution_country,
+        |  CAST(ck % 7 AS INT) AS number_of_visits,
+        |  round
+        |FROM j ORDER BY id""".stripMargin,
 
     "s12_sql_dump" ->
       """SELECT 'INSERT INTO region VALUES (' || CAST(r_regionkey AS VARCHAR) || ', ''' ||
