@@ -579,6 +579,44 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // FillMissingCountryData (J12, etl.py:674-769) driven end-to-end
+    // through graft.etl.Geo.fillMissingCountry over a geonames-style
+    // fixture derived from customer/nation: 40 shared city names across
+    // 25 countries force the ambiguity → max-population argmax rule
+    // (populations are unique, so the argmax is engine-independent),
+    // per-customer alternatenames exercise the variant union, and the
+    // orders-derived towns cover every resolution path — exact, ", " and
+    // ". " delimiter fallbacks, manual override, and already-set rows
+    // left untouched. GeoSpec stays the fixture-level semantic lock.
+    "geo_resolve" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val ck = col("c_custkey")
+      val cities = t(s, dir, "customer").select(
+        concat(lit("city "), m(ck, 40)).as("name"),
+        array(concat(lit("alt "), ck)).as("alternatenames"),
+        col("c_nationkey").cast("string").as("countrycode"),
+        ck.cast("bigint").as("population"))
+      val iso = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("Country_Code"),
+          col("n_name").as("Country_Name"))
+      val (_, countryMapping) = graft.etl.Steps.fillCountry(iso)
+      val o = col("o_orderkey")
+      val vp = t(s, dir, "orders").select(
+        o.cast("bigint").as("id"),
+        when(m(o, 4) === 1, lit(null)).when(m(o, 4) === 2, lit(0))
+          .otherwise(m(o, 25) + 1).cast("int").as("home_institution_country"),
+        when(m(o, 5) === 0, concat(lit("city "), m(o, 40)))
+          .when(m(o, 5) === 1, concat(lit("alt "), m(o, 100) + 1))
+          .when(m(o, 5) === 2, concat(lit("city "), m(o, 40), lit(", region")))
+          .when(m(o, 5) === 3, concat(lit("city "), m(o, 40), lit(". suffix")))
+          .otherwise(lit("Override Town")).as("home_institution_town"))
+      graft.etl.Geo.fillMissingCountry(vp, cities,
+          manual = Map("Override Town" -> "7"), countryMapping = countryMapping)
+        .select(col("id"), col("home_institution_town"),
+          col("home_institution_country").cast("bigint").as("home_institution_country"))
+        .orderBy("id")
+    }),
+
     // S12/F25 — SQL-dump sink statements as a distributed text column.
     "s12_sql_dump" -> ((s, dir) => {
       graft.sinks.SqlDump.insertStatements(
@@ -2146,6 +2184,52 @@ object SparkEntry {
         |  CAST(ck % 7 AS INT) AS number_of_visits,
         |  round
         |FROM j ORDER BY id""".stripMargin,
+
+    // SQL replay of the J12 precedence chain: variant union → per-key
+    // same-country check / population argmax → manual override first,
+    // then exact, then each delimiter fallback in order; unresolved and
+    // already-set rows pass through.
+    "geo_resolve" ->
+      """WITH country AS (SELECT CAST(n_nationkey AS VARCHAR) AS code,
+        |    row_number() OVER (ORDER BY CAST(n_nationkey AS VARCHAR)) AS cid FROM nation),
+        |cities AS (SELECT 'city ' || (c_custkey % 40) AS name, 'alt ' || c_custkey AS alt,
+        |    CAST(c_nationkey AS VARCHAR) AS countrycode, c_custkey AS population
+        |  FROM customer),
+        |variants AS (SELECT lower(name) AS variant, countrycode, population FROM cities
+        |  UNION ALL SELECT lower(alt), countrycode, population FROM cities),
+        |res AS (SELECT variant,
+        |    CASE WHEN count(DISTINCT countrycode) = 1 THEN min(countrycode)
+        |         ELSE arg_max(countrycode, population) END AS code
+        |  FROM variants GROUP BY variant),
+        |vp AS (SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 4 = 1 THEN NULL WHEN o_orderkey % 4 = 2 THEN 0
+        |         ELSE CAST(o_orderkey % 25 + 1 AS INT) END AS country0,
+        |    CASE o_orderkey % 5
+        |      WHEN 0 THEN 'city ' || (o_orderkey % 40)
+        |      WHEN 1 THEN 'alt ' || (o_orderkey % 100 + 1)
+        |      WHEN 2 THEN 'city ' || (o_orderkey % 40) || ', region'
+        |      WHEN 3 THEN 'city ' || (o_orderkey % 40) || '. suffix'
+        |      ELSE 'Override Town' END AS town
+        |  FROM orders),
+        |needs AS (SELECT id, town FROM vp
+        |  WHERE (country0 IS NULL OR country0 = 0) AND town IS NOT NULL AND town <> ''),
+        |resolved AS (SELECT n.id,
+        |    coalesce(CASE WHEN n.town = 'Override Town' THEN '7' END,
+        |      e.code, f0.code, f1.code, f2.code) AS code
+        |  FROM needs n
+        |  LEFT JOIN res e ON lower(trim(n.town)) = e.variant
+        |  LEFT JOIN res f0 ON len(string_split(n.town, ', ')) > 1
+        |    AND lower(trim(string_split(n.town, ', ')[1])) = f0.variant
+        |  LEFT JOIN res f1 ON len(string_split(n.town, ' - ')) > 1
+        |    AND lower(trim(string_split(n.town, ' - ')[1])) = f1.variant
+        |  LEFT JOIN res f2 ON len(string_split(n.town, '. ')) > 1
+        |    AND lower(trim(string_split(n.town, '. ')[1])) = f2.variant),
+        |upd AS (SELECT r.id, c.cid FROM resolved r JOIN country c ON r.code = c.code)
+        |SELECT v.id, v.town AS home_institution_town,
+        |  CAST(coalesce(CASE WHEN v.country0 = 0 THEN NULL ELSE v.country0 END, u.cid)
+        |    AS BIGINT) AS home_institution_country
+        |FROM vp v LEFT JOIN upd u ON v.id = u.id
+        |ORDER BY v.id""".stripMargin,
 
     "s12_sql_dump" ->
       """SELECT 'INSERT INTO region VALUES (' || CAST(r_regionkey AS VARCHAR) || ', ''' ||
