@@ -27,6 +27,21 @@ object SparkEntry {
 
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Build-once guard for the persisted ANN indexes the replay oracles
+    * read: index lives under a corpus-size-keyed dir (so sf0.01/sf0.1
+    * runs never clobber each other and the oracle can glob + filter on
+    * the stamped n_corpus), and an existing index is reused — the fit is
+    * seeded, so rebuilding would produce byte-identical tables.
+    */
+  private def ensureIndex(s: SparkSession, corpus: DataFrame, kind: String,
+      marker: String)(write: String => Unit): String = {
+    val path = s"/tmp/graft_ann_index/$kind/n${corpus.count()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$marker/_SUCCESS")))
+      write(path)
+    path
+  }
+
   /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue per
     * nation — lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation).
     */
@@ -1427,20 +1442,33 @@ object SparkEntry {
 
     // LSH-bucketed ANN (multi-table SRP signatures — the 100 TB path;
     // recall<1 by construction, measured by ann_lsh_recall below).
+    // Multi-table SRP-LSH against PERSISTED hyperplanes (the planes ARE
+    // the index). Fully oracled: DuckDB reads the same planes table and
+    // replays sign-bit bucket assignment, the any-table candidate union,
+    // and the cosine top-5 row-for-row. Recall gated by ann_lsh_recall.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          dim = 64, bits = 4, tables = 16)
+      val path = ensureIndex(s, emb, "lsh", "planes") { p =>
+        Similarity.writeLshPlanes(emb, p, dim = 64, bits = 4, tables = 16)
+      }
+      Similarity.lshTopKFromPlanes(path, emb, emb.filter(col("vec_id") < 10), k = 5)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN (seeded sample-fit KMeans coarse quantizer, nProbe cells per
-    // query; recall measured by ann_ivf_recall below).
+    // IVF ANN against PERSISTED centroids (seeded sample-fit KMeans; the
+    // build-once/query-many split). Given the centroids table, assignment
+    // and ranking are pure functions of the data — so this query is FULLY
+    // oracled: DuckDB reads the same parquet centroids and replays
+    // cell assignment, the nProbe=4 probe set, and the cosine top-k
+    // row-for-row. Recall vs brute force is gated by ann_ivf_recall.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          nCells = 8, nProbe = 4, corpusId = Some(dir))
+      val path = ensureIndex(s, emb, "ivf", "centroids") { p =>
+        Similarity.writeIvfCentroids(emb, p, nCells = 8)
+      }
+      Similarity.ivfTopKFromCentroids(path, emb, emb.filter(col("vec_id") < 10),
+          k = 5, nProbe = 4)
         .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
     }),
@@ -1470,12 +1498,19 @@ object SparkEntry {
     }),
 
     // PQ-compressed ANN (ADC scan over m-byte codes + exact re-rank of a
-    // refine*k shortlist) — the memory-bound scale path; recall measured
-    // by ann_pq_recall below.
+    // refine*k shortlist) — the memory-bound scale path — against the
+    // PERSISTED index. Given the codebooks + codes tables, the ADC lookup
+    // tables, shortlist and re-rank are deterministic, so the query is
+    // FULLY oracled: DuckDB reads the same parquet index and replays the
+    // whole search row-for-row. Recall is gated by ann_pq_recall.
     "ann_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          refine = 32, corpusId = Some(dir))
+      val path = ensureIndex(s, emb, "pq", "codes") { p =>
+        Similarity.writePqIndex(emb, p)
+      }
+      Similarity.pqTopKFromIndex(path, emb, emb.filter(col("vec_id") < 10),
+          k = 5, refine = 32)
+        .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1490,11 +1525,21 @@ object SparkEntry {
 
     // IVF-PQ: coarse cells prune the scan (nProbe/nCells of the corpus),
     // PQ codes compress what is scanned — the canonical 100 TB index
-    // layout; recall measured by ann_ivfpq_recall below.
+    // layout — against BOTH persisted index halves. Fully oracled: given
+    // the centroids and codebooks tables, cell assignment, PQ encoding,
+    // ADC scoring and re-rank are all deterministic, and DuckDB replays
+    // the composition row-for-row. Recall gated by ann_ivfpq_recall.
     "ann_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          corpusId = Some(dir))
+      val ivfPath = ensureIndex(s, emb, "ivf", "centroids") { p =>
+        Similarity.writeIvfCentroids(emb, p, nCells = 8)
+      }
+      val pqPath = ensureIndex(s, emb, "pq", "codes") { p =>
+        Similarity.writePqIndex(emb, p)
+      }
+      Similarity.ivfPqTopKFromIndexes(ivfPath, pqPath, emb,
+          emb.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
     }),
 
@@ -2863,6 +2908,188 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'Total', CAST(sum(n_outputs) AS BIGINT), count(*) FROM base
         |ORDER BY ranking""".stripMargin,
+
+    // Replay oracle for the persisted-planes LSH search: bucket = OR of
+    // sign bits of dot products against the stored hyperplanes; a corpus
+    // row is a candidate if it shares any (table, bucket) with the query;
+    // candidates dedup to pairs and rank by rounded cosine with id
+    // tiebreak — row-identical to lshSearch.
+    "ann_lsh_topk" ->
+      """WITH pl AS (
+        |  SELECT tbl, bit, plane
+        |  FROM read_parquet('/tmp/graft_ann_index/lsh/*/planes/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sig AS (SELECT vec_id, tbl,
+        |          sum(CASE WHEN list_inner_product(e, plane) >= 0
+        |              THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+        |        FROM v, pl GROUP BY vec_id, tbl),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             round(list_cosine_similarity(qv.e, nv.e), 4) AS sim
+        |           FROM cand
+        |           JOIN v qv ON cand.query_id = qv.vec_id
+        |           JOIN v nv ON cand.neighbor_id = nv.vec_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Replay oracle for the persisted-index IVF search: the KMeans FIT is
+    // not SQL-expressible, but given the persisted centroids the rest is —
+    // DuckDB reads the same parquet table (glob over the size-keyed index
+    // dirs, filtered on the stamped n_corpus) and replays raw-space cell
+    // assignment (rank by |c|^2 − 2x·c with cell tiebreak), the nProbe=4
+    // probe set, and the in-cell cosine top-5 row-for-row.
+    "ann_ivf_topk" ->
+      """WITH cent AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |d AS (SELECT vec_id, cell,
+        |        list_inner_product(centroid, centroid)
+        |          - 2.0 * list_inner_product(e, centroid) AS d2
+        |      FROM v, cent),
+        |ranked AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+        |           FROM d),
+        |cells AS (SELECT r.vec_id AS neighbor_id, v.e AS nvec, r.cell
+        |          FROM ranked r JOIN v USING (vec_id) WHERE cr = 1),
+        |probes AS (SELECT r.vec_id AS query_id, v.e AS qvec, r.cell
+        |           FROM ranked r JOIN v USING (vec_id)
+        |           WHERE cr <= 4 AND r.vec_id < 10),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             round(list_cosine_similarity(qvec, nvec), 4) AS sim
+        |           FROM cells JOIN probes USING (cell)
+        |           WHERE neighbor_id <> query_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Replay oracle for the persisted-index PQ search: given the codebooks
+    // and codes tables, DuckDB rebuilds the per-query ADC lookup tables
+    // (t_j[c] = q_j · centroid_{j,c} over the normalized query subvectors),
+    // scores every code row as t_0[code_0] + … + t_7[code_7] in the same
+    // left-to-right order, cuts the refine×k=160 shortlist (rounded-ADC
+    // desc, id tiebreak), and exact-re-ranks it with normalized dot
+    // products — row-identical to pqSearch.
+    "ann_pq_topk" ->
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |books AS (
+        |  SELECT subspace, centroid_id, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/pq/*/codebooks/*.parquet')
+        |  WHERE n_corpus = (SELECT n FROM nn)),
+        |codes AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_ann_index/pq/*/codes/*.parquet')
+        |  WHERE n_corpus = (SELECT n FROM nn)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nv AS (SELECT vec_id,
+        |         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS nvec
+        |       FROM (SELECT vec_id, e,
+        |               sqrt(list_inner_product(e, e)) AS nrm FROM v)),
+        |qn AS (SELECT vec_id AS query_id, nvec AS qv FROM nv WHERE vec_id < 10),
+        |qt AS (SELECT query_id, subspace, centroid_id,
+        |         list_inner_product(qv[(subspace * 8 + 1):(subspace * 8 + 8)],
+        |                            centroid) AS t
+        |       FROM qn, books),
+        |scored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    round(t0.t + t1.t + t2.t + t3.t + t4.t + t5.t + t6.t + t7.t, 4) AS adc
+        |  FROM codes c CROSS JOIN qn q
+        |  JOIN qt t0 ON t0.query_id = q.query_id AND t0.subspace = 0 AND t0.centroid_id = c.code_0 - 1
+        |  JOIN qt t1 ON t1.query_id = q.query_id AND t1.subspace = 1 AND t1.centroid_id = c.code_1 - 1
+        |  JOIN qt t2 ON t2.query_id = q.query_id AND t2.subspace = 2 AND t2.centroid_id = c.code_2 - 1
+        |  JOIN qt t3 ON t3.query_id = q.query_id AND t3.subspace = 3 AND t3.centroid_id = c.code_3 - 1
+        |  JOIN qt t4 ON t4.query_id = q.query_id AND t4.subspace = 4 AND t4.centroid_id = c.code_4 - 1
+        |  JOIN qt t5 ON t5.query_id = q.query_id AND t5.subspace = 5 AND t5.centroid_id = c.code_5 - 1
+        |  JOIN qt t6 ON t6.query_id = q.query_id AND t6.subspace = 6 AND t6.centroid_id = c.code_6 - 1
+        |  JOIN qt t7 ON t7.query_id = q.query_id AND t7.subspace = 7 AND t7.centroid_id = c.code_7 - 1
+        |  WHERE c.neighbor_id <> q.query_id),
+        |short AS (SELECT query_id, neighbor_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY adc DESC, neighbor_id) AS rn FROM scored)
+        |  WHERE rn <= 160),
+        |rescored AS (SELECT s.query_id, s.neighbor_id,
+        |    round(list_inner_product(q.qv, n.nvec), 4) AS sim
+        |  FROM short s
+        |  JOIN nv n ON s.neighbor_id = n.vec_id
+        |  JOIN qn q ON s.query_id = q.query_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM rescored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Replay oracle for the composed IVF-PQ search: both persisted halves
+    // read back; the corpus' PQ codes are taken from the persisted codes
+    // table (identical by construction — same codebooks, same normalized
+    // vectors, same argmin), the IVF side restricts which (query, code)
+    // pairs are ADC-scored to the query's 4 probed cells, and shortlist +
+    // exact re-rank replay as in ann_pq_topk.
+    "ann_ivfpq_topk" ->
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |cent AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
+        |  WHERE n_corpus = (SELECT n FROM nn)),
+        |books AS (
+        |  SELECT subspace, centroid_id, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/pq/*/codebooks/*.parquet')
+        |  WHERE n_corpus = (SELECT n FROM nn)),
+        |codes AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_ann_index/pq/*/codes/*.parquet')
+        |  WHERE n_corpus = (SELECT n FROM nn)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |d AS (SELECT vec_id, cell,
+        |        list_inner_product(centroid, centroid)
+        |          - 2.0 * list_inner_product(e, centroid) AS d2
+        |      FROM v, cent),
+        |ranked AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+        |           FROM d),
+        |nv AS (SELECT vec_id,
+        |         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS nvec
+        |       FROM (SELECT vec_id, e,
+        |               sqrt(list_inner_product(e, e)) AS nrm FROM v)),
+        |cells AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cr = 1),
+        |probes AS (SELECT r.vec_id AS query_id, n.nvec AS qv, r.cell
+        |           FROM ranked r JOIN nv n USING (vec_id)
+        |           WHERE cr <= 4 AND r.vec_id < 10),
+        |qt AS (SELECT DISTINCT p.query_id, b.subspace, b.centroid_id,
+        |         list_inner_product(p.qv[(b.subspace * 8 + 1):(b.subspace * 8 + 8)],
+        |                            b.centroid) AS t
+        |       FROM probes p, books b),
+        |scored AS (
+        |  SELECT p.query_id, c.neighbor_id,
+        |    round(t0.t + t1.t + t2.t + t3.t + t4.t + t5.t + t6.t + t7.t, 4) AS adc
+        |  FROM codes c
+        |  JOIN cells ce ON c.neighbor_id = ce.neighbor_id
+        |  JOIN probes p ON ce.cell = p.cell
+        |  JOIN qt t0 ON t0.query_id = p.query_id AND t0.subspace = 0 AND t0.centroid_id = c.code_0 - 1
+        |  JOIN qt t1 ON t1.query_id = p.query_id AND t1.subspace = 1 AND t1.centroid_id = c.code_1 - 1
+        |  JOIN qt t2 ON t2.query_id = p.query_id AND t2.subspace = 2 AND t2.centroid_id = c.code_2 - 1
+        |  JOIN qt t3 ON t3.query_id = p.query_id AND t3.subspace = 3 AND t3.centroid_id = c.code_3 - 1
+        |  JOIN qt t4 ON t4.query_id = p.query_id AND t4.subspace = 4 AND t4.centroid_id = c.code_4 - 1
+        |  JOIN qt t5 ON t5.query_id = p.query_id AND t5.subspace = 5 AND t5.centroid_id = c.code_5 - 1
+        |  JOIN qt t6 ON t6.query_id = p.query_id AND t6.subspace = 6 AND t6.centroid_id = c.code_6 - 1
+        |  JOIN qt t7 ON t7.query_id = p.query_id AND t7.subspace = 7 AND t7.centroid_id = c.code_7 - 1
+        |  WHERE c.neighbor_id <> p.query_id),
+        |short AS (SELECT query_id, neighbor_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY adc DESC, neighbor_id) AS rn FROM scored)
+        |  WHERE rn <= 160),
+        |rescored AS (SELECT s.query_id, s.neighbor_id,
+        |    round(list_inner_product(q.nvec, n.nvec), 4) AS sim
+        |  FROM short s
+        |  JOIN nv n ON s.neighbor_id = n.vec_id
+        |  JOIN nv q ON s.query_id = q.vec_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM rescored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // The approximate-ANN recall gates: DuckDB can't run the LSH/IVF paths,
     // but it CAN assert the contract — 10 queries measured, avg recall@5

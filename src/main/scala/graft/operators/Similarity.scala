@@ -115,11 +115,24 @@ object Similarity {
     * every plane).
     */
   def srpSignature(
-      vec: org.apache.spark.sql.Column, dim: Int, bits: Int, seed: Long) = {
-    import graft.functions.VectorOps.dotProduct
-    val bitCols = (0 until bits).map { p =>
+      vec: org.apache.spark.sql.Column, dim: Int, bits: Int, seed: Long) =
+    srpSignatureFromPlanes(vec, srpPlanes(dim, bits, seed))
+
+  /** The seeded hyperplanes themselves — bits × dim Gaussians. */
+  def srpPlanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    (0 until bits).map { p =>
       val rnd = new java.util.Random(seed ^ (p + 1) * 0x9E3779B97F4A7C15L)
-      val plane = Array.fill(dim)(rnd.nextGaussian())
+      Array.fill(dim)(rnd.nextGaussian())
+    }.toArray
+
+  /** Signature from explicit planes (the persisted-index path): the planes
+    * ARE the LSH index — given them, bucket assignment is sign bits of
+    * plain dot products, a pure function any engine replays.
+    */
+  def srpSignatureFromPlanes(
+      vec: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
+    import graft.functions.VectorOps.dotProduct
+    val bitCols = planes.zipWithIndex.map { case (plane, p) =>
       when(dotProduct(vec, lit(plane)) >= 0, shiftleft(lit(1L), p))
         .otherwise(lit(0L))
     }
@@ -177,6 +190,16 @@ object Similarity {
         fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol))
       case None => fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
     }
+    ivfSearch(centers, corpus, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** The search half of IVF, shared by the in-session [[ivfTopK]] and the
+    * on-disk [[ivfTopKFromCentroids]] paths.
+    */
+  private def ivfSearch(centers: Array[Array[Double]],
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
 
     // centroids as a small broadcast frame (nCells × dim)
     val session = corpus.sparkSession
@@ -217,12 +240,55 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, bits: Int,
       tables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    lshSearch((0 until tables).map(t => srpPlanes(dim, bits, seed + t * 7919L)).toArray,
+      corpus, queries, k, idCol, vecCol)
+
+  /** Persist the LSH index — which is nothing but the hyperplanes:
+    * (tbl, bit, plane) rows, tables × bits of them, driver-sized by
+    * construction. Bucket assignment is sign bits of dot products against
+    * these rows, so any engine — the replay oracle included — recomputes
+    * signatures and candidates deterministically from this table.
+    */
+  def writeLshPlanes(corpus: DataFrame, path: String, dim: Int, bits: Int,
+      tables: Int, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    (0 until tables).flatMap { t =>
+      srpPlanes(dim, bits, seed + t * 7919L).zipWithIndex.map {
+        case (plane, p) => (t, p, plane.toSeq, n)
+      }
+    }.toDF("tbl", "bit", "plane", "n_corpus")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/planes")
+  }
+
+  /** LSH top-k against [[writeLshPlanes]] planes on disk — with the same
+    * seed, row-identical to the in-session [[lshTopK]].
+    */
+  def lshTopKFromPlanes(path: String, corpus: DataFrame, queries: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val planes = spark.read.parquet(path + "/planes")
+      .select(col("tbl"), col("bit"), col("plane")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }.toArray
+    lshSearch(planes, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** The search half of multi-table SRP-LSH, shared by the in-session
+    * [[lshTopK]] and on-disk [[lshTopKFromPlanes]] paths.
+    */
+  private def lshSearch(planesPerTable: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val sig = (df: DataFrame, id: String, v: String) =>
       df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
         .select(col(id), col(v),
-          posexplode(array((0 until tables).map(t =>
-            srpSignature(col(v), dim, bits, seed + t * 7919L)): _*))
+          posexplode(array(planesPerTable.map(p =>
+            srpSignatureFromPlanes(col(v), p)): _*))
             .as(Seq("table", "bucket")))
     val c = sig(corpus, "neighbor_id", "nvec")
     val q = sig(queries, "query_id", "qvec")
@@ -535,11 +601,48 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val books = fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
+    // n_corpus stamps the tables self-describing (one metadata-cheap
+    // count): a reader globbing several persisted indexes — the replay
+    // oracle does — selects the one built from its corpus by size.
+    val n = corpus.count()
     books.indices.flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
-      .toDF("subspace", "centroid_id", "centroid")
+      .toDF("subspace", "centroid_id", "centroid").withColumn("n_corpus", lit(n))
       .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
     pqEncode(corpus, books, idCol, vecCol).drop("nvec")
+      .withColumn("n_corpus", lit(n))
       .write.mode("overwrite").parquet(path + "/codes")
+  }
+
+  /** Persist the IVF half of an index: the coarse-quantizer centroids
+    * (cell, centroid) — nCells×dim doubles, driver-sized by construction.
+    * Cell assignment is a pure function of (vector, centroids), so the
+    * centroids ARE the index: any engine — the replay oracle included —
+    * recomputes assignments and probes deterministically from this table.
+    */
+  def writeIvfCentroids(corpus: DataFrame, path: String, nCells: Int,
+      vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
+    val n = corpus.count()
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq, n) }.toSeq
+      .toDF("cell", "centroid", "n_corpus")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+  }
+
+  /** IVF ANN top-k against [[writeIvfCentroids]] centroids on disk — the
+    * build-once / query-many split of [[ivfTopK]]. With the same seed the
+    * results are row-identical to the in-session path.
+    */
+  def ivfTopKFromCentroids(path: String, corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centers = spark.read.parquet(path + "/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    ivfSearch(centers, corpus, queries, k, nProbe, idCol, vecCol)
   }
 
   /** ANN top-k against a [[writePqIndex]] index on disk: codebooks reload
@@ -599,6 +702,40 @@ object Similarity {
         fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol))
       case None => fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
     }
+    ivfPqSearch(centers, books, corpus, queries, k, nProbe, refine, idCol, vecCol)
+  }
+
+  /** IVF-PQ against persisted index halves: coarse centroids from
+    * [[writeIvfCentroids]], codebooks from [[writePqIndex]] — the
+    * composition a production deployment runs, entirely from tables on
+    * disk plus the live corpus for encoding and re-rank.
+    */
+  def ivfPqTopKFromIndexes(ivfPath: String, pqPath: String,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 4, refine: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centers = spark.read.parquet(ivfPath + "/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val books = spark.read.parquet(pqPath + "/codebooks")
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }.toArray
+    ivfPqSearch(centers, books, corpus, queries, k, nProbe, refine, idCol, vecCol)
+  }
+
+  /** The search half of IVF-PQ, shared by the in-session [[ivfPqTopK]] and
+    * the on-disk [[ivfPqTopKFromIndexes]] paths.
+    */
+  private def ivfPqSearch(centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, refine: Int, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val m = books.length
     val subDim = books(0)(0).length
 
     val session = corpus.sparkSession

@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
     val codes = spark.read.parquet(path + "/codes")
     assert(codes.count() === emb.count())
     assert(codes.columns.toSet ===
-      (Set("neighbor_id") ++ (0 until 8).map(j => s"code_$j")))
+      (Set("neighbor_id", "n_corpus") ++ (0 until 8).map(j => s"code_$j")))
 
     // same seed -> same codebooks -> row-identical results to pqTopK
     val fromIndex = Similarity.pqTopKFromIndex(path, emb, q, k = 5, refine = 32)
