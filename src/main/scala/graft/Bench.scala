@@ -70,7 +70,13 @@ object Bench {
     // (measured: 2× oversubscription ⇒ 2.5× on the shingle-dedup queries,
     // 1× on map-only queries), so the number contextualizes the timings.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_avg":$load}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_avg":$load}"""
+    println(json)
+    // The stdout line travels through sbt's [info] prefix and the driver's
+    // tail capture, which has truncated it two rounds running — the file
+    // is the artifact that can't be mangled in transit.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

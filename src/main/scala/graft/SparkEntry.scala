@@ -994,7 +994,11 @@ object SparkEntry {
 
     // Composed keep/drop decision — the C4/Gopher-shape filter pipeline
     // end-to-end: quality floor + language gate + repetition ceiling +
-    // exact-dup keeper, one boolean per document.
+    // exact-dup keeper, one boolean per document. The keeper window is the
+    // r6 addition and its one md5-partitioned exchange is the whole
+    // r5→r6 cost delta (0.5→1.2 s at sf0.1); the aggregate-then-
+    // broadcast-join alternative was A/B-measured SLOWER here (1.5-1.7 s)
+    // because it scans and hashes the text column twice — see PLANS.md.
     "pipeline_keep" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
@@ -1018,9 +1022,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Batch sessionization over events: 30-minute-gap sessions, per-user
-    // session counts. One shuffle on user_id; lag + running sum share the
-    // same window ordering.
+
     "events_sessions" -> ((s, dir) => {
       graft.streaming.EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
         .groupBy(col("user_id"))
