@@ -714,6 +714,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // F23 POS-filter analog (classifiers.ipynb cell 12): per doc, tokens
+    // surviving the stopword + suffix-heuristic noun/adj filter that
+    // feeds the stemmer, with the first surviving surface forms emitted
+    // for row-level checking (pre-stem — Porter itself is locked by
+    // PorterSpec; the filter logic is what the oracle replays).
+    "text_pos_filter" -> ((s, dir) => {
+      val stops = typedLit(Seq("the", "a", "and", "of", "to", "in", "is", "was"))
+      val toks = TextStats.tokenize(col("text"))
+      val kept = TextStats.posFilterHeuristic(toks, stops)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(kept).cast("bigint").as("n_kept"),
+          when(size(toks) > 0,
+            round(size(kept).cast("double") / size(toks), 4)).otherwise(0.0)
+            .as("keep_ratio"),
+          array_join(slice(kept, 1, 5), " ").as("first_kept"))
+        .orderBy("doc_id")
+    }),
+
     // Token totals per source — the "how many tokens per shard" pipeline stat.
     "text_token_totals" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2790,6 +2810,31 @@ object SparkEntry {
         |      + 0.2 * (CASE WHEN (len(text) + 1) * 1.0 / len(string_split(trim(text), ' '))
         |                    BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The POS heuristic is pure suffix/set logic, so the oracle replays
+    // the whole filter: tokenize, stopword drop, -ly adverbs, -ing/-ed
+    // inflections with the short-word guards.
+    "text_pos_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, t ->
+        |      NOT list_contains(['the','a','and','of','to','in','is','was'], t)
+        |      AND NOT ends_with(t, 'ly')
+        |      AND NOT (ends_with(t, 'ing') AND len(t) > 5)
+        |      AND NOT (ends_with(t, 'ed') AND len(t) > 4)) AS kept
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CASE WHEN len(toks) > 0
+        |    THEN round(len(kept) * 1.0 / len(toks), 4) ELSE 0.0 END AS keep_ratio,
+        |  array_to_string(list_slice(kept, 1, 5), ' ') AS first_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // Shared by the single-pass (text_token_totals) and the split-merge
     // (text_token_totals_incremental) forms — green = additive state

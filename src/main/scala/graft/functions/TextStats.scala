@@ -31,6 +31,34 @@ object TextStats {
   def stemmedTokens(c: Column): Column =
     transform(tokenize(c), t => PorterStemColumn.porterStem(t))
 
+  /** F23 POS-filter analog (classifiers.ipynb cell 12 keeps spaCy
+    * NOUN/ADJ tokens before stemming). A tagger model can't ship in the
+    * zero-egress environment, so the capability analog is subtractive:
+    * drop the token classes that are reliably NOT noun/adjective —
+    * function words (the stopword list), `-ly` adverbs, and `-ing`/`-ed`
+    * verb inflections (length guards keep short lexical words like
+    * "ring", "red", "bed") — leaving the noun/adjective-dominated stream
+    * whose vocabulary concentration is what the reference's filter buys
+    * its TF-IDF stage. The rule set is pure suffix/set logic: map-only,
+    * codegen'd, and SQL-replayable (the `text_pos_filter` oracle).
+    * Deviation from true POS tagging is documented at COVERAGE.md F23.
+    */
+  def posFilterHeuristic(tokens: Column, stopwords: Column): Column =
+    filter(tokens, t =>
+      !array_contains(stopwords, t) &&
+        !t.endsWith(lit("ly")) &&
+        !(t.endsWith(lit("ing")) && length(t) > 5) &&
+        !(t.endsWith(lit("ed")) && length(t) > 4))
+
+  /** Cell 12 end-to-end: tokenize → POS-heuristic filter → Porter stem,
+    * in the reference's order (the POS filter sees surface forms, not
+    * stems). Drop-in alternative to [[stemmedTokens]] for classifier
+    * feature extraction.
+    */
+  def nounAdjStemmedTokens(c: Column, stopwords: Column): Column =
+    transform(posFilterHeuristic(tokenize(c), stopwords),
+      t => PorterStemColumn.porterStem(t))
+
   /** Whitespace token count — the cheap "how many tokens will the trainer
     * see" estimator.
     */

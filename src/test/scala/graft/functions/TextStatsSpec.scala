@@ -12,6 +12,27 @@ class TextStatsSpec extends SparkSpec {
     assert(r === Seq("the", "quick-brown", "fox"))
   }
 
+  test("posFilterHeuristic: drops function words, -ly adverbs and verb " +
+      "inflections; guards keep short lexical words (F23 analog)") {
+    val stops = typedLit(Seq("the", "a"))
+    val r = Seq("the running government quickly red bed ring painted dog")
+      .toDF("v")
+      .select(TextStats.posFilterHeuristic(TextStats.tokenize(col("v")), stops))
+      .as[Seq[String]].head()
+    // dropped: "the" (stopword), "running" (-ing, len 7), "quickly" (-ly),
+    // "painted" (-ed, len 7); kept: "red"/"bed" (-ed but len 3) and
+    // "ring" (-ing but len 4) via the length guards
+    assert(r === Seq("government", "red", "bed", "ring", "dog"))
+  }
+
+  test("nounAdjStemmedTokens stems the filtered surface forms") {
+    val stops = typedLit(Seq("the"))
+    val r = Seq("the national connection running").toDF("v")
+      .select(TextStats.nounAdjStemmedTokens(col("v"), stops))
+      .as[Seq[String]].head()
+    assert(r === Seq("nation", "connect")) // Porter stems; "running" filtered
+  }
+
   test("tokenCount counts whitespace tokens") {
     val r = Seq("one two  three").toDF("v")
       .select(TextStats.tokenCount(col("v"))).as[Int].head()
