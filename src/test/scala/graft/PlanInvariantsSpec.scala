@@ -109,6 +109,32 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Window"), "no window operator in the packing plan")
   }
 
+  test("dynamic partition pruning: a round-partitioned write is pruned at " +
+      "join time by a filtered dim (SURVEY §4's 'round becomes a partition " +
+      "column → DPP free')") {
+    assume(available)
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toFile
+    tmp.deleteOnExit()
+    val path = tmp.getAbsolutePath + "/orders_by_round"
+    graft.sources.Tables.load(spark, dir, "orders")
+      .withColumn("round", (pmod(col("o_orderkey"), lit(4)) + 1).cast("int"))
+      .write.partitionBy("round").mode("overwrite").parquet(path)
+
+    // dim filter on a NON-join attribute: the surviving round values are
+    // unknowable at plan time, so only runtime pruning can skip partitions
+    val dim = graft.sources.Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA")
+      .select((col("r_regionkey") + 1).cast("int").as("round"))
+    val joined = spark.read.parquet(path).join(dim, Seq("round"))
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery in the partitioned join's scan:\n$p")
+    // and the pruning actually executes: exactly one of the four round
+    // partitions survives
+    assert(joined.select(col("round")).distinct().count() === 1)
+  }
+
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
