@@ -151,18 +151,6 @@ object Rebuild {
     }
   }
 
-  /** CLI (`synth rebuild` analog, cli.py:66-74): `Rebuild <inDir> <outDir>`.
-    *
-    * Input layout: `<inDir>/round<N>/` (N ascending = synth rounds) with
-    * parquet per source table (NHM_Call, NHM_Specific_Disciplines,
-    * NHM_Outputs, T_List_of_UserProjects, T_List_of_Users,
-    * NHM_Application_Scores); round-shared dims (NHM_Disciplines,
-    * NHM_OutputTypes, NHM_PublicationStatus) read from the LAST round
-    * (etl.py reads synth-4); `<inDir>/resources/` with Country_Iso_Codes /
-    * xlsx-sheet parquet, users.csv, master_clean.json,
-    * unmatched_home_institutions.json, geocities.parquet and (optional)
-    * output_dois.parquet / doi_metadata.parquet caches.
-    */
   /** S10/S11's production shape: the reference's `synth rebuild` target is
     * a live MySQL analysis database (synth/utils.py:308-311 builds the
     * target session; synth/etl.py:149-178 drops and recreates the schema).
@@ -177,6 +165,18 @@ object Rebuild {
       df.write.mode("overwrite").jdbc(url, name, props)
     }
 
+  /** CLI (`synth rebuild` analog, cli.py:66-74): `Rebuild <inDir> <outDir>`.
+    *
+    * Input layout: `<inDir>/round<N>/` (N ascending = synth rounds) with
+    * parquet per source table (NHM_Call, NHM_Specific_Disciplines,
+    * NHM_Outputs, T_List_of_UserProjects, T_List_of_Users,
+    * NHM_Application_Scores); round-shared dims (NHM_Disciplines,
+    * NHM_OutputTypes, NHM_PublicationStatus) read from the LAST round
+    * (etl.py reads synth-4); `<inDir>/resources/` with Country_Iso_Codes /
+    * xlsx-sheet parquet, users.csv, master_clean.json,
+    * unmatched_home_institutions.json, geocities.parquet and (optional)
+    * output_dois.parquet / doi_metadata.parquet caches.
+    */
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = graft.GraftSession.get(

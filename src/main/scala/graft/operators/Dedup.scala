@@ -285,20 +285,27 @@ object Dedup {
     * only that 2 of 32 positions agree), so most false candidates go.
     *
     * The margin makes the prefilter conservative: a pair at true Jaccard j
-    * has estimate ~ Binomial(numHashes, j)/numHashes, so with the default
-    * margin 0.25 at threshold 0.7 (keep est ≥ 0.45, i.e. ≥ 3σ below the
-    * mean at j = 0.7) the probability of dropping a qualifying pair is
-    * ~1e-3 at the threshold boundary and vanishes above it. The output
-    * therefore equals [[minhashBandedPairs]] — registered under the SAME
-    * DuckDB oracle (brute-force exact Jaccard), so the green row is the
-    * proof on each corpus. Estimate accuracy itself is gated by
+    * has estimate ~ Binomial(numHashes, j)/numHashes (σ ≈ 0.081 at 32
+    * hashes), so the default margin 0.40 at threshold 0.7 (keep est ≥
+    * 0.30, ≈ 4.9σ below the mean of a boundary pair) bounds the per-pair
+    * drop probability near 5e-7 — and it decays geometrically above the
+    * threshold. Measured on the shipped corpora (tools/EstProbe): the
+    * LOWEST estimate of any exactly-qualifying pair is 0.84 (sf0.01,
+    * 25 pairs) / 0.75 (sf0.1, 256 pairs), so the boundary population the
+    * tail bound guards is empty, and cutting at 0.30 keeps the prefilter's
+    * prune (49→25 / 2072→256 candidates) identical to the old 0.45 cut.
+    * The output therefore equals [[minhashBandedPairs]] — registered under
+    * the SAME DuckDB oracle (brute-force exact Jaccard), so the green row
+    * is the proof on each corpus. A corpus whose near-dup population
+    * hugs the threshold should raise numHashes (tighter σ) rather than
+    * rely on the margin. Estimate accuracy itself is gated by
     * `dedup_minhash_est_gate`.
     */
   def minhashEstimatedPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 4096,
-      margin: Double = 0.25): DataFrame = {
+      margin: Double = 0.40): DataFrame = {
     val (cand, sh, sigs) =
       bandedCandidates(docs, textCol, idCol, n, bands, rowsPerBand, maxBucket)
     val kept = withAgreement(cand, sigs, bands * rowsPerBand)
@@ -333,6 +340,20 @@ object Dedup {
         sum((col("jaccard") >= threshold).cast("long")).as("n_pairs"),
         (avg(col("err")) <= 0.10).as("avg_err_ok"),
         (max(col("err")) <= 0.35).as("max_err_ok"))
+  }
+
+  /** Audit view of (est, exact) per banded candidate — what the margin
+    * analysis in [[minhashEstimatedPairs]] is measured from (tools/EstProbe).
+    */
+  private[graft] def minhashEstimateDebug(
+      docs: DataFrame, textCol: String, idCol: String, n: Int,
+      bands: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 4096): DataFrame = {
+    val (cand, sh, sigs) =
+      bandedCandidates(docs, textCol, idCol, n, bands, rowsPerBand, maxBucket)
+    val exact = verifyExactJaccard(cand, sh, threshold = 0.0)
+    withAgreement(cand, sigs, bands * rowsPerBand)
+      .join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est"), col("jaccard"))
   }
 
   /** Shared head of the banded-LSH paths: candidate pairs plus the

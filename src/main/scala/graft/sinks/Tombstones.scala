@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Tombstones {
 
+  /** The path's own FileSystem — tombstones live wherever the data lives
+    * (hdfs://, s3a://, file:). A java.io.File existence test is
+    * local-only: on a cluster filesystem it is always false, which would
+    * silently IGNORE tombstones — erasure-requested rows resurfacing is
+    * the worst possible failure mode for this sink.
+    */
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p)
+  }
+
   /** Append deletion keys (a 1-column frame of `idCol`) to the tombstone
     * table at `tombstonePath`. Append-only: concurrent readers see either
     * the old or the new tombstone set, both consistent.
@@ -33,7 +49,7 @@ object Tombstones {
   def read(spark: SparkSession, dataPath: String, tombstonePath: String,
       idCol: String): DataFrame = {
     val data = spark.read.parquet(dataPath)
-    if (!new java.io.File(tombstonePath).exists()) data
+    if (!exists(spark, tombstonePath)) data
     else data.join(broadcast(spark.read.parquet(tombstonePath)),
       Seq(idCol), "left_anti")
   }
@@ -45,16 +61,15 @@ object Tombstones {
   def apply(spark: SparkSession, dataPath: String, tombstonePath: String,
       idCol: String, outPath: String): Long = {
     val n =
-      if (!new java.io.File(tombstonePath).exists()) 0L
+      if (!exists(spark, tombstonePath)) 0L
       else spark.read.parquet(tombstonePath).distinct().count()
     read(spark, dataPath, tombstonePath, idCol)
       .write.mode("overwrite").parquet(outPath)
     // reset AFTER the rewrite landed: a crash before this point leaves the
     // tombstones in place (deletes stay logically applied — safe to retry)
     if (n > 0) {
-      val dir = new java.io.File(tombstonePath)
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+      val (f, p) = fs(spark, tombstonePath)
+      f.delete(p, true)
     }
     n
   }

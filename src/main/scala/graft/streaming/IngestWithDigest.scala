@@ -17,10 +17,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   3. append the survivors' digests to the digest table.
   *
   * foreachBatch gives exactly-once per-batch semantics through the
-  * checkpoint: a replayed batchId re-runs the same work, and the
-  * `idempotentAppend` guard (skip if this batchId already landed) keeps
-  * the re-run from double-appending — the documented Spark recipe for
-  * idempotent foreachBatch sinks.
+  * checkpoint: a replayed batchId re-runs the same work, and PER-SINK
+  * batch_id replay guards (skip each append whose batchId already landed
+  * in THAT sink) keep the re-run from double-appending even when a crash
+  * falls between the two appends — the documented Spark recipe for
+  * idempotent foreachBatch sinks, done per sink because two parquet jobs
+  * never commit atomically together.
   *
   * At 100 TB the digest table is (md5, batch_id) — ~48 bytes a document,
   * orders of magnitude smaller than the corpus; the per-batch anti-join
@@ -44,11 +46,28 @@ object IngestWithDigest {
       .start()
 
   /** One micro-batch, callable from tests directly: dedup against the
-    * digest, append survivors + their digests. Idempotent per batchId.
+    * digest, append survivors (stamped with their batch_id) + their
+    * digests.
+    *
+    * Exactly-once: the corpus and digest appends are two separate parquet
+    * jobs that cannot commit atomically together, so EACH sink carries
+    * batch_id and keeps its own replay guard. A crash between the two
+    * appends replays into "corpus has this batch, digest does not": the
+    * corpus append is skipped, and the digest append — recomputed from
+    * the same pre-batch digest state the crashed attempt saw, hence
+    * row-identical — completes the pair. A single shared guard on the
+    * digest (the previous form) left that window re-appending the corpus.
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       digestPath: String): Unit = {
     val spark = batch.sparkSession
+    def landed(path: String): Boolean =
+      exists(spark, path) &&
+        !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val corpusHas = landed(corpusPath)
+    val digestHas = landed(digestPath)
+    if (corpusHas && digestHas) return // full replay of a landed batch
+
     val hashed = batch.withColumn("content_md5", md5(col("text").cast("binary")))
       // a batch can carry its own internal dups: keep the smallest id
       .withColumn("__rk", row_number().over(
@@ -56,21 +75,28 @@ object IngestWithDigest {
           .partitionBy(col("content_md5")).orderBy(col("doc_id"))))
       .filter(col("__rk") === 1).drop("__rk")
 
-    val digestExists = new java.io.File(digestPath).exists()
-    if (digestExists &&
-        !spark.read.parquet(digestPath)
-          .filter(col("batch_id") === batchId).isEmpty) {
-      return // this batchId already landed — replay after a crash, skip
-    }
+    // the digest never contains this batch here (digest is written LAST,
+    // and a landed digest short-circuits above), so the anti-join state
+    // is the pre-batch history on first run and replay alike
     val survivors =
-      if (digestExists)
+      if (exists(spark, digestPath))
         hashed.join(spark.read.parquet(digestPath).select("content_md5"),
           Seq("content_md5"), "left_anti")
       else hashed
 
-    survivors.drop("content_md5")
-      .write.mode("append").parquet(corpusPath)
-    survivors.select(col("content_md5"), lit(batchId).as("batch_id"))
-      .write.mode("append").parquet(digestPath)
+    if (!corpusHas)
+      survivors.drop("content_md5").withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(corpusPath)
+    if (!digestHas)
+      survivors.select(col("content_md5"), lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(digestPath)
+  }
+
+  /** Existence through the Hadoop FileSystem of the path's scheme — a
+    * java.io.File test is local-only and silently false on hdfs:///s3a://.
+    */
+  private def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 }

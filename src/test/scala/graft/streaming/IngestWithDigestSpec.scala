@@ -45,4 +45,34 @@ class IngestWithDigestSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
       === Set(1L, 2L, 5L, 9L))
   }
+
+  test("a crash between the corpus and digest appends replays without " +
+      "duplicating the corpus") {
+    val dir = Files.createTempDirectory("digest_crash").toFile
+    dir.deleteOnExit()
+    val corpus = dir.getAbsolutePath + "/corpus"
+    val digest = dir.getAbsolutePath + "/digest"
+
+    IngestWithDigest.processBatch(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), batchId = 0L, corpus, digest)
+
+    // simulate batch 1 crashing AFTER its corpus append, BEFORE its digest
+    // append (the non-atomic window): corpus has the stamped rows, digest
+    // does not know the batch
+    val b1 = Seq((2L, "beta")).toDF("doc_id", "text")
+    b1.withColumn("batch_id", lit(1L)).write.mode("append").parquet(corpus)
+
+    // checkpoint replay of batch 1: corpus must NOT double-append; the
+    // digest append must complete the pair
+    IngestWithDigest.processBatch(b1, batchId = 1L, corpus, digest)
+    assert(spark.read.parquet(corpus).filter(col("batch_id") === 1L).count() === 1,
+      "replay duplicated the corpus rows of the crashed batch")
+    assert(spark.read.parquet(digest).filter(col("batch_id") === 1L).count() === 1,
+      "replay did not complete the digest append")
+
+    // a second full replay is a complete no-op
+    IngestWithDigest.processBatch(b1, batchId = 1L, corpus, digest)
+    assert(spark.read.parquet(corpus).count() === 2)
+    assert(spark.read.parquet(digest).count() === 2)
+  }
 }
