@@ -632,6 +632,99 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // CleanOutputs (etl.py:375-432, F7-F10) driven end-to-end through
+    // graft.etl.Steps.cleanOutputs: in-place clean_string of authors/title
+    // (empty stays empty, null stays null), DOI-cache join, and the
+    // metadata struct application — F7 "family given; …" author
+    // formatting over entries having both parts, F8 year from created[:4],
+    // F9 title fallback to the existing value when the titles array is
+    // empty, F10 volume/pages overwritten only when present in metadata.
+    // Caches are derived frames (array-of-struct authors built in-query);
+    // the oracle reconstructs the same structs and replays every rule.
+    "etl_clean_outputs" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o"),
+          (m(col("o_orderkey"), 4) + 1).cast("int").as("round"),
+          col("o_orderstatus"))
+      val o = col("o")
+      val outputTable = base.select(
+        o.as("id"),
+        lit("article").as("output_type"), lit("published").as("publication_status"),
+        when(m(o, 11) === 0, lit("")).when(m(o, 11) === 1, lit(null))
+          .otherwise(concat(lit("A\tB  "), o)).as("authors"),
+        (lit(1990) + m(o, 30)).cast("int").as("year"),
+        when(m(o, 7) === 0, lit("")).otherwise(concat(lit("T  "), o)).as("title"),
+        concat(lit("P"), m(o, 4)).as("publisher"),
+        concat(lit("u"), o).as("url"),
+        when(m(o, 2) === 0, lit(null)).otherwise(concat(lit("V"), m(o, 9))).as("volume"),
+        concat(lit("pg"), m(o, 13)).as("pages"),
+        col("o_orderstatus").as("conference"), lit(null).cast("string").as("degree"),
+        col("round"))
+      val mapping = base.select(col("round"), o.as("original_id"), o.as("new_id"))
+      val doiRows = base.filter(m(o, 3) === 0)
+        .select(col("round"), o.as("original_id"),
+          concat(lit("10."), m(o, 1000), lit("/x"), o).as("doi"), o.as("mo"))
+      val mo = col("mo")
+      val doiMetadata = doiRows.select(col("doi"),
+        array(
+          struct(concat(lit("G"), m(mo, 7)).as("given"),
+            concat(lit("F"), m(mo, 5)).as("family")),
+          struct(lit(null).cast("string").as("given"), lit("Solo").as("family")))
+          .as("authors"),
+        when(m(mo, 5) === 0, array().cast("array<string>"))
+          .otherwise(array(concat(lit("Ti  "), mo), lit("Alt"))).as("titles"),
+        concat(lit("19"), lpad(m(mo, 100).cast("string"), 2, "0"), lit("-01-02"))
+          .as("created"),
+        concat(lit("Pub"), m(mo, 4)).as("publisher"),
+        concat(lit("http://ex/"), mo).as("url"),
+        when(m(mo, 6) < 3, concat(lit("MV"), m(mo, 9))).otherwise(lit(null)).as("volume"),
+        when(m(mo, 13) === 0, lit(null)).otherwise(concat(lit("mpg"), m(mo, 13)))
+          .as("pages"))
+      graft.etl.Steps.cleanOutputs(outputTable, mapping,
+          doiRows.select(col("round"), col("original_id"), col("doi")), doiMetadata)
+        .select(col("id"), col("authors"), col("year"), col("title"),
+          col("publisher"), col("url"), col("volume"), col("pages"),
+          col("conference"), col("doi"), col("round"))
+        .orderBy("id")
+    }),
+
+    // S3 (users.csv multi-ID explode) driven through
+    // graft.sources.UsersCsv.explodeGuids over a derived wide frame:
+    // comma-packed per-round ID cells (some empty, some single, some
+    // double) and per-round age cells (empty → NULL) — the exact
+    // resources.py:415-457 surface, oracled by replaying the split +
+    // unnest + casts in SQL. The GUID-uniqueness invariant
+    // (DuplicateUserGuidError) runs inside explodeGuids.
+    "etl_users_csv" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val ck = col("c_custkey")
+      val cols = col("c_custkey").cast("bigint").as("GUID") +:
+        (1 to 4).flatMap { r =>
+          val k = ck + lit(r)
+          Seq(
+            when(m(k, 4) === 0, lit(""))
+              .when(m(k, 3) === 0, (ck * 10 + r).cast("string"))
+              .otherwise(concat(ck * 10 + lit(r), lit(","), ck * 10 + lit(r) + 100000))
+              .as(s"SYNTH_${r}_ID"),
+            when(m(k, 5) === 0, lit("")).otherwise(concat(lit("a"), m(k, 5)))
+              .as(s"SYNTH_${r}_AGE"))
+        }
+      val wide = t(s, dir, "customer").select(cols: _*)
+      graft.sources.UsersCsv.explodeGuids(wide)
+        .orderBy("round", "user_id")
+    }),
+
+    // S10 (DDL sink): the schema-to-DDL half of the dump path as data —
+    // one row per table, the exact CREATE TABLE text the dump writes.
+    "s10_ddl" -> ((s, dir) => {
+      import s.implicits._
+      Seq("region", "nation")
+        .map(n => (n, graft.sinks.SqlDump.createTableDdl(t(s, dir, n), n)))
+        .toDF("tbl", "ddl")
+        .orderBy("tbl")
+    }),
+
     // S12/F25 — SQL-dump sink statements as a distributed text column.
     "s12_sql_dump" -> ((s, dir) => {
       graft.sinks.SqlDump.insertStatements(
@@ -2173,6 +2266,103 @@ object SparkEntry {
         |              FROM scanned GROUP BY name)
         |SELECT row_number() OVER (ORDER BY first_seen) AS id, name, discipline_id
         |FROM canonical ORDER BY id""".stripMargin,
+
+    // SQL replay of the users.csv explode: same wide cells, then
+    // string_split + unnest + int casts, '' age → NULL, empty cells drop.
+    "etl_users_csv" ->
+      """WITH r AS (SELECT unnest([1, 2, 3, 4]) AS round),
+        |cells AS (SELECT r.round, c_custkey AS guid,
+        |    CASE WHEN (c_custkey + r.round) % 4 = 0 THEN ''
+        |         WHEN (c_custkey + r.round) % 3 = 0
+        |           THEN CAST(c_custkey * 10 + r.round AS VARCHAR)
+        |         ELSE (c_custkey * 10 + r.round) || ',' ||
+        |              (c_custkey * 10 + r.round + 100000) END AS cell,
+        |    CASE WHEN (c_custkey + r.round) % 5 = 0 THEN ''
+        |         ELSE 'a' || ((c_custkey + r.round) % 5) END AS age
+        |  FROM customer CROSS JOIN r)
+        |SELECT CAST(round AS INT) AS round,
+        |  CAST(unnest(string_split(cell, ',')) AS INT) AS user_id,
+        |  CAST(guid AS BIGINT) AS guid,
+        |  CASE WHEN age = '' THEN NULL ELSE age END AS age_range
+        |FROM cells WHERE cell <> ''
+        |ORDER BY round, user_id""".stripMargin,
+
+    // The DDL text is a pure function of the (fixed, declared) schema —
+    // the oracle pins it literally.
+    "s10_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('nation', 'CREATE TABLE `nation` (' || chr(10) ||
+        |    chr(9) || '`n_nationkey` INTEGER,' || chr(10) ||
+        |    chr(9) || '`n_name` TEXT,' || chr(10) ||
+        |    chr(9) || '`n_regionkey` INTEGER' || chr(10) || ');'),
+        |  ('region', 'CREATE TABLE `region` (' || chr(10) ||
+        |    chr(9) || '`r_regionkey` INTEGER,' || chr(10) ||
+        |    chr(9) || '`r_name` TEXT' || chr(10) || ');')
+        |) AS t(tbl, ddl) ORDER BY tbl""".stripMargin,
+
+    // SQL replay of CleanOutputs: the same derived caches (structs built
+    // as DuckDB literals), in-place cleaning with the ''-stays-'' rule,
+    // and every F7-F10 overwrite rule.
+    "etl_clean_outputs" ->
+      """WITH b AS (SELECT o_orderkey AS o, CAST(o_orderkey % 4 + 1 AS INT) AS round,
+        |                  o_orderstatus FROM orders),
+        |out0 AS (SELECT o, round, o_orderstatus AS conference,
+        |  CASE WHEN o % 11 = 0 THEN '' WHEN o % 11 = 1 THEN NULL
+        |       ELSE 'A' || chr(9) || 'B  ' || o END AS authors0,
+        |  CAST(1990 + o % 30 AS INT) AS year0,
+        |  CASE WHEN o % 7 = 0 THEN '' ELSE 'T  ' || o END AS title0,
+        |  'P' || (o % 4) AS publisher0, 'u' || o AS url0,
+        |  CASE WHEN o % 2 = 0 THEN NULL ELSE 'V' || (o % 9) END AS volume0,
+        |  'pg' || (o % 13) AS pages0
+        |  FROM b),
+        |cleaned AS (SELECT *,
+        |  CASE WHEN authors0 IS NOT NULL AND authors0 <> '' THEN
+        |    (SELECT CASE WHEN t = '' OR NOT regexp_matches(t, '\w') THEN NULL ELSE t END
+        |     FROM (SELECT trim(regexp_replace(regexp_replace(authors0, '[\r\n\t]+', ' ', 'g'),
+        |                        ' {2,}', ' ', 'g')) AS t))
+        |    ELSE authors0 END AS authors_c,
+        |  CASE WHEN title0 IS NOT NULL AND title0 <> '' THEN
+        |    (SELECT CASE WHEN t = '' OR NOT regexp_matches(t, '\w') THEN NULL ELSE t END
+        |     FROM (SELECT trim(regexp_replace(regexp_replace(title0, '[\r\n\t]+', ' ', 'g'),
+        |                        ' {2,}', ' ', 'g')) AS t))
+        |    ELSE title0 END AS title_c
+        |  FROM out0),
+        |meta AS (SELECT o AS mo, '10.' || (o % 1000) || '/x' || o AS doi,
+        |  [{'given': 'G' || (o % 7), 'family': 'F' || (o % 5)},
+        |   {'given': CAST(NULL AS VARCHAR), 'family': 'Solo'}] AS authors,
+        |  CASE WHEN o % 5 = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE ['Ti  ' || o, 'Alt'] END AS titles,
+        |  '19' || lpad(CAST(o % 100 AS VARCHAR), 2, '0') || '-01-02' AS created,
+        |  'Pub' || (o % 4) AS mpublisher, 'http://ex/' || o AS murl,
+        |  CASE WHEN o % 6 < 3 THEN 'MV' || (o % 9) ELSE NULL END AS mvolume,
+        |  CASE WHEN o % 13 = 0 THEN NULL ELSE 'mpg' || (o % 13) END AS mpages
+        |  FROM b WHERE o % 3 = 0),
+        |m2 AS (SELECT mo, doi,
+        |  array_to_string(list_transform(
+        |    list_filter(authors, a -> struct_extract(a, 'given') IS NOT NULL
+        |                          AND struct_extract(a, 'family') IS NOT NULL),
+        |    a -> struct_extract(a, 'family') || ' ' || struct_extract(a, 'given')),
+        |    '; ') AS m_authors,
+        |  CASE WHEN len(titles) > 0 THEN
+        |    (SELECT CASE WHEN t = '' OR NOT regexp_matches(t, '\w') THEN NULL ELSE t END
+        |     FROM (SELECT trim(regexp_replace(regexp_replace(titles[1], '[\r\n\t]+', ' ', 'g'),
+        |                        ' {2,}', ' ', 'g')) AS t))
+        |    END AS m_title,
+        |  CAST(substring(created, 1, 4) AS INT) AS m_year,
+        |  mpublisher, murl, mvolume, mpages
+        |  FROM meta)
+        |SELECT c.o AS id,
+        |  CASE WHEN m2.mo IS NOT NULL THEN m_authors ELSE authors_c END AS authors,
+        |  CASE WHEN m2.mo IS NOT NULL THEN m_year ELSE year0 END AS year,
+        |  CASE WHEN m2.mo IS NOT NULL THEN coalesce(m_title, title_c)
+        |       ELSE title_c END AS title,
+        |  CASE WHEN m2.mo IS NOT NULL THEN mpublisher ELSE publisher0 END AS publisher,
+        |  CASE WHEN m2.mo IS NOT NULL THEN murl ELSE url0 END AS url,
+        |  coalesce(mvolume, volume0) AS volume,
+        |  coalesce(mpages, pages0) AS pages,
+        |  conference, doi, round
+        |FROM cleaned c LEFT JOIN m2 ON c.o = m2.mo
+        |ORDER BY id""".stripMargin,
 
     // Full SQL replay of fillVisitorProject over the same derived frames:
     // call ordinals, specific-discipline canonicalization, country ids by
