@@ -1668,11 +1668,19 @@ object SparkEntry {
     }),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans cells, exact
-    // cosine within a cell only. Subset of dedup_embedding_pairs by
+    // cosine within a cell only — against the PERSISTED centroids (the
+    // same table ann_ivf_topk searches). Given the cells, the whole pass
+    // is deterministic, so the query is FULLY oracled: DuckDB replays
+    // normalized assignment, the 2-probe overlap, intra-cell cosine and
+    // the pair dedup row-for-row. Subset of dedup_embedding_pairs by
     // construction (precision 1); recall measured by dedup_semantic_recall.
     "dedup_semantic" -> ((s, dir) => {
-      Similarity.semanticPairs(t(s, dir, "embeddings"), threshold = 0.45,
-          nCells = 8, corpusId = Some(dir), assignProbes = 2)
+      val emb = t(s, dir, "embeddings")
+      val path = ensureIndex(s, emb, "ivf", "centroids") { p =>
+        Similarity.writeIvfCentroids(emb, p, nCells = 8)
+      }
+      Similarity.semanticPairsFromCentroids(path, emb, threshold = 0.45,
+          assignProbes = 2)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -3343,6 +3351,39 @@ object SparkEntry {
 
     "ann_ivfpq_recall" ->
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    // Replay oracle for the persisted-centroid SemDeDup pass: normalized
+    // vectors, per-cell d2 ranking with the 2-probe overlap, intra-cell
+    // exact cosine over a<b pairs, threshold, and the multi-cell pair
+    // dedup via max — row-identical to semanticSearchPairs.
+    "dedup_semantic" ->
+      """WITH cent AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nv AS (SELECT vec_id,
+        |         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS nvec
+        |       FROM (SELECT vec_id, e,
+        |               sqrt(list_inner_product(e, e)) AS nrm FROM v)),
+        |d AS (SELECT vec_id, cell,
+        |        list_inner_product(centroid, centroid)
+        |          - 2.0 * list_inner_product(nvec, centroid) AS d2
+        |      FROM nv, cent),
+        |asg AS (SELECT vec_id, cell FROM
+        |          (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+        |           FROM d)
+        |        WHERE cr <= 2),
+        |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |            round(list_inner_product(na.nvec, nb.nvec), 4) AS sim
+        |          FROM asg a
+        |          JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |          JOIN nv na ON a.vec_id = na.vec_id
+        |          JOIN nv nb ON b.vec_id = nb.vec_id)
+        |SELECT doc_a, doc_b, max(sim) AS sim
+        |FROM pairs WHERE sim >= 0.45
+        |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
     // Semantic-dedup recall gate: DuckDB can't run the KMeans partition, but
     // it CAN recompute the exact pair universe and assert the boolean.

@@ -337,6 +337,31 @@ object Similarity {
         fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol))
       case None => fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
     }
+    semanticSearchPairs(centers, corpus, threshold, idCol, vecCol, assignProbes)
+  }
+
+  /** [[semanticPairs]] against [[writeIvfCentroids]] centroids on disk —
+    * given the persisted cells, the whole pass (normalized assignment,
+    * multi-probe, intra-cell exact cosine) is a pure function of the
+    * data, so the replay oracle checks it row-for-row.
+    */
+  def semanticPairsFromCentroids(path: String, corpus: DataFrame,
+      threshold: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      assignProbes: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    val centers = spark.read.parquet(path + "/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    semanticSearchPairs(centers, corpus, threshold, idCol, vecCol, assignProbes)
+  }
+
+  /** The search half of SemDeDup, shared by the in-session and on-disk
+    * centroid paths.
+    */
+  private def semanticSearchPairs(centers: Array[Array[Double]],
+      corpus: DataFrame, threshold: Double,
+      idCol: String, vecCol: String, assignProbes: Int): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
     val session = corpus.sparkSession
     import session.implicits._
     val centroids = centers.zipWithIndex
