@@ -725,6 +725,67 @@ object SparkEntry {
         .orderBy("tbl")
     }),
 
+    // F14 — the per-publisher network DOI stages (doi.py:129-223) with
+    // their offline halves REAL (recognizer regexes + response parsers)
+    // and the fetch a replayable cache join: records and the (key, body)
+    // response cache both derive deterministically from orders, and the
+    // oracle replays recognizers, joins, and parses (bibtex DOI + XML
+    // prism:doi + ReFindIt JSON) row-for-row.
+    "doi_network_stages" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val o = col("o_orderkey")
+      val pii = concat(lit("S"), upper(substring(md5(o.cast("string")), 1, 16)))
+      val camId = upper(substring(md5(o.cast("string")), 1, 12))
+      val url = when(m(o, 6) === 0, concat(lit("see elsevier ref "), pii))
+        .when(m(o, 6) === 1, concat(
+          lit("http://www.ingentaconnect.com/content/brill/ctz/"),
+          lit(1990) + m(o, 30), lit("/12/34/art"), lit(10000) + m(o, 90)))
+        .when(m(o, 6) === 2, concat(
+          lit("http://zookeys.pensoft.net/articles.php?version=2&id="), m(o, 9000)))
+        .when(m(o, 6) === 3, concat(
+          lit("https://subtbiol.pensoft.net/articles/"), m(o, 9000)))
+        .when(m(o, 6) === 4, concat(
+          lit("https://www.ncbi.nlm.nih.gov/pmc/articles/PMC"),
+          lit(1000000) + m(o, 9000000)))
+        .otherwise(concat(lit("www.cambridge.org/core/product/"), camId))
+      val records = t(s, dir, "orders")
+        .select(o.cast("bigint").as("id"), url.as("url"),
+          m(o, 6).cast("int").as("kind"))
+      // response cache: body is a function of the KEY-determining value,
+      // so colliding keys (pmod wraps) carry identical bodies; distinct
+      // dedups them
+      val r = records
+      val body = when(col("kind") === 0, concat(
+          lit("<coredata><prism:doi>10.1016/j."),
+          lower(graft.functions.DoiNetwork.elsevierPii(col("url"))),
+          lit("</prism:doi></coredata>")))
+        .when(col("kind") === 1, concat(lit("@article{a, doi = {10.1644/"),
+          regexp_extract(col("url"), "art(\\d+)", 1), lit("}}")))
+        .when(col("kind") === 2 || col("kind") === 3,
+          concat(lit("@article{a, doi = {10.3897/zk."),
+            regexp_extract(col("url"), "(\\d+)$", 1), lit("}}")))
+        .when(col("kind") === 4, concat(lit("""[{"doi": "10.1093/pm"""),
+          graft.functions.DoiNetwork.pubmedPmc(col("url")), lit("\"}]")))
+        .otherwise(concat(lit("@article{a, doi = {10.1017/"),
+          regexp_extract(col("url"), "product/([A-F0-9]+)", 1), lit("}}")))
+      val key = when(col("kind") === 0,
+          concat(lit("elsevier:"), graft.functions.DoiNetwork.elsevierPii(col("url"))))
+        .when(col("kind") === 1,
+          concat(lit("ingenta:"), graft.functions.DoiNetwork.ingentaPath(col("url"))))
+        .when(col("kind") === 2 || col("kind") === 3,
+          concat(lit("pensoft:"), graft.functions.DoiNetwork.pensoftRequest(col("url"))))
+        .when(col("kind") === 4,
+          concat(lit("pubmed:PMC"), graft.functions.DoiNetwork.pubmedPmc(col("url"))))
+        .otherwise(concat(lit("cambridge:"),
+          graft.functions.DoiNetwork.cambridgeUrl(col("url"))))
+      val cache = r.select(key.as("key"), body.as("body"))
+        .filter(col("key").isNotNull).distinct()
+      graft.functions.DoiNetwork.resolveFromCaches(records, "url", cache)
+        .select(col("id"), col("url"), col("k_elsevier"), col("k_cambridge"),
+          col("k_ingenta"), col("k_pensoft"), col("k_pubmed"), col("doi"))
+        .orderBy("id")
+    }),
+
     // S12/F25 — SQL-dump sink statements as a distributed text column.
     "s12_sql_dump" -> ((s, dir) => {
       graft.sinks.SqlDump.insertStatements(
@@ -2274,6 +2335,89 @@ object SparkEntry {
         |              FROM scanned GROUP BY name)
         |SELECT row_number() OVER (ORDER BY first_seen) AS id, name, discipline_id
         |FROM canonical ORDER BY id""".stripMargin,
+
+    // SQL replay of the F14 cascade: recognizer regexes (the pensoft
+    // lookbehind emulated as (^|[^_]) with shifted group numbers), the
+    // derived response cache, five key joins, and the three response
+    // parsers (XML prism:doi, normalized bibtex DOI, ReFindIt JSON).
+    "doi_network_stages" ->
+      """WITH o AS (SELECT o_orderkey AS id, CAST(o_orderkey % 6 AS INT) AS kind FROM orders),
+        |u AS (SELECT id, kind, CASE kind
+        |    WHEN 0 THEN 'see elsevier ref S' || upper(substring(md5(CAST(id AS VARCHAR)), 1, 16))
+        |    WHEN 1 THEN 'http://www.ingentaconnect.com/content/brill/ctz/' ||
+        |                (1990 + id % 30) || '/12/34/art' || (10000 + id % 90)
+        |    WHEN 2 THEN 'http://zookeys.pensoft.net/articles.php?version=2&id=' || (id % 9000)
+        |    WHEN 3 THEN 'https://subtbiol.pensoft.net/articles/' || (id % 9000)
+        |    WHEN 4 THEN 'https://www.ncbi.nlm.nih.gov/pmc/articles/PMC' || (1000000 + id % 9000000)
+        |    ELSE 'www.cambridge.org/core/product/' || upper(substring(md5(CAST(id AS VARCHAR)), 1, 12))
+        |  END AS url FROM o),
+        |p0 AS (SELECT *,
+        |    coalesce(
+        |      nullif(regexp_extract(url, 'articles\.php\?.*id=(\d+)', 1), ''),
+        |      nullif(regexp_extract(url, '(^|[^_])(?:article_)?id=(\d+)|articles?/(\d+)', 2), ''),
+        |      nullif(regexp_extract(url, '(^|[^_])(?:article_)?id=(\d+)|articles?/(\d+)', 3), '')) AS pid,
+        |    coalesce(
+        |      nullif(regexp_extract(url, '([a-z]+)\.pensoft|journals/([a-z]+)', 1), ''),
+        |      nullif(regexp_extract(url, '([a-z]+)\.pensoft|journals/([a-z]+)', 2), '')) AS jm
+        |  FROM u),
+        |k AS (SELECT id, url, kind,
+        |    CASE WHEN nullif(regexp_extract(url, '([SB][A-Z0-9]{16})', 1), '') IS NOT NULL
+        |         THEN 'elsevier:' || regexp_extract(url, '([SB][A-Z0-9]{16})', 1) END AS k_elsevier,
+        |    CASE WHEN url LIKE '%cambridge.org%' THEN 'cambridge:' ||
+        |         (CASE WHEN url LIKE 'http%' THEN url ELSE 'http://' || url END) END AS k_cambridge,
+        |    CASE WHEN nullif(regexp_extract(url, '(ingentaconnect\.com/.+/\d{4}/\d+/\d+/art\d+)', 1), '') IS NOT NULL
+        |         THEN 'ingenta:' || regexp_extract(url, '(ingentaconnect\.com/.+/\d{4}/\d+/\d+/art\d+)', 1) END AS k_ingenta,
+        |    CASE WHEN (url LIKE '%pensoft%' OR url LIKE '%zookeys%') AND pid IS NOT NULL
+        |          AND (CASE WHEN jm IS NULL THEN 'zookeys' WHEN jm = 'www' THEN NULL ELSE jm END) IS NOT NULL
+        |         THEN 'pensoft:https://' ||
+        |              (CASE WHEN jm IS NULL THEN 'zookeys' ELSE jm END) ||
+        |              '.pensoft.net/article/' || pid || '/download/bibtex' END AS k_pensoft,
+        |    CASE WHEN url LIKE '%ncbi.nlm.nih.gov%'
+        |          AND nullif(regexp_extract(url, '(\d{7})', 1), '') IS NOT NULL
+        |         THEN 'pubmed:PMC' || regexp_extract(url, '(\d{7})', 1) END AS k_pubmed
+        |  FROM p0),
+        |cache AS (SELECT DISTINCT
+        |    CASE kind
+        |      WHEN 0 THEN 'elsevier:' || regexp_extract(url, '([SB][A-Z0-9]{16})', 1)
+        |      WHEN 1 THEN 'ingenta:' || regexp_extract(url, '(ingentaconnect\.com/.+/\d{4}/\d+/\d+/art\d+)', 1)
+        |      WHEN 2 THEN 'pensoft:https://zookeys.pensoft.net/article/' ||
+        |                  regexp_extract(url, '(\d+)$', 1) || '/download/bibtex'
+        |      WHEN 3 THEN 'pensoft:https://subtbiol.pensoft.net/article/' ||
+        |                  regexp_extract(url, '(\d+)$', 1) || '/download/bibtex'
+        |      WHEN 4 THEN 'pubmed:PMC' || regexp_extract(url, '(\d{7})', 1)
+        |      ELSE 'cambridge:http://' || url END AS key,
+        |    CASE kind
+        |      WHEN 0 THEN '<coredata><prism:doi>10.1016/j.' ||
+        |                  lower(regexp_extract(url, '([SB][A-Z0-9]{16})', 1)) || '</prism:doi></coredata>'
+        |      WHEN 1 THEN '@article{a, doi = {10.1644/' || regexp_extract(url, 'art(\d+)', 1) || '}}'
+        |      WHEN 2 THEN '@article{a, doi = {10.3897/zk.' || regexp_extract(url, '(\d+)$', 1) || '}}'
+        |      WHEN 3 THEN '@article{a, doi = {10.3897/zk.' || regexp_extract(url, '(\d+)$', 1) || '}}'
+        |      WHEN 4 THEN '[{"doi": "10.1093/pm' || regexp_extract(url, '(\d{7})', 1) || '"}]'
+        |      ELSE '@article{a, doi = {10.1017/' || regexp_extract(url, 'product/([A-F0-9]+)', 1) || '}}'
+        |    END AS body
+        |  FROM u),
+        |j AS (SELECT k.*, ce.body AS b_e, cc.body AS b_c, ci.body AS b_i,
+        |             cp.body AS b_p, cm.body AS b_m
+        |      FROM k
+        |      LEFT JOIN cache ce ON k.k_elsevier = ce.key
+        |      LEFT JOIN cache cc ON k.k_cambridge = cc.key
+        |      LEFT JOIN cache ci ON k.k_ingenta = ci.key
+        |      LEFT JOIN cache cp ON k.k_pensoft = cp.key
+        |      LEFT JOIN cache cm ON k.k_pubmed = cm.key)
+        |SELECT id, url, k_elsevier, k_cambridge, k_ingenta, k_pensoft, k_pubmed,
+        |  coalesce(
+        |    nullif(regexp_extract(b_e, '(?i)<prism:doi>([^<]+)</prism:doi>', 1), ''),
+        |    regexp_replace(regexp_replace(upper(nullif(
+        |      regexp_extract(b_c, '(?i)(10\.\d{4,9}/[-._;()/:A-Z0-9]+)', 1), '')),
+        |      '\.+$', ''), '[./](E?PDF|ABSTRACT|FULL|SHORT).*$', ''),
+        |    regexp_replace(regexp_replace(upper(nullif(
+        |      regexp_extract(b_i, '(?i)(10\.\d{4,9}/[-._;()/:A-Z0-9]+)', 1), '')),
+        |      '\.+$', ''), '[./](E?PDF|ABSTRACT|FULL|SHORT).*$', ''),
+        |    regexp_replace(regexp_replace(upper(nullif(
+        |      regexp_extract(b_p, '(?i)(10\.\d{4,9}/[-._;()/:A-Z0-9]+)', 1), '')),
+        |      '\.+$', ''), '[./](E?PDF|ABSTRACT|FULL|SHORT).*$', ''),
+        |    json_extract_string(b_m, '$[0].doi')) AS doi
+        |FROM j ORDER BY id""".stripMargin,
 
     // SQL replay of the users.csv explode: same wide cells, then
     // string_split + unnest + int casts, '' age → NULL, empty cells drop.

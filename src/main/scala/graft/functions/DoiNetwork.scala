@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** F14 — the per-publisher NETWORK DOI stages
+  * (/root/reference/synth/parsers/doi.py:129-223: `elsevier_api`,
+  * `cambridge_bibtex`, `ingenta_bibtex`, `pensoft_bibtex`, `pubmed`),
+  * decomposed the Spark-first way: each stage is
+  *
+  *   1. an OFFLINE recognizer — regex over the raw string producing the
+  *      stage's request key (NULL = stage doesn't apply), and
+  *   2. an OFFLINE response parser — regex/JSON extraction of the DOI
+  *      from the fetched body,
+  *
+  * with the fetch itself a CACHE-TABLE JOIN on the request key (the
+  * SURVEY S7/S8 stance: network effects live in a replayable (key, body)
+  * table produced by [[graft.sources.HttpEnrichment]]-style shells, never
+  * inline HTTP in a query plan). [[resolveFromCaches]] composes the five
+  * stages in the reference's cascade order. A user rebuilding
+  * `output_dois` offline gets the full per-publisher parse logic; only
+  * the fetcher is injected.
+  *
+  * Simplification vs the reference, documented: `pensoft_bibtex`'s middle
+  * step — following an HTTP redirect of the raw URL before retrying its
+  * second regex (doi.py:203-210) — is a fetch, so it belongs to the cache
+  * layer: a redirect-resolved URL is just another cache row under the
+  * original key. The two ID regexes themselves (strict first, permissive
+  * second) are both implemented.
+  */
+object DoiNetwork {
+
+  private def nonEmpty(c: Column): Column = when(length(c) > 0, c)
+
+  /** elsevier_api recognizer (doi.py:135-137): Elsevier PII. */
+  def elsevierPii(c: Column): Column =
+    nonEmpty(regexp_extract(c, "([SB][A-Z0-9]{16})", 1))
+
+  /** cambridge_bibtex recognizer (doi.py:148-152): any cambridge.org URL,
+    * scheme-prefixed the way the reference fetches it.
+    */
+  def cambridgeUrl(c: Column): Column =
+    when(c.contains("cambridge.org"),
+      when(c.startsWith("http"), c).otherwise(concat(lit("http://"), c)))
+
+  /** ingenta_bibtex recognizer (doi.py:167-169). */
+  def ingentaPath(c: Column): Column =
+    nonEmpty(regexp_extract(c,
+      "(ingentaconnect\\.com/.+/\\d{4}/\\d+/\\d+/art\\d+)", 1))
+
+  private val PensoftId1 = "articles\\.php\\?.*id=(\\d+)"
+  // the permissive second regex (doi.py:186) — lookbehind kept (Java
+  // regex); group selection = first participating group of the leftmost
+  // match, exactly the reference's `[i for i in groups if i is not None][0]`
+  private val PensoftId2 = "(?<!_)(?:article_)?id=(\\d+)|articles?/(\\d+)"
+  private val PensoftJournal = "([a-z]+)\\.pensoft|journals/([a-z]+)"
+
+  /** pensoft_bibtex recognizer (doi.py:176-200): journal + article id →
+    * the bibtex download URL. Journal falls back to `zookeys` when
+    * unmatched; a match whose only group is `www` aborts the stage (the
+    * reference's empty-filter IndexError is swallowed by the stage
+    * runner, so the stage yields nothing).
+    */
+  def pensoftRequest(c: Column): Column = {
+    val applies = c.contains("pensoft") || c.contains("zookeys")
+    val id = coalesce(
+      nonEmpty(regexp_extract(c, PensoftId1, 1)),
+      nonEmpty(regexp_extract(c, PensoftId2, 1)),
+      nonEmpty(regexp_extract(c, PensoftId2, 2)))
+    val jm = coalesce(
+      nonEmpty(regexp_extract(c, PensoftJournal, 1)),
+      nonEmpty(regexp_extract(c, PensoftJournal, 2)))
+    val journal = when(jm.isNull, lit("zookeys"))
+      .when(jm === "www", lit(null)).otherwise(jm)
+    when(applies && id.isNotNull && journal.isNotNull,
+      concat(lit("https://"), journal, lit(".pensoft.net/article/"), id,
+        lit("/download/bibtex")))
+  }
+
+  /** pubmed recognizer (doi.py:214-218): 7-digit PMC id on NCBI URLs. */
+  def pubmedPmc(c: Column): Column =
+    when(c.contains("ncbi.nlm.nih.gov"),
+      nonEmpty(regexp_extract(c, "(\\d{7})", 1)))
+
+  /** elsevier_api response parse (doi.py:140-142): the `prism:doi` field
+    * of the full-text-retrieval XML.
+    */
+  def elsevierDoiFromXml(body: Column): Column =
+    nonEmpty(regexp_extract(body, "(?i)<prism:doi>([^<]+)</prism:doi>", 1))
+
+  /** bibtex response parse (cambridge/ingenta/pensoft, doi.py:159-161 etc.):
+    * the standard DOI regex over the downloaded bibtex text.
+    */
+  def doiFromBibtex(body: Column): Column = Doi.doiRegex(body)
+
+  /** pubmed response parse (doi.py:221-223): ReFindIt's JSON answer. */
+  def doiFromRefindit(body: Column): Column =
+    get_json_object(body, "$[0].doi")
+
+  /** The composed cascade over a response cache `(key, body)`: request
+    * keys are namespaced per stage; the resolved DOI is the first stage —
+    * in the reference's order elsevier → cambridge → ingenta → pensoft →
+    * pubmed (doi.py:24-29) — whose cached response parses. Emits the
+    * input columns plus the five keys and `doi`.
+    */
+  def resolveFromCaches(records: DataFrame, rawCol: String,
+      cache: DataFrame): DataFrame = {
+    val raw = col(rawCol)
+    val keyed = records
+      .withColumn("k_elsevier",
+        when(elsevierPii(raw).isNotNull, concat(lit("elsevier:"), elsevierPii(raw))))
+      .withColumn("k_cambridge",
+        when(cambridgeUrl(raw).isNotNull, concat(lit("cambridge:"), cambridgeUrl(raw))))
+      .withColumn("k_ingenta",
+        when(ingentaPath(raw).isNotNull, concat(lit("ingenta:"), ingentaPath(raw))))
+      .withColumn("k_pensoft",
+        when(pensoftRequest(raw).isNotNull, concat(lit("pensoft:"), pensoftRequest(raw))))
+      .withColumn("k_pubmed",
+        when(pubmedPmc(raw).isNotNull, concat(lit("pubmed:PMC"), pubmedPmc(raw))))
+
+    def side(stage: String) =
+      cache.select(col("key").as(s"k_$stage"), col("body").as(s"b_$stage"))
+
+    Seq("elsevier", "cambridge", "ingenta", "pensoft", "pubmed")
+      .foldLeft(keyed) { (df, stage) => df.join(side(stage), Seq(s"k_$stage"), "left") }
+      .withColumn("doi", coalesce(
+        elsevierDoiFromXml(col("b_elsevier")),
+        doiFromBibtex(col("b_cambridge")),
+        doiFromBibtex(col("b_ingenta")),
+        doiFromBibtex(col("b_pensoft")),
+        doiFromRefindit(col("b_pubmed"))))
+      .drop("b_elsevier", "b_cambridge", "b_ingenta", "b_pensoft", "b_pubmed")
+  }
+}
