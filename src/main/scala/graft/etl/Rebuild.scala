@@ -142,11 +142,18 @@ object Rebuild {
     * survives only as the test-sized `SqlDump.dumpSql`).
     */
   def dumpAll(tables: Map[String, DataFrame], outDir: String): Unit = {
-    new java.io.File(outDir).mkdirs()
+    // DDL headers through the Hadoop FileSystem of the target path, so a
+    // dump to hdfs:///s3a:// lands whole (java.nio is local-only)
+    val spark = tables.values.headOption.map(_.sparkSession)
+      .getOrElse(return)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(out)
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/$name.ddl.sql"),
-        graft.sinks.SqlDump.createTableDdl(df, name) + "\n")
+      val o = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$name.ddl.sql"), true)
+      try o.write((graft.sinks.SqlDump.createTableDdl(df, name) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally o.close()
       graft.sinks.SqlDump.write(df, name, s"$outDir/$name")
     }
   }
@@ -183,23 +190,29 @@ object Rebuild {
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
     import spark.implicits._
 
-    val roundDirs = new java.io.File(inDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("round"))
-      .sortBy(_.getName.stripPrefix("round").toInt)
+    // input discovery through the input path's own Hadoop FileSystem —
+    // java.io.File listing is local-only and would find no rounds on
+    // hdfs:///s3a:// input layouts
+    val hconf = spark.sessionState.newHadoopConf()
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val inFs = hp(inDir).getFileSystem(hconf)
+    val roundDirs = inFs.listStatus(hp(inDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("round"))
+      .sortBy(_.getPath.getName.stripPrefix("round").toInt)
     require(roundDirs.nonEmpty, s"no round<N> directories under $inDir")
     def perRound(table: String): Seq[DataFrame] =
-      roundDirs.toSeq.map(d => spark.read.parquet(s"${d.getPath}/$table.parquet"))
+      roundDirs.toSeq.map(d => spark.read.parquet(s"${d.getPath.toString}/$table.parquet"))
     def lastRound(table: String): DataFrame =
-      spark.read.parquet(s"${roundDirs.last.getPath}/$table.parquet")
+      spark.read.parquet(s"${roundDirs.last.getPath.toString}/$table.parquet")
     val res = s"$inDir/resources"
     def resource(table: String, orElse: => DataFrame): DataFrame = {
       val p = s"$res/$table.parquet"
-      if (new java.io.File(p).exists()) spark.read.parquet(p) else orElse
+      if (inFs.exists(hp(p))) spark.read.parquet(p) else orElse
     }
     def jsonMap(name: String): Map[String, String] = {
-      val f = new java.io.File(s"$res/$name.json")
-      if (!f.exists()) Map.empty
-      else spark.read.option("multiLine", "true").json(f.getPath)
+      val p = s"$res/$name.json"
+      if (!inFs.exists(hp(p))) Map.empty
+      else spark.read.option("multiLine", "true").json(p)
         .collect().headOption.map { row =>
           row.schema.fieldNames.map(n => n -> Option(row.getAs[Any](n)).map(_.toString).orNull).toMap
         }.getOrElse(Map.empty)

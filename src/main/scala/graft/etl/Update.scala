@@ -43,8 +43,11 @@ object Update {
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
     import spark.implicits._
     val outputs = spark.read.parquet(outputsPath)
+    val hconf = spark.sessionState.newHadoopConf()
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = hp(cacheDir).getFileSystem(hconf)
     val cache =
-      if (new java.io.File(cacheDir).exists()) spark.read.parquet(cacheDir)
+      if (fs.exists(hp(cacheDir))) spark.read.parquet(cacheDir)
       else Seq.empty[(String, String)].toDF("key", "value")
     val fetcher = new HttpFetcher(
       // percent-encode the key: real DOIs contain '<', '>', spaces, '#'
@@ -56,22 +59,20 @@ object Update {
     // write via temp, then swap via RENAMES only (never delete-then-rename:
     // a crash between delete and rename would destroy the only cache copy).
     // Every rename is checked — failing loudly with the data still on disk
-    // beats exiting 0 with the cache gone.
-    val tmp = new java.io.File(cacheDir + "_tmp")
-    merged.write.mode("overwrite").parquet(tmp.getPath)
-    val target = new java.io.File(cacheDir)
-    val backup = new java.io.File(cacheDir + "_prev")
-    if (backup.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        require(f.delete(), s"could not delete stale backup entry $f")
-      }
-      rm(backup)
-    }
-    if (target.exists())
-      require(target.renameTo(backup), s"could not move $target aside to $backup")
-    require(tmp.renameTo(target), s"could not move $tmp into place at $target" +
-      (if (backup.exists()) s" — previous cache preserved at $backup" else ""))
+    // beats exiting 0 with the cache gone. All through the path's Hadoop
+    // FileSystem so the swap works wherever the cache lives (rename is
+    // atomic on HDFS/local; object stores degrade to copy — acceptable
+    // for a maintenance command that fails loudly).
+    val tmp = hp(cacheDir + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val target = hp(cacheDir)
+    val backup = hp(cacheDir + "_prev")
+    if (fs.exists(backup))
+      require(fs.delete(backup, true), s"could not delete stale backup $backup")
+    if (fs.exists(target))
+      require(fs.rename(target, backup), s"could not move $target aside to $backup")
+    require(fs.rename(tmp, target), s"could not move $tmp into place at $target" +
+      (if (fs.exists(backup)) s" — previous cache preserved at $backup" else ""))
     spark.stop()
   }
 }

@@ -60,9 +60,15 @@ object Tables {
 
   /** Loads every table into a name->DataFrame map. Schema-only footer reads
     * happen at call time; no data scan until an action runs. Missing tables
-    * are skipped rather than failing the whole load.
+    * are skipped rather than failing the whole load. Existence goes through
+    * the path's own Hadoop FileSystem — a java.io.File test is local-only
+    * and would silently skip every table on hdfs:///s3a:// dirs.
     */
-  def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
-    all.filter(n => new java.io.File(s"$dir/$n.parquet").exists())
-      .map(n => n -> load(spark, dir, n)).toMap
+  def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val conf = spark.sessionState.newHadoopConf()
+    all.filter { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      p.getFileSystem(conf).exists(p)
+    }.map(n => n -> load(spark, dir, n)).toMap
+  }
 }
