@@ -42,6 +42,127 @@ object SparkEntry {
     path
   }
 
+  /** Shared derivation of the synth-shaped fillVisitorProject inputs from
+    * the TPC-H tables — used by the reference-parity and distributed-id
+    * variants, which run under ONE oracle (green row = equivalence proof).
+    */
+  private def visitorProjectInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         Map[String, String]) = {
+      val rounds = explode(array(lit(1), lit(2), lit(3), lit(4)))
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+
+      val calls = t(s, dir, "orders").filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey").cast("int").as("callID"),
+          col("o_orderkey").cast("int").as("call"),
+          col("o_orderdate").as("dateOpen"), col("o_orderdate").as("dateClosed"),
+          (m(col("o_orderkey"), 4) + 1).cast("int").as("round"))
+      val (callTable, _) = graft.etl.Steps.fillCall(calls)
+
+      val spec = t(s, dir, "part")
+        .select(col("p_partkey").cast("int").as("SpecificDisciplineID"),
+          col("p_brand").as("SpecificDisciplineName"),
+          length(col("p_brand")).cast("int").as("DisciplineID"),
+          (m(col("p_partkey"), 4) + 1).cast("int").as("round"))
+      val (_, specMapping) = graft.etl.Steps.fillSpecificDiscipline(spec)
+
+      val iso = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("Country_Code"),
+          col("n_name").as("Country_Name"))
+      val (_, countryMapping) = graft.etl.Steps.fillCountry(iso)
+
+      val users = t(s, dir, "customer").withColumn("round", rounds)
+        .select(col("round"), col("c_custkey").cast("int").as("User_ID"),
+          when(m(col("c_custkey"), 2) === 0, "F").otherwise("M").as("Gender"),
+          col("c_nationkey").cast("string").as("Nationality_Country_code"),
+          m(col("c_custkey"), 3).cast("string").as("Researcher_status"),
+          m(col("c_custkey"), 5).cast("string").as("Discipline1"),
+          lit("d2").as("Discipline2"), lit("d3").as("Discipline3"),
+          lit("university").as("Home_Institution_Type"),
+          lit("dept").as("Home_Institution_Dept"),
+          col("c_mktsegment").as("Home_Institution_Name"),
+          concat(lit("Town "), m(col("c_custkey"), 10)).as("Home_Institution_Town"),
+          m(col("c_custkey"), 25).cast("string").as("Home_Institution_Country_code"),
+          lit("PC1").as("Home_Institution_Postcode"),
+          m(col("c_custkey"), 7).cast("int").as("Number_of_visits"),
+          m(col("c_custkey"), 30).cast("int").as("Duration_of_stays"),
+          lit(null).cast("string").as("Nationality_OtherText"),
+          lit("no").as("Remote_user"),
+          lit("yes").as("Travel_and_Subsistence_reimbursed"),
+          col("c_name").as("jobTitle"))
+
+      val userGuids = t(s, dir, "customer")
+        .filter(m(col("c_custkey"), 10) =!= 0).withColumn("round", rounds)
+        .select(col("round"), col("c_custkey").cast("int").as("user_id"),
+          (col("c_custkey") * 10 + col("round")).cast("bigint").as("guid"),
+          concat(lit("age_"), m(col("c_custkey"), 5)).as("age_range"))
+
+      val o = col("o_orderkey")
+      val projects = t(s, dir, "orders")
+        .select((m(o, 4) + 1).cast("int").as("round"),
+          o.cast("int").as("UserProject_ID"),
+          col("o_custkey").cast("int").as("User_ID"),
+          when(m(o, 7) === 0, "edit").otherwise("submitted").as("Application_State"),
+          (m(o, 8) + 1).cast("string").as("Call_Submitted"),
+          col("o_orderpriority").as("UserProject_Title"),
+          lit("objectives").as("UserProject_Objectives"),
+          lit("achievements").as("UserProject_Achievements"),
+          m(o, 14).cast("int").as("length_of_visit"),
+          col("o_orderdate").as("start_date"), col("o_orderdate").as("finish_date"),
+          concat(lit("TAF-"), o).as("TAF_ID"),
+          when(m(o, 3) === 2, lit(null)).otherwise(m(o, 3)).cast("int").as("Home_Facilities"),
+          col("o_orderstatus").as("Acceptance"),
+          lit("summary").as("UserProject_Summary"),
+          when(m(o, 5) === 4, lit(null)).otherwise(m(o, 2)).cast("int").as("New_User"),
+          lit("reasons").as("UserProject_Facility_Reasons"),
+          date_format(col("o_orderdate"), "EEE MMM dd HH:mm:ss 'GMT' yyyy")
+            .as("Submission_Date"),
+          m(o, 2).cast("int").as("Support_Final"),
+          m(o, 5).cast("string").as("Project_Discipline"),
+          (m(o, 2000) + 1).cast("int").as("Project_Specific_Discipline"),
+          when(m(o, 11) === 0, lit(null)).otherwise(m(o, 2)).cast("int")
+            .as("Previous_Application"),
+          lit("training").as("Training_Requirement"),
+          col("o_orderpriority").as("Supporter_Institution"),
+          lit("approved").as("Administration_State"),
+          m(o, 2).cast("int").as("Group_leader"),
+          lit("members").as("Group_Members"),
+          lit("background").as("UserProject_Background"),
+          lit("reasons").as("UserProject_Reasons"),
+          lit("expectations").as("UserProject_Expectations"),
+          lit("outputs").as("UserProject_Outputs"),
+          col("o_orderstatus").as("Group_Leader_Institution"),
+          lit("no").as("Visit_Funded_Previously"))
+
+      val aliases = Map(
+        "BUILDING" -> "The Building Consortium", "MACHINERY" -> "nil",
+        "1-URGENT" -> "Urgent Priority Group", "3-MEDIUM" -> "nil",
+        "F" -> "Finished Group", "P" -> "nil")
+
+      (projects, users, userGuids, callTable, specMapping, countryMapping, aliases)
+  }
+
+  /** The driver-facing projection of the visitor-project table (shared by
+    * both id paths; ids cast BIGINT so INT window ids and BIGINT
+    * distributed ids hash identically).
+    */
+  private def visitorProjectSelect(table: DataFrame): DataFrame =
+    table.select(col("id").cast("bigint").as("id"),
+          col("original_project_id"), col("title"), col("user_guid"),
+          col("user_age_range"), col("length_of_visit"),
+          fmt(col("start")).as("start"), fmt(col("end")).as("end"),
+          col("taf_id"), col("home_facilities"), col("application_state"),
+          col("new_user"), fmt(col("submission_date")).as("submission_date"),
+          col("support_final"), col("project_specific_discipline"),
+          col("call_submitted").cast("bigint").as("call_submitted"),
+          col("previous_application"), col("supporter_institution"),
+          col("group_leader"), col("group_leader_institution"), col("gender"),
+          col("nationality").cast("bigint").as("nationality"),
+          col("home_institution_name"), col("home_institution_town"),
+          col("home_institution_country").cast("bigint").as("home_institution_country"),
+          col("number_of_visits"), col("round"))
+      .orderBy("id")
+
   /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue per
     * nation — lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation).
     */
@@ -485,305 +606,25 @@ object SparkEntry {
     // legacy datetime round-trip, F6 bool(None)=false casts, P3 'edit'
     // filter, W1 sequential ids. The oracle replays every stage in SQL.
     "etl_visitor_project" -> ((s, dir) => {
-      val rounds = explode(array(lit(1), lit(2), lit(3), lit(4)))
-      def m(c: Column, n: Int) = pmod(c, lit(n))
-
-      val calls = t(s, dir, "orders").filter(col("o_orderkey") < 400)
-        .select(col("o_orderkey").cast("int").as("callID"),
-          col("o_orderkey").cast("int").as("call"),
-          col("o_orderdate").as("dateOpen"), col("o_orderdate").as("dateClosed"),
-          (m(col("o_orderkey"), 4) + 1).cast("int").as("round"))
-      val (callTable, _) = graft.etl.Steps.fillCall(calls)
-
-      val spec = t(s, dir, "part")
-        .select(col("p_partkey").cast("int").as("SpecificDisciplineID"),
-          col("p_brand").as("SpecificDisciplineName"),
-          length(col("p_brand")).cast("int").as("DisciplineID"),
-          (m(col("p_partkey"), 4) + 1).cast("int").as("round"))
-      val (_, specMapping) = graft.etl.Steps.fillSpecificDiscipline(spec)
-
-      val iso = t(s, dir, "nation")
-        .select(col("n_nationkey").cast("string").as("Country_Code"),
-          col("n_name").as("Country_Name"))
-      val (_, countryMapping) = graft.etl.Steps.fillCountry(iso)
-
-      val users = t(s, dir, "customer").withColumn("round", rounds)
-        .select(col("round"), col("c_custkey").cast("int").as("User_ID"),
-          when(m(col("c_custkey"), 2) === 0, "F").otherwise("M").as("Gender"),
-          col("c_nationkey").cast("string").as("Nationality_Country_code"),
-          m(col("c_custkey"), 3).cast("string").as("Researcher_status"),
-          m(col("c_custkey"), 5).cast("string").as("Discipline1"),
-          lit("d2").as("Discipline2"), lit("d3").as("Discipline3"),
-          lit("university").as("Home_Institution_Type"),
-          lit("dept").as("Home_Institution_Dept"),
-          col("c_mktsegment").as("Home_Institution_Name"),
-          concat(lit("Town "), m(col("c_custkey"), 10)).as("Home_Institution_Town"),
-          m(col("c_custkey"), 25).cast("string").as("Home_Institution_Country_code"),
-          lit("PC1").as("Home_Institution_Postcode"),
-          m(col("c_custkey"), 7).cast("int").as("Number_of_visits"),
-          m(col("c_custkey"), 30).cast("int").as("Duration_of_stays"),
-          lit(null).cast("string").as("Nationality_OtherText"),
-          lit("no").as("Remote_user"),
-          lit("yes").as("Travel_and_Subsistence_reimbursed"),
-          col("c_name").as("jobTitle"))
-
-      val userGuids = t(s, dir, "customer")
-        .filter(m(col("c_custkey"), 10) =!= 0).withColumn("round", rounds)
-        .select(col("round"), col("c_custkey").cast("int").as("user_id"),
-          (col("c_custkey") * 10 + col("round")).cast("bigint").as("guid"),
-          concat(lit("age_"), m(col("c_custkey"), 5)).as("age_range"))
-
-      val o = col("o_orderkey")
-      val projects = t(s, dir, "orders")
-        .select((m(o, 4) + 1).cast("int").as("round"),
-          o.cast("int").as("UserProject_ID"),
-          col("o_custkey").cast("int").as("User_ID"),
-          when(m(o, 7) === 0, "edit").otherwise("submitted").as("Application_State"),
-          (m(o, 8) + 1).cast("string").as("Call_Submitted"),
-          col("o_orderpriority").as("UserProject_Title"),
-          lit("objectives").as("UserProject_Objectives"),
-          lit("achievements").as("UserProject_Achievements"),
-          m(o, 14).cast("int").as("length_of_visit"),
-          col("o_orderdate").as("start_date"), col("o_orderdate").as("finish_date"),
-          concat(lit("TAF-"), o).as("TAF_ID"),
-          when(m(o, 3) === 2, lit(null)).otherwise(m(o, 3)).cast("int").as("Home_Facilities"),
-          col("o_orderstatus").as("Acceptance"),
-          lit("summary").as("UserProject_Summary"),
-          when(m(o, 5) === 4, lit(null)).otherwise(m(o, 2)).cast("int").as("New_User"),
-          lit("reasons").as("UserProject_Facility_Reasons"),
-          date_format(col("o_orderdate"), "EEE MMM dd HH:mm:ss 'GMT' yyyy")
-            .as("Submission_Date"),
-          m(o, 2).cast("int").as("Support_Final"),
-          m(o, 5).cast("string").as("Project_Discipline"),
-          (m(o, 2000) + 1).cast("int").as("Project_Specific_Discipline"),
-          when(m(o, 11) === 0, lit(null)).otherwise(m(o, 2)).cast("int")
-            .as("Previous_Application"),
-          lit("training").as("Training_Requirement"),
-          col("o_orderpriority").as("Supporter_Institution"),
-          lit("approved").as("Administration_State"),
-          m(o, 2).cast("int").as("Group_leader"),
-          lit("members").as("Group_Members"),
-          lit("background").as("UserProject_Background"),
-          lit("reasons").as("UserProject_Reasons"),
-          lit("expectations").as("UserProject_Expectations"),
-          lit("outputs").as("UserProject_Outputs"),
-          col("o_orderstatus").as("Group_Leader_Institution"),
-          lit("no").as("Visit_Funded_Previously"))
-
-      val aliases = Map(
-        "BUILDING" -> "The Building Consortium", "MACHINERY" -> "nil",
-        "1-URGENT" -> "Urgent Priority Group", "3-MEDIUM" -> "nil",
-        "F" -> "Finished Group", "P" -> "nil")
-
-      val (table, _) = graft.etl.Steps.fillVisitorProject(
-        projects, users, userGuids, callTable, specMapping, countryMapping, aliases)
-      table.select(col("id").cast("bigint").as("id"),
-          col("original_project_id"), col("title"), col("user_guid"),
-          col("user_age_range"), col("length_of_visit"),
-          fmt(col("start")).as("start"), fmt(col("end")).as("end"),
-          col("taf_id"), col("home_facilities"), col("application_state"),
-          col("new_user"), fmt(col("submission_date")).as("submission_date"),
-          col("support_final"), col("project_specific_discipline"),
-          col("call_submitted").cast("bigint").as("call_submitted"),
-          col("previous_application"), col("supporter_institution"),
-          col("group_leader"), col("group_leader_institution"), col("gender"),
-          col("nationality").cast("bigint").as("nationality"),
-          col("home_institution_name"), col("home_institution_town"),
-          col("home_institution_country").cast("bigint").as("home_institution_country"),
-          col("number_of_visits"), col("round"))
-        .orderBy("id")
+      val (p, u, g, c, sm, cm, a) = visitorProjectInputs(s, dir)
+      val (table, _) = graft.etl.Steps.fillVisitorProject(p, u, g, c, sm, cm, a)
+      visitorProjectSelect(table)
     }),
 
-    // FillMissingCountryData (J12, etl.py:674-769) driven end-to-end
-    // through graft.etl.Geo.fillMissingCountry over a geonames-style
-    // fixture derived from customer/nation: 40 shared city names across
-    // 25 countries force the ambiguity → max-population argmax rule
-    // (populations are unique, so the argmax is engine-independent),
-    // per-customer alternatenames exercise the variant union, and the
-    // orders-derived towns cover every resolution path — exact, ", " and
-    // ". " delimiter fallbacks, manual override, and already-set rows
-    // left untouched. GeoSpec stays the fixture-level semantic lock.
-    "geo_resolve" -> ((s, dir) => {
-      def m(c: Column, n: Int) = pmod(c, lit(n))
-      val ck = col("c_custkey")
-      val cities = t(s, dir, "customer").select(
-        concat(lit("city "), m(ck, 40)).as("name"),
-        array(concat(lit("alt "), ck)).as("alternatenames"),
-        col("c_nationkey").cast("string").as("countrycode"),
-        ck.cast("bigint").as("population"))
-      val iso = t(s, dir, "nation")
-        .select(col("n_nationkey").cast("string").as("Country_Code"),
-          col("n_name").as("Country_Name"))
-      val (_, countryMapping) = graft.etl.Steps.fillCountry(iso)
-      val o = col("o_orderkey")
-      val vp = t(s, dir, "orders").select(
-        o.cast("bigint").as("id"),
-        when(m(o, 4) === 1, lit(null)).when(m(o, 4) === 2, lit(0))
-          .otherwise(m(o, 25) + 1).cast("int").as("home_institution_country"),
-        when(m(o, 5) === 0, concat(lit("city "), m(o, 40)))
-          .when(m(o, 5) === 1, concat(lit("alt "), m(o, 100) + 1))
-          .when(m(o, 5) === 2, concat(lit("city "), m(o, 40), lit(", region")))
-          .when(m(o, 5) === 3, concat(lit("city "), m(o, 40), lit(". suffix")))
-          .otherwise(lit("Override Town")).as("home_institution_town"))
-      graft.etl.Geo.fillMissingCountry(vp, cities,
-          manual = Map("Override Town" -> "7"), countryMapping = countryMapping)
-        .select(col("id"), col("home_institution_town"),
-          col("home_institution_country").cast("bigint").as("home_institution_country"))
-        .orderBy("id")
-    }),
-
-    // CleanOutputs (etl.py:375-432, F7-F10) driven end-to-end through
-    // graft.etl.Steps.cleanOutputs: in-place clean_string of authors/title
-    // (empty stays empty, null stays null), DOI-cache join, and the
-    // metadata struct application — F7 "family given; …" author
-    // formatting over entries having both parts, F8 year from created[:4],
-    // F9 title fallback to the existing value when the titles array is
-    // empty, F10 volume/pages overwritten only when present in metadata.
-    // Caches are derived frames (array-of-struct authors built in-query);
-    // the oracle reconstructs the same structs and replays every rule.
-    "etl_clean_outputs" -> ((s, dir) => {
-      def m(c: Column, n: Int) = pmod(c, lit(n))
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey").cast("bigint").as("o"),
-          (m(col("o_orderkey"), 4) + 1).cast("int").as("round"),
-          col("o_orderstatus"))
-      val o = col("o")
-      val outputTable = base.select(
-        o.as("id"),
-        lit("article").as("output_type"), lit("published").as("publication_status"),
-        when(m(o, 11) === 0, lit("")).when(m(o, 11) === 1, lit(null))
-          .otherwise(concat(lit("A\tB  "), o)).as("authors"),
-        (lit(1990) + m(o, 30)).cast("int").as("year"),
-        when(m(o, 7) === 0, lit("")).otherwise(concat(lit("T  "), o)).as("title"),
-        concat(lit("P"), m(o, 4)).as("publisher"),
-        concat(lit("u"), o).as("url"),
-        when(m(o, 2) === 0, lit(null)).otherwise(concat(lit("V"), m(o, 9))).as("volume"),
-        concat(lit("pg"), m(o, 13)).as("pages"),
-        col("o_orderstatus").as("conference"), lit(null).cast("string").as("degree"),
-        col("round"))
-      val mapping = base.select(col("round"), o.as("original_id"), o.as("new_id"))
-      val doiRows = base.filter(m(o, 3) === 0)
-        .select(col("round"), o.as("original_id"),
-          concat(lit("10."), m(o, 1000), lit("/x"), o).as("doi"), o.as("mo"))
-      val mo = col("mo")
-      val doiMetadata = doiRows.select(col("doi"),
-        array(
-          struct(concat(lit("G"), m(mo, 7)).as("given"),
-            concat(lit("F"), m(mo, 5)).as("family")),
-          struct(lit(null).cast("string").as("given"), lit("Solo").as("family")))
-          .as("authors"),
-        when(m(mo, 5) === 0, array().cast("array<string>"))
-          .otherwise(array(concat(lit("Ti  "), mo), lit("Alt"))).as("titles"),
-        concat(lit("19"), lpad(m(mo, 100).cast("string"), 2, "0"), lit("-01-02"))
-          .as("created"),
-        concat(lit("Pub"), m(mo, 4)).as("publisher"),
-        concat(lit("http://ex/"), mo).as("url"),
-        when(m(mo, 6) < 3, concat(lit("MV"), m(mo, 9))).otherwise(lit(null)).as("volume"),
-        when(m(mo, 13) === 0, lit(null)).otherwise(concat(lit("mpg"), m(mo, 13)))
-          .as("pages"))
-      graft.etl.Steps.cleanOutputs(outputTable, mapping,
-          doiRows.select(col("round"), col("original_id"), col("doi")), doiMetadata)
-        .select(col("id"), col("authors"), col("year"), col("title"),
-          col("publisher"), col("url"), col("volume"), col("pages"),
-          col("conference"), col("doi"), col("round"))
-        .orderBy("id")
-    }),
-
-    // S3 (users.csv multi-ID explode) driven through
-    // graft.sources.UsersCsv.explodeGuids over a derived wide frame:
-    // comma-packed per-round ID cells (some empty, some single, some
-    // double) and per-round age cells (empty → NULL) — the exact
-    // resources.py:415-457 surface, oracled by replaying the split +
-    // unnest + casts in SQL. The GUID-uniqueness invariant
-    // (DuplicateUserGuidError) runs inside explodeGuids.
-    "etl_users_csv" -> ((s, dir) => {
-      def m(c: Column, n: Int) = pmod(c, lit(n))
-      val ck = col("c_custkey")
-      val cols = col("c_custkey").cast("bigint").as("GUID") +:
-        (1 to 4).flatMap { r =>
-          val k = ck + lit(r)
-          Seq(
-            when(m(k, 4) === 0, lit(""))
-              .when(m(k, 3) === 0, (ck * 10 + r).cast("string"))
-              .otherwise(concat(ck * 10 + lit(r), lit(","), ck * 10 + lit(r) + 100000))
-              .as(s"SYNTH_${r}_ID"),
-            when(m(k, 5) === 0, lit("")).otherwise(concat(lit("a"), m(k, 5)))
-              .as(s"SYNTH_${r}_AGE"))
-        }
-      val wide = t(s, dir, "customer").select(cols: _*)
-      graft.sources.UsersCsv.explodeGuids(wide)
-        .orderBy("round", "user_id")
-    }),
-
-    // S10 (DDL sink): the schema-to-DDL half of the dump path as data —
-    // one row per table, the exact CREATE TABLE text the dump writes.
-    "s10_ddl" -> ((s, dir) => {
-      import s.implicits._
-      Seq("region", "nation")
-        .map(n => (n, graft.sinks.SqlDump.createTableDdl(t(s, dir, n), n)))
-        .toDF("tbl", "ddl")
-        .orderBy("tbl")
-    }),
-
-    // F14 — the per-publisher network DOI stages (doi.py:129-223) with
-    // their offline halves REAL (recognizer regexes + response parsers)
-    // and the fetch a replayable cache join: records and the (key, body)
-    // response cache both derive deterministically from orders, and the
-    // oracle replays recognizers, joins, and parses (bibtex DOI + XML
-    // prism:doi + ReFindIt JSON) row-for-row.
-    "doi_network_stages" -> ((s, dir) => {
-      def m(c: Column, n: Int) = pmod(c, lit(n))
-      val o = col("o_orderkey")
-      val pii = concat(lit("S"), upper(substring(md5(o.cast("string")), 1, 16)))
-      val camId = upper(substring(md5(o.cast("string")), 1, 12))
-      val url = when(m(o, 6) === 0, concat(lit("see elsevier ref "), pii))
-        .when(m(o, 6) === 1, concat(
-          lit("http://www.ingentaconnect.com/content/brill/ctz/"),
-          lit(1990) + m(o, 30), lit("/12/34/art"), lit(10000) + m(o, 90)))
-        .when(m(o, 6) === 2, concat(
-          lit("http://zookeys.pensoft.net/articles.php?version=2&id="), m(o, 9000)))
-        .when(m(o, 6) === 3, concat(
-          lit("https://subtbiol.pensoft.net/articles/"), m(o, 9000)))
-        .when(m(o, 6) === 4, concat(
-          lit("https://www.ncbi.nlm.nih.gov/pmc/articles/PMC"),
-          lit(1000000) + m(o, 9000000)))
-        .otherwise(concat(lit("www.cambridge.org/core/product/"), camId))
-      val records = t(s, dir, "orders")
-        .select(o.cast("bigint").as("id"), url.as("url"),
-          m(o, 6).cast("int").as("kind"))
-      // response cache: body is a function of the KEY-determining value,
-      // so colliding keys (pmod wraps) carry identical bodies; distinct
-      // dedups them
-      val r = records
-      val body = when(col("kind") === 0, concat(
-          lit("<coredata><prism:doi>10.1016/j."),
-          lower(graft.functions.DoiNetwork.elsevierPii(col("url"))),
-          lit("</prism:doi></coredata>")))
-        .when(col("kind") === 1, concat(lit("@article{a, doi = {10.1644/"),
-          regexp_extract(col("url"), "art(\\d+)", 1), lit("}}")))
-        .when(col("kind") === 2 || col("kind") === 3,
-          concat(lit("@article{a, doi = {10.3897/zk."),
-            regexp_extract(col("url"), "(\\d+)$", 1), lit("}}")))
-        .when(col("kind") === 4, concat(lit("""[{"doi": "10.1093/pm"""),
-          graft.functions.DoiNetwork.pubmedPmc(col("url")), lit("\"}]")))
-        .otherwise(concat(lit("@article{a, doi = {10.1017/"),
-          regexp_extract(col("url"), "product/([A-F0-9]+)", 1), lit("}}")))
-      val key = when(col("kind") === 0,
-          concat(lit("elsevier:"), graft.functions.DoiNetwork.elsevierPii(col("url"))))
-        .when(col("kind") === 1,
-          concat(lit("ingenta:"), graft.functions.DoiNetwork.ingentaPath(col("url"))))
-        .when(col("kind") === 2 || col("kind") === 3,
-          concat(lit("pensoft:"), graft.functions.DoiNetwork.pensoftRequest(col("url"))))
-        .when(col("kind") === 4,
-          concat(lit("pubmed:PMC"), graft.functions.DoiNetwork.pubmedPmc(col("url"))))
-        .otherwise(concat(lit("cambridge:"),
-          graft.functions.DoiNetwork.cambridgeUrl(col("url"))))
-      val cache = r.select(key.as("key"), body.as("body"))
-        .filter(col("key").isNotNull).distinct()
-      graft.functions.DoiNetwork.resolveFromCaches(records, "url", cache)
-        .select(col("id"), col("url"), col("k_elsevier"), col("k_cambridge"),
-          col("k_ingenta"), col("k_pensoft"), col("k_pubmed"), col("doi"))
-        .orderBy("id")
+    // The SAME flagship table with W1 ids from the two-phase distributed
+    // assigner (no single-task global window — the id path that survives
+    // a 1000-executor fact table). Registered under etl_visitor_project's
+    // oracle: the green row IS the equivalence proof. At sf0.1 it is
+    // SLOWER than the window (4.9 s vs 2.9 s warm): repartitionByRange
+    // samples the data for range boundaries and adds a shuffle, fixed
+    // costs a 115k-row table can't amortize — the crossover is where one
+    // task can no longer hold the table, which is the regime it exists
+    // for (Ids.scala documents the same tradeoff for the primitive).
+    "etl_visitor_project_distributed" -> ((s, dir) => {
+      val (p, u, g, c, sm, cm, a) = visitorProjectInputs(s, dir)
+      val (table, _) =
+        graft.etl.Steps.fillVisitorProjectDistributed(p, u, g, c, sm, cm, a)
+      visitorProjectSelect(table)
     }),
 
     // S12/F25 — SQL-dump sink statements as a distributed text column.
@@ -2097,6 +1938,79 @@ object SparkEntry {
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  private val visitorProjectOracle =
+    """WITH calls AS (
+        |  SELECT CAST(o_orderkey AS INT) AS call, CAST(o_orderkey % 4 + 1 AS INT) AS round
+        |  FROM orders WHERE o_orderkey < 400),
+        |ords AS (
+        |  SELECT round, row_number() OVER (ORDER BY round, call) AS call_id,
+        |         row_number() OVER (PARTITION BY round ORDER BY call) AS ordinal
+        |  FROM calls),
+        |spec AS (SELECT CAST(p_partkey AS INT) AS sid, p_brand AS name,
+        |                CAST(p_partkey % 4 + 1 AS INT) AS round FROM part),
+        |scanned AS (SELECT *, row_number() OVER (ORDER BY round DESC, sid) AS scan_order
+        |            FROM spec),
+        |cids AS (SELECT name, row_number() OVER (ORDER BY min(scan_order)) AS new_id
+        |         FROM scanned GROUP BY name),
+        |specmap AS (SELECT s.round, s.sid, c.new_id FROM scanned s JOIN cids c USING (name)),
+        |country AS (SELECT CAST(n_nationkey AS VARCHAR) AS code,
+        |                   row_number() OVER (ORDER BY CAST(n_nationkey AS VARCHAR)) AS cid
+        |            FROM nation),
+        |rounds AS (SELECT unnest([1, 2, 3, 4]) AS round),
+        |users AS (SELECT r.round, CAST(c_custkey AS INT) AS user_id, c_custkey AS ck,
+        |                 c_mktsegment, c_nationkey
+        |          FROM customer CROSS JOIN rounds r),
+        |guids AS (SELECT round, user_id, CAST(ck * 10 + round AS BIGINT) AS guid,
+        |                 'age_' || (ck % 5) AS age_range
+        |          FROM users WHERE ck % 10 <> 0),
+        |proj AS (SELECT CAST(o_orderkey % 4 + 1 AS INT) AS round,
+        |                CAST(o_orderkey AS INT) AS pid, CAST(o_custkey AS INT) AS uid,
+        |                o_orderkey AS o, o_orderpriority, o_orderstatus, o_orderdate
+        |         FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT p.round, p.pid, p.o, p.o_orderpriority, p.o_orderstatus, p.o_orderdate,
+        |         g.guid, g.age_range, u.ck, u.c_mktsegment, u.c_nationkey,
+        |         ords.call_id, sm.new_id AS psd, nat.cid AS nat_id, home.cid AS home_id
+        |  FROM proj p
+        |  JOIN guids g ON p.round = g.round AND p.uid = g.user_id
+        |  JOIN users u ON p.round = u.round AND p.uid = u.user_id
+        |  JOIN ords ON p.round = ords.round AND (p.o % 8 + 1) = ords.ordinal
+        |  LEFT JOIN specmap sm ON p.round = sm.round AND (p.o % 2000 + 1) = sm.sid
+        |  LEFT JOIN country nat ON CAST(u.c_nationkey AS VARCHAR) = nat.code
+        |  LEFT JOIN country home ON CAST(u.ck % 25 AS VARCHAR) = home.code)
+        |SELECT row_number() OVER (ORDER BY round, pid) AS id,
+        |  pid AS original_project_id,
+        |  o_orderpriority AS title,
+        |  guid AS user_guid, age_range AS user_age_range,
+        |  CAST(o % 14 AS INT) AS length_of_visit,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS start,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "end",
+        |  'TAF-' || o AS taf_id,
+        |  coalesce((CASE WHEN o % 3 = 2 THEN NULL ELSE o % 3 END) <> 0, FALSE)
+        |    AS home_facilities,
+        |  'submitted' AS application_state,
+        |  coalesce((CASE WHEN o % 5 = 4 THEN NULL ELSE o % 2 END) <> 0, FALSE) AS new_user,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS submission_date,
+        |  coalesce(o % 2 <> 0, FALSE) AS support_final,
+        |  CAST(psd AS INT) AS project_specific_discipline,
+        |  CAST(call_id AS BIGINT) AS call_submitted,
+        |  coalesce((CASE WHEN o % 11 = 0 THEN NULL ELSE o % 2 END) <> 0, FALSE)
+        |    AS previous_application,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 'Urgent Priority Group'
+        |    WHEN '3-MEDIUM' THEN NULL ELSE o_orderpriority END AS supporter_institution,
+        |  coalesce(o % 2 <> 0, FALSE) AS group_leader,
+        |  CASE o_orderstatus WHEN 'F' THEN 'Finished Group'
+        |    WHEN 'P' THEN NULL ELSE o_orderstatus END AS group_leader_institution,
+        |  CASE WHEN ck % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+        |  CAST(nat_id AS BIGINT) AS nationality,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'The Building Consortium'
+        |    WHEN 'MACHINERY' THEN NULL ELSE c_mktsegment END AS home_institution_name,
+        |  'Town ' || (ck % 10) AS home_institution_town,
+        |  CAST(home_id AS BIGINT) AS home_institution_country,
+        |  CAST(ck % 7 AS INT) AS number_of_visits,
+        |  round
+        |FROM j ORDER BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> incrementalDedupOracle,
     "dedup_incremental_bloom" -> incrementalDedupOracle,
@@ -2521,78 +2435,9 @@ object SparkEntry {
     // code order, exploded per-round users, the guid inner join (guid-less
     // users drop), the positional call join, alias CASE with 'nil'→NULL,
     // bool(None)=false casts, and the legacy-datetime round-trip.
-    "etl_visitor_project" ->
-      """WITH calls AS (
-        |  SELECT CAST(o_orderkey AS INT) AS call, CAST(o_orderkey % 4 + 1 AS INT) AS round
-        |  FROM orders WHERE o_orderkey < 400),
-        |ords AS (
-        |  SELECT round, row_number() OVER (ORDER BY round, call) AS call_id,
-        |         row_number() OVER (PARTITION BY round ORDER BY call) AS ordinal
-        |  FROM calls),
-        |spec AS (SELECT CAST(p_partkey AS INT) AS sid, p_brand AS name,
-        |                CAST(p_partkey % 4 + 1 AS INT) AS round FROM part),
-        |scanned AS (SELECT *, row_number() OVER (ORDER BY round DESC, sid) AS scan_order
-        |            FROM spec),
-        |cids AS (SELECT name, row_number() OVER (ORDER BY min(scan_order)) AS new_id
-        |         FROM scanned GROUP BY name),
-        |specmap AS (SELECT s.round, s.sid, c.new_id FROM scanned s JOIN cids c USING (name)),
-        |country AS (SELECT CAST(n_nationkey AS VARCHAR) AS code,
-        |                   row_number() OVER (ORDER BY CAST(n_nationkey AS VARCHAR)) AS cid
-        |            FROM nation),
-        |rounds AS (SELECT unnest([1, 2, 3, 4]) AS round),
-        |users AS (SELECT r.round, CAST(c_custkey AS INT) AS user_id, c_custkey AS ck,
-        |                 c_mktsegment, c_nationkey
-        |          FROM customer CROSS JOIN rounds r),
-        |guids AS (SELECT round, user_id, CAST(ck * 10 + round AS BIGINT) AS guid,
-        |                 'age_' || (ck % 5) AS age_range
-        |          FROM users WHERE ck % 10 <> 0),
-        |proj AS (SELECT CAST(o_orderkey % 4 + 1 AS INT) AS round,
-        |                CAST(o_orderkey AS INT) AS pid, CAST(o_custkey AS INT) AS uid,
-        |                o_orderkey AS o, o_orderpriority, o_orderstatus, o_orderdate
-        |         FROM orders WHERE o_orderkey % 7 <> 0),
-        |j AS (
-        |  SELECT p.round, p.pid, p.o, p.o_orderpriority, p.o_orderstatus, p.o_orderdate,
-        |         g.guid, g.age_range, u.ck, u.c_mktsegment, u.c_nationkey,
-        |         ords.call_id, sm.new_id AS psd, nat.cid AS nat_id, home.cid AS home_id
-        |  FROM proj p
-        |  JOIN guids g ON p.round = g.round AND p.uid = g.user_id
-        |  JOIN users u ON p.round = u.round AND p.uid = u.user_id
-        |  JOIN ords ON p.round = ords.round AND (p.o % 8 + 1) = ords.ordinal
-        |  LEFT JOIN specmap sm ON p.round = sm.round AND (p.o % 2000 + 1) = sm.sid
-        |  LEFT JOIN country nat ON CAST(u.c_nationkey AS VARCHAR) = nat.code
-        |  LEFT JOIN country home ON CAST(u.ck % 25 AS VARCHAR) = home.code)
-        |SELECT row_number() OVER (ORDER BY round, pid) AS id,
-        |  pid AS original_project_id,
-        |  o_orderpriority AS title,
-        |  guid AS user_guid, age_range AS user_age_range,
-        |  CAST(o % 14 AS INT) AS length_of_visit,
-        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS start,
-        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "end",
-        |  'TAF-' || o AS taf_id,
-        |  coalesce((CASE WHEN o % 3 = 2 THEN NULL ELSE o % 3 END) <> 0, FALSE)
-        |    AS home_facilities,
-        |  'submitted' AS application_state,
-        |  coalesce((CASE WHEN o % 5 = 4 THEN NULL ELSE o % 2 END) <> 0, FALSE) AS new_user,
-        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS submission_date,
-        |  coalesce(o % 2 <> 0, FALSE) AS support_final,
-        |  CAST(psd AS INT) AS project_specific_discipline,
-        |  CAST(call_id AS BIGINT) AS call_submitted,
-        |  coalesce((CASE WHEN o % 11 = 0 THEN NULL ELSE o % 2 END) <> 0, FALSE)
-        |    AS previous_application,
-        |  CASE o_orderpriority WHEN '1-URGENT' THEN 'Urgent Priority Group'
-        |    WHEN '3-MEDIUM' THEN NULL ELSE o_orderpriority END AS supporter_institution,
-        |  coalesce(o % 2 <> 0, FALSE) AS group_leader,
-        |  CASE o_orderstatus WHEN 'F' THEN 'Finished Group'
-        |    WHEN 'P' THEN NULL ELSE o_orderstatus END AS group_leader_institution,
-        |  CASE WHEN ck % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
-        |  CAST(nat_id AS BIGINT) AS nationality,
-        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'The Building Consortium'
-        |    WHEN 'MACHINERY' THEN NULL ELSE c_mktsegment END AS home_institution_name,
-        |  'Town ' || (ck % 10) AS home_institution_town,
-        |  CAST(home_id AS BIGINT) AS home_institution_country,
-        |  CAST(ck % 7 AS INT) AS number_of_visits,
-        |  round
-        |FROM j ORDER BY id""".stripMargin,
+    "etl_visitor_project" -> visitorProjectOracle,
+    // distributed-id variant: SAME oracle — green = id-path equivalence
+    "etl_visitor_project_distributed" -> visitorProjectOracle,
 
     // SQL replay of the J12 precedence chain: variant union → per-key
     // same-country check / population argmax → manual override first,

@@ -212,7 +212,34 @@ object Steps {
   def fillVisitorProject(
       projects: DataFrame, users: DataFrame, userGuids: DataFrame,
       callTable: DataFrame, specMapping: DataFrame, countryMapping: DataFrame,
-      institutionAliases: Map[String, String]): (DataFrame, DataFrame) = {
+      institutionAliases: Map[String, String]): (DataFrame, DataFrame) =
+    fillVisitorProjectWith(projects, users, userGuids, callTable, specMapping,
+      countryMapping, institutionAliases,
+      t => t.withColumn("id", row_number().over(
+        Window.orderBy(col("round"), col("original_project_id")))))
+
+  /** [[fillVisitorProject]] with the W1 ids assigned by the two-phase
+    * distributed path ([[graft.operators.Ids.distributedSequentialIds]]):
+    * identical dense 1-based ids over the same (round, UserProject_ID)
+    * order — proven by `etl_visitor_project_distributed` sharing
+    * `etl_visitor_project`'s oracle — but no single-task global window, so
+    * the flagship table scales past one executor. Ids are BIGINT here
+    * (the reference-parity window path keeps row_number's INT).
+    */
+  def fillVisitorProjectDistributed(
+      projects: DataFrame, users: DataFrame, userGuids: DataFrame,
+      callTable: DataFrame, specMapping: DataFrame, countryMapping: DataFrame,
+      institutionAliases: Map[String, String]): (DataFrame, DataFrame) =
+    fillVisitorProjectWith(projects, users, userGuids, callTable, specMapping,
+      countryMapping, institutionAliases,
+      t => graft.operators.Ids.distributedSequentialIds(
+        t, Seq("round", "original_project_id"), "id"))
+
+  private def fillVisitorProjectWith(
+      projects: DataFrame, users: DataFrame, userGuids: DataFrame,
+      callTable: DataFrame, specMapping: DataFrame, countryMapping: DataFrame,
+      institutionAliases: Map[String, String],
+      assignId: DataFrame => DataFrame): (DataFrame, DataFrame) = {
 
     val aliases = typedLit(institutionAliases)
     def inst(c: Column): Column = Cleaning.cleanInstitution(c, aliases) // J6
@@ -249,10 +276,8 @@ object Steps {
         col("u.Nationality_Country_code").cast("string") === col("nat_code"), "left") // J7
       .join(broadcast(homeMap),
         col("u.Home_Institution_Country_code").cast("string") === col("home_code"), "left")
-      .withColumn("id", row_number().over(Window.orderBy(col("p.round"), col("p.UserProject_ID"))))
 
-    val table = joined.select(
-      col("id"),
+    val noId = joined.select(
       col("p.UserProject_ID").as("original_project_id"),
       col("p.UserProject_Title").as("title"),
       col("p.UserProject_Objectives").as("objectives"),
@@ -305,8 +330,10 @@ object Steps {
       col("u.Travel_and_Subsistence_reimbursed").as("travel_and_subsistence_reimbursed"),
       col("u.jobTitle").as("job_title"),
       col("p.round").as("round"))
-    val mapping = joined.select(col("p.round").as("round"),
-      col("p.UserProject_ID").as("original_id"), col("id").as("new_id"))
+    val table = assignId(noId)
+      .select((col("id") +: noId.columns.map(col)): _*)
+    val mapping = table.select(col("round"),
+      col("original_project_id").as("original_id"), col("id").as("new_id"))
     (table, mapping)
   }
 
