@@ -627,6 +627,199 @@ object SparkEntry {
       visitorProjectSelect(table)
     }),
 
+    // FillMissingCountryData (J12, etl.py:674-769) driven end-to-end
+    // through graft.etl.Geo.fillMissingCountry over a geonames-style
+    // fixture derived from customer/nation: 40 shared city names across
+    // 25 countries force the ambiguity → max-population argmax rule
+    // (populations are unique, so the argmax is engine-independent),
+    // per-customer alternatenames exercise the variant union, and the
+    // orders-derived towns cover every resolution path — exact, ", " and
+    // ". " delimiter fallbacks, manual override, and already-set rows
+    // left untouched. GeoSpec stays the fixture-level semantic lock.
+    "geo_resolve" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val ck = col("c_custkey")
+      val cities = t(s, dir, "customer").select(
+        concat(lit("city "), m(ck, 40)).as("name"),
+        array(concat(lit("alt "), ck)).as("alternatenames"),
+        col("c_nationkey").cast("string").as("countrycode"),
+        ck.cast("bigint").as("population"))
+      val iso = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("Country_Code"),
+          col("n_name").as("Country_Name"))
+      val (_, countryMapping) = graft.etl.Steps.fillCountry(iso)
+      val o = col("o_orderkey")
+      val vp = t(s, dir, "orders").select(
+        o.cast("bigint").as("id"),
+        when(m(o, 4) === 1, lit(null)).when(m(o, 4) === 2, lit(0))
+          .otherwise(m(o, 25) + 1).cast("int").as("home_institution_country"),
+        when(m(o, 5) === 0, concat(lit("city "), m(o, 40)))
+          .when(m(o, 5) === 1, concat(lit("alt "), m(o, 100) + 1))
+          .when(m(o, 5) === 2, concat(lit("city "), m(o, 40), lit(", region")))
+          .when(m(o, 5) === 3, concat(lit("city "), m(o, 40), lit(". suffix")))
+          .otherwise(lit("Override Town")).as("home_institution_town"))
+      graft.etl.Geo.fillMissingCountry(vp, cities,
+          manual = Map("Override Town" -> "7"), countryMapping = countryMapping)
+        .select(col("id"), col("home_institution_town"),
+          col("home_institution_country").cast("bigint").as("home_institution_country"))
+        .orderBy("id")
+    }),
+
+    // CleanOutputs (etl.py:375-432, F7-F10) driven end-to-end through
+    // graft.etl.Steps.cleanOutputs: in-place clean_string of authors/title
+    // (empty stays empty, null stays null), DOI-cache join, and the
+    // metadata struct application — F7 "family given; …" author
+    // formatting over entries having both parts, F8 year from created[:4],
+    // F9 title fallback to the existing value when the titles array is
+    // empty, F10 volume/pages overwritten only when present in metadata.
+    // Caches are derived frames (array-of-struct authors built in-query);
+    // the oracle reconstructs the same structs and replays every rule.
+    "etl_clean_outputs" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o"),
+          (m(col("o_orderkey"), 4) + 1).cast("int").as("round"),
+          col("o_orderstatus"))
+      val o = col("o")
+      val outputTable = base.select(
+        o.as("id"),
+        lit("article").as("output_type"), lit("published").as("publication_status"),
+        when(m(o, 11) === 0, lit("")).when(m(o, 11) === 1, lit(null))
+          .otherwise(concat(lit("A\tB  "), o)).as("authors"),
+        (lit(1990) + m(o, 30)).cast("int").as("year"),
+        when(m(o, 7) === 0, lit("")).otherwise(concat(lit("T  "), o)).as("title"),
+        concat(lit("P"), m(o, 4)).as("publisher"),
+        concat(lit("u"), o).as("url"),
+        when(m(o, 2) === 0, lit(null)).otherwise(concat(lit("V"), m(o, 9))).as("volume"),
+        concat(lit("pg"), m(o, 13)).as("pages"),
+        col("o_orderstatus").as("conference"), lit(null).cast("string").as("degree"),
+        col("round"))
+      val mapping = base.select(col("round"), o.as("original_id"), o.as("new_id"))
+      val doiRows = base.filter(m(o, 3) === 0)
+        .select(col("round"), o.as("original_id"),
+          concat(lit("10."), m(o, 1000), lit("/x"), o).as("doi"), o.as("mo"))
+      val mo = col("mo")
+      val doiMetadata = doiRows.select(col("doi"),
+        array(
+          struct(concat(lit("G"), m(mo, 7)).as("given"),
+            concat(lit("F"), m(mo, 5)).as("family")),
+          struct(lit(null).cast("string").as("given"), lit("Solo").as("family")))
+          .as("authors"),
+        when(m(mo, 5) === 0, array().cast("array<string>"))
+          .otherwise(array(concat(lit("Ti  "), mo), lit("Alt"))).as("titles"),
+        concat(lit("19"), lpad(m(mo, 100).cast("string"), 2, "0"), lit("-01-02"))
+          .as("created"),
+        concat(lit("Pub"), m(mo, 4)).as("publisher"),
+        concat(lit("http://ex/"), mo).as("url"),
+        when(m(mo, 6) < 3, concat(lit("MV"), m(mo, 9))).otherwise(lit(null)).as("volume"),
+        when(m(mo, 13) === 0, lit(null)).otherwise(concat(lit("mpg"), m(mo, 13)))
+          .as("pages"))
+      graft.etl.Steps.cleanOutputs(outputTable, mapping,
+          doiRows.select(col("round"), col("original_id"), col("doi")), doiMetadata)
+        .select(col("id"), col("authors"), col("year"), col("title"),
+          col("publisher"), col("url"), col("volume"), col("pages"),
+          col("conference"), col("doi"), col("round"))
+        .orderBy("id")
+    }),
+
+    // S3 (users.csv multi-ID explode) driven through
+    // graft.sources.UsersCsv.explodeGuids over a derived wide frame:
+    // comma-packed per-round ID cells (some empty, some single, some
+    // double) and per-round age cells (empty → NULL) — the exact
+    // resources.py:415-457 surface, oracled by replaying the split +
+    // unnest + casts in SQL. The GUID-uniqueness invariant
+    // (DuplicateUserGuidError) runs inside explodeGuids.
+    "etl_users_csv" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val ck = col("c_custkey")
+      val cols = col("c_custkey").cast("bigint").as("GUID") +:
+        (1 to 4).flatMap { r =>
+          val k = ck + lit(r)
+          Seq(
+            when(m(k, 4) === 0, lit(""))
+              .when(m(k, 3) === 0, (ck * 10 + r).cast("string"))
+              .otherwise(concat(ck * 10 + lit(r), lit(","), ck * 10 + lit(r) + 100000))
+              .as(s"SYNTH_${r}_ID"),
+            when(m(k, 5) === 0, lit("")).otherwise(concat(lit("a"), m(k, 5)))
+              .as(s"SYNTH_${r}_AGE"))
+        }
+      val wide = t(s, dir, "customer").select(cols: _*)
+      graft.sources.UsersCsv.explodeGuids(wide)
+        .orderBy("round", "user_id")
+    }),
+
+    // S10 (DDL sink): the schema-to-DDL half of the dump path as data —
+    // one row per table, the exact CREATE TABLE text the dump writes.
+    "s10_ddl" -> ((s, dir) => {
+      import s.implicits._
+      Seq("region", "nation")
+        .map(n => (n, graft.sinks.SqlDump.createTableDdl(t(s, dir, n), n)))
+        .toDF("tbl", "ddl")
+        .orderBy("tbl")
+    }),
+
+    // F14 — the per-publisher network DOI stages (doi.py:129-223) with
+    // their offline halves REAL (recognizer regexes + response parsers)
+    // and the fetch a replayable cache join: records and the (key, body)
+    // response cache both derive deterministically from orders, and the
+    // oracle replays recognizers, joins, and parses (bibtex DOI + XML
+    // prism:doi + ReFindIt JSON) row-for-row.
+    "doi_network_stages" -> ((s, dir) => {
+      def m(c: Column, n: Int) = pmod(c, lit(n))
+      val o = col("o_orderkey")
+      val pii = concat(lit("S"), upper(substring(md5(o.cast("string")), 1, 16)))
+      val camId = upper(substring(md5(o.cast("string")), 1, 12))
+      val url = when(m(o, 6) === 0, concat(lit("see elsevier ref "), pii))
+        .when(m(o, 6) === 1, concat(
+          lit("http://www.ingentaconnect.com/content/brill/ctz/"),
+          lit(1990) + m(o, 30), lit("/12/34/art"), lit(10000) + m(o, 90)))
+        .when(m(o, 6) === 2, concat(
+          lit("http://zookeys.pensoft.net/articles.php?version=2&id="), m(o, 9000)))
+        .when(m(o, 6) === 3, concat(
+          lit("https://subtbiol.pensoft.net/articles/"), m(o, 9000)))
+        .when(m(o, 6) === 4, concat(
+          lit("https://www.ncbi.nlm.nih.gov/pmc/articles/PMC"),
+          lit(1000000) + m(o, 9000000)))
+        .otherwise(concat(lit("www.cambridge.org/core/product/"), camId))
+      val records = t(s, dir, "orders")
+        .select(o.cast("bigint").as("id"), url.as("url"),
+          m(o, 6).cast("int").as("kind"))
+      // response cache: body is a function of the KEY-determining value,
+      // so colliding keys (pmod wraps) carry identical bodies; distinct
+      // dedups them
+      val r = records
+      val body = when(col("kind") === 0, concat(
+          lit("<coredata><prism:doi>10.1016/j."),
+          lower(graft.functions.DoiNetwork.elsevierPii(col("url"))),
+          lit("</prism:doi></coredata>")))
+        .when(col("kind") === 1, concat(lit("@article{a, doi = {10.1644/"),
+          regexp_extract(col("url"), "art(\\d+)", 1), lit("}}")))
+        .when(col("kind") === 2 || col("kind") === 3,
+          concat(lit("@article{a, doi = {10.3897/zk."),
+            regexp_extract(col("url"), "(\\d+)$", 1), lit("}}")))
+        .when(col("kind") === 4, concat(lit("""[{"doi": "10.1093/pm"""),
+          graft.functions.DoiNetwork.pubmedPmc(col("url")), lit("\"}]")))
+        .otherwise(concat(lit("@article{a, doi = {10.1017/"),
+          regexp_extract(col("url"), "product/([A-F0-9]+)", 1), lit("}}")))
+      val key = when(col("kind") === 0,
+          concat(lit("elsevier:"), graft.functions.DoiNetwork.elsevierPii(col("url"))))
+        .when(col("kind") === 1,
+          concat(lit("ingenta:"), graft.functions.DoiNetwork.ingentaPath(col("url"))))
+        .when(col("kind") === 2 || col("kind") === 3,
+          concat(lit("pensoft:"), graft.functions.DoiNetwork.pensoftRequest(col("url"))))
+        .when(col("kind") === 4,
+          concat(lit("pubmed:PMC"), graft.functions.DoiNetwork.pubmedPmc(col("url"))))
+        .otherwise(concat(lit("cambridge:"),
+          graft.functions.DoiNetwork.cambridgeUrl(col("url"))))
+      val cache = r.select(key.as("key"), body.as("body"))
+        .filter(col("key").isNotNull).distinct()
+      graft.functions.DoiNetwork.resolveFromCaches(records, "url", cache)
+        .select(col("id"), col("url"), col("k_elsevier"), col("k_cambridge"),
+          col("k_ingenta"), col("k_pensoft"), col("k_pubmed"), col("doi"))
+        .orderBy("id")
+    }),
+
+
     // S12/F25 — SQL-dump sink statements as a distributed text column.
     "s12_sql_dump" -> ((s, dir) => {
       graft.sinks.SqlDump.insertStatements(
