@@ -26,10 +26,18 @@ object Ids {
       row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("bigint"))
 
   def distributedSequentialIds(df: DataFrame, orderCols: Seq[String], idCol: String): DataFrame = {
-    // range-partition by the order key so partition order == global order
+    // range-partition by the order key so partition order == global order.
+    // localCheckpoint PINS the partitioning: both consumers below (the
+    // offsets aggregation and the final join) read the SAME materialized
+    // partitions — re-evaluating the plan twice can produce different
+    // range boundaries (AQE coalescing, boundary re-sampling), and an
+    // inner join on __pid across two different partitionings silently
+    // DROPS every row whose pid only exists on one side (caught by the
+    // etl_visitor_project_distributed shared oracle at sf0.1).
     val sorted = df.repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // per-partition counts → cumulative offsets (tiny: one row per partition)
     val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
