@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
-import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, Rounds, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, Retrieval, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1898,6 +1898,52 @@ object SparkEntry {
           round(avg(col("recall")), 4).as("avg_recall"))
     }),
 
+    // BM25 full-text search served from the PERSISTED inverted index
+    // (token→postings + doc lengths under the corpus-size-keyed dir —
+    // build-once/query-many like the ANN indexes). Queries = the first 8
+    // tokens of every doc_id ≡ 7 (mod 100); the search scans ONLY
+    // postings rows matching the broadcast query-term set, never the
+    // documents, and ranks through the bounded smallest_k heap. Fully
+    // oracled: DuckDB recomputes df/N/avgdl from the same persisted
+    // tables and replays the per-term rounded-decimal scoring row-for-row.
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = ensureIndex(s, docs, "bm25", "postings") { p =>
+        Retrieval.writeIndex(docs, "text", "doc_id", p)
+      }
+      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), " "), 1, 8), " ")
+            .as("qtext"))
+      Retrieval.bm25TopKFromIndex(s, path, q, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hybrid lexical+vector retrieval: BM25 top-20 (from the persisted
+    // index) fused with cosine top-20 (vec_id aligns with doc_id) by
+    // reciprocal-rank fusion, 1/(60+rank) rounded-decimal sums. The fused
+    // ordering depends only on RANKS, so the two systems' incomparable
+    // scores never mix; the oracle replays both rankings and the fusion.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val path = ensureIndex(s, docs, "bm25", "postings") { p =>
+        Retrieval.writeIndex(docs, "text", "doc_id", p)
+      }
+      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), " "), 1, 8), " ")
+            .as("qtext"))
+      val lexical = Retrieval.bm25TopKFromIndex(s, path, q, k = 20)
+      val vector = Similarity.bruteForceTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(100)) === 7), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("bigint").as("rank"))
+      Retrieval.rrfFuse(Seq(lexical.select("query_id", "doc_id", "rank"),
+          vector), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Exact length quantiles per source — the corpus-profiling stat a
     // curation pass thresholds against (exact interpolated percentile;
     // DuckDB's quantile_cont has the same definition). Scale note: exact
@@ -3726,6 +3772,103 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  round(avg(recall), 4) AS avg_recall
         |FROM rec""".stripMargin,
+
+    // Replay oracle for the persisted-index BM25 search: df/N/avgdl are
+    // recomputed from the SAME postings/doclens parquet the engine
+    // searched, every per-term score is the identical rounded-decimal
+    // expression, and the ranking replays row-for-row.
+    "text_bm25_topk" ->
+      """WITH posts AS (
+        |  SELECT token, doc_id, tf
+        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/postings/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+        |lens AS (
+        |  SELECT doc_id, dl
+        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/doclens/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+        |dfs AS (SELECT token, count(*) AS df FROM posts GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id,
+        |        list_distinct(list_slice(string_split(lower(trim(text)), ' '), 1, 8)) AS qt
+        |      FROM documents WHERE doc_id % 100 = 7),
+        |qterms AS (SELECT query_id, unnest(qt) AS token FROM q),
+        |scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    sum(CAST(round(
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * l.dl / s.avgdl))),
+        |      6) AS DECIMAL(18,6))) AS sc
+        |  FROM posts p
+        |  JOIN qterms qt USING (token)
+        |  JOIN dfs d USING (token)
+        |  JOIN lens l ON p.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rn AS rank, doc_id, CAST(sc AS DOUBLE) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sc DESC, doc_id) AS rn FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Hybrid fusion replay: BM25 top-20 from the persisted index + cosine
+    // top-20 over the aligned embeddings, fused as rounded-decimal
+    // 1/(60+rank) sums — rank-space fusion, replayed end-to-end.
+    "hybrid_rrf_topk" ->
+      """WITH posts AS (
+        |  SELECT token, doc_id, tf
+        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/postings/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+        |lens AS (
+        |  SELECT doc_id, dl
+        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/doclens/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+        |dfs AS (SELECT token, count(*) AS df FROM posts GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id,
+        |        list_distinct(list_slice(string_split(lower(trim(text)), ' '), 1, 8)) AS qt
+        |      FROM documents WHERE doc_id % 100 = 7),
+        |qterms AS (SELECT query_id, unnest(qt) AS token FROM q),
+        |scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    sum(CAST(round(
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * l.dl / s.avgdl))),
+        |      6) AS DECIMAL(18,6))) AS sc
+        |  FROM posts p
+        |  JOIN qterms qt USING (token)
+        |  JOIN dfs d USING (token)
+        |  JOIN lens l ON p.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT query_id, rn AS rank, doc_id
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY sc DESC, doc_id) AS rn FROM scored)
+        |       WHERE rn <= 20),
+        |vq AS (SELECT * FROM embeddings WHERE vec_id % 100 = 7),
+        |vscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM vq q, embeddings c WHERE c.vec_id <> q.vec_id),
+        |vec AS (SELECT query_id, rn AS rank, doc_id
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY sim DESC, doc_id) AS rn FROM vscored)
+        |        WHERE rn <= 20),
+        |contrib AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS rc FROM bm
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS rc FROM vec),
+        |fused AS (
+        |  SELECT query_id, doc_id, sum(rc) AS fscore, count(*) AS n_lists
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, rn AS rank, doc_id, CAST(fscore AS DOUBLE) AS rrf,
+        |  n_lists
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
+        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "text_length_quantiles" ->
       """SELECT source,

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus: a classic inverted index
+  * (token → posting list) persisted as parquet, BM25 ranking served from
+  * that index, and reciprocal-rank fusion to combine lexical and vector
+  * rankings — the hybrid-search shape every RAG / training-data-curation
+  * stack needs beside the `Similarity` ANN operators.
+  *
+  * Beyond-reference component (builder brief: similarity search /
+  * training-data pipeline operators). Retrieval-model shape follows
+  * Robertson & Zaragoza 2009 (BM25) and Cormack, Clarke & Buettcher 2009
+  * (reciprocal rank fusion).
+  *
+  * Determinism contract (shared with the rest of the registry): tf / df /
+  * doc-length are exact integers; every per-term score is rounded to 6 dp
+  * and summed as DECIMAL(18,6) (order-free exact), so ranking ties are
+  * decided on exact values and any engine reproduces the ranking
+  * bit-for-bit.
+  *
+  * Scale shape: the index build is ONE explode + ONE count aggregation
+  * (map-side combine) — O(total tokens) narrow rows. Search never scans
+  * documents: the (broadcast) query-term set prunes the postings scan to
+  * matching tokens only — at 100 TB the postings table is written
+  * bucketed by token, making that a partition-pruned read. Ranking uses
+  * the bounded [[graft.functions.TopK]] heap: ≤ k rows per (task, query)
+  * are shuffled, never the full scored set.
+  */
+object Retrieval {
+
+  /** BM25 parameters. 1.5 and 0.75 sit in the standard tuning range AND
+    * are exact binary fractions, so `k1 + 1 = 2.5` and `1 − b = 0.25` are
+    * bit-identical literals in every engine (1.2 — the other customary
+    * k1 — is not exactly representable, and `k1 + 1` would round
+    * differently than a literal `2.2`).
+    */
+  val K1 = 1.5
+  val B = 0.75
+
+  private def toks(c: org.apache.spark.sql.Column) = split(lower(trim(c)), " ")
+
+  /** Inverted index: postings (token, doc_id, tf) + doc lengths
+    * (doc_id, dl). Everything else BM25 needs (df, N, avgdl) is derived
+    * from these two, so the persisted index stays minimal.
+    */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("token"))
+    val postings = exploded.groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val doclens = docs.select(col(idCol).as("doc_id"),
+      size(toks(col(textCol))).cast("bigint").as("dl"))
+    (postings, doclens)
+  }
+
+  /** Persist the index under `path` (build-once / query-many, the same
+    * split as [[Similarity.writePqIndex]]). Tables are stamped with
+    * `n_corpus` so differently-sized corpora never collide and a replay
+    * oracle can glob + filter. At 100 TB the postings write would add
+    * `.bucketBy(token)` so searches prune to the buckets of their query
+    * terms; at test scale plain parquet keeps the fixture readable.
+    */
+  def writeIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String): Unit = {
+    val (postings, doclens) = invertedIndex(docs, textCol, idCol)
+    val n = docs.count()
+    doclens.withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    postings.withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** BM25 top-k from a persisted index: score every document that shares
+    * at least one term with the query and keep the k best per query.
+    *
+    * score(q, d) = Σ_{t ∈ distinct(q)} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + ½)/(df + ½))  — the Robertson/Sparck
+    * Jones idf in its always-positive (Lucene) form, so score terms never
+    * cancel and the −0.0 sort-key hazard cannot arise.
+    *
+    * The scan side is postings ⋈ broadcast(query terms) — documents are
+    * never touched, and df/N/avgdl ride along as broadcast one-rowers.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("token"), col("doc_id"), col("tf"))
+    val doclens = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl"))
+    bm25TopK(postings, doclens, queries, k)
+  }
+
+  /** Index-table form of the scorer — `queries` is (query_id, qtext). */
+  def bm25TopK(postings: DataFrame, doclens: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(toks(col("qtext")))).as("token"))
+    val dfTab = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    val scored = postings
+      .join(broadcast(qterms.join(dfTab, Seq("token"))), Seq("token"))
+      .join(doclens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(K1 + 1.0)
+               / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))),
+          6).cast("decimal(18,6)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("dscore"))
+      .select(col("query_id"), col("doc_id"),
+        col("dscore").cast("double").as("score"))
+
+    // bounded-heap ranking: identical total order to
+    // row_number() over (order by score desc, doc_id), but only ≤ k rows
+    // per (task, query) ever reach the exchange
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.smallestK(
+        struct((lit(0.0) - col("score")).as("neg"), col("doc_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.doc_id").as("doc_id"),
+        (lit(0.0) - col("col.neg")).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): given per-system
+    * rankings (query_id, doc_id, rank), fuse as
+    * rrf(d) = Σ_systems 1/(c + rank_s(d)) with the canonical c = 60,
+    * keep the k best fused per query. Rank-based, so the systems'
+    * incomparable scores (BM25 vs cosine) never mix; each reciprocal is
+    * rounded to 6 dp and summed as decimal so the fused ordering is
+    * engine-exact. The union and the one keyed aggregation shuffle
+    * O(candidates) tiny rows — nothing rescans the source rankings'
+    * inputs.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    val contribs = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1.0) / (lit(c) + col("rank")), 6).cast("decimal(18,6)").as("rc")))
+      .reduce(_ unionAll _)
+    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("rc")).as("dscore"), count(lit(1)).as("n_lists"))
+      .select(col("query_id"), col("doc_id"),
+        col("dscore").cast("double").as("rrf"), col("n_lists"))
+    // doc_id is unique per query, so the (neg, doc_id) struct prefix fixes
+    // the heap's total order and rrf/n_lists just ride along — no rejoin
+    fused.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.smallestK(
+        struct((lit(0.0) - col("rrf")).as("neg"), col("doc_id"),
+          col("rrf"), col("n_lists")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.doc_id").as("doc_id"), col("col.rrf").as("rrf"),
+        col("col.n_lists").as("n_lists"))
+  }
+}

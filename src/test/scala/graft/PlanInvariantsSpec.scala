@@ -89,7 +89,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "ann_pq_topk", "ann_pq_recall",
     // cells ⨝ probes is a keyed join, but assignment shares IVF's
     // broadcast-centroid scalar cross join
-    "ann_ivfpq_topk", "ann_ivfpq_recall")
+    "ann_ivfpq_topk", "ann_ivfpq_recall",
+    // 1-row N/avgdl stats broadcast rides a cross join (the postings ⨝
+    // query-terms scoring join itself is a broadcast equi-join)
+    "text_bm25_topk",
+    // same BM25 scalar cross + the deliberate brute-force cosine arm
+    "hybrid_rrf_topk")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)
