@@ -1944,6 +1944,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // CCNet head/middle/tail perplexity buckets over the corpus-trained
+    // unigram LM score — tercile cut points as a broadcast scalar, never a
+    // global ntile window.
+    "curation_ccnet_buckets" -> ((s, dir) => {
+      Curation.ccnetBuckets(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights: hashed-bigram log-likelihood ratio of the
+    // English-labeled target slice vs the raw corpus, deterministic top-20%
+    // selection. Fully oracled — DuckDB replays hashing, smoothing, decimal
+    // sums and the percentile threshold.
+    "curation_dsir" -> ((s, dir) => {
+      Curation.dsirLogWeights(t(s, dir, "documents"), "text", "doc_id",
+          isTarget = col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
+    // Cluster-balanced subsample from the persisted IVF centroids: per-cell
+    // cap in hash order — the semantic-diversity curation pass. Replayed
+    // row-for-row from the same centroid table the ANN queries use.
+    "curation_cluster_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ensureIndex(s, emb, "ivf", "centroids") { p =>
+        Similarity.writeIvfCentroids(emb, p, nCells = 8)
+      }
+      Similarity.clusterBalancedSample(path, emb, cap = 40)
+        .orderBy("vec_id")
+    }),
+
     // Exact length quantiles per source — the corpus-profiling stat a
     // curation pass thresholds against (exact interpolated percentile;
     // DuckDB's quantile_cont has the same definition). Scale note: exact
@@ -3869,6 +3899,90 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // The unigram-LM CTE is text_unigram_lm's replay; the tercile cuts use
+    // the same shortest-repr double literals the Spark plan carries.
+    "curation_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |  FROM documents),
+        |cnts AS (SELECT token, count(*) AS tf_corpus FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf_corpus) AS DOUBLE) AS total FROM cnts),
+        |lp AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(ln(c.tf_corpus / (SELECT total FROM tot)), 6)
+        |         AS DECIMAL(18,6)) AS lp
+        |  FROM toks t JOIN cnts c USING (token)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(CAST(-sum(lp) AS DOUBLE) / count(*), 4) AS avg_nll
+        |  FROM lp GROUP BY 1),
+        |cuts AS (SELECT quantile_cont(avg_nll, 0.3333333333333333) AS c1,
+        |                quantile_cont(avg_nll, 0.6666666666666666) AS c2
+        |         FROM scored)
+        |SELECT doc_id, avg_nll,
+        |  CASE WHEN avg_nll <= (SELECT c1 FROM cuts) THEN 'head'
+        |       WHEN avg_nll <= (SELECT c2 FROM cuts) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // Full DSIR replay: portable md5-prefix feature hashing, add-one
+    // smoothed per-bucket log-likelihood ratios rounded to decimal,
+    // per-doc sums, and the 0.8-percentile selection threshold.
+    "curation_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_transform(generate_series(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1])) AS bg
+        |        FROM toks WHERE len(t) >= 2)),
+        |cs AS (SELECT b, count(*) AS cs FROM f GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+        |tots AS (SELECT count(*) AS ts,
+        |           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM f),
+        |lw AS (
+        |  SELECT cs.b,
+        |    CAST(round(ln(
+        |      ((coalesce(ct.ct, 0) + 1.0) / (tots.tt + 1024))
+        |        / ((cs.cs + 1.0) / (tots.ts + 1024))), 6) AS DECIMAL(18,6)) AS lw
+        |  FROM cs LEFT JOIN ct ON cs.b = ct.b CROSS JOIN tots),
+        |dw AS (
+        |  SELECT f.doc_id, count(*) AS n_feats,
+        |    CAST(sum(lw.lw) AS DOUBLE) AS log_w
+        |  FROM f JOIN lw ON f.b = lw.b GROUP BY 1),
+        |cut AS (SELECT quantile_cont(log_w, 0.8) AS c FROM dw)
+        |SELECT doc_id, n_feats, log_w,
+        |  log_w >= (SELECT c FROM cut) AS selected
+        |FROM dw ORDER BY doc_id""".stripMargin,
+
+    // Same persisted-centroid assignment replay as ann_ivf_topk (cr = 1),
+    // then the per-cell hash-order rank and cap.
+    "curation_cluster_balance" ->
+      """WITH cent AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |d AS (SELECT vec_id, cell,
+        |        list_inner_product(centroid, centroid)
+        |          - 2.0 * list_inner_product(e, centroid) AS d2
+        |      FROM v, cent),
+        |a AS (SELECT vec_id, cell FROM (
+        |        SELECT vec_id, cell,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+        |        FROM d)
+        |      WHERE cr = 1),
+        |r AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY cell
+        |          ORDER BY CAST(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15)) AS BIGINT)
+        |                     / 1152921504606846976.0, vec_id) AS cell_rank
+        |      FROM a)
+        |SELECT vec_id, cell, cell_rank, cell_rank <= 40 AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "text_length_quantiles" ->
       """SELECT source,

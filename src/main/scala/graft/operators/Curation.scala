@@ -644,4 +644,105 @@ object Curation {
           round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6))
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank the
+    * corpus by its LM score and cut it into head / middle / tail thirds —
+    * head (lowest perplexity) feeds pretraining as-is, middle is kept,
+    * tail is the usual discard. Buckets come from TWO TERCILE CUT POINTS
+    * (a 1-row broadcast) compared map-side — not from `ntile` over a
+    * global window, which would serialize the corpus through one
+    * partition (the same two-pass-agg-plus-broadcast stance as
+    * `w4_zscore`). Boundary docs land deterministically: `avg_nll` is a
+    * 4-dp-rounded double and the comparison runs on bit-identical values
+    * in any engine.
+    *
+    * Exact `percentile` buffers the per-doc scores in one aggregation
+    * buffer; at extreme corpus sizes swap to `approx_percentile`
+    * (mergeable t-digest) and drop the oracle to a bound check, as
+    * `text_length_quantiles_approx` does.
+    */
+  def ccnetBuckets(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val scored = unigramLmScore(docs, textCol, idCol)
+      .select(col("doc_id"), col("avg_nll"))
+    // 1/3 and 2/3 as shortest-repr double literals: the SQL oracle carries
+    // the same decimal strings, so both engines interpolate from the
+    // identical fraction
+    val cuts = scored.agg(
+      expr("percentile(avg_nll, 0.3333333333333333)").as("c1"),
+      expr("percentile(avg_nll, 0.6666666666666666)").as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("c1"), "head")
+          .when(col("avg_nll") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** DSIR — data selection with importance resampling (Xie et al. 2023):
+    * score every document by how much more likely its hashed-bigram
+    * features are under a TARGET distribution (the high-quality subset
+    * you want more of) than under the raw-corpus distribution, then keep
+    * the top slice. Feature space = word bigrams hashed into `buckets`
+    * counters (the paper's hashed n-gram generative model); per-bucket
+    * log-likelihood ratio uses add-one smoothing on both sides; a
+    * document's log importance weight is the sum over its features (with
+    * multiplicity).
+    *
+    * Deviation from the paper, by the registry's determinism convention:
+    * selection is the deterministic top `1 − keepQuantile` slice by
+    * weight (threshold = an exact percentile, broadcast as a 1-row
+    * scalar) rather than Gumbel-noise resampling — the same
+    * hash-derived-over-RNG stance as [[sampleByHash]] / [[weightedSample]].
+    * Feature hashing is the portable md5-prefix construction
+    * ([[hashFraction]]), so any engine reproduces bucket ids exactly.
+    *
+    * Scale shape: explode → bucket-count aggregations (map-side combine)
+    * over a FIXED `buckets`-sized key space; the per-bucket weight table
+    * (≤ `buckets` rows) broadcasts into the scoring join; one per-doc
+    * aggregation. No all-pairs, no driver state, O(total bigrams) narrow
+    * rows — the paper's own selling point (hashed features keep the model
+    * O(buckets)) is exactly what keeps the Spark plan shuffle-light.
+    */
+  def dsirLogWeights(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 1024,
+      keepQuantile: Double = 0.8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        split(lower(trim(col(textCol))), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        graft.functions.TextStats.bigramsOf(col("t")).as("bgs"))
+    // persisted + eagerly counted BEFORE the explode (the
+    // InferFiltersFromGenerate trap): the feature table feeds the
+    // source/target counts, the totals and the scoring join
+    val f = {
+      val m = base.persist(); m.count()
+      val e = m.select(col("doc_id"), col("is_target"),
+          explode(col("bgs")).as("bg"))
+        .select(col("doc_id"), col("is_target"),
+          (conv(substring(md5(col("bg").cast("binary")), 1, 15), 16, 10)
+            .cast("long") % buckets).as("b"))
+        .persist()
+      e.count()
+      e
+    }
+    val cs = f.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val ct = f.filter(col("is_target")).groupBy(col("b"))
+      .agg(count(lit(1)).as("ct"))
+    val tots = f.agg(count(lit(1)).as("ts"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("tt"))
+    val lw = cs.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("b"), round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(buckets)))
+            / ((col("cs") + lit(1.0)) / (col("ts") + lit(buckets)))),
+        6).cast("decimal(18,6)").as("lw"))
+    val dw = f.join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        col("s").cast("double").as("log_w"))
+    val cut = dw.agg(expr(s"percentile(log_w, $keepQuantile)").as("cut"))
+    dw.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_feats"), col("log_w"),
+        (col("log_w") >= col("cut")).as("selected"))
+  }
 }

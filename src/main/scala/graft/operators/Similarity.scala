@@ -815,4 +815,44 @@ object Similarity {
       .withColumn("sim", round(dotProduct(col("qvec"), col("nvec")), 4))
     rankTopK(rescored, k)
   }
+
+  /** Cluster-balanced subsampling — the semantic-diversity curation pass
+    * (the cluster-proportional selection step of SemDeDup-style pipelines:
+    * cap each region of embedding space so a few dense topic clusters
+    * cannot dominate the training mix). Assigns every vector to its
+    * nearest persisted IVF centroid (raw-space argmin, exactly the
+    * coarse-quantizer assignment [[ivfTopKFromCentroids]] uses) and keeps
+    * at most `cap` members per cell, chosen in the portable md5
+    * hash-fraction order (deterministic, unbiased by ingestion order —
+    * the [[Curation.hashFraction]] convention) with the id as tiebreak.
+    *
+    * Scale shape: centroids are a broadcast scalar (nCells rows); the
+    * per-vector argmin is map-side; the only shuffle is the per-cell
+    * window, whose partitions are corpus/nCells — the cap then bounds
+    * what anything downstream reads. Pure function of (centroids, data):
+    * the replay oracle checks assignment, ranks and the kept set
+    * row-for-row.
+    */
+  def clusterBalancedSample(path: String, corpus: DataFrame, cap: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val spark = corpus.sparkSession
+    val centroids = spark.read.parquet(path + "/centroids")
+      .select(col("cell"), col("centroid"))
+    val scored = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        dotProduct(col("centroid"), col("centroid")) -
+          lit(2.0) * dotProduct(col("v"), col("centroid")))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val assigned = scored.withColumn("cr", row_number().over(aw))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("cell"))
+    val cw = Window.partitionBy(col("cell"))
+      .orderBy(Curation.hashFraction(col("vec_id")), col("vec_id"))
+    assigned
+      .withColumn("cell_rank", row_number().over(cw).cast("bigint"))
+      .withColumn("kept", col("cell_rank") <= cap)
+  }
 }

@@ -94,7 +94,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // query-terms scoring join itself is a broadcast equi-join)
     "text_bm25_topk",
     // same BM25 scalar cross + the deliberate brute-force cosine arm
-    "hybrid_rrf_topk")
+    "hybrid_rrf_topk",
+    // unigram-LM scalar cross (as text_unigram_lm) + 1-row tercile cuts
+    "curation_ccnet_buckets",
+    // 1-row totals + 1-row percentile-threshold scalar crosses
+    "curation_dsir",
+    // broadcast-centroid scalar cross, the IVF assignment shape
+    "curation_cluster_balance")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)
