@@ -1944,6 +1944,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Blocked fuzzy record linkage: within-block (first-two-token key)
+    // document-prefix pairs gated at partial_ratio ≥ 80 — the ER blocking
+    // pattern; candidates are an equi-join, never all-pairs. Fully
+    // oracled: DuckDB replays the block join and the windowed Levenshtein.
+    "er_fuzzy_pairs" -> ((s, dir) => {
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").as("rec_id"),
+          substring(col("text"), 1, 48).as("name"))
+      graft.operators.EntityResolution.blockedFuzzyPairs(recs, "rec_id",
+          "name", substring_index(col("name"), " ", 2), threshold = 80)
+        .orderBy("id_a", "id_b")
+    }),
+
     // CCNet head/middle/tail perplexity buckets over the corpus-trained
     // unigram LM score — tercile cut points as a broadcast scalar, never a
     // global ntile window.
@@ -3899,6 +3912,32 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Blocked-fuzzy replay: same block key, same shorter-over-longer
+    // window sweep as partialRatioOracle (constant series + bound filter —
+    // generate_series can't be lateral), same round/max/threshold chain.
+    "er_fuzzy_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, substr(text, 1, 48) AS name,
+        |    array_to_string(string_split(substr(text, 1, 48), ' ')[1:2], ' ') AS block
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.name AS na, b.name AS nb
+        |  FROM p a JOIN p b ON a.block = b.block AND a.id < b.id),
+        |norm AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN len(na) <= len(nb) THEN na ELSE nb END AS s,
+        |    CASE WHEN len(na) <= len(nb) THEN nb ELSE na END AS l
+        |  FROM cand),
+        |win AS (
+        |  SELECT id_a, id_b,
+        |    round(100 * (1.0 - levenshtein(s, substr(l, i, len(s))) * 1.0 / len(s))) AS r
+        |  FROM norm, generate_series(1, 64) AS t(i)
+        |  WHERE i <= len(l) - len(s) + 1),
+        |sc AS (SELECT id_a, id_b, CAST(max(r) AS INTEGER) AS score
+        |       FROM win GROUP BY 1, 2)
+        |SELECT id_a, id_b, score FROM sc
+        |WHERE score >= 80 ORDER BY id_a, id_b""".stripMargin,
 
     // The unigram-LM CTE is text_unigram_lm's replay; the tercile cuts use
     // the same shortest-repr double literals the Spark plan carries.
