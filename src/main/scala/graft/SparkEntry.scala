@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
-import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, Retrieval, Rounds, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, RangeJoin, Retrieval, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1942,6 +1942,39 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(lexical.select("query_id", "doc_id", "rank"),
           vector), k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // Lee-et-al-style duplicated-span cut lists: positions whose corpus
+    // 4-gram repeats, merged into maximal per-doc runs ≥ 8 tokens — the
+    // spans an exact-substring-dedup rewrite removes.
+    "text_span_cuts" -> ((s, dir) => {
+      Curation.duplicatedSpanCuts(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "start_pos")
+    }),
+
+    // Bucketized range join: events against keyed campaign windows (per
+    // event_type, 5 weekly windows of 3 days). The bin equi-join replaces
+    // the quadratic per-key pairing a raw BETWEEN join plans; the oracle
+    // is DuckDB's plain BETWEEN join — green row = the binning dropped
+    // and duplicated nothing.
+    "events_range_join" -> ((s, dir) => {
+      val base = lit(java.time.LocalDate.parse("2024-01-01")
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L)
+      val day = 86400000000L
+      val pts = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+      val iv = t(s, dir, "events").select(col("event_type")).distinct()
+        .withColumn("week", explode(sequence(lit(0L), lit(4L))))
+        .select(col("event_type"), col("week"),
+          (base + col("week") * lit(7L * day)).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(3L * day))
+      RangeJoin.binnedRangeJoin(pts, iv, "tsu", "w_start", "w_end",
+          binWidth = day, keys = Seq("event_type"))
+        .groupBy(col("event_type"), col("week"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("event_type", "week")
     }),
 
     // Blocked fuzzy record linkage: within-block (first-two-token key)
@@ -3912,6 +3945,46 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Positional-shingle replay of the span cuts: hot grams, the
+    // gaps-and-islands merge and the length gate are all integer-exact.
+    "text_span_cuts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 3),
+        |           i -> {'i': i, 'g': array_to_string(t[i:i+3], ' ')})) AS s
+        |       FROM toks WHERE len(t) >= 4),
+        |f AS (SELECT doc_id, s.i AS i, s.g AS g FROM sh),
+        |hot AS (SELECT g FROM f GROUP BY g HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, i FROM f JOIN hot USING (g)),
+        |isl AS (SELECT doc_id, i,
+        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |        FROM dup),
+        |runs AS (SELECT doc_id, CAST(min(i) AS BIGINT) AS start_pos,
+        |           CAST(max(i) + 3 AS BIGINT) AS end_pos
+        |         FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, start_pos, end_pos,
+        |  end_pos - start_pos + 1 AS span_tokens
+        |FROM runs WHERE end_pos - start_pos + 1 >= 8
+        |ORDER BY doc_id, start_pos""".stripMargin,
+
+    // The range join's oracle is the PLAIN containment join — DuckDB never
+    // sees the bins, so a green row proves the binning neither dropped nor
+    // duplicated a match.
+    "events_range_join" ->
+      """WITH iv AS (
+        |  SELECT et.event_type, w.week,
+        |    epoch_us(TIMESTAMP '2024-01-01') + w.week * 604800000000 AS ws
+        |  FROM (SELECT DISTINCT event_type FROM events) et,
+        |       (SELECT unnest(generate_series(0, 4)) AS week) w),
+        |e AS (SELECT event_type, epoch_us(ts) AS tsu, value FROM events)
+        |SELECT iv.event_type, iv.week, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM e JOIN iv ON e.event_type = iv.event_type
+        |  AND e.tsu >= iv.ws AND e.tsu <= iv.ws + 259200000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Blocked-fuzzy replay: same block key, same shorter-over-longer
     // window sweep as partialRatioOracle (constant series + bound filter —

@@ -745,4 +745,61 @@ object Curation {
       .select(col("doc_id"), col("n_feats"), col("log_w"),
         (col("log_w") >= col("cut")).as("selected"))
   }
+
+  /** Duplicated-span CUT LISTS — the actionable half of exact substring
+    * dedup (Lee et al. 2021 "Deduplicating Training Data Makes Language
+    * Models Better" removes every duplicated substring ≥ 50 tokens;
+    * [[repeatedSpanStats]] reports the per-doc signal, this emits the
+    * spans to remove). A token position is "duplicated" when its
+    * word-`n`-gram occurs ≥ `minOccurrences` times corpus-wide (within- or
+    * cross-document — self-repeats are duplication too); consecutive
+    * duplicated positions merge into maximal runs (gaps-and-islands), and
+    * runs covering ≥ `minSpanTokens` tokens are the cut list a rewrite
+    * pass applies.
+    *
+    * Scale shape: positional shingles explode once (O(total tokens) narrow
+    * rows); the hot-gram table is one count aggregation + HAVING (map-side
+    * combine, never the token domain per doc); the semi-join back is
+    * keyed; the run merge is a per-document window (positions of ONE doc —
+    * bounded partitions). The suffix-array construction the paper uses is
+    * a single-machine algorithm; gram-granular runs are the
+    * embarrassingly-parallel equivalent, at the cost of `n`−1 tokens of
+    * boundary resolution (a run's first/last gram overhangs the true
+    * duplicated substring by < `n` tokens).
+    */
+  def duplicatedSpanCuts(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, minOccurrences: Int = 2, minSpanTokens: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => struct(i.as("i"),
+            array_join(slice(col("t"), i, lit(n)), " ").as("g"))).as("sh"))
+    // persisted + eagerly counted BEFORE the explode (the
+    // InferFiltersFromGenerate trap); the gram table feeds the hot-gram
+    // counts and the positional semi-join
+    val f = {
+      val m = toks.persist(); m.count()
+      val e = m.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+        .persist()
+      e.count()
+      e
+    }
+    val hot = f.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("g"))
+    val dup = f.join(hot, Seq("g")).select(col("doc_id"), col("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    dup
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).cast("bigint").as("start_pos"),
+        (max(col("i")) + (n - 1)).cast("bigint").as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+  }
 }
