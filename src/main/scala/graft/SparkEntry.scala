@@ -1952,6 +1952,17 @@ object SparkEntry {
         .orderBy("doc_id", "start_pos")
     }),
 
+    // The rewrite half: corpus with every ≥8-token duplicated span removed
+    // (docs without cuts pass through verbatim). Oracled end-to-end — the
+    // DuckDB replay rebuilds the cut lists and filters token positions
+    // with a correlated NOT EXISTS.
+    "text_span_rewrite" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cuts = Curation.duplicatedSpanCuts(docs, "text", "doc_id")
+      Curation.applySpanCuts(docs, "text", "doc_id", cuts)
+        .orderBy("doc_id")
+    }),
+
     // Bucketized range join: events against keyed campaign windows (per
     // event_type, 5 weekly windows of 3 days). The bin equi-join replaces
     // the quadratic per-key pairing a raw BETWEEN join plans; the oracle
@@ -3969,6 +3980,46 @@ object SparkEntry {
         |  end_pos - start_pos + 1 AS span_tokens
         |FROM runs WHERE end_pos - start_pos + 1 >= 8
         |ORDER BY doc_id, start_pos""".stripMargin,
+
+    // Span rewrite replay: the cuts CTE chain from text_span_cuts, then a
+    // positional token filter via correlated NOT EXISTS and an ordered
+    // re-join of the survivors.
+    "text_span_rewrite" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 3),
+        |           i -> {'i': i, 'g': array_to_string(t[i:i+3], ' ')})) AS s
+        |       FROM toks0 WHERE len(t) >= 4),
+        |f AS (SELECT doc_id, s.i AS i, s.g AS g FROM sh),
+        |hot AS (SELECT g FROM f GROUP BY g HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, i FROM f JOIN hot USING (g)),
+        |isl AS (SELECT doc_id, i,
+        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |        FROM dup),
+        |cuts AS (SELECT doc_id, min(i) AS start_pos, max(i) + 3 AS end_pos
+        |         FROM isl GROUP BY doc_id, grp
+        |         HAVING max(i) + 3 - min(i) + 1 >= 8),
+        |tp AS (SELECT doc_id, s.i AS i, s.tok AS tok FROM (
+        |         SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(t)),
+        |             i -> {'i': i, 'tok': t[i]})) AS s
+        |         FROM toks0)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+        |    WHERE c.doc_id = tp.doc_id
+        |      AND tp.i BETWEEN c.start_pos AND c.end_pos))
+        |SELECT t0.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(len(t0.t) AS BIGINT) AS n_tokens_before,
+        |  coalesce(k.n_after, 0) AS n_tokens_after
+        |FROM toks0 t0 LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_after
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The range join's oracle is the PLAIN containment join — DuckDB never
     // sees the bins, so a green row proves the binning neither dropped nor

@@ -802,4 +802,36 @@ object Curation {
         (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
       .filter(col("span_tokens") >= minSpanTokens)
   }
+
+  /** The rewrite half of exact substring dedup: drop every token covered
+    * by a [[duplicatedSpanCuts]] span and re-join the survivors — Lee et
+    * al. 2021's "remove the duplicated substring" applied as a Spark
+    * pass. Docs without cuts pass through verbatim (left join + null
+    * guard), so the output is the full corpus, cleaned.
+    *
+    * Scale shape: cut lists aggregate to one spans-array row per affected
+    * doc (a handful of structs — runs, not positions), the join is keyed
+    * on doc_id, and the token filter is a map-side higher-order function:
+    * O(tokens × spans-per-doc) with tiny constants, no explode, no
+    * shuffle beyond the one join.
+    */
+  def applySpanCuts(docs: DataFrame, textCol: String, idCol: String,
+      cuts: DataFrame): DataFrame = {
+    val spans = cuts.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), " ").as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      // functions.filter's index is 0-based; span bounds are 1-based
+      .withColumn("kept",
+        when(col("spans").isNull, col("t"))
+          .otherwise(filter(col("t"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i + 1 >= sp("start_pos") && i + 1 <= sp("end_pos")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("t")).cast("bigint").as("n_tokens_before"),
+        size(col("kept")).cast("bigint").as("n_tokens_after"))
+  }
 }

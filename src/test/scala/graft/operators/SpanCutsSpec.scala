@@ -45,4 +45,20 @@ class SpanCutsSpec extends SparkSpec {
       n = 4, minOccurrences = 2, minSpanTokens = 11)
     assert(cuts.count() === 1) // only doc 3's 12-token run survives
   }
+
+  test("applySpanCuts removes exactly the cut tokens, pass-through otherwise") {
+    val cuts = Curation.duplicatedSpanCuts(docs, "text", "doc_id",
+      n = 4, minOccurrences = 2, minSpanTokens = 8)
+    val out = Curation.applySpanCuts(docs, "text", "doc_id", cuts)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_before"),
+          r.getAs[Long]("n_tokens_after"))).toMap
+    assert(out(1L) === (("one two three four five six seven", 17L, 7L)))
+    assert(out(2L) === (("uno dos tres cuatro cinco seis siete", 17L, 7L)))
+    assert(out(3L) === (("junk filler words here", 16L, 4L)))
+    // uncut doc passes through (lower/trim-normalized tokens, all kept)
+    assert(out(4L)._2 === out(4L)._3)
+    assert(out(4L)._1.startsWith("every token here"))
+  }
 }
