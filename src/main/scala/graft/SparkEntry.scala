@@ -1944,6 +1944,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-granularity reporting in ONE pass: rollup(event_type, day)
+    // yields per-(type, day), per-type and grand-total rows from a single
+    // aggregation (Expand), not three scans. grouping_id disambiguates
+    // the null-key levels.
+    "events_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          grouping_id().cast("bigint").as("gid"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(date_format(col("day"), "yyyy-MM-dd"), lit("ALL")).as("day"),
+          col("n"), col("total_value"), col("gid"))
+        .orderBy("gid", "event_type", "day")
+    }),
+
+    // Wide-format pivot: per-source language histogram as columns — one
+    // groupBy with conditional aggregates (what .pivot plans), never a
+    // per-language scan.
+    "a_pivot_langs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source")
+    }),
+
     // Lee-et-al-style duplicated-span cut lists: positions whose corpus
     // 4-gram repeats, merged into maximal per-doc runs ≥ 8 tokens — the
     // spans an exact-substring-dedup rewrite removes.
@@ -3956,6 +3986,27 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // DuckDB's ROLLUP + GROUPING() replays the Expand-based one-pass
+    // multi-granularity aggregation level-for-level.
+    "events_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts)) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+        |ORDER BY gid, event_type, day""".stripMargin,
+
+    "a_pivot_langs" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Positional-shingle replay of the span cuts: hot grams, the
     // gaps-and-islands merge and the length gate are all integer-exact.
