@@ -1919,6 +1919,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The incremental-maintenance contract for the inverted index, proven
+    // under text_bm25_topk's SHARED oracle: the index is built as two
+    // doc-disjoint batch halves whose postings/doclens tables simply
+    // union (per-(token, doc) counts are additive and batches are
+    // doc-disjoint, so no re-aggregation is even needed), and the search
+    // over the union must equal the search over the one-shot index — at
+    // 100 TB a new batch appends its postings partition instead of
+    // rebuilding the corpus index.
+    "text_bm25_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (p1, d1) = Retrieval.invertedIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+      val (p2, d2) = Retrieval.invertedIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
+      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), " "), 1, 8), " ")
+            .as("qtext"))
+      Retrieval.bm25TopK(p1.unionAll(p2), d1.unionAll(d2), q, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid lexical+vector retrieval: BM25 top-20 (from the persisted
     // index) fused with cosine top-20 (vec_id aligns with doc_id) by
     // reciprocal-rank fusion, 1/(60+rank) rounded-decimal sums. The fused
@@ -2161,6 +2183,39 @@ object SparkEntry {
     * order, so one oracle checks both — the green pair is the equivalence
     * proof.
     */
+  private val bm25TopkOracle: String =
+    """WITH posts AS (
+      |  SELECT token, doc_id, tf
+      |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/postings/*.parquet')
+      |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+      |lens AS (
+      |  SELECT doc_id, dl
+      |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/doclens/*.parquet')
+      |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+      |stats AS (SELECT count(*) AS n_docs,
+      |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+      |dfs AS (SELECT token, count(*) AS df FROM posts GROUP BY 1),
+      |q AS (SELECT doc_id AS query_id,
+      |        list_distinct(list_slice(string_split(lower(trim(text)), ' '), 1, 8)) AS qt
+      |      FROM documents WHERE doc_id % 100 = 7),
+      |qterms AS (SELECT query_id, unnest(qt) AS token FROM q),
+      |scored AS (
+      |  SELECT qt.query_id, p.doc_id,
+      |    sum(CAST(round(
+      |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |      * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * l.dl / s.avgdl))),
+      |      6) AS DECIMAL(18,6))) AS sc
+      |  FROM posts p
+      |  JOIN qterms qt USING (token)
+      |  JOIN dfs d USING (token)
+      |  JOIN lens l ON p.doc_id = l.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rn AS rank, doc_id, CAST(sc AS DOUBLE) AS score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sc DESC, doc_id) AS rn FROM scored)
+      |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+
   private val partialRatioOracle: String =
     """WITH pref AS (SELECT doc_id, substr(text,1,40) AS s FROM documents),
       |win AS (SELECT doc_id,
@@ -3893,39 +3948,12 @@ object SparkEntry {
     // Replay oracle for the persisted-index BM25 search: df/N/avgdl are
     // recomputed from the SAME postings/doclens parquet the engine
     // searched, every per-term score is the identical rounded-decimal
-    // expression, and the ranking replays row-for-row.
-    "text_bm25_topk" ->
-      """WITH posts AS (
-        |  SELECT token, doc_id, tf
-        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/postings/*.parquet')
-        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
-        |lens AS (
-        |  SELECT doc_id, dl
-        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/doclens/*.parquet')
-        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
-        |stats AS (SELECT count(*) AS n_docs,
-        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
-        |dfs AS (SELECT token, count(*) AS df FROM posts GROUP BY 1),
-        |q AS (SELECT doc_id AS query_id,
-        |        list_distinct(list_slice(string_split(lower(trim(text)), ' '), 1, 8)) AS qt
-        |      FROM documents WHERE doc_id % 100 = 7),
-        |qterms AS (SELECT query_id, unnest(qt) AS token FROM q),
-        |scored AS (
-        |  SELECT qt.query_id, p.doc_id,
-        |    sum(CAST(round(
-        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-        |      * (p.tf * 2.5 / (p.tf + 1.5 * (0.25 + 0.75 * l.dl / s.avgdl))),
-        |      6) AS DECIMAL(18,6))) AS sc
-        |  FROM posts p
-        |  JOIN qterms qt USING (token)
-        |  JOIN dfs d USING (token)
-        |  JOIN lens l ON p.doc_id = l.doc_id
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2)
-        |SELECT query_id, rn AS rank, doc_id, CAST(sc AS DOUBLE) AS score
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sc DESC, doc_id) AS rn FROM scored)
-        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    // expression, and the ranking replays row-for-row. SHARED with
+    // text_bm25_incremental (the doc-disjoint batch-union index): one
+    // oracle, two implementations — green rows prove the inverted index
+    // merges additively (batches never rebuild the corpus index).
+    "text_bm25_topk" -> bm25TopkOracle,
+    "text_bm25_incremental" -> bm25TopkOracle,
 
     // Hybrid fusion replay: BM25 top-20 from the persisted index + cosine
     // top-20 over the aligned embeddings, fused as rounded-decimal
