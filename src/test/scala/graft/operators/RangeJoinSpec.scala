@@ -51,6 +51,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set(1L, 2L))
   }
 
+  test("seeded random data: binned equals naive at several bin widths") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 200L).map(i =>
+      (i, if (rnd.nextBoolean()) "a" else "b", rnd.nextLong(5000L)))
+      .toDF("pid", "k", "p")
+    val ivs = (1L to 60L).map { i =>
+      val s = rnd.nextLong(5000L)
+      (i, if (rnd.nextBoolean()) "a" else "b", s, s + rnd.nextLong(400L))
+    }.toDF("iid", "k", "s", "e")
+    val expected = pts.join(ivs, pts("k") === ivs("k")
+        && pts("p") >= ivs("s") && pts("p") <= ivs("e"))
+      .select(pts("pid"), ivs("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty) // the comparison must not be vacuous
+    for (w <- Seq(1L, 7L, 100L, 10000L)) {
+      val got = RangeJoin.binnedRangeJoin(pts, ivs, "p", "s", "e",
+          binWidth = w, keys = Seq("k"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"dup matches at width $w")
+      assert(got.toSet === expected, s"mismatch at width $w")
+    }
+  }
+
   test("the binned plan is an equi-join, not a nested loop") {
     val binned = RangeJoin.binnedRangeJoin(points, intervals, "p", "s", "e",
       binWidth = 10L, keys = Seq("k"))
