@@ -120,8 +120,14 @@ object DoiNetwork {
 
     // materialized once: five stage joins consume the cache table, and
     // without the boundary each broadcast replays the cache's whole
-    // derivation (scan + key exprs + distinct exchange) — measured 10.5 s
-    // → ~4 s at sf0.1 on the synthesized-cache driver query
+    // derivation (scan + key exprs + distinct exchange). On the driver
+    // query's SYNTHESIZED cache that derivation is cheap and the honest
+    // toRdd A/B is a wash (~12 s either way at sf0.1 — the cost is the
+    // five wide broadcast joins themselves); the boundary is kept for the
+    // real shape, where the cache comes from an enrichment pipeline worth
+    // materializing exactly once. (An earlier 3× "win" here was a
+    // df.count() measurement — count() re-optimizes and ELIMINATES the
+    // five left joins entirely; see Bench.timeOnce.)
     val c = cache.persist()
     c.count()
     def side(stage: String) =

@@ -93,6 +93,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // 1-row N/avgdl stats broadcast rides a cross join (the postings ⨝
     // query-terms scoring join itself is a broadcast equi-join)
     "text_bm25_topk",
+    // same scorer over the batch-union index tables
+    "text_bm25_incremental",
     // same BM25 scalar cross + the deliberate brute-force cosine arm
     "hybrid_rrf_topk",
     // unigram-LM scalar cross (as text_unigram_lm) + 1-row tercile cuts
