@@ -1966,6 +1966,58 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // OHLC downsampling: per (type, hour) the first/last values in event
+    // order plus the extremes — the time-series compaction a metrics
+    // store applies before retention. One exchange (the per-bucket
+    // window); first/last are exact row values picked by (ts, event_id)
+    // order, so no float arithmetic is introduced at all.
+    "events_ohlc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("ts"), col("event_id"), col("value"))
+      val wAsc = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy(col("event_type"), col("h"))
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), fmt(col("h")).as("hour"), col("open"),
+          col("high"), col("low"), col("close"), col("n"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // TPC-H-Q5-shaped star join: revenue per nation through the full
+    // customer→orders→lineitem→supplier chain with the local-supplier
+    // condition (c_nationkey = s_nationkey) and dim filters. The two fact
+    // joins shuffle on their keys; customer/supplier/nation/region
+    // broadcast; revenue sums as DECIMAL (order-free exact).
+    "j_star_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1994-01-01" && col("o_orderdate") < "1997-01-01")
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") =!= "EUROPE")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // Multi-granularity reporting in ONE pass: rollup(event_type, day)
     // yields per-(type, day), per-type and grand-total rows from a single
     // aggregation (Expand), not three scans. grouping_id disambiguates
@@ -4014,6 +4066,36 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "j_star_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1997-01-01'
+        |  AND r_name <> 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // DuckDB's ROLLUP + GROUPING() replays the Expand-based one-pass
     // multi-granularity aggregation level-for-level.
