@@ -1966,6 +1966,43 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Keyed upsert (MERGE), copy-on-write shape: base minus updated keys,
+    // union the updates — updated keys carry new values, unseen keys
+    // insert. One broadcast anti-join; the oracle replays it as plain SQL.
+    "etl_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("cust_id"),
+          col("c_acctbal"), col("c_mktsegment"))
+      val updates = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10)) === 3)
+        .select(col("c_custkey").cast("bigint").as("cust_id"),
+          (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+          lit("UPSERTED").as("c_mktsegment"))
+        .unionByName(t(s, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(100)) === 7)
+          .select((col("c_custkey") + lit(1000000L)).cast("bigint").as("cust_id"),
+            col("c_acctbal"), lit("INSERTED").as("c_mktsegment")))
+      graft.sinks.Upsert.merged(base, updates, "cust_id")
+        .orderBy("cust_id")
+    }),
+
+    // SCD2 interval versioning: each customer's order-priority history as
+    // [valid_from, valid_to) dimension rows, no-op changes collapsed —
+    // the warehouse-dimension build the as-of join consumes.
+    "etl_scd2" -> ((s, dir) => {
+      val changes = t(s, dir, "orders")
+        .select(col("o_custkey").cast("bigint").as("cust_id"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("tie"),
+          col("o_orderpriority").as("priority"))
+      graft.operators.Scd.scd2(changes, "cust_id", "ts",
+          attrCols = Seq("priority"), tieCols = Seq("tie"))
+        .select(col("cust_id"), col("priority"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy("cust_id", "valid_from", "priority")
+    }),
+
     // OHLC downsampling: per (type, hour) the first/last values in event
     // order plus the extremes — the time-series compaction a metrics
     // store applies before retention. One exchange (the per-bucket
@@ -4066,6 +4103,41 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "etl_upsert" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |up AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+        |    c_acctbal + 1000.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 1000000 AS BIGINT), c_acctbal, 'INSERTED'
+        |  FROM customer WHERE c_custkey % 100 = 7),
+        |m AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.cust_id = b.cust_id)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT * FROM m ORDER BY cust_id""".stripMargin,
+
+    "etl_scd2" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS cust_id, o_orderdate AS ts, o_orderkey AS tie,
+        |    o_orderpriority AS priority
+        |  FROM orders),
+        |d AS (SELECT *, lag(priority) OVER (PARTITION BY cust_id
+        |        ORDER BY ts, tie) AS prev FROM c),
+        |dd AS (SELECT cust_id, ts, tie, priority FROM d
+        |       WHERE prev IS NULL OR prev <> priority),
+        |v AS (SELECT cust_id, priority, ts,
+        |        lead(ts) OVER (PARTITION BY cust_id ORDER BY ts, tie) AS vt
+        |      FROM dd)
+        |SELECT CAST(cust_id AS BIGINT) AS cust_id, priority,
+        |  strftime(ts, '%Y-%m-%d') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d') AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM v ORDER BY cust_id, valid_from, priority""".stripMargin,
 
     "events_ohlc" ->
       """WITH e AS (
