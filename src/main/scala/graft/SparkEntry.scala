@@ -1929,6 +1929,12 @@ object SparkEntry {
     // rebuilding the corpus index.
     "text_bm25_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the SHARED oracle replays from the persisted index — ensure it
+      // exists so this query verifies standalone, not only after its
+      // sibling happens to have built the index
+      ensureIndex(s, docs, "bm25", "postings") { p =>
+        Retrieval.writeIndex(docs, "text", "doc_id", p)
+      }
       val (p1, d1) = Retrieval.invertedIndex(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
       val (p2, d2) = Retrieval.invertedIndex(
@@ -2000,7 +2006,9 @@ object SparkEntry {
           date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
           date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
           col("is_current"))
-        .orderBy("cust_id", "valid_from", "priority")
+        // valid_to keeps the sort total when a key changes priority twice
+        // on one date (pa → pb → pa ties on the first three columns)
+        .orderBy("cust_id", "valid_from", "priority", "valid_to")
     }),
 
     // OHLC downsampling: per (type, hour) the first/last values in event
@@ -4129,7 +4137,9 @@ object SparkEntry {
         |d AS (SELECT *, lag(priority) OVER (PARTITION BY cust_id
         |        ORDER BY ts, tie) AS prev FROM c),
         |dd AS (SELECT cust_id, ts, tie, priority FROM d
-        |       WHERE prev IS NULL OR prev <> priority),
+        |       -- IS DISTINCT FROM matches Spark's struct comparison, where
+        |       -- null attribute fields compare as ordinary values
+        |       WHERE prev IS NULL OR prev IS DISTINCT FROM priority),
         |v AS (SELECT cust_id, priority, ts,
         |        lead(ts) OVER (PARTITION BY cust_id ORDER BY ts, tie) AS vt
         |      FROM dd)
@@ -4137,7 +4147,7 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d') AS valid_from,
         |  strftime(vt, '%Y-%m-%d') AS valid_to,
         |  vt IS NULL AS is_current
-        |FROM v ORDER BY cust_id, valid_from, priority""".stripMargin,
+        |FROM v ORDER BY cust_id, valid_from, priority, valid_to""".stripMargin,
 
     "events_ohlc" ->
       """WITH e AS (

@@ -662,8 +662,14 @@ object Curation {
     * `text_length_quantiles_approx` does.
     */
   def ccnetBuckets(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // persisted + eagerly counted: BOTH the cut-point aggregate and the
+    // final bucketing consume the scored frame, and without the boundary
+    // the whole unigram-LM pipeline (counts join + per-doc aggregation)
+    // runs twice (the file's standard double-consumer rule)
     val scored = unigramLmScore(docs, textCol, idCol)
       .select(col("doc_id"), col("avg_nll"))
+      .persist()
+    scored.count()
     // 1/3 and 2/3 as shortest-repr double literals: the SQL oracle carries
     // the same decimal strings, so both engines interpolate from the
     // identical fraction

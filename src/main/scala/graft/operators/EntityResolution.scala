@@ -35,15 +35,14 @@ object EntityResolution {
       col("name").as("name_a"))
     val b = keyed.select(col("block"), col("id").as("id_b"),
       col("name").as("name_b"))
+    // one block value per record ⇒ each pair is produced at most once —
+    // no dedup aggregation needed (a multi-pass blocking scheme that
+    // unions several keys would dedup across passes instead)
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.Fuzzy.partialRatio(col("name_a"), col("name_b"))
           .as("score"))
       .filter(col("score") >= threshold)
-      // a record pair can share several blocks under a composite key;
-      // the score is pair-deterministic, so max() is pure dedup
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("score")).as("score"))
   }
 }

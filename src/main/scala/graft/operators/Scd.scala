@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * data bug the upstream [[Expectations]] checks catch). The window
   * order is (ts, tieCols…) and must be total per key — pass tie columns
   * whenever change times can collide.
+  *
+  * Null attribute values: the no-op test compares attribute STRUCTS, so a
+  * null field is an ordinary comparable value — null→'x' is a real change
+  * and null→null a no-op. A SQL replay must use IS DISTINCT FROM (plain
+  * `<>` returns NULL against a null side and silently drops the row).
   */
 object Scd {
 

@@ -22,8 +22,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * carries batch_id and keeps its own replay guard — a crash between the
   * appends replays into "doclens has this batch, postings does not", the
   * doclens append is skipped and the postings append completes the pair.
-  * An orphaned doclens half is harmless mid-crash: search drives from
-  * postings, so a doc with lengths but no postings rows can never score.
+  * Until the replay lands, [[bm25TopK]] restricts itself to batches
+  * present in BOTH tables — an orphaned half must not even skew the
+  * derived n_docs/avgdl statistics, let alone score.
   *
   * At 100 TB each batch lands as its own partition files; the
   * [[graft.sinks.Compaction]] pass coalesces small batch files, and a
@@ -48,9 +49,14 @@ object IndexIngest {
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
+    // a hard crash mid-FIRST-append can leave the directory with only
+    // _temporary debris — read.parquet then throws "unable to infer
+    // schema", which must mean "nothing landed", not a crash-looping
+    // replay guard
     def landed(path: String): Boolean =
       exists(spark, path) &&
-        !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+        (try !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+         catch { case _: org.apache.spark.sql.AnalysisException => false })
     val postingsPath = s"$indexPath/postings"
     val doclensPath = s"$indexPath/doclens"
     val postingsHas = landed(postingsPath)
@@ -68,12 +74,25 @@ object IndexIngest {
 
   /** Search the accumulated index: same scorer as the batch path — the
     * tables just happen to have been written one batch at a time.
+    *
+    * Only FULLY-landed batches participate: a crash between the two
+    * appends leaves one table with a batch the other lacks, and while the
+    * orphan docs could never score (search drives from postings ⨝
+    * doclens), an orphaned doclens half would still skew the derived
+    * n_docs/avgdl corpus statistics — so both reads filter to the batch
+    * ids present in BOTH tables (a distinct over the handful of batch
+    * ids, collected driver-side).
     */
   def bm25TopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, k: Int): DataFrame = {
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    val postingsRaw = spark.read.parquet(s"$indexPath/postings")
+    val doclensRaw = spark.read.parquet(s"$indexPath/doclens")
+    def ids(df: DataFrame): Set[Long] =
+      df.select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
+    val complete = (ids(postingsRaw) intersect ids(doclensRaw)).toSeq
+    val postings = postingsRaw.filter(col("batch_id").isin(complete: _*))
       .select(col("token"), col("doc_id"), col("tf"))
-    val doclens = spark.read.parquet(s"$indexPath/doclens")
+    val doclens = doclensRaw.filter(col("batch_id").isin(complete: _*))
       .select(col("doc_id"), col("dl"))
     Retrieval.bm25TopK(postings, doclens, queries, k)
   }
