@@ -2150,6 +2150,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Diversity-aware re-ranking: MMR over the brute-force top-20
+    // shortlist — near-duplicates of an already-picked result are
+    // demoted by the max-similarity penalty. Fully oracled: DuckDB
+    // replays the greedy selection as a recursive CTE.
+    "ann_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+      val cand = Similarity.bruteForceTopK(emb, q, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("sim").as("rel"))
+        .join(emb.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("vec")), Seq("doc_id"))
+      Retrieval.mmrRerank(cand, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // CCNet head/middle/tail perplexity buckets over the corpus-trained
     // unigram LM score — tercile cut points as a broadcast scalar, never a
     // global ntile window.
@@ -4305,6 +4321,51 @@ object SparkEntry {
         |       FROM win GROUP BY 1, 2)
         |SELECT id_a, id_b, score FROM sc
         |WHERE score >= 80 ORDER BY id_a, id_b""".stripMargin,
+
+    // MMR greedy-selection replay: per step the recursive CTE appends the
+    // argmax of 0.75·rel − 0.25·max-sim-to-picked (ties to the smallest
+    // doc_id — the engine's strict-> ascending scan); the final select
+    // recomputes each step's score from its picked prefix.
+    "ann_mmr_topk" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    round(list_cosine_similarity(q.e, c.e), 4) AS rel, c.e AS e
+        |  FROM v q, v c WHERE q.vec_id % 100 = 7 AND c.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT query_id, doc_id, rel, e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id) AS rn FROM sc)
+        |  WHERE rn <= 20),
+        |sel AS (
+        |  SELECT query_id, 0 AS step, CAST([] AS BIGINT[]) AS picked
+        |  FROM (SELECT DISTINCT query_id FROM cand)
+        |  UNION ALL
+        |  SELECT s.query_id, s.step + 1,
+        |    list_append(s.picked, (
+        |      SELECT c.doc_id FROM cand c
+        |      WHERE c.query_id = s.query_id
+        |        AND NOT list_contains(s.picked, c.doc_id)
+        |      ORDER BY 0.75*c.rel - 0.25*coalesce((
+        |          SELECT max(round(list_cosine_similarity(c.e, p.e), 4))
+        |          FROM cand p WHERE p.query_id = s.query_id
+        |            AND list_contains(s.picked, p.doc_id)), 0.0) DESC,
+        |        c.doc_id
+        |      LIMIT 1))
+        |  FROM sel s WHERE s.step < 10),
+        |fin AS (
+        |  SELECT query_id, step, picked[step] AS doc_id,
+        |    list_slice(picked, 1, step - 1) AS prev
+        |  FROM sel WHERE step > 0)
+        |SELECT f.query_id, CAST(f.step AS BIGINT) AS rank, f.doc_id,
+        |  round(0.75*c.rel - 0.25*coalesce((
+        |      SELECT max(round(list_cosine_similarity(c.e, p.e), 4))
+        |      FROM cand p WHERE p.query_id = f.query_id
+        |        AND list_contains(f.prev, p.doc_id)), 0.0), 6) AS mmr
+        |FROM fin f JOIN cand c
+        |  ON c.query_id = f.query_id AND c.doc_id = f.doc_id
+        |ORDER BY f.query_id, rank""".stripMargin,
 
     // The unigram-LM CTE is text_unigram_lm's replay; the tercile cuts use
     // the same shortest-repr double literals the Spark plan carries.

@@ -139,6 +139,76 @@ object Retrieval {
     * O(candidates) tiny rows — nothing rescans the source rankings'
     * inputs.
     */
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+    * diversity-aware top-k: greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), so near-duplicates of an
+    * already-picked result are demoted. λ defaults to 0.75 (in the usual
+    * relevance-leaning range AND binary-exact, like the BM25 constants —
+    * 0.75·x and 0.25·y are exact scalings, so any engine walking the same
+    * expression reproduces every comparison bit-for-bit).
+    *
+    * `candidates` is (query_id, doc_id, rel, vec) — a per-query shortlist
+    * an upstream ranker produced (tens of rows per query). The greedy
+    * loop is inherently sequential IN k but independent ACROSS queries,
+    * so it runs as `flatMapGroups` over the query key: per-partition
+    * imperative logic on one query's shortlist — the documented
+    * legitimate use — never a driver loop, never all-pairs beyond the
+    * shortlist × picked (≤ C·k dot products per query).
+    *
+    * Determinism: rel is the upstream's 4-dp-rounded score; pairwise
+    * sims round to 4 dp through the same cosine formula shape the ANN
+    * oracles replay (`dot/(√dot·√dot)`, ascending folds); ties break on
+    * doc_id. The emitted mmr score is rounded to 6 dp.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int,
+      lambda: Double = 0.75): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+      }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    candidates
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("rel").cast("double"), col("vec").cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.map { case (_, d, r, v) => (d, r, v.toArray) }
+          .toArray.sortBy(_._1)
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        val used = scala.collection.mutable.Set.empty[Long]
+        var rank = 1L
+        while (rank <= k && used.size < cand.length) {
+          var bestDoc = -1L; var bestScore = Double.NegativeInfinity
+          var bestVec: Array[Double] = null
+          cand.foreach { case (d, r, v) =>
+            if (!used.contains(d)) {
+              val ms = if (picked.isEmpty) 0.0
+                else picked.iterator.map(p => round4(cosine(v, p._2))).max
+              val s = lambda * r - (1.0 - lambda) * ms
+              // strict > with doc-ascending scan = smallest doc id wins ties
+              if (s > bestScore) { bestScore = s; bestDoc = d; bestVec = v }
+            }
+          }
+          used += bestDoc
+          picked += ((bestDoc, bestVec))
+          out += ((qid, rank, bestDoc,
+            BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "doc_id", "mmr")
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     val contribs = rankings
       .map(_.select(col("query_id"), col("doc_id"),

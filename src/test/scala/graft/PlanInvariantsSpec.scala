@@ -97,6 +97,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "text_bm25_incremental",
     // same BM25 scalar cross + the deliberate brute-force cosine arm
     "hybrid_rrf_topk",
+    // brute-force shortlist arm feeding the MMR re-rank
+    "ann_mmr_topk",
     // unigram-LM scalar cross (as text_unigram_lm) + 1-row tercile cuts
     "curation_ccnet_buckets",
     // 1-row totals + 1-row percentile-threshold scalar crosses

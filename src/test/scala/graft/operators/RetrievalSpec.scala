@@ -86,6 +86,25 @@ class RetrievalSpec extends SparkSpec {
     assert(fromIdx === direct)
   }
 
+  test("mmrRerank demotes near-duplicates of an already-picked result") {
+    // doc 1 and doc 2 point the same way (near-dups); doc 3 is orthogonal
+    // with lower relevance. Relevance order: 1, 2, 3 — MMR must pick the
+    // diverse doc 3 over the redundant doc 2 at rank 2: doc 2 scores
+    // 0.75·0.98 − 0.25·~0.999 ≈ 0.485 < doc 3's 0.75·0.70 = 0.525.
+    val cand = Seq(
+      (7L, 1L, 0.99, Seq(1.0, 0.0)),
+      (7L, 2L, 0.98, Seq(0.999, 0.04)),
+      (7L, 3L, 0.70, Seq(0.0, 1.0)))
+      .toDF("query_id", "doc_id", "rel", "vec")
+    val got = Retrieval.mmrRerank(cand, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // rank 1 carries no penalty: mmr = 0.75 * rel exactly
+    val first = Retrieval.mmrRerank(cand, k = 1).collect().head
+    assert(math.abs(first.getAs[Double]("mmr") - 0.75 * 0.99) < 1e-9)
+  }
+
   test("rrfFuse: canonical 1/(60+rank) sums, rank ties broken by doc_id") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
