@@ -4163,7 +4163,9 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d') AS valid_from,
         |  strftime(vt, '%Y-%m-%d') AS valid_to,
         |  vt IS NULL AS is_current
-        |FROM v ORDER BY cust_id, valid_from, priority, valid_to""".stripMargin,
+        |-- NULLS FIRST matches Spark's ascending default on the nullable
+        |-- valid_to tiebreaker
+        |FROM v ORDER BY cust_id, valid_from, priority, valid_to NULLS FIRST""".stripMargin,
 
     "events_ohlc" ->
       """WITH e AS (
@@ -4353,7 +4355,8 @@ object SparkEntry {
         |            AND list_contains(s.picked, p.doc_id)), 0.0) DESC,
         |        c.doc_id
         |      LIMIT 1))
-        |  FROM sel s WHERE s.step < 10),
+        |  FROM sel s WHERE s.step < least(10,
+        |    (SELECT count(*) FROM cand c WHERE c.query_id = s.query_id))),
         |fin AS (
         |  SELECT query_id, step, picked[step] AS doc_id,
         |    list_slice(picked, 1, step - 1) AS prev

@@ -129,16 +129,6 @@ object Retrieval {
         (lit(0.0) - col("col.neg")).as("score"))
   }
 
-  /** Reciprocal-rank fusion (Cormack et al. 2009): given per-system
-    * rankings (query_id, doc_id, rank), fuse as
-    * rrf(d) = Σ_systems 1/(c + rank_s(d)) with the canonical c = 60,
-    * keep the k best fused per query. Rank-based, so the systems'
-    * incomparable scores (BM25 vs cosine) never mix; each reciprocal is
-    * rounded to 6 dp and summed as decimal so the fused ordering is
-    * engine-exact. The union and the one keyed aggregation shuffle
-    * O(candidates) tiny rows — nothing rescans the source rankings'
-    * inputs.
-    */
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
     * diversity-aware top-k: greedily pick the candidate maximizing
     * λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), so near-duplicates of an
@@ -158,7 +148,12 @@ object Retrieval {
     * Determinism: rel is the upstream's 4-dp-rounded score; pairwise
     * sims round to 4 dp through the same cosine formula shape the ANN
     * oracles replay (`dot/(√dot·√dot)`, ascending folds); ties break on
-    * doc_id. The emitted mmr score is rounded to 6 dp.
+    * doc_id; a zero-norm vector similarity is defined as 0 (maximally
+    * dissimilar) instead of NaN. The emitted mmr score is rounded to
+    * 6 dp. Each round updates every candidate's RUNNING max-sim against
+    * only the newest pick, so the whole selection really is ≤ C·k dot
+    * products (recomputing the max over all picks each round would be
+    * C·k²).
     */
   def mmrRerank(candidates: DataFrame, k: Int,
       lambda: Double = 0.75): DataFrame = {
@@ -171,7 +166,8 @@ object Retrieval {
       while (i < a.length) {
         dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
       }
-      dab / (math.sqrt(daa) * math.sqrt(dbb))
+      if (daa == 0.0 || dbb == 0.0) 0.0
+      else dab / (math.sqrt(daa) * math.sqrt(dbb))
     }
     candidates
       .select(col("query_id").cast("long"), col("doc_id").cast("long"),
@@ -181,27 +177,39 @@ object Retrieval {
       .flatMapGroups { (qid, it) =>
         val cand = it.map { case (_, d, r, v) => (d, r, v.toArray) }
           .toArray.sortBy(_._1)
-        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val n = cand.length
+        // running max-sim vs picked so far; −∞ sentinel, NOT 0: cosines
+        // can be negative and the max over picked must stay negative then
+        // (only the empty-selection round contributes a literal 0)
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val used = Array.fill(n)(false)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
-        val used = scala.collection.mutable.Set.empty[Long]
         var rank = 1L
-        while (rank <= k && used.size < cand.length) {
-          var bestDoc = -1L; var bestScore = Double.NegativeInfinity
-          var bestVec: Array[Double] = null
-          cand.foreach { case (d, r, v) =>
-            if (!used.contains(d)) {
-              val ms = if (picked.isEmpty) 0.0
-                else picked.iterator.map(p => round4(cosine(v, p._2))).max
-              val s = lambda * r - (1.0 - lambda) * ms
+        var nUsed = 0
+        while (rank <= k && nUsed < n) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val ms = if (nUsed == 0) 0.0 else maxSim(i)
+              val s = lambda * cand(i)._2 - (1.0 - lambda) * ms
               // strict > with doc-ascending scan = smallest doc id wins ties
-              if (s > bestScore) { bestScore = s; bestDoc = d; bestVec = v }
+              if (s > bestScore) { bestScore = s; best = i }
             }
+            i += 1
           }
-          used += bestDoc
-          picked += ((bestDoc, bestVec))
-          out += ((qid, rank, bestDoc,
+          used(best) = true; nUsed += 1
+          out += ((qid, rank, cand(best)._1,
             BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP)
               .toDouble))
+          i = 0
+          while (i < n) { // fold the new pick into every survivor's max
+            if (!used(i)) {
+              val s = round4(cosine(cand(i)._3, cand(best)._3))
+              if (s > maxSim(i)) maxSim(i) = s
+            }
+            i += 1
+          }
           rank += 1
         }
         out.iterator
@@ -209,6 +217,16 @@ object Retrieval {
       .toDF("query_id", "rank", "doc_id", "mmr")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): given per-system
+    * rankings (query_id, doc_id, rank), fuse as
+    * rrf(d) = Σ_systems 1/(c + rank_s(d)) with the canonical c = 60,
+    * keep the k best fused per query. Rank-based, so the systems'
+    * incomparable scores (BM25 vs cosine) never mix; each reciprocal is
+    * rounded to 6 dp and summed as decimal so the fused ordering is
+    * engine-exact. The union and the one keyed aggregation shuffle
+    * O(candidates) tiny rows — nothing rescans the source rankings'
+    * inputs.
+    */
   def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     val contribs = rankings
       .map(_.select(col("query_id"), col("doc_id"),

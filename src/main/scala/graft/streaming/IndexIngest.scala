@@ -87,12 +87,16 @@ object IndexIngest {
       queries: DataFrame, k: Int): DataFrame = {
     val postingsRaw = spark.read.parquet(s"$indexPath/postings")
     val doclensRaw = spark.read.parquet(s"$indexPath/doclens")
-    def ids(df: DataFrame): Set[Long] =
-      df.select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
-    val complete = (ids(postingsRaw) intersect ids(doclensRaw)).toSeq
-    val postings = postingsRaw.filter(col("batch_id").isin(complete: _*))
+    // the intersection stays IN the plan as a broadcast semi-join (batch
+    // ids are a handful of rows) — no eager driver-side scans per search
+    val complete = broadcast(
+      postingsRaw.select(col("batch_id")).distinct()
+        .join(doclensRaw.select(col("batch_id")).distinct(), Seq("batch_id")))
+    val postings = postingsRaw
+      .join(complete, Seq("batch_id"), "left_semi")
       .select(col("token"), col("doc_id"), col("tf"))
-    val doclens = doclensRaw.filter(col("batch_id").isin(complete: _*))
+    val doclens = doclensRaw
+      .join(complete, Seq("batch_id"), "left_semi")
       .select(col("doc_id"), col("dl"))
     Retrieval.bm25TopK(postings, doclens, queries, k)
   }
