@@ -28,15 +28,36 @@ object SparkEntry {
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   /** Build-once guard for the persisted ANN indexes the replay oracles
-    * read: index lives under a corpus-size-keyed dir (so sf0.01/sf0.1
-    * runs never clobber each other and the oracle can glob + filter on
-    * the stamped n_corpus), and an existing index is reused — the fit is
-    * seeded, so rebuilding would produce byte-identical tables.
+    * read: index lives under a dir keyed by corpus size AND a content
+    * fingerprint (xor of per-row xxhash64 over every column — order-free,
+    * one corpus pass shared with the row count), so sf0.01/sf0.1 runs
+    * never clobber each other, the oracle can glob + filter on the
+    * stamped n_corpus, and a REGENERATED same-size corpus forces a
+    * rebuild instead of silently reusing a stale index. Stale siblings
+    * with the same row count but a different fingerprint (or the old
+    * count-only naming) are deleted so the oracle's wildcard glob +
+    * n_corpus filter can never double-read. An existing matching index is
+    * reused — the fit is seeded, so rebuilding would produce
+    * byte-identical tables.
     */
-  private def ensureIndex(s: SparkSession, corpus: DataFrame, kind: String,
+  private[graft] def ensureIndex(s: SparkSession, corpus: DataFrame, kind: String,
       marker: String)(write: String => Unit): String = {
-    val path = s"/tmp/graft_ann_index/$kind/n${corpus.count()}"
+    val agg = corpus
+      .select(xxhash64(corpus.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
+      .first()
+    val (n, fp) = (agg.getLong(0), agg.getLong(1))
+    val base = s"/tmp/graft_ann_index/$kind"
+    val name = f"n${n}_x$fp%016x"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    if (fs.exists(basePath))
+      fs.listStatus(basePath).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm != name && (nm == s"n$n" || nm.startsWith(s"n${n}_")))
+          fs.delete(st.getPath, true)
+      }
+    val path = s"$base/$name"
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$marker/_SUCCESS")))
       write(path)
     path

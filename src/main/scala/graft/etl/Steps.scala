@@ -179,7 +179,11 @@ object Steps {
         col("pages").as("m_pages"),
         lit(true).as("m_found"))
 
-    cleaned.join(broadcast(meta), cleaned("id") === meta("new_id"), "left")
+    // No broadcast hint: the enrichment side is corpus-proportional (one
+    // row per identified output), not dimension-sized — a forced broadcast
+    // is a driver/executor OOM at 100× scale. AQE picks broadcast when the
+    // side actually measures small.
+    cleaned.join(meta, cleaned("id") === meta("new_id"), "left")
       .select(
         cleaned("id"),
         cleaned("output_type"), cleaned("publication_status"),

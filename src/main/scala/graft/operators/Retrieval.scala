@@ -62,15 +62,35 @@ object Retrieval {
     * oracle can glob + filter. At 100 TB the postings write would add
     * `.bucketBy(token)` so searches prune to the buckets of their query
     * terms; at test scale plain parquet keeps the fixture readable.
+    *
+    * Besides postings/doclens, the BM25 summaries are persisted at BUILD
+    * time — `dftab` (token → document frequency) and the one-row `stats`
+    * (n_docs, avgdl) — so a search never re-aggregates the full index:
+    * at 100 TB a per-query df scan over the postings table is the
+    * dominant cost and cannot be pruned by token-bucketing (the aggregate
+    * needs every token's rows), whereas a dftab LOOKUP for the handful of
+    * query terms prunes like any keyed read.
     */
   def writeIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String): Unit = {
+    val spark = docs.sparkSession
     val (postings, doclens) = invertedIndex(docs, textCol, idCol)
     val n = docs.count()
     doclens.withColumn("n_corpus", lit(n))
       .write.mode("overwrite").parquet(s"$path/doclens")
     postings.withColumn("n_corpus", lit(n))
       .write.mode("overwrite").parquet(s"$path/postings")
+    // derive the summaries from the WRITTEN tables, not the lineage — one
+    // cheap columnar re-read instead of re-running the tokenize/explode
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(s"$path/dftab")
+    spark.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** BM25 top-k from a persisted index: score every document that shares
@@ -90,17 +110,43 @@ object Retrieval {
       .select(col("token"), col("doc_id"), col("tf"))
     val doclens = spark.read.parquet(s"$path/doclens")
       .select(col("doc_id"), col("dl"))
-    bm25TopK(postings, doclens, queries, k)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // pre-r9 indexes lack the persisted summaries — fall back to deriving
+    // them (query-term-pruned) so old index dirs stay readable
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/dftab/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS"))) {
+      val dfTab = spark.read.parquet(s"$path/dftab").select(col("token"), col("df"))
+      val stats = spark.read.parquet(s"$path/stats").select(col("n_docs"), col("avgdl"))
+      bm25Score(postings, doclens, dfTab, stats, queries, k)
+    } else bm25TopK(postings, doclens, queries, k)
   }
 
-  /** Index-table form of the scorer — `queries` is (query_id, qtext). */
+  /** Index-table form of the scorer — `queries` is (query_id, qtext).
+    * df is aggregated only over postings rows whose token appears in a
+    * query (semi-join with the broadcast term set BEFORE the aggregation):
+    * identical df values for every scoring term, but the aggregate's input
+    * is the query-matched slice instead of the whole index — with
+    * token-bucketed storage that read prunes; a full-postings `GROUP BY
+    * token` cannot. Used directly by the incremental batch-union path,
+    * where the persisted dftab does not yet cover the new batch.
+    */
   def bm25TopK(postings: DataFrame, doclens: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val qtok = queries
+      .select(explode(array_distinct(toks(col("qtext")))).as("token")).distinct()
+    val dfTab = postings.join(broadcast(qtok), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    bm25Score(postings, doclens, dfTab, stats, queries, k)
+  }
+
+  private def bm25Score(postings: DataFrame, doclens: DataFrame,
+      dfTab: DataFrame, stats: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(toks(col("qtext")))).as("token"))
-    val dfTab = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = doclens.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
     val scored = postings
       .join(broadcast(qterms.join(dfTab, Seq("token"))), Seq("token"))
@@ -192,12 +238,19 @@ object Retrieval {
           while (i < n) {
             if (!used(i)) {
               val ms = if (nUsed == 0) 0.0 else maxSim(i)
-              val s = lambda * cand(i)._2 - (1.0 - lambda) * ms
+              // NaN rel (e.g. an upstream 0/0 score) sorts below everything:
+              // NaN fails every >, so an unmapped NaN would leave best == -1
+              // and crash the used() update below
+              val rel = if (cand(i)._2.isNaN) Double.NegativeInfinity else cand(i)._2
+              val s = lambda * rel - (1.0 - lambda) * ms
               // strict > with doc-ascending scan = smallest doc id wins ties
               if (s > bestScore) { bestScore = s; best = i }
             }
             i += 1
           }
+          // every survivor scored -Inf (all-NaN shortlist): nothing rankable
+          if (best == -1) { rank = k + 1 }
+          else {
           used(best) = true; nUsed += 1
           out += ((qid, rank, cand(best)._1,
             BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP)
@@ -211,6 +264,7 @@ object Retrieval {
             i += 1
           }
           rank += 1
+          }
         }
         out.iterator
       }

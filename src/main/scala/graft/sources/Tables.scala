@@ -18,13 +18,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
-    // GraftSession nanosAsLong) and converted to micros here. `DIV` keeps
-    // the arithmetic integral — a double division would lose precision at
-    // 2024-era epoch-nano magnitudes (~1.7e18 > 2^53).
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    // events.ts has shipped as two parquet physical types across fixture
+    // generations, so dispatch on the dtype Spark actually loaded:
+    //  - TIMESTAMP(NANOS) → INT64, surfaced as LongType via GraftSession's
+    //    nanosAsLong; convert with integral `DIV` (a double division would
+    //    lose precision at 2024-era epoch-nano magnitudes, ~1.7e18 > 2^53)
+    //  - TIMESTAMP(MICROS) without tz → TimestampNTZType; cast to
+    //    TimestampType (value-preserving under the UTC session zone) so every
+    //    downstream query sees one stable type.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _                => df
+      }
+    } else df
   }
 
   /** S1's production shape: the reference's primary ingestion is four MySQL

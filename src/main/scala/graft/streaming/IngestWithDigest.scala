@@ -61,9 +61,14 @@ object IngestWithDigest {
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       digestPath: String): Unit = {
     val spark = batch.sparkSession
+    // a hard crash mid-FIRST-append can leave the directory with only
+    // _temporary debris — read.parquet then throws "unable to infer
+    // schema", which must mean "nothing landed", not a crash-looping
+    // replay guard (same contract as IndexIngest.processBatch)
     def landed(path: String): Boolean =
       exists(spark, path) &&
-        !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+        (try !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+         catch { case _: org.apache.spark.sql.AnalysisException => false })
     val corpusHas = landed(corpusPath)
     val digestHas = landed(digestPath)
     if (corpusHas && digestHas) return // full replay of a landed batch
@@ -77,12 +82,17 @@ object IngestWithDigest {
 
     // the digest never contains this batch here (digest is written LAST,
     // and a landed digest short-circuits above), so the anti-join state
-    // is the pre-batch history on first run and replay alike
-    val survivors =
+    // is the pre-batch history on first run and replay alike; the same
+    // _temporary-debris case as `landed` means "no history yet"
+    val history =
       if (exists(spark, digestPath))
-        hashed.join(spark.read.parquet(digestPath).select("content_md5"),
-          Seq("content_md5"), "left_anti")
-      else hashed
+        try Some(spark.read.parquet(digestPath).select("content_md5"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      else None
+    val survivors = history match {
+      case Some(h) => hashed.join(h, Seq("content_md5"), "left_anti")
+      case None    => hashed
+    }
 
     if (!corpusHas)
       survivors.drop("content_md5").withColumn("batch_id", lit(batchId))

@@ -150,6 +150,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(joined.select(col("round")).distinct().count() === 1)
   }
 
+  test("etl_clean_outputs: the corpus-proportional metadata side is not " +
+      "force-broadcast (AQE may still choose broadcast at test scale)") {
+    assume(available)
+    // the logical plan must carry no user broadcast hint on the enrichment
+    // join — one row per identified output is corpus-proportional, and a
+    // forced broadcast is an OOM at 100× scale. AQE picking broadcast from
+    // MEASURED sizes at sf0.001 is fine; the hint is what's banned.
+    val lp = SparkEntry.queries("etl_clean_outputs")(spark, dir)
+      .queryExecution.analyzed.toString()
+    assert(!lp.contains("UnresolvedHint") && !lp.toLowerCase.contains("hint=(strategy=broadcast"),
+      s"forced broadcast hint on the corpus-side join:\n$lp")
+    assert(!lp.contains("ResolvedHint"),
+      s"forced join-strategy hint in etl_clean_outputs:\n$lp")
+  }
+
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)
     val offenders = SparkEntry.queries.keys.toSeq.sorted

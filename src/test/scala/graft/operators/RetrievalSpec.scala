@@ -105,6 +105,28 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(first.getAs[Double]("mmr") - 0.75 * 0.99) < 1e-9)
   }
 
+  test("mmrRerank survives NaN relevance: NaN ranks below real scores, " +
+      "an all-NaN shortlist yields no picks instead of crashing") {
+    // doc 2 carries a NaN rel (e.g. an upstream 0/0): it must lose to every
+    // real-scored doc but not crash the greedy argmax
+    val mixed = Seq(
+      (7L, 1L, 0.9, Seq(1.0, 0.0)),
+      (7L, 2L, Double.NaN, Seq(0.0, 1.0)))
+      .toDF("query_id", "doc_id", "rel", "vec")
+    val got = Retrieval.mmrRerank(mixed, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq === Seq((1L, 1L)),
+      "NaN-rel candidate must be unrankable, not picked or crashing")
+
+    // the zero-norm-query shape: every rel NaN → empty result, no AIOOBE
+    val allNaN = Seq(
+      (8L, 1L, Double.NaN, Seq(1.0, 0.0)),
+      (8L, 2L, Double.NaN, Seq(0.0, 1.0)))
+      .toDF("query_id", "doc_id", "rel", "vec")
+    assert(Retrieval.mmrRerank(allNaN, k = 2).count() === 0L)
+  }
+
   test("rrfFuse: canonical 1/(60+rank) sums, rank ties broken by doc_id") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")

@@ -158,4 +158,33 @@ class SimilaritySpec extends SparkSpec {
       .select("sim").as[Double].collect().toSeq
     assert(a === b)
   }
+
+  test("ensureIndex fingerprints content: a same-count different-content " +
+      "corpus rebuilds the index instead of reusing the stale one") {
+    import spark.implicits._
+    val kind = "spec_fp_" + System.nanoTime() // private /tmp keyspace per run
+    var builds = 0
+    def build(corpus: org.apache.spark.sql.DataFrame): String =
+      graft.SparkEntry.ensureIndex(spark, corpus, kind, "m") { p =>
+        builds += 1
+        corpus.write.mode("overwrite").parquet(s"$p/m")
+      }
+    val a = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val pathA = build(a)
+    assert(builds === 1)
+    build(a) // identical corpus → cache hit, no rebuild
+    assert(builds === 1)
+
+    // same row count, different content: old count-only keying reused the
+    // stale index here — the fingerprint must force a rebuild AND retire
+    // the stale sibling so an oracle glob cannot double-read
+    val b = Seq((1L, "alpha"), (2L, "CHANGED")).toDF("doc_id", "text")
+    val pathB = build(b)
+    assert(builds === 2)
+    assert(pathA !== pathB)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pathA)),
+      "stale same-count sibling must be deleted")
+    fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_ann_index/$kind"), true)
+  }
 }

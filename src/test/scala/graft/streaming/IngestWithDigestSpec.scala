@@ -46,6 +46,28 @@ class IngestWithDigestSpec extends SparkSpec {
       === Set(1L, 2L, 5L, 9L))
   }
 
+  test("a crash before the FIRST append (directory holds only _temporary " +
+      "debris) replays to completion instead of crash-looping") {
+    val dir = Files.createTempDirectory("digest_debris").toFile
+    dir.deleteOnExit()
+    val corpus = dir.getAbsolutePath + "/corpus"
+    val digest = dir.getAbsolutePath + "/digest"
+
+    // simulate a hard crash mid-first-write: the sink dirs exist but hold
+    // no readable parquet — read.parquet throws "unable to infer schema"
+    new java.io.File(corpus, "_temporary/0").mkdirs()
+    new java.io.File(digest, "_temporary/0").mkdirs()
+
+    val b0 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    IngestWithDigest.processBatch(b0, batchId = 0L, corpus, digest)
+    assert(spark.read.parquet(corpus).count() === 2)
+    assert(spark.read.parquet(digest).count() === 2)
+
+    // and the replay of that completed batch is still a no-op
+    IngestWithDigest.processBatch(b0, batchId = 0L, corpus, digest)
+    assert(spark.read.parquet(corpus).count() === 2)
+  }
+
   test("a crash between the corpus and digest appends replays without " +
       "duplicating the corpus") {
     val dir = Files.createTempDirectory("digest_crash").toFile
