@@ -70,7 +70,11 @@ object Bench {
     // (measured: 2× oversubscription ⇒ 2.5× on the shingle-dedup queries,
     // 1× on map-only queries), so the number contextualizes the timings.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_avg":$load}"""
+    // n_failed/n_queries travel IN the artifact: the process exits 0 even
+    // with failed queries (the -1.0 convention), so a consumer checking the
+    // exit code alone must still see partial-suite failure in the JSON.
+    val nFailed = results.count(_._2 < 0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"n_failed":$nFailed,"load_avg":$load}"""
     println(json)
     // The stdout line travels through sbt's [info] prefix and the driver's
     // tail capture, which has truncated it two rounds running — the file
