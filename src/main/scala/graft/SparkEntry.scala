@@ -1940,6 +1940,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The SAME search over the token-partitioned index layout (the 100 TB
+    // path the flat index's scaladoc promises): postings are written
+    // hive-partitioned on pmod(xxhash64(token), 16) and the search's
+    // PartitionFilters prune non-matching tok_bucket directories before a
+    // file is opened (PlanInvariantsSpec pins the prune). Scores via the
+    // shared bm25Score path — same oracle shape as text_bm25_topk, read
+    // from the partitioned files.
+    "text_bm25_pruned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = ensureIndex(s, docs, "bm25part", "postings") { p =>
+        Retrieval.writeIndexPartitioned(docs, "text", "doc_id", p, nBuckets = 16)
+      }
+      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), " "), 1, 8), " ")
+            .as("qtext"))
+      Retrieval.bm25TopKPruned(s, path, q, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // The incremental-maintenance contract for the inverted index, proven
     // under text_bm25_topk's SHARED oracle: the index is built as two
     // doc-disjoint batch halves whose postings/doclens tables simply
@@ -4088,6 +4108,14 @@ object SparkEntry {
     // merges additively (batches never rebuild the corpus index).
     "text_bm25_topk" -> bm25TopkOracle,
     "text_bm25_incremental" -> bm25TopkOracle,
+    // identical replay over the hive-partitioned layout: the tok_bucket
+    // directory level adds one glob segment; DuckDB's hive-partition
+    // detection surfaces tok_bucket as a column the query simply ignores
+    "text_bm25_pruned" -> bm25TopkOracle
+      .replace("/tmp/graft_ann_index/bm25/*/postings/*.parquet",
+        "/tmp/graft_ann_index/bm25part/*/postings/*/*.parquet")
+      .replace("/tmp/graft_ann_index/bm25/*/doclens/*.parquet",
+        "/tmp/graft_ann_index/bm25part/*/doclens/*.parquet"),
 
     // Hybrid fusion replay: BM25 top-20 from the persisted index + cosine
     // top-20 over the aligned embeddings, fused as rounded-decimal

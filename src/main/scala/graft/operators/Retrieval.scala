@@ -93,6 +93,79 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** The 100 TB index layout made concrete: postings written
+    * hive-partitioned by `tok_bucket = pmod(xxhash64(token), nBuckets)`, so
+    * a search whose query-term buckets are known reads ONLY those
+    * directories — static partition pruning at the file-listing level, the
+    * property [[writeIndex]]'s scaladoc promises and the flat layout can't
+    * deliver. Everything else (doclens/dftab/stats, n_corpus stamping) is
+    * identical to [[writeIndex]]; the oracle replays from the partitioned
+    * files the same way.
+    *
+    * `nBuckets` sizes the prune granularity: at test scale 16 keeps files
+    * readable; a 100 TB index would use thousands (each bucket still holds
+    * many tokens — the point is pruning the scan to
+    * |query tokens| / nBuckets of the index, not one-file-per-token).
+    */
+  def writeIndexPartitioned(docs: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    val (postings, doclens) = invertedIndex(docs, textCol, idCol)
+    val n = docs.count()
+    postings.withColumn("n_corpus", lit(n))
+      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"$path/postings")
+    doclens.withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(s"$path/dftab")
+    spark.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("n_corpus", lit(n))
+      // the layout describes itself: search reads n_buckets from here, so
+      // a caller can never prune with a bucket count the index wasn't
+      // written with (silent wrong-results footgun)
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 search over a [[writeIndexPartitioned]] index with the partition
+    * prune applied: the query batch's distinct token BUCKETS are computed
+    * first (one job over the queries frame — the small side by definition:
+    * a search batch is human- or API-issued terms, bounded like the
+    * IVF/PQ centroid fits) and land in the postings filter as literals,
+    * which is what static partition pruning needs — the scan's
+    * PartitionFilters prune non-matching `tok_bucket=` directories before
+    * any file is opened. The bucket count comes from the index's own
+    * stats table, never from the caller. Scoring is the shared
+    * [[bm25Score]] path, so the result is row-identical to
+    * [[bm25TopKFromIndex]] over the same corpus (the bucket prune is a
+    * superset of the per-token join filter).
+    */
+  def bm25TopKPruned(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).first().getInt(0)
+    val buckets = queries
+      .select(explode(array_distinct(toks(col("qtext")))).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("tok_bucket").isin(buckets: _*))
+      .select(col("token"), col("doc_id"), col("tf"))
+    val doclens = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl"))
+    val dfTab = spark.read.parquet(s"$path/dftab")
+      .select(col("token"), col("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("avgdl"))
+    bm25Score(postings, doclens, dfTab, stats, queries, k)
+  }
+
   /** BM25 top-k from a persisted index: score every document that shares
     * at least one term with the query and keep the k best per query.
     *

@@ -95,6 +95,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "text_bm25_topk",
     // same scorer over the batch-union index tables
     "text_bm25_incremental",
+    // same scalar cross as text_bm25_topk, over the partitioned layout
+    "text_bm25_pruned",
     // same BM25 scalar cross + the deliberate brute-force cosine arm
     "hybrid_rrf_topk",
     // brute-force shortlist arm feeding the MMR re-rank
@@ -122,6 +124,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"more than one hash exchange for a single window:\n$p")
     assert(p.contains("Window"), "no window operator in the packing plan")
+  }
+
+  test("text_bm25_pruned: the postings scan carries a tok_bucket " +
+      "PartitionFilter — the search reads only the query terms' buckets") {
+    assume(available)
+    val p = plan("text_bm25_pruned")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned postings scan in the plan:\n$p"))
+    assert(scanLine.contains("tok_bucket") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"postings scan has no tok_bucket partition filter:\n$scanLine")
   }
 
   test("dynamic partition pruning: a round-partitioned write is pruned at " +

@@ -105,6 +105,30 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(first.getAs[Double]("mmr") - 0.75 * 0.99) < 1e-9)
   }
 
+  test("partitioned index: bm25TopKPruned equals the flat-index search " +
+      "row-for-row, and the postings land hive-partitioned by tok_bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25part").toFile
+    dir.deleteOnExit()
+    val flat = dir.getAbsolutePath + "/flat"
+    val part = dir.getAbsolutePath + "/part"
+    Retrieval.writeIndex(docs, "text", "doc_id", flat)
+    Retrieval.writeIndexPartitioned(docs, "text", "doc_id", part, nBuckets = 4)
+
+    // the layout is really partitioned: tok_bucket= directories exist
+    val bucketDirs = new java.io.File(part + "/postings")
+      .listFiles().filter(_.getName.startsWith("tok_bucket="))
+    assert(bucketDirs.nonEmpty, "no tok_bucket= partition directories")
+
+    val qs = Seq((100L, "apple cherry"), (101L, "durian")).toDF("query_id", "qtext")
+    val a = Retrieval.bm25TopKFromIndex(spark, flat, qs, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    // no bucket count at the call site: the search reads n_buckets from
+    // the index's own stats table, so write/search can never disagree
+    val b = Retrieval.bm25TopKPruned(spark, part, qs, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b, "pruned search diverged from the flat-index search")
+  }
+
   test("mmrRerank survives NaN relevance: NaN ranks below real scores, " +
       "an all-NaN shortlist yields no picks instead of crashing") {
     // doc 2 carries a NaN rel (e.g. an upstream 0/0): it must lose to every
