@@ -1704,6 +1704,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The SAME IVF search over the cell-partitioned vector layout (the
+    // partition-column shape the IVF-PQ scaladoc names as the 100 TB
+    // index): vectors ship hive-partitioned by assigned cell, the query
+    // batch's probed cells become scan-time literals, and the vectors scan
+    // carries a `cell` PartitionFilter (PlanInvariantsSpec pins it) —
+    // non-probed directories are never listed, where the flat path must
+    // scan the corpus to recompute assignments. Same oracle as
+    // ann_ivf_topk read from the partitioned index's centroids.
+    "ann_ivf_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ensureIndex(s, emb, "ivfpart", "vectors") { p =>
+        Similarity.writeIvfPartitioned(emb, p, nCells = 8)
+      }
+      Similarity.ivfTopKFromPartitioned(s, path, emb.filter(col("vec_id") < 10),
+          k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Recall gates for the two approximate ANN paths: avg recall@5 against
     // the brute-force baseline must clear 0.6 (measured 0.86/0.96 LSH and
     // 0.80/0.78 IVF at sf0.01/sf0.1 — see tools/AnnProbe). The DuckDB
@@ -2337,6 +2356,40 @@ object SparkEntry {
     * order, so one oracle checks both — the green pair is the equivalence
     * proof.
     */
+  /** Replay oracle for the persisted-centroid IVF searches: assignments
+    * are recomputed as a pure function of the live embeddings × the
+    * persisted centroids, probed (cr ≤ 4), scored and top-5-cut exactly
+    * as ivfSearch does. Shared by `ann_ivf_topk` and (with the `ivfpart`
+    * glob) `ann_ivf_pruned` — the partitioned layout changes WHERE the
+    * vectors live, not what the search returns.
+    */
+  private val ivfTopkOracle: String =
+    """WITH cent AS (
+      |  SELECT cell, centroid
+      |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
+      |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |d AS (SELECT vec_id, cell,
+      |        list_inner_product(centroid, centroid)
+      |          - 2.0 * list_inner_product(e, centroid) AS d2
+      |      FROM v, cent),
+      |ranked AS (SELECT vec_id, cell,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+      |           FROM d),
+      |cells AS (SELECT r.vec_id AS neighbor_id, v.e AS nvec, r.cell
+      |          FROM ranked r JOIN v USING (vec_id) WHERE cr = 1),
+      |probes AS (SELECT r.vec_id AS query_id, v.e AS qvec, r.cell
+      |           FROM ranked r JOIN v USING (vec_id)
+      |           WHERE cr <= 4 AND r.vec_id < 10),
+      |scored AS (SELECT query_id, neighbor_id,
+      |             round(list_cosine_similarity(qvec, nvec), 4) AS sim
+      |           FROM cells JOIN probes USING (cell)
+      |           WHERE neighbor_id <> query_id)
+      |SELECT query_id, rn AS rank, neighbor_id, sim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val bm25TopkOracle: String =
     """WITH posts AS (
       |  SELECT token, doc_id, tf
@@ -3742,32 +3795,12 @@ object SparkEntry {
     // dirs, filtered on the stamped n_corpus) and replays raw-space cell
     // assignment (rank by |c|^2 − 2x·c with cell tiebreak), the nProbe=4
     // probe set, and the in-cell cosine top-5 row-for-row.
-    "ann_ivf_topk" ->
-      """WITH cent AS (
-        |  SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
-        |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |d AS (SELECT vec_id, cell,
-        |        list_inner_product(centroid, centroid)
-        |          - 2.0 * list_inner_product(e, centroid) AS d2
-        |      FROM v, cent),
-        |ranked AS (SELECT vec_id, cell,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
-        |           FROM d),
-        |cells AS (SELECT r.vec_id AS neighbor_id, v.e AS nvec, r.cell
-        |          FROM ranked r JOIN v USING (vec_id) WHERE cr = 1),
-        |probes AS (SELECT r.vec_id AS query_id, v.e AS qvec, r.cell
-        |           FROM ranked r JOIN v USING (vec_id)
-        |           WHERE cr <= 4 AND r.vec_id < 10),
-        |scored AS (SELECT query_id, neighbor_id,
-        |             round(list_cosine_similarity(qvec, nvec), 4) AS sim
-        |           FROM cells JOIN probes USING (cell)
-        |           WHERE neighbor_id <> query_id)
-        |SELECT query_id, rn AS rank, neighbor_id, sim
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" -> ivfTopkOracle,
+    // identical replay from the partitioned index's own centroids table
+    // (assignments are a pure function of vectors × centroids, so the
+    // oracle need never read the hive-partitioned vectors files)
+    "ann_ivf_pruned" -> ivfTopkOracle.replace(
+      "/tmp/graft_ann_index/ivf/", "/tmp/graft_ann_index/ivfpart/"),
 
     // Replay oracle for the persisted-index PQ search: given the codebooks
     // and codes tables, DuckDB rebuilds the per-query ADC lookup tables

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,28 +199,93 @@ object Similarity {
   private def ivfSearch(centers: Array[Array[Double]],
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       idCol: String, vecCol: String): DataFrame = {
-    import graft.functions.VectorOps.dotProduct
-
     // centroids as a small broadcast frame (nCells × dim)
     val session = corpus.sparkSession
     import session.implicits._
     val centroids = centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
 
-    def assign(df: DataFrame, id: String, v: String, probes: Int) = {
-      val scored = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
-        .crossJoin(broadcast(centroids))
-        // nearest by squared L2: |x|² const per row → rank by |c|² - 2x·c
-        .withColumn("d2",
-          dotProduct(col("centroid"), col("centroid")) -
-            lit(2.0) * dotProduct(col(v), col("centroid")))
-      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
-      scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= probes)
-        .select(col(id), col(v), col("cell"))
-    }
+    val cells = assignToCells(corpus, centroids, idCol, vecCol,
+      "neighbor_id", "nvec", probes = 1)
+    val probes = assignToCells(queries, centroids, idCol, vecCol,
+      "query_id", "qvec", probes = nProbe)
+    val scored = cells.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))
+    rankTopK(scored, k)
+  }
 
-    val cells = assign(corpus, "neighbor_id", "nvec", probes = 1)
-    val probes = assign(queries, "query_id", "qvec", probes = nProbe)
+  /** Nearest-`probes` cell assignment against a broadcast centroid frame —
+    * the shared kernel of [[ivfSearch]], [[writeIvfPartitioned]] and
+    * [[ivfTopKFromPartitioned]]. Nearest by squared L2: |x|² is constant
+    * per row, so ranking by |c|² − 2x·c is equivalent and skips the
+    * per-row norm.
+    */
+  private def assignToCells(df: DataFrame, centroids: DataFrame,
+      srcId: String, srcVec: String, id: String, v: String,
+      probes: Int): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val scored = df.select(col(srcId).as(id), asDouble(col(srcVec)).as(v))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        dotProduct(col("centroid"), col("centroid")) -
+          lit(2.0) * dotProduct(col(v), col("centroid")))
+    val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
+    scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= probes)
+      .select(col(id), col(v), col("cell"))
+  }
+
+  /** The 100 TB IVF layout made concrete (the partition-column shape
+    * [[ivfPqTopK]]'s scaladoc names): beside the centroids table, the
+    * corpus vectors are written hive-partitioned by their assigned cell,
+    * so a search reads ONLY the probed cells' directories — partition
+    * pruning at the file-listing level, where [[ivfTopKFromCentroids]]
+    * must still scan the whole corpus to recompute assignments. The
+    * assignment is the same seeded probes=1 kernel the searches use, so
+    * the stored layout and any recomputation agree row-for-row.
+    */
+  def writeIvfPartitioned(corpus: DataFrame, path: String, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
+    val n = corpus.count()
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq, n) }.toSeq
+      .toDF("cell", "centroid", "n_corpus")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    assignToCells(corpus, centroids, idCol, vecCol, idCol, vecCol, probes = 1)
+      .withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/vectors")
+  }
+
+  /** IVF search over a [[writeIvfPartitioned]] index with the partition
+    * prune applied: the query batch's probed cells become scan-time
+    * literals (one small job over the bounded query frame), so the vectors
+    * read carries a `cell` PartitionFilter and non-probed directories are
+    * never listed. Stored assignments are trusted (written by the same
+    * seeded kernel), so nothing is recomputed corpus-side — row-identical
+    * to [[ivfTopKFromCentroids]] over the same corpus and seed.
+    */
+  def ivfTopKFromPartitioned(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path + "/centroids")
+      .select(col("cell"), col("centroid")).collect().sortBy(_.getInt(0))
+    val centroids = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .toSeq.toDF("cell", "centroid")
+    val probes = assignToCells(queries, centroids, idCol, vecCol,
+      "query_id", "qvec", probes = nProbe)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"),
+        col("cell"))
     val scored = cells.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("nvec")), 4))

@@ -106,7 +106,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // 1-row totals + 1-row percentile-threshold scalar crosses
     "curation_dsir",
     // broadcast-centroid scalar cross, the IVF assignment shape
-    "curation_cluster_balance")
+    "curation_cluster_balance",
+    // query-side broadcast-centroid scalar cross (the corpus side reads
+    // stored assignments from the partitioned index — no corpus cross)
+    "ann_ivf_pruned")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)
@@ -136,6 +139,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(scanLine.contains("tok_bucket") &&
         !scanLine.contains("PartitionFilters: []"),
       s"postings scan has no tok_bucket partition filter:\n$scanLine")
+  }
+
+  test("ann_ivf_pruned: the vectors scan carries a cell PartitionFilter — " +
+      "the search reads only the probed cells' directories") {
+    assume(available)
+    val p = plan("ann_ivf_pruned")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("vectors") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned vectors scan in the plan:\n$p"))
+    assert(scanLine.contains("cell") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"vectors scan has no cell partition filter:\n$scanLine")
   }
 
   test("dynamic partition pruning: a round-partitioned write is pruned at " +

@@ -159,6 +159,28 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("partitioned IVF index: ivfTopKFromPartitioned equals the " +
+      "centroid-replay search row-for-row, and vectors land under cell= " +
+      "directories") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpart").toFile
+    dir.deleteOnExit()
+    val flat = dir.getAbsolutePath + "/flat"
+    val part = dir.getAbsolutePath + "/part"
+    Similarity.writeIvfCentroids(vecs, flat, nCells = 3)
+    Similarity.writeIvfPartitioned(vecs, part, nCells = 3)
+
+    val cellDirs = new java.io.File(part + "/vectors")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "no cell= partition directories")
+
+    val qs = vecs.filter(col("vec_id") < 2)
+    val a = Similarity.ivfTopKFromCentroids(flat, vecs, qs, k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.ivfTopKFromPartitioned(spark, part, qs, k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b, "pruned IVF search diverged from the centroid replay")
+  }
+
   test("ensureIndex fingerprints content: a same-count different-content " +
       "corpus rebuilds the index instead of reusing the stale one") {
     import spark.implicits._
