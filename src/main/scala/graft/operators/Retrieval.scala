@@ -41,6 +41,17 @@ object Retrieval {
 
   private def toks(c: org.apache.spark.sql.Column) = split(lower(trim(c)), " ")
 
+  /** The query batch's distinct token buckets under the partitioned
+    * layouts' `pmod(xxhash64(token), nBuckets)` scheme — one small job
+    * over the bounded queries frame, shared by [[bm25TopKPruned]] and the
+    * streaming [[graft.streaming.IndexIngest.bm25TopKPruned]] so the
+    * bucket tokenization can never diverge from the index's.
+    */
+  private[graft] def queryTokenBuckets(queries: DataFrame, nBuckets: Int): Seq[Long] =
+    queries.select(explode(array_distinct(toks(col("qtext")))).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
   /** Inverted index: postings (token, doc_id, tf) + doc lengths
     * (doc_id, dl). Everything else BM25 needs (df, N, avgdl) is derived
     * from these two, so the persisted index stays minimal.
@@ -150,10 +161,7 @@ object Retrieval {
       k: Int): DataFrame = {
     val nBuckets = spark.read.parquet(s"$path/stats")
       .select(col("n_buckets")).first().getInt(0)
-    val buckets = queries
-      .select(explode(array_distinct(toks(col("qtext")))).as("token"))
-      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val buckets = queryTokenBuckets(queries, nBuckets)
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("tok_bucket").isin(buckets: _*))
       .select(col("token"), col("doc_id"), col("tf"))

@@ -101,6 +101,106 @@ object IndexIngest {
     Retrieval.bm25TopK(postings, doclens, queries, k)
   }
 
+  /** The partitioned-layout composition — a streaming batch appends its
+    * postings UNDER the `tok_bucket=` directories of
+    * [[graft.operators.Retrieval.writeIndexPartitioned]]'s layout (append
+    * mode adds batch files inside existing partition dirs; nothing is
+    * rewritten), so the accumulated index keeps the partition-pruned read
+    * path while growing one doc-disjoint batch at a time — the "daily
+    * crawl lands on the 100 TB index" shape. Replay guards are identical
+    * to [[processBatch]].
+    *
+    * The bucket count is stamped into a one-row `meta` table by the FIRST
+    * batch and every later batch re-reads it (the `nBuckets` parameter is
+    * only consulted when no meta exists yet), so batches can never be
+    * bucketed inconsistently — same self-describing-layout contract as the
+    * batch-built index's stats table.
+    */
+  def startPartitioned(docs: DataFrame, indexPath: String, checkpoint: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      nBuckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchPartitioned(batch, batchId, indexPath, textCol, idCol, nBuckets)
+      }
+      .start()
+
+  /** One partitioned micro-batch, callable from tests directly. */
+  def processBatchPartitioned(batch: DataFrame, batchId: Long,
+      indexPath: String, textCol: String = "text", idCol: String = "doc_id",
+      nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    def landed(path: String): Boolean =
+      exists(spark, path) &&
+        (try !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+         catch { case _: org.apache.spark.sql.AnalysisException => false })
+    val postingsPath = s"$indexPath/postings"
+    val doclensPath = s"$indexPath/doclens"
+    val metaPath = s"$indexPath/meta"
+    val postingsHas = landed(postingsPath)
+    val doclensHas = landed(doclensPath)
+    if (postingsHas && doclensHas) return
+
+    // meta first, overwrite-idempotent: a crash after meta but before any
+    // append replays into the same overwrite; later batches NEVER trust
+    // the parameter again
+    val buckets = readBuckets(spark, metaPath) match {
+      case Some(b) => b
+      case None =>
+        import spark.implicits._
+        Seq(nBuckets).toDF("n_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(metaPath)
+        nBuckets
+    }
+
+    val (postings, doclens) = Retrieval.invertedIndex(batch, textCol, idCol)
+    if (!doclensHas)
+      doclens.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(doclensPath)
+    if (!postingsHas)
+      postings.withColumn("batch_id", lit(batchId))
+        .withColumn("tok_bucket",
+          pmod(xxhash64(col("token")), lit(buckets.toLong)))
+        .write.mode("append").partitionBy("tok_bucket").parquet(postingsPath)
+  }
+
+  /** Partition-pruned search over the streamed index: the query terms'
+    * buckets become scan-time literals exactly as in
+    * [[graft.operators.Retrieval.bm25TopKPruned]], composed with the
+    * both-tables completeness gate of [[bm25TopK]]. The doclens/stats side
+    * is bucket-independent, so corpus statistics stay exact under the
+    * prune.
+    */
+  def bm25TopKPruned(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int): DataFrame = {
+    val buckets = readBuckets(spark, s"$indexPath/meta").getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath/meta missing — not a partitioned streamed index"))
+    val qbuckets = Retrieval.queryTokenBuckets(queries, buckets)
+    val postingsRaw = spark.read.parquet(s"$indexPath/postings")
+    val doclensRaw = spark.read.parquet(s"$indexPath/doclens")
+    val complete = broadcast(
+      postingsRaw.select(col("batch_id")).distinct()
+        .join(doclensRaw.select(col("batch_id")).distinct(), Seq("batch_id")))
+    val postings = postingsRaw
+      .filter(col("tok_bucket").isin(qbuckets: _*))
+      .join(complete, Seq("batch_id"), "left_semi")
+      .select(col("token"), col("doc_id"), col("tf"))
+    val doclens = doclensRaw
+      .join(complete, Seq("batch_id"), "left_semi")
+      .select(col("doc_id"), col("dl"))
+    Retrieval.bm25TopK(postings, doclens, queries, k)
+  }
+
+  private def readBuckets(spark: org.apache.spark.sql.SparkSession,
+      metaPath: String): Option[Int] =
+    if (!exists(spark, metaPath)) None
+    else
+      try Some(spark.read.parquet(metaPath).select(col("n_buckets"))
+        .first().getInt(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   private def exists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -79,4 +79,42 @@ class IndexIngestSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed === oneShot)
   }
+
+  test("partitioned streamed index: batches append under tok_bucket= dirs, " +
+      "later batches ignore a changed bucket parameter, and the pruned " +
+      "search equals the flat streamed search") {
+    val dir = Files.createTempDirectory("idxpart").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/index"
+
+    IndexIngest.processBatchPartitioned(
+      batch1.toDF("doc_id", "text"), 0L, idx, nBuckets = 4)
+    // a later batch passing a DIFFERENT nBuckets must still bucket with
+    // the meta table's 4 — the layout is self-describing, the parameter
+    // is first-batch-only
+    IndexIngest.processBatchPartitioned(
+      batch2.toDF("doc_id", "text"), 1L, idx, nBuckets = 99)
+
+    val bucketDirs = new java.io.File(idx + "/postings")
+      .listFiles().filter(_.getName.startsWith("tok_bucket="))
+    assert(bucketDirs.nonEmpty, "no tok_bucket= partition directories")
+    assert(spark.read.parquet(s"$idx/postings")
+      .select("tok_bucket").distinct().collect()
+      .forall(_.getInt(0) < 4), "a batch bucketed outside the meta layout")
+
+    // replay of a landed batch stays a no-op under the partitioned writer
+    val n0 = spark.read.parquet(s"$idx/postings").count()
+    IndexIngest.processBatchPartitioned(
+      batch1.toDF("doc_id", "text"), 0L, idx, nBuckets = 4)
+    assert(spark.read.parquet(s"$idx/postings").count() === n0)
+
+    val flatIdx = dir.getAbsolutePath + "/flat"
+    IndexIngest.processBatch(batch1.toDF("doc_id", "text"), 0L, flatIdx)
+    IndexIngest.processBatch(batch2.toDF("doc_id", "text"), 1L, flatIdx)
+    val pruned = IndexIngest.bm25TopKPruned(spark, idx, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val flat = IndexIngest.bm25TopK(spark, flatIdx, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(pruned === flat, "pruned streamed search diverged")
+  }
 }
