@@ -63,4 +63,26 @@ object Compaction {
     }
     CompactionStats(dataFiles.size, bytes, nFiles)
   }
+
+  /** Per-partition compaction of a hive-partitioned table — the form the
+    * header note prescribes at scale: each `k=v` directory compacts as its
+    * own one-read-one-write job into the SAME `k=v` name under `outDir`
+    * (layout preserved, so partition-pruned readers are untouched), and
+    * directories already compact cost one listing each. Data columns pass
+    * through the rewrite byte-for-byte — only file boundaries change — so
+    * e.g. a streamed index's `batch_id` replay guards keep working on the
+    * compacted copy. Non-partition entries (`_SUCCESS`, loose files) are
+    * not data-bearing here and are skipped.
+    */
+  def compactPartitions(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Map[String, CompactionStats] = {
+    val root = new Path(inDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { s =>
+        val name = s.getPath.getName
+        name -> compact(spark, s"$inDir/$name", s"$outDir/$name", targetBytes)
+      }.toMap
+  }
 }

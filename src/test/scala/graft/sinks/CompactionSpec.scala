@@ -50,4 +50,43 @@ class CompactionSpec extends SparkSpec {
     assert(stats.filesAfter === 1)
     assert(spark.read.parquet(out).count() === 100)
   }
+
+  test("compactPartitions: a streamed partitioned index compacts per " +
+      "tok_bucket= directory, layout preserved, pruned search unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact_part").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/index"
+    val compacted = dir.getAbsolutePath + "/compacted"
+
+    // many small batches -> many small files under each bucket dir
+    val batches = Seq(
+      Seq((1L, "apple banana cherry"), (2L, "apple banana banana")),
+      Seq((3L, "cherry durian elderberry"), (4L, "fig grape apple")),
+      Seq((5L, "banana cherry fig"), (6L, "grape apple cherry")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.IndexIngest.processBatchPartitioned(
+        b.toDF("doc_id", "text"), i.toLong, idx, nBuckets = 4)
+    }
+
+    val stats = Compaction.compactPartitions(
+      spark, s"$idx/postings", s"$compacted/postings", targetBytes = 1L << 30)
+    assert(stats.nonEmpty && stats.keys.forall(_.startsWith("tok_bucket=")))
+    assert(stats.values.forall(_.filesAfter === 1), "buckets not compacted to one file")
+    // layout preserved: same partition dirs before and after
+    val dirsOf = (p: String) => new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("tok_bucket=")).map(_.getName).toSet
+    assert(dirsOf(s"$compacted/postings") === dirsOf(s"$idx/postings"))
+
+    // finish the compacted index (doclens + meta travel as-is) and the
+    // pruned search answers identically to the un-compacted original
+    Compaction.compact(spark, s"$idx/doclens", s"$compacted/doclens", 1L << 30)
+    spark.read.parquet(s"$idx/meta").write.parquet(s"$compacted/meta")
+    val queries = Seq((100L, "apple cherry")).toDF("query_id", "qtext")
+    val a = graft.streaming.IndexIngest.bm25TopKPruned(spark, idx, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val b = graft.streaming.IndexIngest.bm25TopKPruned(spark, compacted, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a === b, "compaction changed search results")
+  }
 }
