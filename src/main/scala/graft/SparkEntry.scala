@@ -1793,6 +1793,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The production vector-index read path in full: ONE persisted package
+    // (centroids + codebooks + cell-partitioned codes with NO stored
+    // vectors — m one-byte codes per vector is the whole payload), probed
+    // cells as scan-time literals so the codes scan carries a cell
+    // PartitionFilter, ADC over the pruned slice, exact re-rank fetching
+    // true vectors from the live corpus. Same oracle shape as
+    // ann_ivfpq_topk, read from this index's own tables.
+    "ann_ivfpq_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ensureIndex(s, emb, "ivfpqpart", "codes") { p =>
+        Similarity.writeIvfPqPartitioned(emb, p, nCells = 8)
+      }
+      Similarity.ivfPqTopKFromPartitioned(s, path, emb,
+          emb.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -2388,6 +2406,74 @@ object SparkEntry {
       |SELECT query_id, rn AS rank, neighbor_id, sim
       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Replay oracle for the persisted IVF-PQ searches: assignments replay
+    * from the centroids table, ADC lookup tables from the codebooks, ADC
+    * scores from the codes table, and the exact re-rank from the live
+    * embeddings — row-identical to ivfPqSearch. Shared by
+    * `ann_ivfpq_topk` and (with the `ivfpqpart` globs) `ann_ivfpq_pruned`.
+    */
+  private val ivfPqTopkOracle: String =
+    """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      |cent AS (
+      |  SELECT cell, centroid
+      |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
+      |  WHERE n_corpus = (SELECT n FROM nn)),
+      |books AS (
+      |  SELECT subspace, centroid_id, centroid
+      |  FROM read_parquet('/tmp/graft_ann_index/pq/*/codebooks/*.parquet')
+      |  WHERE n_corpus = (SELECT n FROM nn)),
+      |codes AS (
+      |  SELECT * FROM read_parquet('/tmp/graft_ann_index/pq/*/codes/*.parquet')
+      |  WHERE n_corpus = (SELECT n FROM nn)),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |d AS (SELECT vec_id, cell,
+      |        list_inner_product(centroid, centroid)
+      |          - 2.0 * list_inner_product(e, centroid) AS d2
+      |      FROM v, cent),
+      |ranked AS (SELECT vec_id, cell,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+      |           FROM d),
+      |nv AS (SELECT vec_id,
+      |         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS nvec
+      |       FROM (SELECT vec_id, e,
+      |               sqrt(list_inner_product(e, e)) AS nrm FROM v)),
+      |cells AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cr = 1),
+      |probes AS (SELECT r.vec_id AS query_id, n.nvec AS qv, r.cell
+      |           FROM ranked r JOIN nv n USING (vec_id)
+      |           WHERE cr <= 4 AND r.vec_id < 10),
+      |qt AS (SELECT DISTINCT p.query_id, b.subspace, b.centroid_id,
+      |         list_inner_product(p.qv[(b.subspace * 8 + 1):(b.subspace * 8 + 8)],
+      |                            b.centroid) AS t
+      |       FROM probes p, books b),
+      |scored AS (
+      |  SELECT p.query_id, c.neighbor_id,
+      |    round(t0.t + t1.t + t2.t + t3.t + t4.t + t5.t + t6.t + t7.t, 4) AS adc
+      |  FROM codes c
+      |  JOIN cells ce ON c.neighbor_id = ce.neighbor_id
+      |  JOIN probes p ON ce.cell = p.cell
+      |  JOIN qt t0 ON t0.query_id = p.query_id AND t0.subspace = 0 AND t0.centroid_id = c.code_0 - 1
+      |  JOIN qt t1 ON t1.query_id = p.query_id AND t1.subspace = 1 AND t1.centroid_id = c.code_1 - 1
+      |  JOIN qt t2 ON t2.query_id = p.query_id AND t2.subspace = 2 AND t2.centroid_id = c.code_2 - 1
+      |  JOIN qt t3 ON t3.query_id = p.query_id AND t3.subspace = 3 AND t3.centroid_id = c.code_3 - 1
+      |  JOIN qt t4 ON t4.query_id = p.query_id AND t4.subspace = 4 AND t4.centroid_id = c.code_4 - 1
+      |  JOIN qt t5 ON t5.query_id = p.query_id AND t5.subspace = 5 AND t5.centroid_id = c.code_5 - 1
+      |  JOIN qt t6 ON t6.query_id = p.query_id AND t6.subspace = 6 AND t6.centroid_id = c.code_6 - 1
+      |  JOIN qt t7 ON t7.query_id = p.query_id AND t7.subspace = 7 AND t7.centroid_id = c.code_7 - 1
+      |  WHERE c.neighbor_id <> p.query_id),
+      |short AS (SELECT query_id, neighbor_id FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY query_id
+      |     ORDER BY adc DESC, neighbor_id) AS rn FROM scored)
+      |  WHERE rn <= 160),
+      |rescored AS (SELECT s.query_id, s.neighbor_id,
+      |    round(list_inner_product(q.nvec, n.nvec), 4) AS sim
+      |  FROM short s
+      |  JOIN nv n ON s.neighbor_id = n.vec_id
+      |  JOIN nv q ON s.query_id = q.vec_id)
+      |SELECT query_id, rn AS rank, neighbor_id, sim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, neighbor_id) AS rn FROM rescored)
       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val bm25TopkOracle: String =
@@ -3861,67 +3947,18 @@ object SparkEntry {
     // vectors, same argmin), the IVF side restricts which (query, code)
     // pairs are ADC-scored to the query's 4 probed cells, and shortlist +
     // exact re-rank replay as in ann_pq_topk.
-    "ann_ivfpq_topk" ->
-      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
-        |cent AS (
-        |  SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_ann_index/ivf/*/centroids/*.parquet')
-        |  WHERE n_corpus = (SELECT n FROM nn)),
-        |books AS (
-        |  SELECT subspace, centroid_id, centroid
-        |  FROM read_parquet('/tmp/graft_ann_index/pq/*/codebooks/*.parquet')
-        |  WHERE n_corpus = (SELECT n FROM nn)),
-        |codes AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_ann_index/pq/*/codes/*.parquet')
-        |  WHERE n_corpus = (SELECT n FROM nn)),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |d AS (SELECT vec_id, cell,
-        |        list_inner_product(centroid, centroid)
-        |          - 2.0 * list_inner_product(e, centroid) AS d2
-        |      FROM v, cent),
-        |ranked AS (SELECT vec_id, cell,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
-        |           FROM d),
-        |nv AS (SELECT vec_id,
-        |         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS nvec
-        |       FROM (SELECT vec_id, e,
-        |               sqrt(list_inner_product(e, e)) AS nrm FROM v)),
-        |cells AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cr = 1),
-        |probes AS (SELECT r.vec_id AS query_id, n.nvec AS qv, r.cell
-        |           FROM ranked r JOIN nv n USING (vec_id)
-        |           WHERE cr <= 4 AND r.vec_id < 10),
-        |qt AS (SELECT DISTINCT p.query_id, b.subspace, b.centroid_id,
-        |         list_inner_product(p.qv[(b.subspace * 8 + 1):(b.subspace * 8 + 8)],
-        |                            b.centroid) AS t
-        |       FROM probes p, books b),
-        |scored AS (
-        |  SELECT p.query_id, c.neighbor_id,
-        |    round(t0.t + t1.t + t2.t + t3.t + t4.t + t5.t + t6.t + t7.t, 4) AS adc
-        |  FROM codes c
-        |  JOIN cells ce ON c.neighbor_id = ce.neighbor_id
-        |  JOIN probes p ON ce.cell = p.cell
-        |  JOIN qt t0 ON t0.query_id = p.query_id AND t0.subspace = 0 AND t0.centroid_id = c.code_0 - 1
-        |  JOIN qt t1 ON t1.query_id = p.query_id AND t1.subspace = 1 AND t1.centroid_id = c.code_1 - 1
-        |  JOIN qt t2 ON t2.query_id = p.query_id AND t2.subspace = 2 AND t2.centroid_id = c.code_2 - 1
-        |  JOIN qt t3 ON t3.query_id = p.query_id AND t3.subspace = 3 AND t3.centroid_id = c.code_3 - 1
-        |  JOIN qt t4 ON t4.query_id = p.query_id AND t4.subspace = 4 AND t4.centroid_id = c.code_4 - 1
-        |  JOIN qt t5 ON t5.query_id = p.query_id AND t5.subspace = 5 AND t5.centroid_id = c.code_5 - 1
-        |  JOIN qt t6 ON t6.query_id = p.query_id AND t6.subspace = 6 AND t6.centroid_id = c.code_6 - 1
-        |  JOIN qt t7 ON t7.query_id = p.query_id AND t7.subspace = 7 AND t7.centroid_id = c.code_7 - 1
-        |  WHERE c.neighbor_id <> p.query_id),
-        |short AS (SELECT query_id, neighbor_id FROM
-        |  (SELECT *, row_number() OVER (PARTITION BY query_id
-        |     ORDER BY adc DESC, neighbor_id) AS rn FROM scored)
-        |  WHERE rn <= 160),
-        |rescored AS (SELECT s.query_id, s.neighbor_id,
-        |    round(list_inner_product(q.nvec, n.nvec), 4) AS sim
-        |  FROM short s
-        |  JOIN nv n ON s.neighbor_id = n.vec_id
-        |  JOIN nv q ON s.query_id = q.vec_id)
-        |SELECT query_id, rn AS rank, neighbor_id, sim
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, neighbor_id) AS rn FROM rescored)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivfpq_topk" -> ivfPqTopkOracle,
+    // identical replay from the partitioned package's own three tables;
+    // the codes glob gains the cell= directory level (DuckDB's hive
+    // detection surfaces cell as a column the replay's qualified joins
+    // simply never reference)
+    "ann_ivfpq_pruned" -> ivfPqTopkOracle
+      .replace("/tmp/graft_ann_index/ivf/*/centroids/*.parquet",
+        "/tmp/graft_ann_index/ivfpqpart/*/centroids/*.parquet")
+      .replace("/tmp/graft_ann_index/pq/*/codebooks/*.parquet",
+        "/tmp/graft_ann_index/ivfpqpart/*/codebooks/*.parquet")
+      .replace("/tmp/graft_ann_index/pq/*/codes/*.parquet",
+        "/tmp/graft_ann_index/ivfpqpart/*/codes/*/*.parquet"),
 
     // The approximate-ANN recall gates: DuckDB can't run the LSH/IVF paths,
     // but it CAN assert the contract — 10 queries measured, avg recall@5

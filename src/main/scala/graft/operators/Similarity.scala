@@ -618,18 +618,25 @@ object Similarity {
     * rides along only for callers that re-rank from the same frame.
     */
   private def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("neighbor_id"), normalize(asDouble(col(vecCol))).as("nvec"))
+      .select(col("neighbor_id") +: col("nvec") +: pqCodeCols(books): _*)
+
+  /** The m nearest-sub-centroid code expressions over a normalized `nvec`
+    * column — the encoding kernel shared by [[pqEncode]] and
+    * [[writeIvfPqPartitioned]], so stored and recomputed codes can never
+    * disagree.
+    */
+  private def pqCodeCols(books: Array[Array[Array[Double]]]): Seq[org.apache.spark.sql.Column] = {
     import graft.functions.VectorOps.dotProduct
     val subDim = books(0)(0).length
     def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
-    val codeCols = books.indices.map { j =>
+    books.indices.map { j =>
       val dists = array(books(j).map(c =>
         dotProduct(lit(c), lit(c)) - lit(2.0) * dotProduct(subv(col("nvec"), j), lit(c))): _*)
       array_position(dists, array_min(dists)).cast("int").as(s"code_$j")
     }
-    corpus
-      .select(col(idCol).as("neighbor_id"), normalize(asDouble(col(vecCol))).as("nvec"))
-      .select(col("neighbor_id") +: col("nvec") +: codeCols: _*)
   }
 
   /** The ADC search half: score codes against per-query lookup tables,
@@ -877,6 +884,107 @@ object Similarity {
     val rescored = shortlist.select(col("query_id"), col("neighbor_id"))
       .join(cells.select(col("neighbor_id"), col("nvec")), "neighbor_id")
       .join(broadcast(probes.select(col("query_id"), col("qvec")).distinct()), "query_id")
+      .withColumn("sim", round(dotProduct(col("qvec"), col("nvec")), 4))
+    rankTopK(rescored, k)
+  }
+
+  /** The complete 100 TB embedding-index layout in one persisted package —
+    * what [[ivfPqTopK]]'s scaladoc describes, shipped: coarse centroids
+    * and PQ codebooks as driver-sized tables, and the codes table written
+    * hive-partitioned by assigned cell with NO stored vectors — the
+    * per-vector payload is the id plus m one-byte codes, which is the
+    * entire point of PQ at scale (true vectors stay in the corpus store
+    * and are fetched only for the re-rank shortlist). Assignment uses the
+    * shared raw-space kernel and encoding the shared code kernel, so the
+    * stored layout, the in-session search and the replay oracle agree
+    * row-for-row.
+    */
+  def writeIvfPqPartitioned(corpus: DataFrame, path: String,
+      nCells: Int = 8, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
+    val books = fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
+    val n = corpus.count()
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq, n) }.toSeq
+      .toDF("cell", "centroid", "n_corpus")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    books.indices.flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
+      .toDF("subspace", "centroid_id", "centroid").withColumn("n_corpus", lit(n))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    // raw-space cell assignment (the quantizer was fit there), then
+    // normalize for the PQ encoding only — the ivfPqSearch convention
+    assignToCells(corpus, centroids, idCol, vecCol, "neighbor_id", "rawv",
+        probes = 1)
+      .select(col("neighbor_id"), normalize(col("rawv")).as("nvec"), col("cell"))
+      .select(col("neighbor_id") +: col("cell") +: pqCodeCols(books): _*)
+      .withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+  }
+
+  /** IVF-PQ search over a [[writeIvfPqPartitioned]] index with the
+    * partition prune applied: the query batch's probed cells become
+    * scan-time literals, so the codes scan carries a `cell`
+    * PartitionFilter and reads ~nProbe/nCells of the index's files —
+    * composed with PQ's m-bytes-per-row payload, this is the read path a
+    * production vector index runs. ADC scores the pruned codes against
+    * broadcast per-query lookup tables; the exact re-rank fetches true
+    * vectors from the LIVE corpus (the codes table stores none).
+    * Row-identical to [[ivfPqTopKFromIndexes]] over the same corpus and
+    * seed.
+    */
+  def ivfPqTopKFromPartitioned(spark: SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 4, refine: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    import spark.implicits._
+    val centerRows = spark.read.parquet(path + "/centroids")
+      .select(col("cell"), col("centroid")).collect().sortBy(_.getInt(0))
+    val books = spark.read.parquet(path + "/codebooks")
+      .select(col("subspace"), col("centroid_id"), col("centroid")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }.toArray
+    val m = books.length
+    val subDim = books(0)(0).length
+    val centroids = centerRows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .toDF("cell", "centroid")
+
+    def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
+    val tableCols = (0 until m).map { j =>
+      array(books(j).map(c => dotProduct(subv(col("qvec"), j), lit(c))): _*).as(s"t_$j")
+    }
+    val probes = assignToCells(queries, centroids, idCol, vecCol,
+        "query_id", "qvec", probes = nProbe)
+      .select(col("query_id"), normalize(col("qvec")).as("qvec"), col("cell"))
+      .select(col("query_id") +: col("qvec") +: col("cell") +: tableCols: _*)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+    val codes = spark.read.parquet(path + "/codes")
+      .filter(col("cell").isin(probedCells: _*))
+    val adc = (0 until m)
+      .map(j => element_at(col(s"t_$j"), col(s"code_$j")))
+      .reduce(_ + _)
+    val shortlist = rankTopK(
+      codes.join(probes, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(adc, 4)),
+      k * refine)
+
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(asDouble(col(vecCol))).as("nvec"))
+    val rescored = shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(vecs, "neighbor_id")
+      .join(broadcast(probes.select(col("query_id"), col("qvec")).distinct()),
+        "query_id")
       .withColumn("sim", round(dotProduct(col("qvec"), col("nvec")), 4))
     rankTopK(rescored, k)
   }

@@ -109,7 +109,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "curation_cluster_balance",
     // query-side broadcast-centroid scalar cross (the corpus side reads
     // stored assignments from the partitioned index — no corpus cross)
-    "ann_ivf_pruned")
+    "ann_ivf_pruned",
+    // same query-side centroid cross; codes come pre-assigned from the
+    // partitioned package, true vectors only for the re-rank shortlist
+    "ann_ivfpq_pruned")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)
@@ -151,6 +154,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(scanLine.contains("cell") &&
         !scanLine.contains("PartitionFilters: []"),
       s"vectors scan has no cell partition filter:\n$scanLine")
+  }
+
+  test("ann_ivfpq_pruned: the codes scan carries a cell PartitionFilter — " +
+      "ADC reads only the probed cells' code files") {
+    assume(available)
+    val p = plan("ann_ivfpq_pruned")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("codes") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned codes scan in the plan:\n$p"))
+    assert(scanLine.contains("cell") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"codes scan has no cell partition filter:\n$scanLine")
   }
 
   test("dynamic partition pruning: a round-partitioned write is pruned at " +

@@ -181,6 +181,36 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "pruned IVF search diverged from the centroid replay")
   }
 
+  test("partitioned IVF-PQ package: ivfPqTopKFromPartitioned equals the " +
+      "two-index search row-for-row; codes land under cell= dirs with no " +
+      "stored vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqpart").toFile
+    dir.deleteOnExit()
+    val ivf = dir.getAbsolutePath + "/ivf"
+    val pq = dir.getAbsolutePath + "/pq"
+    val part = dir.getAbsolutePath + "/part"
+    Similarity.writeIvfCentroids(vecs, ivf, nCells = 3)
+    Similarity.writePqIndex(vecs, pq, m = 2, ksub = 2)
+    Similarity.writeIvfPqPartitioned(vecs, part, nCells = 3, m = 2, ksub = 2)
+
+    val cellDirs = new java.io.File(part + "/codes")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "no cell= partition directories")
+    // the codes payload is id + codes only — no vector column on disk
+    val codeCols = spark.read.parquet(part + "/codes").columns.toSet
+    assert(!codeCols.contains("nvec") && !codeCols.contains("embedding"),
+      s"codes table stores vectors: $codeCols")
+
+    val qs = vecs.filter(col("vec_id") < 2)
+    val a = Similarity.ivfPqTopKFromIndexes(ivf, pq, vecs, qs, k = 3,
+        nProbe = 2, refine = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.ivfPqTopKFromPartitioned(spark, part, vecs, qs, k = 3,
+        nProbe = 2, refine = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b, "pruned IVF-PQ search diverged from the two-index search")
+  }
+
   test("ensureIndex fingerprints content: a same-count different-content " +
       "corpus rebuilds the index instead of reusing the stale one") {
     import spark.implicits._
