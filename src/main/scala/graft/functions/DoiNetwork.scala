@@ -130,8 +130,14 @@ object DoiNetwork {
     // five left joins entirely; see Bench.timeOnce.)
     val c = cache.persist()
     c.count()
+    // each stage's probe can only ever match keys carrying its own
+    // "stage:" prefix (the recognizers mint them that way), so each join
+    // broadcasts just its stage's SLICE of the cache — five ~1/5-sized
+    // broadcast builds instead of five copies of the whole table; matches
+    // are provably identical because cross-stage keys differ at the prefix
     def side(stage: String) =
-      c.select(col("key").as(s"k_$stage"), col("body").as(s"b_$stage"))
+      c.filter(col("key").startsWith(s"$stage:"))
+        .select(col("key").as(s"k_$stage"), col("body").as(s"b_$stage"))
 
     Seq("elsevier", "cambridge", "ingenta", "pensoft", "pubmed")
       .foldLeft(keyed) { (df, stage) => df.join(side(stage), Seq(s"k_$stage"), "left") }
