@@ -46,7 +46,9 @@ object SparkEntry {
       .select(xxhash64(corpus.columns.map(col): _*).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
       .first()
-    val (n, fp) = (agg.getLong(0), agg.getLong(1))
+    // bit_xor over zero rows is NULL — an empty corpus fingerprints as 0
+    // instead of NPEing (the count-only predecessor handled empty fine)
+    val (n, fp) = (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
     val base = s"/tmp/graft_ann_index/$kind"
     val name = f"n${n}_x$fp%016x"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)

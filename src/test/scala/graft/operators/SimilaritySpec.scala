@@ -211,6 +211,18 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "pruned IVF-PQ search diverged from the two-index search")
   }
 
+  test("ensureIndex on an empty corpus fingerprints as n0 instead of NPEing") {
+    import spark.implicits._
+    val kind = "spec_empty_" + System.nanoTime()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val path = graft.SparkEntry.ensureIndex(spark, empty, kind, "m") { p =>
+      empty.write.mode("overwrite").parquet(s"$p/m")
+    }
+    assert(path.contains("/n0_x0000000000000000"))
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_ann_index/$kind"), true)
+  }
+
   test("ensureIndex fingerprints content: a same-count different-content " +
       "corpus rebuilds the index instead of reusing the stale one") {
     import spark.implicits._
