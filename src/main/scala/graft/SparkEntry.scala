@@ -2297,6 +2297,29 @@ object SparkEntry {
     // Incremental dedup: the src0 shard plays the "new batch" arriving
     // against the rest of the corpus — exact content-hash flag + capped
     // shingle-overlap near-dup flag per new doc.
+    // Split-leakage audit — the eval-contamination check a training
+    // pipeline runs AT SPLIT TIME: near-duplicate pairs (banded MinHash +
+    // exact verify, the dedup_minhash kernel) that straddle the
+    // deterministic stratified train/val/test split. Any row here means an
+    // eval document has a near-copy in train — the within-pipeline twin of
+    // dedup_contamination's external-benchmark check. Composition of two
+    // already-oracled kernels, replayed end-to-end by the composed oracle.
+    "curation_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = Curation.stratifiedSplit(docs, "doc_id", "source",
+          testFrac = 0.1, valFrac = 0.1)
+        .select(col("doc_id"), col("split"))
+      val pairs = Dedup.minhashBandedPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.7)
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+          col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.incrementalDedupFlags(
@@ -3240,6 +3263,54 @@ object SparkEntry {
     // conservative prefilter (est >= threshold - margin) dropped no pair.
     "dedup_minhash" -> minhashPairsOracle,
     "dedup_minhash_prefiltered" -> minhashPairsOracle,
+
+    // composed replay: the exact >= 0.7 pair set (minhashPairsOracle's
+    // CTEs) joined to the deterministic split (curation_split's CTEs),
+    // keeping only pairs whose endpoints land in different splits
+    "curation_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7),
+        |h AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS hex FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hex, doc_id) AS split_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_stratum
+        |  FROM h),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN split_rank <= floor(n_stratum * 0.1) THEN 'test'
+        |         WHEN split_rank <= floor(n_stratum * 0.2) THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM r)
+        |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+        |       p.jaccard
+        |FROM pairs p
+        |JOIN sp sa ON sa.doc_id = p.doc_a
+        |JOIN sp sb ON sb.doc_id = p.doc_b
+        |WHERE sa.split <> sb.split
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // DuckDB cannot run MinHash, but it CAN recompute the exact >= 0.7 pair
     // count brute-force and assert the estimator error booleans — a seeding
