@@ -2320,6 +2320,21 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The FIX for what the leakage audit finds: split decided per near-dup
+    // CLUSTER (hash of cluster_id), so duplicate families are indivisible
+    // across train/val/test — leakage-free by construction, the group-aware
+    // split production corpus builds use. CurationSpec pins the invariant;
+    // the oracle replays clusters (recursive CTE) + the portable hash cut.
+    "curation_split_grouped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashBandedPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.7)
+      val assign = Dedup.clusterAssignments(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      Curation.groupAwareSplit(assign, testFrac = 0.1, valFrac = 0.1)
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.incrementalDedupFlags(
@@ -3263,6 +3278,54 @@ object SparkEntry {
     // conservative prefilter (est >= threshold - margin) dropped no pair.
     "dedup_minhash" -> minhashPairsOracle,
     "dedup_minhash_prefiltered" -> minhashPairsOracle,
+
+    // composed replay: connected components over the exact pair set (the
+    // dedup_clusters recursive CTE) + the portable md5 hash cut on the
+    // cluster id — every cluster member provably gets one split
+    "curation_split_grouped" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+        |                x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        |  FROM toks WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        |fr AS (
+        |  SELECT doc_id, cluster_id,
+        |    CAST(concat('0x', substr(md5(cluster_id::VARCHAR), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS frac
+        |  FROM lab)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN frac < 0.1 THEN 'test'
+        |       WHEN frac < 0.2 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM fr ORDER BY doc_id""".stripMargin,
 
     // composed replay: the exact >= 0.7 pair set (minhashPairsOracle's
     // CTEs) joined to the deterministic split (curation_split's CTEs),

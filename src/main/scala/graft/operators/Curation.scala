@@ -562,6 +562,29 @@ object Curation {
       .drop("__hex")
   }
 
+  /** Group-aware train/val/test split — the leakage-free-by-construction
+    * form of [[stratifiedSplit]]: the split decision hashes the near-dup
+    * CLUSTER id, so every member of a duplicate cluster lands in the same
+    * split and the leakage `curation_split_leakage` audits cannot exist.
+    * Takes (doc_id, cluster_id) assignments (e.g.
+    * [[Dedup.clusterAssignments]]'s output; singletons carry their own id)
+    * and decides splits with the portable [[hashFraction]] — map-only over
+    * the assignment frame, deterministic on any engine, unbiased by
+    * ingestion order. Fractions are expectations over the hash, not exact
+    * per-stratum counts — the price of the no-leakage guarantee (a cluster
+    * is indivisible, so exact stratification is impossible anyway).
+    */
+  def groupAwareSplit(assignments: DataFrame, testFrac: Double,
+      valFrac: Double): DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
+      "fractions must be non-negative and sum below 1")
+    val frac = hashFraction(col("cluster_id"))
+    assignments.withColumn("split",
+      when(frac < testFrac, "test")
+        .when(frac < testFrac + valFrac, "val")
+        .otherwise("train"))
+  }
+
   /** Sliding-window token chunking — the embedding/RAG chunk pass: each
     * document's whitespace tokens are cut into windows of `size` tokens
     * advancing by `stride` (overlap = size − stride keeps context across

@@ -376,4 +376,20 @@ class CurationSpec extends SparkSpec {
     val covered = (0L to 3L).flatMap(i => out((1L, i))._1.split(" ")).toSet
     assert(covered === (1 to 9).map(i => s"w$i").toSet)
   }
+
+  test("groupAwareSplit: every member of a cluster gets the same split — " +
+      "zero cross-split near-dup pairs by construction") {
+    import spark.implicits._
+    // 40 docs in 10 clusters of 4 — enough hash spread that at 10/10/80
+    // at least two distinct splits appear
+    val assignments = (0L until 40L).map(d => (d, d % 10L))
+      .toDF("doc_id", "cluster_id")
+    val split = Curation.groupAwareSplit(assignments, testFrac = 0.1, valFrac = 0.1)
+    val perCluster = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .select("n_splits").as[Long].collect()
+    assert(perCluster.forall(_ === 1L), "a cluster straddles splits")
+    assert(split.select("split").distinct().count() >= 2,
+      "degenerate hash spread — all clusters landed in one split")
+  }
 }
