@@ -2755,7 +2755,57 @@ object SparkEntry {
         |  round
         |FROM j ORDER BY id""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.Bpe.learnMerges]]: the merge loop is
+    * a fold over the vocabulary, so ten merges unroll to ten chained CTE
+    * stages. Each word's symbol list is carried as one string with every
+    * symbol wrapped in a chr(31) unit separator (corpus verified free of
+    * control chars), which makes the paper's left-to-right non-overlapping
+    * mergeOnce a single `replace()`: a match consumes BOTH its separators,
+    * so adjacent occurrences can't share one and the scan resumes exactly
+    * where the Scala while-loop does. Early stop (max pair count < 2) falls
+    * out naturally: `b_i` is empty, the LEFT JOIN leaves the state
+    * untouched, and every later stage stays empty too.
+    */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val S = "chr(31)"          // wrap separator
+    val D = "chr(31)||chr(31)" // between-symbol separator (two wraps)
+    val head =
+      s"""WITH w0 AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |state_0 AS (
+         |  SELECT $S || array_to_string(list_append(string_split(w, ''), '</w>'), $D) || $S AS st, freq
+         |  FROM w0)""".stripMargin
+    val stages = (1 to nMerges).map { i =>
+      val p = i - 1
+      s""", p_$i AS (
+         |  SELECT a, b, sum(freq) AS n FROM (
+         |    SELECT syms[i] AS a, syms[i+1] AS b, freq FROM (
+         |      SELECT string_split(trim(st, chr(31)), $D) AS syms, freq,
+         |             unnest(range(1, len(string_split(trim(st, chr(31)), $D)))) AS i
+         |      FROM state_$p))
+         |  GROUP BY a, b),
+         |b_$i AS (
+         |  SELECT a, b FROM p_$i WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+         |state_$i AS (
+         |  SELECT CASE WHEN b.a IS NULL THEN s.st
+         |         ELSE replace(s.st, $S||b.a||$D||b.b||$S, $S||b.a||b.b||$S) END AS st,
+         |         s.freq
+         |  FROM state_$p s LEFT JOIN b_$i b ON TRUE)""".stripMargin
+    }.mkString
+    val unions = (1 to nMerges)
+      .map(i => s"""SELECT CAST($i AS BIGINT) AS step, a AS "left", b AS "right" FROM b_$i""")
+      .mkString("\n  UNION ALL ")
+    s"""$head$stages
+       |SELECT step, "left", "right" FROM (
+       |  $unions)
+       |ORDER BY step""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesOracle(10),
     "dedup_incremental" -> incrementalDedupOracle,
     "dedup_incremental_bloom" -> incrementalDedupOracle,
     "s1_scan_project" ->
@@ -3481,8 +3531,8 @@ object SparkEntry {
 
     // Gate convention: Spark computes the booleans; the oracle pins the
     // expected table size and TRUE flags (a training regression becomes a
-    // hash mismatch). bpe_merges itself is rows-only — iterative argmax
-    // has no tractable SQL replay; BpeSpec pins the canonical example.
+    // hash mismatch). bpe_merges itself is fully replayed by
+    // bpeMergesOracle's chained-CTE fold above.
     "bpe_gate" ->
       """SELECT CAST(10 AS BIGINT) AS n_merges, TRUE AS distinct_ok,
         |  TRUE AS shrink_ok""".stripMargin,
