@@ -39,6 +39,12 @@ object SparkEntry {
     * n_corpus filter can never double-read. An existing matching index is
     * reused — the fit is seeded, so rebuilding would produce
     * byte-identical tables.
+    *
+    * `marker` MUST name the LAST table the writer emits (ivf/ivfpart →
+    * "centroids"/"vectors", pq/ivfpqpart → "codes", bm25/bm25part →
+    * "stats"): completeness is judged by that table's _SUCCESS, so a
+    * crash mid-build leaves the marker absent and the next run rebuilds,
+    * instead of a half-built index being treated as complete forever.
     */
   private[graft] def ensureIndex(s: SparkSession, corpus: DataFrame, kind: String,
       marker: String)(write: String => Unit): String = {
@@ -1968,7 +1974,7 @@ object SparkEntry {
     // tables and replays the per-term rounded-decimal scoring row-for-row.
     "text_bm25_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = ensureIndex(s, docs, "bm25", "postings") { p =>
+      val path = ensureIndex(s, docs, "bm25", "stats") { p =>
         Retrieval.writeIndex(docs, "text", "doc_id", p)
       }
       val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
@@ -1988,7 +1994,7 @@ object SparkEntry {
     // from the partitioned files.
     "text_bm25_pruned" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = ensureIndex(s, docs, "bm25part", "postings") { p =>
+      val path = ensureIndex(s, docs, "bm25part", "stats") { p =>
         Retrieval.writeIndexPartitioned(docs, "text", "doc_id", p, nBuckets = 16)
       }
       val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
@@ -2012,7 +2018,7 @@ object SparkEntry {
       // the SHARED oracle replays from the persisted index — ensure it
       // exists so this query verifies standalone, not only after its
       // sibling happens to have built the index
-      ensureIndex(s, docs, "bm25", "postings") { p =>
+      ensureIndex(s, docs, "bm25", "stats") { p =>
         Retrieval.writeIndex(docs, "text", "doc_id", p)
       }
       val (p1, d1) = Retrieval.invertedIndex(
@@ -2035,7 +2041,7 @@ object SparkEntry {
     "hybrid_rrf_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val path = ensureIndex(s, docs, "bm25", "postings") { p =>
+      val path = ensureIndex(s, docs, "bm25", "stats") { p =>
         Retrieval.writeIndex(docs, "text", "doc_id", p)
       }
       val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
