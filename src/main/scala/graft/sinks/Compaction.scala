@@ -42,7 +42,17 @@ object Compaction {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new Path(inDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val dataFiles = fs.listStatus(path).toIndexedSeq
+    val entries = fs.listStatus(path).toIndexedSeq
+    // a k=v subdirectory means THIS dir is not a leaf: reading it whole
+    // would hive-discover the inner partition column, materialize it into
+    // the data files and flatten the inner directories — a silent layout
+    // change for partition-pruned readers. compactPartitions recurses to
+    // the leaves; refuse the misuse here instead of corrupting the layout.
+    val nested = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(nested.isEmpty,
+      s"$inDir holds partition subdirectories (${nested.map(_.getPath.getName).take(3).mkString(", ")}…) — " +
+        "compact() is for leaf directories; use compactPartitions, which recurses")
+    val dataFiles = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val bytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -65,24 +75,38 @@ object Compaction {
   }
 
   /** Per-partition compaction of a hive-partitioned table — the form the
-    * header note prescribes at scale: each `k=v` directory compacts as its
-    * own one-read-one-write job into the SAME `k=v` name under `outDir`
-    * (layout preserved, so partition-pruned readers are untouched), and
-    * directories already compact cost one listing each. Data columns pass
-    * through the rewrite byte-for-byte — only file boundaries change — so
-    * e.g. a streamed index's `batch_id` replay guards keep working on the
-    * compacted copy. Non-partition entries (`_SUCCESS`, loose files) are
-    * not data-bearing here and are skipped.
+    * header note prescribes at scale: each LEAF `k=v` directory compacts
+    * as its own one-read-one-write job into the SAME relative path under
+    * `outDir`. Nested layouts (`date=…/source=…`, a streamed index's
+    * `tok_bucket=…/batch_id=…`) recurse to the leaves, so every level of
+    * the partition tree is preserved and partition-pruned readers — and a
+    * streamed sink's `batch_id=` replay-guard directories — keep working
+    * on the compacted copy. Reading a leaf sees no partition
+    * subdirectories, so data columns pass through byte-for-byte (the
+    * partition columns live in the directory names, never in the files —
+    * exactly as the writer laid them out). Directories already compact
+    * cost one listing each; non-partition entries (`_SUCCESS`, loose
+    * files) are not data-bearing here and are skipped. Returned keys are
+    * the leaf-relative paths (`tok_bucket=3/batch_id=0`).
     */
   def compactPartitions(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Map[String, CompactionStats] = {
     val root = new Path(inDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(root).toIndexedSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map { s =>
-        val name = s.getPath.getName
-        name -> compact(spark, s"$inDir/$name", s"$outDir/$name", targetBytes)
-      }.toMap
+    def walk(rel: String): Seq[(String, CompactionStats)] = {
+      val dir = if (rel.isEmpty) root else new Path(root, rel)
+      fs.listStatus(dir).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { s =>
+          val childRel =
+            if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"
+          val hasSub = fs.listStatus(s.getPath)
+            .exists(d => d.isDirectory && d.getPath.getName.contains("="))
+          if (hasSub) walk(childRel)
+          else Seq(childRel ->
+            compact(spark, s"$inDir/$childRel", s"$outDir/$childRel", targetBytes))
+        }
+    }
+    walk("").toMap
   }
 }

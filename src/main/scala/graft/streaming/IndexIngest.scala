@@ -49,28 +49,33 @@ object IndexIngest {
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
-    // a hard crash mid-FIRST-append can leave the directory with only
-    // _temporary debris — read.parquet then throws "unable to infer
-    // schema", which must mean "nothing landed", not a crash-looping
-    // replay guard
-    def landed(path: String): Boolean =
-      exists(spark, path) &&
-        (try !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
-         catch { case _: org.apache.spark.sql.AnalysisException => false })
     val postingsPath = s"$indexPath/postings"
     val doclensPath = s"$indexPath/doclens"
-    val postingsHas = landed(postingsPath)
-    val doclensHas = landed(doclensPath)
+    val postingsHas = landed(spark, postingsPath, batchId)
+    val doclensHas = landed(spark, doclensPath, batchId)
     if (postingsHas && doclensHas) return // full replay of a landed batch
 
     val (postings, doclens) = Retrieval.invertedIndex(batch, textCol, idCol)
     if (!doclensHas)
       doclens.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(doclensPath)
+        .write.mode("append").partitionBy("batch_id").parquet(doclensPath)
     if (!postingsHas)
       postings.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(postingsPath)
+        .write.mode("append").partitionBy("batch_id").parquet(postingsPath)
   }
+
+  /** O(1) replay guard: appends are hive-partitioned by `batch_id`, so
+    * "did this batch land in this sink" is the existence of its partition
+    * DIRECTORY — the output committer creates `batch_id=N/` only at job
+    * commit (in-flight work lives under `_temporary`, which also covers
+    * the hard-crash-mid-first-append debris case), and the check never
+    * lists the accumulated table, whose file count grows with every batch
+    * (the r9 guard filtered the whole table on batch_id per micro-batch:
+    * footer stats kept it metadata-only, but the LISTING was O(batches)).
+    */
+  private[streaming] def landed(spark: org.apache.spark.sql.SparkSession,
+      sinkPath: String, batchId: Long): Boolean =
+    exists(spark, s"$sinkPath/batch_id=$batchId")
 
   /** Search the accumulated index: same scorer as the batch path — the
     * tables just happen to have been written one batch at a time.
@@ -131,15 +136,15 @@ object IndexIngest {
       indexPath: String, textCol: String = "text", idCol: String = "doc_id",
       nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    def landed(path: String): Boolean =
-      exists(spark, path) &&
-        (try !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
-         catch { case _: org.apache.spark.sql.AnalysisException => false })
     val postingsPath = s"$indexPath/postings"
     val doclensPath = s"$indexPath/doclens"
     val metaPath = s"$indexPath/meta"
-    val postingsHas = landed(postingsPath)
-    val doclensHas = landed(doclensPath)
+    // postings nest tok_bucket OUTER (the pruned scan's partition key and
+    // the per-bucket compaction unit) with batch_id INNER, so the landed
+    // check is a glob over ≤ nBuckets directories — bounded by the layout,
+    // not by how many batches ever ran
+    val postingsHas = anyBucketLanded(spark, postingsPath, batchId)
+    val doclensHas = landed(spark, doclensPath, batchId)
     if (postingsHas && doclensHas) return
 
     // meta first, overwrite-idempotent: a crash after meta but before any
@@ -157,12 +162,27 @@ object IndexIngest {
     val (postings, doclens) = Retrieval.invertedIndex(batch, textCol, idCol)
     if (!doclensHas)
       doclens.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(doclensPath)
+        .write.mode("append").partitionBy("batch_id").parquet(doclensPath)
     if (!postingsHas)
       postings.withColumn("batch_id", lit(batchId))
         .withColumn("tok_bucket",
           pmod(xxhash64(col("token")), lit(buckets.toLong)))
-        .write.mode("append").partitionBy("tok_bucket").parquet(postingsPath)
+        .write.mode("append").partitionBy("tok_bucket", "batch_id")
+        .parquet(postingsPath)
+  }
+
+  /** [[landed]] for the nested postings layout (tok_bucket= outer,
+    * batch_id= inner): any bucket directory holding the batch means the
+    * batch's job committed (the committer moves every partition dir at
+    * once).
+    */
+  private def anyBucketLanded(spark: org.apache.spark.sql.SparkSession,
+      postingsPath: String, batchId: Long): Boolean = {
+    val glob = new org.apache.hadoop.fs.Path(
+      s"$postingsPath/tok_bucket=*/batch_id=$batchId")
+    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
+    val hits = fs.globStatus(glob) // null when the parent doesn't exist
+    hits != null && hits.nonEmpty
   }
 
   /** Partition-pruned search over the streamed index: the query terms'

@@ -61,14 +61,14 @@ object IngestWithDigest {
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       digestPath: String): Unit = {
     val spark = batch.sparkSession
-    // a hard crash mid-FIRST-append can leave the directory with only
-    // _temporary debris — read.parquet then throws "unable to infer
-    // schema", which must mean "nothing landed", not a crash-looping
-    // replay guard (same contract as IndexIngest.processBatch)
+    // O(1) replay guard: appends are hive-partitioned by batch_id, so
+    // "did this batch land in this sink" is the existence of its
+    // `batch_id=N/` directory — created only at job commit (in-flight
+    // work, including hard-crash-mid-first-append debris, lives under
+    // `_temporary`), and never listing the accumulated table, whose file
+    // count grows with every batch (same contract as IndexIngest)
     def landed(path: String): Boolean =
-      exists(spark, path) &&
-        (try !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
-         catch { case _: org.apache.spark.sql.AnalysisException => false })
+      exists(spark, s"$path/batch_id=$batchId")
     val corpusHas = landed(corpusPath)
     val digestHas = landed(digestPath)
     if (corpusHas && digestHas) return // full replay of a landed batch
@@ -82,12 +82,14 @@ object IngestWithDigest {
 
     // the digest never contains this batch here (digest is written LAST,
     // and a landed digest short-circuits above), so the anti-join state
-    // is the pre-batch history on first run and replay alike; the same
-    // _temporary-debris case as `landed` means "no history yet"
+    // is the pre-batch history on first run and replay alike. "No history
+    // yet" means NO COMMITTED BATCH DIRECTORY — a directory holding only
+    // _temporary debris has none; but an unreadable digest that HAS
+    // committed batches (corruption, schema drift, permissions) must
+    // throw, not silently disable history dedup and let duplicates in
     val history =
-      if (exists(spark, digestPath))
-        try Some(spark.read.parquet(digestPath).select("content_md5"))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (anyBatchLanded(spark, digestPath))
+        Some(spark.read.parquet(digestPath).select("content_md5"))
       else None
     val survivors = history match {
       case Some(h) => hashed.join(h, Seq("content_md5"), "left_anti")
@@ -96,10 +98,23 @@ object IngestWithDigest {
 
     if (!corpusHas)
       survivors.drop("content_md5").withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(corpusPath)
+        .write.mode("append").partitionBy("batch_id").parquet(corpusPath)
     if (!digestHas)
       survivors.select(col("content_md5"), lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(digestPath)
+        .write.mode("append").partitionBy("batch_id").parquet(digestPath)
+  }
+
+  /** Does the sink hold at least one COMMITTED batch partition? A glob for
+    * `batch_id=*` — never a read, so an empty-or-debris-only directory is
+    * cleanly "no history" while real-but-unreadable data still surfaces
+    * its error at the read site.
+    */
+  private def anyBatchLanded(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val glob = new org.apache.hadoop.fs.Path(s"$path/batch_id=*")
+    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
+    val hits = fs.globStatus(glob) // null when the parent doesn't exist
+    hits != null && hits.nonEmpty
   }
 
   /** Existence through the Hadoop FileSystem of the path's scheme — a

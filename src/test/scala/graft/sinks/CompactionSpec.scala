@@ -71,16 +71,25 @@ class CompactionSpec extends SparkSpec {
 
     val stats = Compaction.compactPartitions(
       spark, s"$idx/postings", s"$compacted/postings", targetBytes = 1L << 30)
+    // leaves of the nested layout: tok_bucket=N/batch_id=M
     assert(stats.nonEmpty && stats.keys.forall(_.startsWith("tok_bucket=")))
-    assert(stats.values.forall(_.filesAfter === 1), "buckets not compacted to one file")
-    // layout preserved: same partition dirs before and after
+    assert(stats.keys.exists(_.contains("/batch_id=")),
+      "recursion did not reach the nested batch_id= level")
+    assert(stats.values.forall(_.filesAfter === 1), "leaves not compacted to one file")
+    // layout preserved at EVERY level: same partition dirs before and after
     val dirsOf = (p: String) => new java.io.File(p).listFiles()
-      .filter(_.getName.startsWith("tok_bucket=")).map(_.getName).toSet
+      .filter(_.getName.contains("=")).map(_.getName).toSet
     assert(dirsOf(s"$compacted/postings") === dirsOf(s"$idx/postings"))
+    dirsOf(s"$idx/postings").foreach { b =>
+      assert(dirsOf(s"$compacted/postings/$b") === dirsOf(s"$idx/postings/$b"),
+        s"nested batch_id= dirs changed under $b")
+    }
 
-    // finish the compacted index (doclens + meta travel as-is) and the
-    // pruned search answers identically to the un-compacted original
-    Compaction.compact(spark, s"$idx/doclens", s"$compacted/doclens", 1L << 30)
+    // finish the compacted index (doclens recurses too — it is batch_id=
+    // partitioned — meta travels as-is) and the pruned search answers
+    // identically to the un-compacted original
+    Compaction.compactPartitions(
+      spark, s"$idx/doclens", s"$compacted/doclens", 1L << 30)
     spark.read.parquet(s"$idx/meta").write.parquet(s"$compacted/meta")
     val queries = Seq((100L, "apple cherry")).toDF("query_id", "qtext")
     val a = graft.streaming.IndexIngest.bm25TopKPruned(spark, idx, queries, k = 10)
@@ -88,5 +97,40 @@ class CompactionSpec extends SparkSpec {
     val b = graft.streaming.IndexIngest.bm25TopKPruned(spark, compacted, queries, k = 10)
       .collect().map(_.toSeq).toSet
     assert(a === b, "compaction changed search results")
+
+    // the compacted copy still partition-prunes: the postings scan of the
+    // pruned search carries a non-empty tok_bucket PartitionFilter
+    val plan = graft.streaming.IndexIngest
+      .bm25TopKPruned(spark, compacted, queries, k = 10)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned postings scan in the plan:\n$plan"))
+    assert(scanLine.contains("tok_bucket") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"compacted postings scan lost its partition filter:\n$scanLine")
+
+    // and the streamed sink's replay guard still holds on the compacted
+    // copy: replaying a landed batch against it is a no-op
+    val n0 = spark.read.parquet(s"$compacted/postings").count()
+    graft.streaming.IndexIngest.processBatchPartitioned(
+      batches.head.toDF("doc_id", "text"), 0L, compacted, nBuckets = 4)
+    assert(spark.read.parquet(s"$compacted/postings").count() === n0,
+      "replay re-appended into the compacted index")
+  }
+
+  test("compact refuses a directory with partition subdirectories instead " +
+      "of silently flattening the layout") {
+    val dir = Files.createTempDirectory("compact_guard").toFile
+    dir.deleteOnExit()
+    val in = dir.getAbsolutePath + "/in"
+    spark.range(0, 100).toDF("id")
+      .withColumn("k", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(4)))
+      .write.partitionBy("k").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, dir.getAbsolutePath + "/out", 1L << 30)
+    }
+    assert(e.getMessage.contains("compactPartitions"))
   }
 }

@@ -63,7 +63,7 @@ class IndexIngestSpec extends SparkSpec {
     val (p1, d1) = Retrieval.invertedIndex(
       batch2.toDF("doc_id", "text"), "text", "doc_id")
     d1.withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
-      .write.mode("append").parquet(s"$idx/doclens")
+      .write.mode("append").partitionBy("batch_id").parquet(s"$idx/doclens")
     val doclens1 = spark.read.parquet(s"$idx/doclens").count()
     IndexIngest.processBatch(batch2.toDF("doc_id", "text"), 1L, idx)
     assert(spark.read.parquet(s"$idx/doclens").count() === doclens1) // no dup

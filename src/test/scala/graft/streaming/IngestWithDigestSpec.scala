@@ -82,7 +82,8 @@ class IngestWithDigestSpec extends SparkSpec {
     // append (the non-atomic window): corpus has the stamped rows, digest
     // does not know the batch
     val b1 = Seq((2L, "beta")).toDF("doc_id", "text")
-    b1.withColumn("batch_id", lit(1L)).write.mode("append").parquet(corpus)
+    b1.withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(corpus)
 
     // checkpoint replay of batch 1: corpus must NOT double-append; the
     // digest append must complete the pair
