@@ -539,27 +539,59 @@ object Curation {
     * per-stratum count window share that partitioning, so Catalyst runs
     * both in a single exchange. Stratum cardinality is domains/languages
     * (small groups, many of them) — the per-group sort is the same cost
-    * class as [[perSourceCap]]. Degenerate single-stratum corpora serialize
-    * one group through one task; at 100 TB with one giant stratum, fall
-    * back to the [[hashFraction]]-threshold split, which is map-only and
-    * exact in expectation.
+    * class as [[perSourceCap]]. A window over a DEGENERATE stratum would
+    * serialize its whole group through one task, so strata above
+    * `exactMaxRows` automatically switch to the [[hashFraction]]-threshold
+    * split instead — map-only, exact in expectation (their `split_rank` is
+    * NULL: no rank was computed, and a non-null rank would falsely promise
+    * the exact-count cut). Detecting them costs one map-side-combined
+    * count aggregate over the input; the collected giant list is bounded
+    * by n/exactMaxRows rows. The default threshold (10M rows in one
+    * stratum) is far above any fixture and well past where a single-task
+    * sort stops being reasonable.
     */
   def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
-      testFrac: Double, valFrac: Double): DataFrame = {
+      testFrac: Double, valFrac: Double,
+      exactMaxRows: Long = 10000000L): DataFrame = {
     require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
       "fractions must be non-negative and sum below 1")
-    val hex = md5(col(idCol).cast("string").cast("binary"))
-    val rankW = Window.partitionBy(col(strataCol)).orderBy(col("__hex"), col(idCol))
-    val cntW = Window.partitionBy(col(strataCol))
-    df.withColumn("__hex", hex)
-      .withColumn("split_rank", row_number().over(rankW).cast("bigint"))
-      .withColumn("n_stratum", count(lit(1)).over(cntW))
-      .withColumn("split",
-        when(col("split_rank") <= floor(col("n_stratum") * testFrac), "test")
-          .when(col("split_rank") <= floor(col("n_stratum") * (testFrac + valFrac)),
-            "val")
-          .otherwise("train"))
-      .drop("__hex")
+    require(exactMaxRows > 0, "exactMaxRows must be positive")
+
+    def exact(part: DataFrame): DataFrame = {
+      val hex = md5(col(idCol).cast("string").cast("binary"))
+      val rankW = Window.partitionBy(col(strataCol)).orderBy(col("__hex"), col(idCol))
+      val cntW = Window.partitionBy(col(strataCol))
+      part.withColumn("__hex", hex)
+        .withColumn("split_rank", row_number().over(rankW).cast("bigint"))
+        .withColumn("n_stratum", count(lit(1)).over(cntW))
+        .withColumn("split",
+          when(col("split_rank") <= floor(col("n_stratum") * testFrac), "test")
+            .when(col("split_rank") <= floor(col("n_stratum") * (testFrac + valFrac)),
+              "val")
+            .otherwise("train"))
+        .drop("__hex")
+    }
+
+    val giant = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > exactMaxRows).collect()
+    if (giant.isEmpty) exact(df)
+    else {
+      // null-safe membership: a null-keyed stratum is a group like any
+      // other and must not silently fall out of BOTH branches
+      val isGiant = giant.map(r => col(strataCol) <=> lit(r.get(0))).reduce(_ || _)
+      val nStratum = giant.foldLeft(lit(null).cast("bigint")) { (acc, r) =>
+        when(col(strataCol) <=> lit(r.get(0)), lit(r.getLong(1))).otherwise(acc)
+      }
+      val frac = hashFraction(col(idCol))
+      val hashed = df.filter(isGiant)
+        .withColumn("split_rank", lit(null).cast("bigint"))
+        .withColumn("n_stratum", nStratum)
+        .withColumn("split",
+          when(frac < testFrac, "test")
+            .when(frac < testFrac + valFrac, "val")
+            .otherwise("train"))
+      exact(df.filter(!isGiant)).unionByName(hashed)
+    }
   }
 
   /** Group-aware train/val/test split — the leakage-free-by-construction

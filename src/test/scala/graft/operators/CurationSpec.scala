@@ -104,6 +104,49 @@ class CurationSpec extends SparkSpec {
     assert(s5.filter(col("split") === "train").count() === 4)
   }
 
+  test("stratifiedSplit auto-falls-back to the map-only hash split for a " +
+      "stratum above exactMaxRows — no single-task window over the giant") {
+    val corpus = spark.range(0, 600)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 500, "giant").otherwise("small").as("source"))
+    val split = Curation.stratifiedSplit(corpus, "doc_id", "source",
+      testFrac = 0.2, valFrac = 0.2, exactMaxRows = 100L)
+
+    // nothing dropped or duplicated across the two branches
+    assert(split.count() === 600L)
+    assert(split.select("doc_id").distinct().count() === 600L)
+
+    // the small stratum keeps the exact-count contract: ranks 1..100,
+    // floor(100*0.2)=20 test / 20 val / 60 train
+    val small = split.filter(col("source") === "small")
+    assert(small.filter(col("split") === "test").count() === 20L)
+    assert(small.filter(col("split") === "val").count() === 20L)
+    assert(small.agg(max("split_rank")).first().getLong(0) === 100L)
+
+    // the giant stratum was never ranked (split_rank NULL — the proof its
+    // rows bypassed the window) but still reports its true size, and its
+    // assignment IS the hashFraction threshold, row for row
+    val giant = split.filter(col("source") === "giant")
+    assert(giant.filter(col("split_rank").isNotNull).count() === 0L)
+    assert(giant.filter(col("n_stratum") =!= 500L).count() === 0L)
+    val expected = corpus.filter(col("source") === "giant")
+      .select(col("doc_id"),
+        when(Curation.hashFraction(col("doc_id")) < 0.2, "test")
+          .when(Curation.hashFraction(col("doc_id")) < 0.4, "val")
+          .otherwise("train").as("split"))
+    assert(giant.select("doc_id", "split").exceptAll(expected).count() === 0L)
+
+    // pure function of the data: identical assignment on recompute
+    val again = Curation.stratifiedSplit(corpus, "doc_id", "source",
+      0.2, 0.2, exactMaxRows = 100L).select("doc_id", "split")
+    assert(split.select("doc_id", "split").exceptAll(again).count() === 0L)
+
+    // default threshold (10M) leaves the exact path untouched: same rows
+    // as an explicit giant-free run, split_rank non-null everywhere
+    val dflt = Curation.stratifiedSplit(corpus, "doc_id", "source", 0.2, 0.2)
+    assert(dflt.filter(col("split_rank").isNull).count() === 0L)
+  }
+
   test("perSourceCap keeps at most cap rows per source, ranks from 1") {
     val capped = Curation.perSourceCap(docs, "doc_id", "source", cap = 1)
     val bySource = capped.groupBy("source").count().as[(String, Long)].collect().toMap
