@@ -842,7 +842,12 @@ object SparkEntry {
           graft.functions.DoiNetwork.cambridgeUrl(col("url"))))
       val cache = r.select(key.as("key"), body.as("body"))
         .filter(col("key").isNotNull).distinct()
-      graft.functions.DoiNetwork.resolveFromCaches(records, "url", cache)
+      // melt-join shape (one cache join + pivot-agg + id-rejoin) — A/B'd
+      // against the five stage-sliced broadcast joins of resolveFromCaches
+      // under the honest toRdd protocol at sf0.1 (6 runs, both orders):
+      // melt steady ~7-9 s vs ~11-15 s, and the cache needs no persist
+      // boundary because it is consumed exactly once (PLANS.md r10)
+      graft.functions.DoiNetwork.resolveFromCachesMelted(records, "url", "id", cache)
         .select(col("id"), col("url"), col("k_elsevier"), col("k_cambridge"),
           col("k_ingenta"), col("k_pensoft"), col("k_pubmed"), col("doi"))
         .orderBy("id")

@@ -79,5 +79,29 @@ class DoiNetworkSpec extends SparkSpec {
     assert(out(1L) === Some("10.1016/j.x.1"))
     assert(out(2L) === Some("10.3897/ZK.456")) // bibtex parse normalizes to upper
     assert(out(3L) === None)
+
+    // the melt-join shape is row-identical — same cascade, one cache join
+    val melted = DoiNetwork.resolveFromCachesMelted(records, "url", "id", cache)
+      .select("id", "doi").as[(Long, Option[String])].collect().toMap
+    assert(melted === out)
+  }
+
+  test("melt shape preserves parse-order precedence when several stages match") {
+    // one URL that recognizes under BOTH elsevier (PII) and cambridge: the
+    // cascade must take elsevier's parse even though cambridge also has a
+    // cached body
+    val records = Seq(
+      (1L, "www.cambridge.org/core/product/S012345678901ABCD")).toDF("id", "url")
+    val cache = Seq(
+      ("elsevier:S012345678901ABCD",
+        "<coredata><prism:doi>10.1016/first</prism:doi></coredata>"),
+      ("cambridge:http://www.cambridge.org/core/product/S012345678901ABCD",
+        "@article{a, doi = {10.1017/second}}")).toDF("key", "body")
+    val a = DoiNetwork.resolveFromCaches(records, "url", cache)
+      .select("id", "doi").as[(Long, Option[String])].collect().toMap
+    val b = DoiNetwork.resolveFromCachesMelted(records, "url", "id", cache)
+      .select("id", "doi").as[(Long, Option[String])].collect().toMap
+    assert(a(1L) === Some("10.1016/first"))
+    assert(b === a)
   }
 }
