@@ -184,6 +184,30 @@ object Rebuild {
     * unmatched_home_institutions.json, geocities.parquet and (optional)
     * output_dois.parquet / doi_metadata.parquet caches.
     */
+  /** S4 resource sheet (resources.py:141-143): the live
+    * `access_request_rebuild.xlsx` workbook when present (parsed once per
+    * JVM path, all sheets from the one parse), else the per-sheet parquet
+    * fixture a user may have pre-converted.
+    */
+  def resourceSheet(
+      spark: SparkSession,
+      res: String,
+      sheet: String,
+      fixture: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val xlsxPath = new org.apache.hadoop.fs.Path(s"$res/access_request_rebuild.xlsx")
+    val fs = xlsxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(xlsxPath)) {
+      val sheets = xlsxCache.computeIfAbsent(
+        xlsxPath.toString, p => graft.sources.Xlsx.readSheets(spark, p))
+      val raw = sheets.find(_.name == sheet)
+        .getOrElse(throw new IllegalArgumentException(s"no sheet '$sheet' in $xlsxPath"))
+      graft.sources.Xlsx.applySchema(raw.toDF(spark), schema)
+    } else spark.read.parquet(s"$res/$fixture.parquet")
+  }
+  private val xlsxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.sources.Xlsx.RawSheet]]()
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
     val spark = graft.GraftSession.get(
@@ -209,6 +233,9 @@ object Rebuild {
       val p = s"$res/$table.parquet"
       if (inFs.exists(hp(p))) spark.read.parquet(p) else orElse
     }
+    def xlsxSheet(sheet: String, fixture: String,
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      resourceSheet(spark, res, sheet, fixture, schema)
     def jsonMap(name: String): Map[String, String] = {
       val p = s"$res/$name.json"
       if (!inFs.exists(hp(p))) Map.empty
@@ -240,10 +267,11 @@ object Rebuild {
       applicationScores = perRound("NHM_Application_Scores"),
       countryIso = spark.read.parquet(s"$res/Country_Iso_Codes.parquet"),
       usersCsv = UsersCsv.read(spark, s"$res/users.csv"),
-      xlsxCategory = spark.read.parquet(s"$res/category.parquet"),
-      xlsxInstitution = spark.read.parquet(s"$res/institution.parquet"),
-      xlsxInstallationFacility = spark.read.parquet(s"$res/installation_facility.parquet"),
-      xlsxAccessRequest = spark.read.parquet(s"$res/access_request.parquet"),
+      xlsxCategory = xlsxSheet("Category", "category", Schemas.xlsxCategory),
+      xlsxInstitution = xlsxSheet("Institution", "institution", Schemas.xlsxInstitution),
+      xlsxInstallationFacility =
+        xlsxSheet("InstallationFacility", "installation_facility", Schemas.xlsxInstallationFacility),
+      xlsxAccessRequest = xlsxSheet("AccessRequest", "access_request", Schemas.xlsxAccessRequest),
       institutionAliases = jsonMap("master_clean"),
       unmatchedTowns = jsonMap("unmatched_home_institutions"),
       geoCities = spark.read.parquet(s"$res/geocities.parquet"),

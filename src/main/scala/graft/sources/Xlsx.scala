@@ -1,0 +1,334 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.{ZipFile, ZipInputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Live XLSX source (S4; /root/reference/synth/resources.py:134-148).
+  *
+  * The reference loads its resource workbook with
+  * `pd.read_excel(path, sheet_name=None)` — every sheet as one DataFrame,
+  * first row as the header. This is the Spark-side equivalent built only on
+  * the JDK: an `.xlsx` file is a zip of OOXML parts, so the reader walks
+  * `xl/workbook.xml` (sheet names, in workbook order) →
+  * `xl/_rels/workbook.xml.rels` (sheet part targets) →
+  * `xl/sharedStrings.xml` (interned strings) → each worksheet's
+  * `<sheetData>`, with a streaming StAX parser (no DOM, no new
+  * dependencies).
+  *
+  * All cell values surface as strings (`RawSheet`); `applySchema` casts to
+  * a declared `StructType` by header name, which is how the Rebuild CLI
+  * consumes the four resource sheets. Two entry points:
+  *
+  *  - driver-side (`readSheets` / `readAllSheets`): the reference's shape —
+  *    ONE resource workbook, thousands of rows; parsed on the driver like
+  *    pandas, then `createDataFrame`. Reads through the Hadoop FileSystem,
+  *    so `hdfs://`/`s3a://` resource dirs work unchanged.
+  *  - distributed (`readSheetDistributed`): MANY workbooks (a glob) fanned
+  *    out over executors via the `binaryFile` source, each file parsed in
+  *    place and aligned to the declared schema by its own header row — the
+  *    100 TB shape when workbooks arrive in bulk.
+  *
+  * Not interpreted (documented limits, none used by the reference
+  * workbook): date/number styles (a date-styled cell surfaces as its raw
+  * serial number), formulas (the cached `<v>` result is read), merged
+  * cells.
+  */
+object Xlsx {
+
+  /** One parsed sheet: pandas `header=0` convention — first non-empty-width
+    * row is the header, the rest is data padded to the widest row.
+    */
+  final case class RawSheet(name: String, header: Seq[String], rows: Seq[Array[String]]) {
+    def toDF(spark: SparkSession): DataFrame = {
+      val schema = StructType(header.map(StructField(_, StringType)))
+      val jrows = new java.util.ArrayList[Row](rows.length)
+      rows.foreach(r => jrows.add(Row.fromSeq(r.toSeq)))
+      spark.createDataFrame(jrows, schema)
+    }
+  }
+
+  /** "BC12" → 0-based column index (54). */
+  private[sources] def colIndex(ref: String): Int = {
+    var i = 0; var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    acc - 1
+  }
+
+  private def factory: XMLInputFactory = {
+    val f = XMLInputFactory.newFactory()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  private def withReader[A](bytes: Array[Byte])(f: XMLStreamReader => A): A = {
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    try f(r) finally r.close()
+  }
+
+  private def attr(r: XMLStreamReader, local: String): Option[String] = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == local) return Some(r.getAttributeValue(i))
+      i += 1
+    }
+    None
+  }
+
+  /** workbook.xml → (sheetName, relationship id), in workbook order. */
+  private def sheetRefs(workbook: Array[Byte]): Seq[(String, String)] =
+    withReader(workbook) { r =>
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
+          for (n <- attr(r, "name"); id <- attr(r, "id")) out += ((n, id))
+      }
+      out.toSeq
+    }
+
+  /** workbook.xml.rels → rId → zip entry name of the worksheet part. */
+  private def relTargets(rels: Array[Byte]): Map[String, String] =
+    withReader(rels) { r =>
+      val out = mutable.Map.empty[String, String]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+          for (id <- attr(r, "Id"); t <- attr(r, "Target")
+               if attr(r, "Type").exists(_.endsWith("/worksheet")))
+            out(id) = if (t.startsWith("/")) t.drop(1) else s"xl/$t"
+      }
+      out.toMap
+    }
+
+  /** sharedStrings.xml → interned strings; rich-text runs concatenated. */
+  private def sharedStrings(sst: Array[Byte]): IndexedSeq[String] =
+    withReader(sst) { r =>
+      val out = mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inT = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => sb.clear()
+            case "t"  => inT = true
+            case _    => ()
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
+          sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t"  => inT = false
+            case "si" => out += sb.toString
+            case _    => ()
+          }
+        case _ => ()
+      }
+      out.toIndexedSeq
+    }
+
+  /** One worksheet's `<sheetData>` → dense rows of nullable strings.
+    * Gap rows (r jumps) materialize as all-null rows, matching pandas.
+    */
+  private def sheetRows(ws: Array[Byte], sst: IndexedSeq[String]): Seq[Array[String]] =
+    withReader(ws) { r =>
+      val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[String]]
+      var row: mutable.ArrayBuffer[String] = null
+      var lastRowNum = 0
+      var col = -1
+      var cellType = ""
+      val text = new StringBuilder
+      var capture = false
+      var maxW = 0
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              val num = attr(r, "r").map(_.toInt).getOrElse(lastRowNum + 1)
+              while (lastRowNum + 1 < num) { // pandas keeps interior empty rows as NaN
+                rows += mutable.ArrayBuffer.empty[String]; lastRowNum += 1
+              }
+              row = mutable.ArrayBuffer.empty[String]; lastRowNum = num; col = -1
+            case "c" =>
+              col = attr(r, "r").map(colIndex).getOrElse(col + 1)
+              cellType = attr(r, "t").getOrElse("n")
+              text.clear()
+            case "v" | "t" => capture = true
+            case _         => ()
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if capture =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" => capture = false
+            case "c" =>
+              val v = cellType match {
+                case "s"         => sst(text.toString.trim.toInt)
+                case "b"         => if (text.toString.trim == "1") "true" else "false"
+                case "e"         => null
+                case _           => if (text.isEmpty) null else text.toString
+              }
+              if (v != null) {
+                while (row.length < col) row += null
+                if (row.length == col) row += v else row(col) = v
+              }
+            case "row" =>
+              rows += row
+              if (row.length > maxW) maxW = row.length
+              row = null
+            case _ => ()
+          }
+        case _ => ()
+      }
+      rows.map { rw => // pad to the widest row
+        val a = new Array[String](maxW)
+        var i = 0
+        while (i < rw.length) { a(i) = rw(i); i += 1 }
+        a
+      }.toSeq
+    }
+
+  /** Parse a whole workbook from its zip entries. The accessor returns an
+    * entry's bytes by name (both zip backends below route through this).
+    */
+  private def parse(get: String => Option[Array[Byte]]): Seq[RawSheet] = {
+    val wb = get("xl/workbook.xml")
+      .getOrElse(throw new IllegalArgumentException("not an xlsx: no xl/workbook.xml"))
+    val rels = get("xl/_rels/workbook.xml.rels")
+      .getOrElse(throw new IllegalArgumentException("not an xlsx: no workbook rels"))
+    val sst = get("xl/sharedStrings.xml").map(sharedStrings).getOrElse(IndexedSeq.empty)
+    val targets = relTargets(rels)
+    sheetRefs(wb).flatMap { case (name, rid) =>
+      targets.get(rid).map { entry =>
+        val ws = get(entry)
+          .getOrElse(throw new IllegalArgumentException(s"missing worksheet part $entry"))
+        val all = sheetRows(ws, sst)
+        val header = all.headOption.map(_.toSeq).getOrElse(Seq.empty)
+          .zipWithIndex.map { case (h, i) => if (h == null) s"Unnamed: $i" else h }
+        RawSheet(name, header, all.drop(1))
+      }
+    }
+  }
+
+  /** Parse from a local file path (random-access zip — only the needed
+    * entries are decompressed; styles/themes/customXml are skipped).
+    */
+  def readRaw(localPath: String): Seq[RawSheet] = {
+    val zf = new ZipFile(localPath)
+    try parse { name =>
+      Option(zf.getEntry(name)).map(e => readAll(zf.getInputStream(e)))
+    } finally zf.close()
+  }
+
+  /** Parse from in-memory bytes (executor path / remote filesystems): one
+    * sequential pass buffers only the OOXML parts the parser consumes.
+    */
+  def readRawBytes(bytes: Array[Byte]): Seq[RawSheet] = {
+    val wanted = mutable.Map.empty[String, Array[Byte]]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val n = e.getName
+        if (n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+            n == "xl/sharedStrings.xml" || n.startsWith("xl/worksheets/"))
+          wanted(n) = readAll(zin)
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    parse(wanted.get)
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    try in.readAllBytes() finally () // caller owns closing for ZipInputStream
+  }
+
+  /** Read a workbook through the input path's Hadoop FileSystem (local,
+    * hdfs, s3a — whatever the session resolves) and parse every sheet.
+    * Resource workbooks are megabytes; a driver-side read is the same
+    * shape as the reference's `pd.read_excel`.
+    */
+  def readSheets(spark: SparkSession, path: String): Seq[RawSheet] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    readRawBytes(bytes)
+  }
+
+  /** `pd.read_excel(path, sheet_name=None)`: every sheet as a DataFrame
+    * (all columns string-typed; cast with `applySchema`), workbook order.
+    */
+  def readAllSheets(spark: SparkSession, path: String): ListMap[String, DataFrame] =
+    ListMap(readSheets(spark, path).map(s => s.name -> s.toDF(spark)): _*)
+
+  /** One named sheet cast to a declared schema. */
+  def readSheet(spark: SparkSession, path: String, sheet: String, schema: StructType): DataFrame = {
+    val raw = readSheets(spark, path).find(_.name == sheet)
+      .getOrElse(throw new IllegalArgumentException(s"no sheet '$sheet' in $path"))
+    applySchema(raw.toDF(spark), schema)
+  }
+
+  /** Cast raw string columns to a declared schema by header name. Integral
+    * targets route non-integer-looking text through a double cast so a
+    * float-formatted cell ("3.0") still lands; unparsable text becomes
+    * NULL (ANSI off for these casts, like pandas' coercion).
+    */
+  def applySchema(raw: DataFrame, schema: StructType): DataFrame = {
+    val cols = schema.fields.map { f =>
+      require(raw.columns.contains(f.name), s"sheet is missing column '${f.name}'")
+      val c = raw(f.name)
+      val cast = f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType =>
+          when(c.rlike("^-?\\d+$"), c.try_cast(f.dataType))
+            .otherwise(c.try_cast(DoubleType).try_cast(f.dataType))
+        case _ => c.try_cast(f.dataType)
+      }
+      cast.as(f.name)
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Distributed bulk ingest: a glob of workbooks → one DataFrame with the
+    * declared schema plus `source_file`. Each executor parses its own
+    * files (binaryFile splits the listing, not the zips — a workbook is
+    * one task's unit of work) and aligns values to the declared schema BY
+    * ITS OWN HEADER ROW, so column order may vary across workbooks.
+    */
+  def readSheetDistributed(
+      spark: SparkSession,
+      glob: String,
+      sheet: String,
+      schema: StructType): DataFrame = {
+    val names = schema.fieldNames.toSeq
+    val rawSchema = StructType(
+      names.map(StructField(_, StringType)) :+ StructField("source_file", StringType))
+    val bin = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val raw = bin.flatMap { row =>
+      val path = row.getString(0)
+      val bytes = row.getAs[Array[Byte]](1)
+      val s = readRawBytes(bytes).find(_.name == sheet)
+        .getOrElse(throw new IllegalArgumentException(s"no sheet '$sheet' in $path"))
+      val pos = names.map { n =>
+        val i = s.header.indexOf(n)
+        require(i >= 0, s"$path sheet '$sheet' is missing column '$n'")
+        i
+      }
+      s.rows.iterator.map { r =>
+        Row.fromSeq(pos.map(i => if (i < r.length) r(i) else null) :+ path)
+      }
+    }(Encoders.row(rawSchema))
+    applySchema(raw.toDF(), StructType(
+      schema.fields :+ StructField("source_file", StringType)))
+  }
+}
