@@ -57,6 +57,25 @@ object Cleaning {
     ).otherwise(trimmed)
   }
 
+  /** `clean_string` with the strict tokenizer in the HTML step: the
+    * reference unconditionally routes text through BeautifulSoup
+    * (utils.py:81-83); this variant routes through [[HtmlText]] — a real
+    * tolerant parser with BS4-like no-separator text joins — instead of
+    * the oracle-expressible regex analog above. Same surrounding
+    * whitespace/NULL contract. Not SQL-oracle-expressible by nature;
+    * pinned by HtmlTextSpec's stdlib-parser goldens.
+    */
+  def cleanStringStrict(c: Column): Column = {
+    val ws        = regexp_replace(c, "[\\r\\n\\t]+", " ")
+    val text      = HtmlTextColumn.htmlText(ws)
+    val nbsp      = regexp_replace(text, " ", " ")
+    val collapsed = regexp_replace(nbsp, " {2,}", " ")
+    val trimmed   = trim(collapsed)
+    when(trimmed.isNull || length(trimmed) === 0 || !trimmed.rlike("\\w"),
+      lit(null).cast("string")
+    ).otherwise(trimmed)
+  }
+
   /** `find_names` (utils.py:56-66): normalize author-list separators
     * (` and ` / `&` → `; `), then extract name-like tokens
     * `([^\W\d_]{3,}[-' ]?)+` as an array.
