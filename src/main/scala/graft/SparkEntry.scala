@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Cleaning, Doi, Fuzzy, TextStats}
+import graft.functions.{Cleaning, Doi, Fuzzy, PosTag, TextStats}
 import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, RangeJoin, Retrieval, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -945,6 +945,34 @@ object SparkEntry {
       val stops = typedLit(Seq("the", "a", "and", "of", "to", "in", "is", "was"))
       val toks = TextStats.tokenize(col("text"))
       val kept = TextStats.posFilterHeuristic(toks, stops)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(kept).cast("bigint").as("n_kept"),
+          when(size(toks) > 0,
+            round(size(kept).cast("double") / size(toks), 4)).otherwise(0.0)
+            .as("keep_ratio"),
+          array_join(slice(kept, 1, 5), " ").as("first_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Coarse POS tag histogram over the corpus — the positive rule-based
+    // tagger (lexicon + suffix morphology, PosTag.scala), whose DuckDB
+    // oracle CASE is GENERATED from the same rule table.
+    "text_pos_tags" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextStats.tokenize(col("text"))).as("tok"))
+        .select(PosTag.tag(col("tok")).as("tag"))
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+        .orderBy("tag")
+    }),
+
+    // The reference's keep-NOUN/ADJ filter via the positive tagger —
+    // strictly closer to spaCy's contract than the subtractive heuristic
+    // of text_pos_filter (rejects prepositions/aux/pronouns too).
+    "text_pos_filter_strict" -> ((s, dir) => {
+      val toks = TextStats.tokenize(col("text"))
+      val kept = PosTag.filterNounAdj(toks)
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(toks).cast("bigint").as("n_tokens"),
@@ -3923,6 +3951,37 @@ object SparkEntry {
         |    THEN round(len(kept) * 1.0 / len(toks), 4) ELSE 0.0 END AS keep_ratio,
         |  array_to_string(list_slice(kept, 1, 5), ' ') AS first_kept
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // CASE expression generated from PosTag's rule table — one source of
+    // truth for both engines.
+    "text_pos_tags" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split(regexp_replace(lower(text), '[^a-z\\- ]', ' ', 'g'), ' '),
+         |                     x -> len(x) > 1) AS toks
+         |  FROM documents),
+         |t2 AS (SELECT unnest(toks) AS tok FROM toks)
+         |SELECT ${PosTag.duckdbCaseSql("tok")} AS tag,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM t2 GROUP BY tag ORDER BY tag""".stripMargin,
+
+    "text_pos_filter_strict" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\\- ]', ' ', 'g'), ' '),
+         |                x -> len(x) > 1) AS toks
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, toks,
+         |    list_filter(toks, t ->
+         |      (${PosTag.duckdbCaseSql("t")}) IN ('NOUN', 'ADJ') AND len(t) > 1) AS kept
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CASE WHEN len(toks) > 0
+         |    THEN round(len(kept) * 1.0 / len(toks), 4) ELSE 0.0 END AS keep_ratio,
+         |  array_to_string(list_slice(kept, 1, 5), ' ') AS first_kept
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // Shared by the single-pass (text_token_totals) and the split-merge
     // (text_token_totals_incremental) forms — green = additive state

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Coarse rule-based POS tagging (F23 strict; the reference keeps spaCy
+  * NOUN/ADJ tokens, /root/reference/notebooks/classifiers.ipynb cell 12:
+  * `token.pos_ in ['NOUN','ADJ'] and len(token.lemma_) > 1`).
+  *
+  * No statistical tagger is trainable offline (no tagged corpus ships in
+  * this container), so this is the classic POSITIVE rule-based baseline —
+  * closed-class lexicon first (function words are a finite, enumerable
+  * set), then suffix morphology (the NLTK `RegexpTagger` pattern family),
+  * default NOUN (the standard unknown-word prior: most open-class unknowns
+  * are nouns, which is also spaCy's tendency). Versus the subtractive
+  * [[TextStats.posFilterHeuristic]], this additionally rejects
+  * prepositions, conjunctions, auxiliaries, pronouns and derivational
+  * verbs — much closer to the reference's keep-NOUN/ADJ contract.
+  *
+  * Single source of truth: the SAME rule table drives the Spark Column
+  * cascade ([[tag]]) and the generated DuckDB CASE expression
+  * ([[duckdbCaseSql]]) the oracle replays — both engines agree
+  * bit-for-bit, so the `text_pos_*` queries hash-match.
+  *
+  * Known mistags are the classic baseline ones (`family` → ADV by `-ly`,
+  * `animal` → ADJ by `-al`); they are the price of a deterministic,
+  * map-only, codegen'd tagger with no model file.
+  */
+object PosTag {
+
+  // ---- closed-class lexicon (checked in order; first hit wins) ----------
+
+  val det: Seq[String] = Seq("the", "a", "an", "this", "that", "these", "those",
+    "each", "every", "either", "neither", "some", "any", "no", "all", "both",
+    "few", "many", "much", "several", "such", "what", "which", "whose")
+
+  val conj: Seq[String] = Seq("and", "or", "but", "nor", "so", "yet",
+    "although", "though", "because", "since", "unless", "while", "whereas",
+    "if", "when", "than", "whether")
+
+  val pron: Seq[String] = Seq("i", "you", "he", "she", "it", "we", "they",
+    "me", "him", "her", "us", "them", "my", "your", "his", "its", "our",
+    "their", "mine", "yours", "hers", "ours", "theirs", "myself", "yourself",
+    "himself", "herself", "itself", "ourselves", "yourselves", "themselves",
+    "who", "whom", "someone", "anyone", "everyone", "nobody", "somebody",
+    "anybody", "everybody", "something", "anything", "everything", "nothing")
+
+  val adp: Seq[String] = Seq("of", "in", "to", "for", "with", "on", "at",
+    "by", "from", "about", "as", "into", "like", "through", "after", "over",
+    "between", "out", "against", "during", "without", "before", "under",
+    "around", "among", "within", "along", "across", "behind", "beyond",
+    "except", "near", "up", "off", "down", "onto", "upon", "via", "per")
+
+  val aux: Seq[String] = Seq("am", "is", "are", "was", "were", "be", "been",
+    "being", "have", "has", "had", "having", "do", "does", "did", "doing",
+    "will", "would", "shall", "should", "may", "might", "must", "can",
+    "could", "ought")
+
+  val advLex: Seq[String] = Seq("not", "now", "then", "here", "there",
+    "very", "too", "also", "just", "only", "even", "still", "never",
+    "always", "often", "sometimes", "soon", "already", "quite", "rather",
+    "almost", "perhaps", "maybe", "again", "once", "twice", "ever",
+    "however", "therefore", "thus", "instead", "otherwise", "meanwhile",
+    "moreover", "furthermore", "anyway", "indeed", "together", "away",
+    "back", "well")
+
+  val num: Seq[String] = Seq("zero", "one", "two", "three", "four", "five",
+    "six", "seven", "eight", "nine", "ten", "eleven", "twelve", "twenty",
+    "thirty", "forty", "fifty", "hundred", "thousand", "million", "billion",
+    "first", "second", "third", "fourth", "fifth")
+
+  // ---- suffix morphology (checked after the lexicon, in this order) -----
+
+  val nounSuffixes: Seq[String] = Seq("tion", "sion", "ness", "ment", "ity",
+    "ism", "ship", "ence", "ance", "ist", "ery", "logy", "hood", "dom",
+    "ure", "age")
+
+  val adjSuffixes: Seq[String] = Seq("able", "ible", "ous", "ive", "ful",
+    "less", "ish", "ical", "ic", "al", "ary", "ant", "ent")
+
+  val verbSuffixes: Seq[String] = Seq("ize", "ise", "ify")
+
+  private val lexicon: Seq[(Seq[String], String)] = Seq(
+    det -> "DET", conj -> "CONJ", pron -> "PRON", adp -> "ADP",
+    aux -> "AUX", advLex -> "ADV", num -> "NUM")
+
+  /** Coarse tag of a (lowercased) token column. Rule order: lexicon →
+    * numeric literal → `-ly` ADV → noun suffixes → adjective suffixes →
+    * derivational verb suffixes → inflectional `-ing`/`-ed` (with the
+    * short-word guards of the subtractive heuristic) → NOUN.
+    */
+  def tag(t: Column): Column = {
+    val lex = lexicon.foldLeft(when(lit(false), lit(""))) { case (acc, (words, tg)) =>
+      acc.when(array_contains(typedLit(words), t), lit(tg))
+    }
+    lex
+      .when(t.rlike("^[0-9]+([.][0-9]+)?$"), lit("NUM"))
+      .when(t.endsWith(lit("ly")), lit("ADV"))
+      .when(nounSuffixes.map(sfx => t.endsWith(lit(sfx))).reduce(_ || _), lit("NOUN"))
+      .when(adjSuffixes.map(sfx => t.endsWith(lit(sfx))).reduce(_ || _), lit("ADJ"))
+      .when(verbSuffixes.map(sfx => t.endsWith(lit(sfx))).reduce(_ || _), lit("VERB"))
+      .when(t.endsWith(lit("ing")) && length(t) > 5, lit("VERB"))
+      .when(t.endsWith(lit("ed")) && length(t) > 4, lit("VERB"))
+      .otherwise(lit("NOUN"))
+  }
+
+  /** The reference's keep rule over an array of tokens: coarse tag is NOUN
+    * or ADJ, token longer than one character (classifiers.ipynb cell 12).
+    */
+  def filterNounAdj(tokens: Column): Column =
+    filter(tokens, t => tag(t).isin("NOUN", "ADJ") && length(t) > 1)
+
+  // ---- DuckDB oracle generation (same table, same order) ----------------
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The tagger as a DuckDB CASE expression over token expression `t` —
+    * generated from the SAME rule table as [[tag]], so the oracle replays
+    * the exact semantics.
+    */
+  def duckdbCaseSql(t: String): String = {
+    val lex = lexicon.map { case (words, tg) =>
+      s"WHEN list_contains(${sqlList(words)}, $t) THEN '$tg'"
+    }
+    val sfx = Seq(
+      s"WHEN regexp_matches($t, '^[0-9]+([.][0-9]+)?$$') THEN 'NUM'",
+      s"WHEN ends_with($t, 'ly') THEN 'ADV'",
+      nounSuffixes.map(sx => s"ends_with($t, '$sx')").mkString("WHEN ", " OR ", " THEN 'NOUN'"),
+      adjSuffixes.map(sx => s"ends_with($t, '$sx')").mkString("WHEN ", " OR ", " THEN 'ADJ'"),
+      verbSuffixes.map(sx => s"ends_with($t, '$sx')").mkString("WHEN ", " OR ", " THEN 'VERB'"),
+      s"WHEN ends_with($t, 'ing') AND len($t) > 5 THEN 'VERB'",
+      s"WHEN ends_with($t, 'ed') AND len($t) > 4 THEN 'VERB'")
+    (lex ++ sfx).mkString("CASE ", " ", " ELSE 'NOUN' END")
+  }
+}

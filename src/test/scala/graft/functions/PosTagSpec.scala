@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** F23-strict coarse tagger: hand-checked lexicon/suffix behavior and the
+  * reference's keep-NOUN/ADJ filter contract (classifiers.ipynb cell 12).
+  */
+class PosTagSpec extends SparkSpec {
+
+  private def tagsOf(tokens: Seq[String]): Map[String, String] = {
+    import spark.implicits._
+    tokens.toDF("tok")
+      .select(col("tok"), PosTag.tag(col("tok")).as("tag"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("lexicon classes win first") {
+    val t = tagsOf(Seq("the", "and", "himself", "between", "would", "never",
+      "seven", "not", "of", "whereas"))
+    assert(t("the") == "DET" && t("and") == "CONJ" && t("himself") == "PRON")
+    assert(t("between") == "ADP" && t("would") == "AUX" && t("never") == "ADV")
+    assert(t("seven") == "NUM" && t("not") == "ADV" && t("of") == "ADP")
+    assert(t("whereas") == "CONJ")
+  }
+
+  test("suffix morphology and the NOUN default") {
+    val t = tagsOf(Seq("quickly", "information", "happiness", "movement",
+      "beautiful", "harmless", "scientific", "optimize", "clarify",
+      "running", "walked", "cat", "bed", "sing", "museum", "123", "3.14"))
+    assert(t("quickly") == "ADV")
+    assert(t("information") == "NOUN" && t("happiness") == "NOUN" && t("movement") == "NOUN")
+    assert(t("beautiful") == "ADJ" && t("harmless") == "ADJ" && t("scientific") == "ADJ")
+    assert(t("optimize") == "VERB" && t("clarify") == "VERB")
+    assert(t("running") == "VERB" && t("walked") == "VERB")
+    assert(t("cat") == "NOUN" && t("museum") == "NOUN")
+    assert(t("bed") == "NOUN" && t("sing") == "NOUN") // short-word guards
+    assert(t("123") == "NUM" && t("3.14") == "NUM")
+  }
+
+  test("documented baseline mistags stay deterministic") {
+    val t = tagsOf(Seq("family", "animal"))
+    assert(t("family") == "ADV") // -ly rule; the classic baseline price
+    assert(t("animal") == "ADJ") // -al rule
+  }
+
+  test("filterNounAdj keeps the reference's NOUN/ADJ-and-len>1 contract") {
+    import spark.implicits._
+    val kept = Seq("the curious scientist walked into a beautiful museum")
+      .toDF("text")
+      .select(PosTag.filterNounAdj(TextStats.tokenize(col("text"))).as("kept"))
+      .first().getSeq[String](0)
+    assert(kept == Seq("curious", "scientist", "beautiful", "museum"))
+  }
+
+  test("generated DuckDB CASE mirrors the rule order") {
+    val sql = PosTag.duckdbCaseSql("tok")
+    // lexicon before suffixes, ADV -ly before noun suffixes, NOUN default
+    val order = Seq("'DET'", "'CONJ'", "'PRON'", "'ADP'", "'AUX'", "'NUM'",
+      "ends_with(tok, 'ly')", "ends_with(tok, 'tion')", "ends_with(tok, 'able')",
+      "ends_with(tok, 'ize')", "ELSE 'NOUN'")
+    val idx = order.map(sql.indexOf(_))
+    assert(idx.forall(_ >= 0), sql)
+    assert(idx == idx.sorted, "rule order drifted between engines")
+  }
+}
