@@ -2074,14 +2074,18 @@ object SparkEntry {
     "hybrid_rrf_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val path = ensureIndex(s, docs, "bm25", "stats") { p =>
-        Retrieval.writeIndex(docs, "text", "doc_id", p)
+      // lexical leg rides the PARTITIONED index — the production layout:
+      // query-term buckets prune the postings listing before any file
+      // opens; row-identical to the flat search (Retrieval scaladoc +
+      // shared oracle shape), just with the 100 TB-shaped scan
+      val path = ensureIndex(s, docs, "bm25part", "stats") { p =>
+        Retrieval.writeIndexPartitioned(docs, "text", "doc_id", p, nBuckets = 16)
       }
       val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(lower(trim(col("text"))), " "), 1, 8), " ")
             .as("qtext"))
-      val lexical = Retrieval.bm25TopKFromIndex(s, path, q, k = 20)
+      val lexical = Retrieval.bm25TopKPruned(s, path, q, k = 20)
       val vector = Similarity.bruteForceTopK(emb,
           emb.filter(pmod(col("vec_id"), lit(100)) === 7), k = 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
@@ -4441,6 +4445,8 @@ object SparkEntry {
       .replace("/tmp/graft_ann_index/bm25/*/postings/*.parquet",
         "/tmp/graft_ann_index/bm25part/*/postings/*/*.parquet")
       .replace("/tmp/graft_ann_index/bm25/*/doclens/*.parquet",
+        "/tmp/graft_ann_index/bm25part/*/doclens/*.parquet")
+      .replace("/tmp/graft_ann_index/bm25/*/doclens/*.parquet",
         "/tmp/graft_ann_index/bm25part/*/doclens/*.parquet"),
 
     // Hybrid fusion replay: BM25 top-20 from the persisted index + cosine
@@ -4449,11 +4455,11 @@ object SparkEntry {
     "hybrid_rrf_topk" ->
       """WITH posts AS (
         |  SELECT token, doc_id, tf
-        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/postings/*.parquet')
+        |  FROM read_parquet('/tmp/graft_ann_index/bm25part/*/postings/*/*.parquet')
         |  WHERE n_corpus = (SELECT count(*) FROM documents)),
         |lens AS (
         |  SELECT doc_id, dl
-        |  FROM read_parquet('/tmp/graft_ann_index/bm25/*/doclens/*.parquet')
+        |  FROM read_parquet('/tmp/graft_ann_index/bm25part/*/doclens/*.parquet')
         |  WHERE n_corpus = (SELECT count(*) FROM documents)),
         |stats AS (SELECT count(*) AS n_docs,
         |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
