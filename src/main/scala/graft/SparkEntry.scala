@@ -779,6 +779,34 @@ object SparkEntry {
 
     // S10 (DDL sink): the schema-to-DDL half of the dump path as data —
     // one row per table, the exact CREATE TABLE text the dump writes.
+    // S4 live XLSX: the reference's real resource workbook read end-to-end
+    // by the stdlib OOXML reader (sources/Xlsx.scala), reduced to per-sheet
+    // aggregates. The oracle is a VALUES table of literals derived by an
+    // INDEPENDENT stdlib-Python parse of the same workbook
+    // (scripts/s4_oracle_values.py) — DuckDB cannot read xlsx, so the
+    // cross-check is cross-language rather than cross-engine.
+    "s4_xlsx" -> ((s, dir) => {
+      import graft.etl.Schemas
+      val wb = "/root/reference/synth/data/access_request_rebuild.xlsx"
+      val parsed = graft.sources.Xlsx.readSheets(s, wb) // ONE parse, four sheets
+      def sheet(name: String, schema: org.apache.spark.sql.types.StructType,
+          idCol: String, daysCol: Option[String]) = {
+        val df = graft.sources.Xlsx.applySchema(
+          parsed.find(_.name == name).get.toDF(s), schema)
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col(idCol)).cast("bigint").as("id_sum"),
+            daysCol.map(d => sum(col(d)).cast("bigint"))
+              .getOrElse(lit(null).cast("bigint")).as("days_sum"))
+          .select(lit(name).as("sheet"), col("n_rows"), col("id_sum"), col("days_sum"))
+      }
+      sheet("AccessRequest", Schemas.xlsxAccessRequest, "AccessRequest_ID", Some("DaysRequested"))
+        .unionByName(sheet("Category", Schemas.xlsxCategory, "Category_ID", None))
+        .unionByName(sheet("InstallationFacility", Schemas.xlsxInstallationFacility,
+          "InstallationFacility_ID", None))
+        .unionByName(sheet("Institution", Schemas.xlsxInstitution, "Institution_ID", None))
+        .orderBy("sheet")
+    }),
+
     "s10_ddl" -> ((s, dir) => {
       import s.implicits._
       Seq("region", "nation")
@@ -3189,6 +3217,19 @@ object SparkEntry {
         |  CASE WHEN age = '' THEN NULL ELSE age END AS age_range
         |FROM cells WHERE cell <> ''
         |ORDER BY round, user_id""".stripMargin,
+
+    // Literals independently derived by a stdlib-Python parse of the same
+    // static workbook (scripts/s4_oracle_values.py) — a cross-LANGUAGE
+    // oracle, since DuckDB has no xlsx reader.
+    "s4_xlsx" ->
+      """SELECT * FROM (VALUES
+        |  ('AccessRequest', CAST(22748 AS BIGINT), CAST(258747126 AS BIGINT),
+        |     CAST(140328 AS BIGINT)),
+        |  ('Category', CAST(10 AS BIGINT), CAST(55 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('InstallationFacility', CAST(216 AS BIGINT), CAST(23436 AS BIGINT),
+        |     CAST(NULL AS BIGINT)),
+        |  ('Institution', CAST(23 AS BIGINT), CAST(276 AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(sheet, n_rows, id_sum, days_sum) ORDER BY sheet""".stripMargin,
 
     // The DDL text is a pure function of the (fixed, declared) schema —
     // the oracle pins it literally.

@@ -132,6 +132,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Window"), "no window operator in the packing plan")
   }
 
+  test("text_pos_tags: map-side partial aggregation; the explode never shuffles raw tokens twice") {
+    assume(available)
+    val p = plan("text_pos_tags")
+    assert(p.contains("HashAggregate") && p.contains("Generate"),
+      s"expected explode + hash aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than one hash exchange for a single groupBy:\n$p")
+  }
+
   test("text_bm25_pruned: the postings scan carries a tok_bucket " +
       "PartitionFilter — the search reads only the query terms' buckets") {
     assume(available)
