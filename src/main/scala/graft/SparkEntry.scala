@@ -990,7 +990,7 @@ object SparkEntry {
     "text_pos_tags" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(TextStats.tokenize(col("text"))).as("tok"))
-        .select(PosTag.tag(col("tok")).as("tag"))
+        .select(graft.functions.PosTagColumn.posTag(col("tok")).as("tag"))
         .groupBy("tag").agg(count(lit(1)).as("n"))
         .orderBy("tag")
     }),
@@ -1000,7 +1000,7 @@ object SparkEntry {
     // of text_pos_filter (rejects prepositions/aux/pronouns too).
     "text_pos_filter_strict" -> ((s, dir) => {
       val toks = TextStats.tokenize(col("text"))
-      val kept = PosTag.filterNounAdj(toks)
+      val kept = PosTag.filterNounAdjFast(toks)
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(toks).cast("bigint").as("n_tokens"),

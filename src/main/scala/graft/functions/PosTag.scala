@@ -110,6 +110,47 @@ object PosTag {
   def filterNounAdj(tokens: Column): Column =
     filter(tokens, t => tag(t).isin("NOUN", "ADJ") && length(t) > 1)
 
+  // ---- fast execution path ---------------------------------------------
+
+  /** The lexicon as one hash map (first-listed class wins, mirroring the
+    * cascade's first-hit-wins order — no word appears in two lists, but
+    * the fold direction makes the tie-break explicit).
+    */
+  private val lexiconMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    lexicon.reverse.foreach { case (words, tg) => words.foreach(w => m.put(w, tg)) }
+    m
+  }
+
+  private val numRe = java.util.regex.Pattern.compile("^[0-9]+([.][0-9]+)?$")
+
+  /** Plain-JVM twin of [[tag]] — IDENTICAL rule order, one hash lookup
+    * plus suffix scans instead of a ~550-comparison when-cascade. Used by
+    * the codegen'd [[PosTagExpr]]; PosTagSpec asserts the two paths agree
+    * on every fixture token.
+    */
+  def tagOf(t: String): String = {
+    val lex = lexiconMap.get(t)
+    if (lex != null) return lex
+    if (numRe.matcher(t).matches()) return "NUM"
+    if (t.endsWith("ly")) return "ADV"
+    if (nounSuffixes.exists(t.endsWith)) return "NOUN"
+    if (adjSuffixes.exists(t.endsWith)) return "ADJ"
+    if (verbSuffixes.exists(t.endsWith)) return "VERB"
+    if (t.endsWith("ing") && t.length > 5) return "VERB"
+    if (t.endsWith("ed") && t.length > 4) return "VERB"
+    "NOUN"
+  }
+
+  def tagUTF8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(tagOf(s.toString))
+
+  /** [[filterNounAdj]] on the fast path: same keep contract, the tag via
+    * [[PosTagExpr]].
+    */
+  def filterNounAdjFast(tokens: Column): Column =
+    filter(tokens, t => PosTagColumn.posTag(t).isin("NOUN", "ADJ") && length(t) > 1)
+
   // ---- DuckDB oracle generation (same table, same order) ----------------
 
   private def sqlList(words: Seq[String]): String =
@@ -133,4 +174,33 @@ object PosTag {
       s"WHEN ends_with($t, 'ed') AND len($t) > 4 THEN 'VERB'")
     (lex ++ sfx).mkString("CASE ", " ", " ELSE 'NOUN' END")
   }
+}
+
+/** Codegen'd coarse-POS-tag expression: one static call per token inside
+  * whole-stage codegen (the [[PorterStem]] pattern), replacing the
+  * equivalent when-cascade built by [[PosTag.tag]].
+  */
+case class PosTagExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pos_tag"
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PosTagExpr =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PosTag.tagUTF8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PosTag.tagUTF8($c)")
+}
+
+object PosTagColumn {
+  def posTag(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      PosTagExpr(org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)))
 }

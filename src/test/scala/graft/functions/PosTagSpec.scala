@@ -53,6 +53,19 @@ class PosTagSpec extends SparkSpec {
     assert(kept == Seq("curious", "scientist", "beautiful", "museum"))
   }
 
+  test("fast static path agrees with the Column cascade on real corpus tokens") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(TextStats.tokenize(col("text"))).as("tok"))
+      .union(Seq("the", "happiness", "walked", "family", "x", "123", "zz").toDF("tok"))
+    val disagree = toks
+      .select(col("tok"), PosTag.tag(col("tok")).as("slow"),
+        PosTagColumn.posTag(col("tok")).as("fast"))
+      .filter(col("slow") =!= col("fast"))
+      .limit(5).collect()
+    assert(disagree.isEmpty, disagree.mkString("\n"))
+  }
+
   test("generated DuckDB CASE mirrors the rule order") {
     val sql = PosTag.duckdbCaseSql("tok")
     // lexicon before suffixes, ADV -ly before noun suffixes, NOUN default
