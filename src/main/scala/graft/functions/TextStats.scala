@@ -16,12 +16,11 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   /** F23-style tokenizer: lowercase, strip everything outside `[a-z- ]`,
-    * split on spaces, drop empty and 1-char tokens.
+    * split on spaces, drop empty and 1-char tokens — fused into the
+    * single-pass [[TokenizeExpr]] (TokenizerSpec pins bit-equality with
+    * the original builtin chain, whose semantics the oracles replay).
     */
-  def tokenize(c: Column): Column = {
-    val cleaned = regexp_replace(lower(c), "[^a-z\\- ]", " ")
-    filter(split(cleaned, " +"), t => length(t) > 1)
-  }
+  def tokenize(c: Column): Column = TokenizeColumn.tokenize(c)
 
   /** F23 tokenizer + Porter stem of every token — the offline analog of the
     * reference's lemmatized token stream (classifiers.ipynb cell 12). The

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass corpus tokenizer (F23's `tokenize`, the hot inner loop of
+  * the whole `text_*`/`curation_*` family).
+  *
+  * Semantics are EXACTLY the original builtin chain — and therefore the
+  * DuckDB oracles' replay:
+  * {{{ filter(split(regexp_replace(lower(c), "[^a-z\\- ]", " "), " +"), len > 1) }}}
+  * i.e. Unicode-lowercase (the same `UTF8String.toLowerCase` the `lower`
+  * builtin uses), every char outside `[a-z-]` acts as a separator, and
+  * only tokens longer than one char survive. The fused form does one
+  * char scan and allocates only the surviving tokens — no intermediate
+  * lowered+substituted string row, no regex engine, no split array that
+  * the filter immediately shrinks, and no interpreted higher-order
+  * lambda. TokenizerSpec pins equality against the builtin chain on the
+  * real corpus plus adversarial unicode.
+  */
+object Tokenizer {
+
+  def tokensUTF8(s: UTF8String): ArrayData = {
+    val lower = s.toLowerCase.toString
+    val n = lower.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val isTokChar = i < n && {
+        val c = lower.charAt(i)
+        (c >= 'a' && c <= 'z') || c == '-'
+      }
+      if (isTokChar) { if (start < 0) start = i }
+      else if (start >= 0) {
+        if (i - start > 1) out.add(UTF8String.fromString(lower.substring(start, i)))
+        start = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+/** Codegen'd fused tokenizer: one static call per document inside
+  * whole-stage codegen (the [[PorterStem]] pattern).
+  */
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_tokenize"
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Tokenizer.tokensUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Tokenizer.tokensUTF8($c)")
+}
+
+object TokenizeColumn {
+  def tokenize(c: Column): Column =
+    ColumnBridge.column(TokenizeExpr(ColumnBridge.expr(c)))
+}
