@@ -47,6 +47,56 @@ object Tokenizer {
   }
 }
 
+/** Codegen'd fused text→shingles: tokenize (exactly [[Tokenizer]]'s
+  * semantics) and build the DISTINCT word n-gram shingles in the same
+  * pass, preserving first-occurrence order (= `array_distinct` over the
+  * `transform(sequence…, slice+array_join)` chain it replaces, which ran
+  * through the interpreted higher-order path per position). Documents
+  * with fewer than `n` tokens yield an empty array — the original
+  * `when(size >= n, …)` guard.
+  */
+object Shingles {
+  def shinglesUTF8(s: UTF8String, n: Int): ArrayData = {
+    val toks = Tokenizer.tokensUTF8(s)
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+}
+
+case class TextShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def withNewChildInternal(newChild: Expression): TextShinglesExpr =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.shinglesUTF8(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.shinglesUTF8($c, $n)")
+}
+
+object ShinglesColumn {
+  def shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(TextShinglesExpr(ColumnBridge.expr(c), n))
+}
+
 /** Codegen'd fused tokenizer: one static call per document inside
   * whole-stage codegen (the [[PorterStem]] pattern).
   */

@@ -68,28 +68,15 @@ object Dedup {
   }
 
   /** Word n-gram shingles of the normalized token stream — the unit both
-    * Jaccard variants operate on.
-    *
-    * Built as two separate projections so the (regex-heavy) tokenizer is a
-    * bound attribute inside the shingling lambda, not re-inlined per
-    * position — CollapseProject keeps multi-referenced non-cheap aliases
-    * un-collapsed. One select would make each `slice(toks, i, n)` recompute
-    * the full tokenization: O(len²) regex work per document.
+    * Jaccard variants operate on. One fused codegen'd call per document
+    * (tokenize + distinct n-grams in the same pass, graft.functions
+    * .Shingles); TokenizerSpec pins bit-equality against the
+    * tokenize→sequence→slice→array_join→array_distinct chain it replaces,
+    * which ran every position through the interpreted higher-order path.
     */
   def shingled(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), TextStats.tokenize(col(textCol)).as("toks"))
-      .select(
-        col("doc_id"),
-        // guard: sequence(0, negative) would run DESCENDING and feed slice
-        // an invalid 0/negative start for docs shorter than n tokens
-        when(size(col("toks")) >= n,
-          array_distinct(
-            transform(
-              sequence(lit(0), size(col("toks")) - n),
-              i => array_join(slice(col("toks"), i + 1, lit(n)), " ")
-            ))
-        ).otherwise(array().cast("array<string>")).as("shingles"))
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.ShinglesColumn.shingles(col(textCol), n).as("shingles"))
   // NOTE deliberately NO filter here: a filter above these projections gets
   // predicate-pushed below them with the alias substituted — the whole
   // shingle expression (and any downstream UDFs) lands in a scan-level
