@@ -152,17 +152,15 @@ object TextStats {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
   }
 
-  /** Word-bigram array from a token array. `toks` MUST be a bound
-    * attribute (its own projection), not an inline `tokenize(...)` — the
-    * lambda references it per position, and Catalyst would re-inline the
-    * regex tokenizer per element (measured 30× on `text_repetition`:
-    * 6.1 s → 0.2 s at sf0.1 after staging the projections).
+  /** Word-bigram array from a token array, as one fused codegen'd call
+    * ([[Bigrams]]; equality with the old transform/sequence chain pinned
+    * in TokenizerSpec). The single reference also retires the historical
+    * re-inlining hazard: the old per-position lambda referenced `toks`
+    * once per element, and an inline `tokenize(...)` would be re-run per
+    * element (measured 30× on `text_repetition` before the projections
+    * were staged).
     */
-  def bigramsOf(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+  def bigramsOf(toks: Column): Column = BigramsColumn.bigrams(toks)
 
   /** Within-document repetition score (the Gopher-style "fraction of
     * duplicate word bigrams" filter signal): 1 − |distinct bigrams| /

@@ -78,6 +78,51 @@ object Shingles {
   }
 }
 
+/** Codegen'd word-bigram array from a token array — replaces the
+  * `transform(sequence, concat_ws(element_at, element_at))` chain that ran
+  * every position through the interpreted higher-order path. concat_ws
+  * semantics preserved (null elements skipped), though fused-tokenizer
+  * arrays never carry nulls.
+  */
+object Bigrams {
+  def bigramsOf(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val a = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val b = if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1)
+      out(i) =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.fromString(a.toString + " " + b.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class BigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_bigrams"
+
+  override protected def withNewChildInternal(newChild: Expression): BigramsExpr =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bigrams.bigramsOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bigrams.bigramsOf($c)")
+}
+
+object BigramsColumn {
+  def bigrams(c: Column): Column =
+    ColumnBridge.column(BigramsExpr(ColumnBridge.expr(c)))
+}
+
 case class TextShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_shingles"
