@@ -131,19 +131,45 @@ class XlsxSpec extends SparkSpec {
     assert(fell.count() == 3)
   }
 
+  /** Same People sheet but with the score/name/id columns REORDERED —
+    * exercises the align-by-own-header contract of the bulk path.
+    */
+  private def miniXlsxReordered(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(body.getBytes(UTF_8)); z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="People" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>score</t></is></c><c r="B1" t="inlineStr"><is><t>id</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>9.5</v></c><c r="B2"><v>7</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    z.close()
+    bos.toByteArray
+  }
+
   test("distributed bulk ingest aligns each workbook by its own header") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("xlsx-bulk")
-    val bytes = miniXlsx()
-    Seq("a.xlsx", "b.xlsx").foreach { n =>
+    Seq("a.xlsx" -> miniXlsx(), "b.xlsx" -> miniXlsx(),
+        "c.xlsx" -> miniXlsxReordered()).foreach { case (n, bytes) =>
       val fos = new FileOutputStream(dir.resolve(n).toFile)
       try fos.write(bytes) finally fos.close()
     }
     val schema = StructType(Seq(StructField("id", IntegerType), StructField("score", DoubleType)))
     val out = Xlsx.readSheetDistributed(spark, dir.toString + "/*.xlsx", "People", schema)
     assert(out.columns.toSeq == Seq("id", "score", "source_file"))
-    assert(out.count() == 8) // 4 data rows × 2 files
-    assert(out.select("source_file").distinct().count() == 2)
+    assert(out.count() == 9) // 4 data rows × 2 files + 1 reordered row
+    assert(out.select("source_file").distinct().count() == 3)
     assert(out.filter(col("id") === 1 && col("score") === 3.5).count() == 2)
+    // the reordered workbook's columns land by NAME, not position
+    assert(out.filter(col("id") === 7 && col("score") === 9.5).count() == 1)
   }
 }
