@@ -46,7 +46,14 @@ object Cleaning {
     *  5. trim
     *  6. NULL when empty or no word character (`\w`) remains
     */
-  def cleanString(c: Column): Column = {
+  def cleanString(c: Column): Column = CleanStringColumn.cleanString(c)
+
+  /** The original builtin-chain composition of `cleanString`, kept as the
+    * reference twin: CleaningSpec pins the fused [[CleanStringExpr]]
+    * bit-identical to it (this chain's semantics are what the DuckDB
+    * oracles replay).
+    */
+  private[functions] def cleanStringChain(c: Column): Column = {
     val ws        = regexp_replace(c, "[\\r\\n\\t]+", " ")
     val html      = when(ws.contains("<") || ws.contains("&"), stripHtml(ws)).otherwise(ws)
     val nbsp      = regexp_replace(html, " ", " ")

@@ -59,6 +59,32 @@ class CleaningSpec extends SparkSpec {
     assert(r.exists(_.contains("Garcia")))
   }
 
+  test("fused cleanString is bit-identical to the builtin chain") {
+    import spark.implicits._
+    val crafted = Seq(
+      "plain", "", " ", "\t\r\n", "  double  spaces  ", "a\tb\r\nc",
+      "<b>tag</b> text", "a<br>b", "unterminated < stays", "<>",
+      "&amp; &lt; &gt; &quot; &#39; &nbsp;", "&amp;lt;", "&amp;amp;",
+      "nb sp    runs", "no word chars: <>&;!", "___",
+      "punct only !!!", "é accents only", "é mixed word", "x",
+      "<a href='q>r'>attr</a>", "tabs\t\t<p>\ttags</p>\tmix",
+      "&unknown; entity", "trailing space ", " leading", "a  <b>  c")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("s"))
+      .union(crafted.toDF("s"))
+    val bad = corpus
+      .select(col("s"), Cleaning.cleanStringChain(col("s")).as("old"),
+        Cleaning.cleanString(col("s")).as("new"))
+      .filter(!(col("old") <=> col("new")))
+      .limit(5).collect()
+    assert(bad.isEmpty,
+      bad.map(r => s"in=${r.get(0)} old=${r.get(1)} new=${r.get(2)}").mkString("\n"))
+    // null passthrough
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(Cleaning.cleanString(col("s"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
   test("cleanInstitution: alias map, 'nil' sentinel → NULL (utils.py:105-124)") {
     import spark.implicits._
     val aliases = typedLit(Map("nhm london" -> "Natural History Museum", "bad place" -> "nil"))
