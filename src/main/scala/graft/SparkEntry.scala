@@ -1486,6 +1486,37 @@ object SparkEntry {
         (col("tN") < col("t0")).as("shrink_ok"))
     }),
 
+    // The trained tokenizer APPLIED to the corpus (Bpe.segment — the
+    // deploy path of a tokenizer: map-only, merge table in the task
+    // closure): per doc, the subword sequence and its length. The oracle
+    // replays the training chain per distinct WORD (the bpe_merges CTE,
+    // here carrying the surface form through every stage) so the final
+    // state IS the per-word segmentation table, then re-assembles each
+    // doc word-by-word in order — the apply path becomes as
+    // hash-verified as the training path.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", nMerges = 10)
+      Bpe.segment(docs, "text", "doc_id", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_tokens"),
+          array_join(col("tokens"), " ").as("tokens_str"))
+        .orderBy("doc_id")
+    }),
+
+    // Subword vocabulary histogram of the encoded corpus — the unit
+    // frequency table a tokenizer trainer reports. Corpus-weighted via
+    // the word-frequency dictionary (unit count per distinct word ×
+    // word freq), never a second corpus pass.
+    "bpe_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", nMerges = 10)
+      Bpe.segment(docs, "text", "doc_id", merges)
+        .select(explode(col("tokens")).as("unit"))
+        .groupBy("unit").agg(count(lit(1)).as("n"))
+        .orderBy("unit")
+    }),
+
     // §2.10 ML pipeline acceptance gate (the reference's only quantitative
     // quality gate, classifiers.ipynb cell 18, as a CORRECTNESS row): the
     // synthetic corpus' lang/source labels carry no text signal, so the
@@ -2875,8 +2906,86 @@ object SparkEntry {
        |ORDER BY step""".stripMargin
   }
 
+  /** Shared CTE chain for the segment-replay oracles: the
+    * [[bpeMergesOracle]] state machine with the surface word `w` carried
+    * through every stage, so `state_N` IS the trained tokenizer's
+    * per-word segmentation table (the apply path, Bpe.scala:90).
+    */
+  private def bpeSegmentChain(nMerges: Int): String = {
+    val S = "chr(31)"
+    val D = "chr(31)||chr(31)"
+    val head =
+      s"""WITH w0 AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |state_0 AS (
+         |  SELECT w, $S || array_to_string(list_append(string_split(w, ''), '</w>'), $D) || $S AS st, freq
+         |  FROM w0)""".stripMargin
+    val stages = (1 to nMerges).map { i =>
+      val p = i - 1
+      s""", p_$i AS (
+         |  SELECT a, b, sum(freq) AS n FROM (
+         |    SELECT syms[i] AS a, syms[i+1] AS b, freq FROM (
+         |      SELECT string_split(trim(st, chr(31)), $D) AS syms, freq,
+         |             unnest(range(1, len(string_split(trim(st, chr(31)), $D)))) AS i
+         |      FROM state_$p))
+         |  GROUP BY a, b),
+         |b_$i AS (
+         |  SELECT a, b FROM p_$i WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+         |state_$i AS (
+         |  SELECT s.w,
+         |         CASE WHEN b.a IS NULL THEN s.st
+         |         ELSE replace(s.st, $S||b.a||$D||b.b||$S, $S||b.a||b.b||$S) END AS st,
+         |         s.freq
+         |  FROM state_$p s LEFT JOIN b_$i b ON TRUE)""".stripMargin
+    }.mkString
+    head + stages
+  }
+
+  /** bpe_encode oracle: per-word segmentation table joined back to each
+    * doc's words in order (unnest-with-index), re-aggregated per doc.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String =
+    s"""${bpeSegmentChain(nMerges)},
+       |seg AS (
+       |  SELECT w, replace(trim(st, chr(31)), chr(31)||chr(31), ' ') AS seg
+       |  FROM state_$nMerges),
+       |wd AS (
+       |  SELECT doc_id, i, syms[i] AS w FROM (
+       |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS syms,
+       |           unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) + 1)) AS i
+       |    FROM documents)
+       |  WHERE len(syms[i]) > 0),
+       |agg AS (
+       |  SELECT doc_id,
+       |         string_agg(seg, ' ' ORDER BY i) AS tokens_str,
+       |         CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS n_tokens
+       |  FROM wd JOIN seg USING (w) GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.tokens_str, '') AS tokens_str
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** bpe_vocab oracle: unit histogram weighted by the word-frequency
+    * dictionary — no doc-level join needed.
+    */
+  private def bpeVocabOracle(nMerges: Int): String =
+    s"""${bpeSegmentChain(nMerges)},
+       |seg AS (
+       |  SELECT string_split(trim(st, chr(31)), chr(31)||chr(31)) AS units, freq
+       |  FROM state_$nMerges)
+       |SELECT unit, CAST(sum(freq) AS BIGINT) AS n
+       |FROM (SELECT unnest(units) AS unit, freq FROM seg)
+       |GROUP BY unit ORDER BY unit""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
+    "bpe_encode" -> bpeEncodeOracle(10),
+    "bpe_vocab" -> bpeVocabOracle(10),
     "dedup_incremental" -> incrementalDedupOracle,
     "dedup_incremental_bloom" -> incrementalDedupOracle,
     "s1_scan_project" ->
