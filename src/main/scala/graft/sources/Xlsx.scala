@@ -154,6 +154,12 @@ object Xlsx {
           r.getLocalName match {
             case "row" =>
               val num = attr(r, "r").map(_.toInt).getOrElse(lastRowNum + 1)
+              // the grid's own limit (2^20 rows); a claimed row number past
+              // it is a corrupt part, and since interior gaps materialize as
+              // all-null rows, rejecting it also bounds memory per sheet
+              if (num > 1048576 || num <= lastRowNum)
+                throw new IllegalArgumentException(
+                  s"corrupt sheet: row number $num after row $lastRowNum")
               while (lastRowNum + 1 < num) { // pandas keeps interior empty rows as NaN
                 rows += mutable.ArrayBuffer.empty[String]; lastRowNum += 1
               }
@@ -317,18 +323,64 @@ object Xlsx {
     val raw = bin.flatMap { row =>
       val path = row.getString(0)
       val bytes = row.getAs[Array[Byte]](1)
-      val s = readRawBytes(bytes).find(_.name == sheet)
-        .getOrElse(throw new IllegalArgumentException(s"no sheet '$sheet' in $path"))
-      val pos = names.map { n =>
-        val i = s.header.indexOf(n)
-        require(i >= 0, s"$path sheet '$sheet' is missing column '$n'")
-        i
-      }
-      s.rows.iterator.map { r =>
-        Row.fromSeq(pos.map(i => if (i < r.length) r(i) else null) :+ path)
-      }
+      alignOne(path, bytes, sheet, names).map(vals => Row.fromSeq(vals :+ path))
     }(Encoders.row(rawSchema))
     applySchema(raw.toDF(), StructType(
       schema.fields :+ StructField("source_file", StringType)))
+  }
+
+  /** Parse one workbook's `sheet` and align each data row to `names` by the
+    * file's own header. Shared by the strict and permissive bulk paths.
+    */
+  private def alignOne(
+      path: String, bytes: Array[Byte], sheet: String,
+      names: Seq[String]): Iterator[Seq[String]] = {
+    val s = readRawBytes(bytes).find(_.name == sheet)
+      .getOrElse(throw new IllegalArgumentException(s"no sheet '$sheet' in $path"))
+    val pos = names.map { n =>
+      val i = s.header.indexOf(n)
+      require(i >= 0, s"$path sheet '$sheet' is missing column '$n'")
+      i
+    }
+    s.rows.iterator.map(r => pos.map(i => if (i < r.length) r(i) else null))
+  }
+
+  /** Bulk ingest that QUARANTINES bad workbooks instead of failing the job:
+    * same shape as [[readSheetDistributed]] plus an `ingest_error` column —
+    * NULL on good rows; a corrupt zip / missing sheet / missing column /
+    * corrupt sheet part yields ONE row for the whole file with the error
+    * message and every data column NULL. At bulk scale (a glob of millions
+    * of third-party workbooks) one poison file must not kill the ingest;
+    * callers split on `ingest_error IS NULL` and route the remainder to a
+    * dead-letter table. Fatal errors (OOM et al.) still propagate.
+    */
+  def readSheetDistributedPermissive(
+      spark: SparkSession,
+      glob: String,
+      sheet: String,
+      schema: StructType): DataFrame = {
+    val names = schema.fieldNames.toSeq
+    val rawSchema = StructType(
+      names.map(StructField(_, StringType)) :+
+        StructField("source_file", StringType) :+
+        StructField("ingest_error", StringType))
+    val bin = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val raw = bin.flatMap { row =>
+      val path = row.getString(0)
+      try {
+        val bytes = row.getAs[Array[Byte]](1)
+        alignOne(path, bytes, sheet, names)
+          .map(vals => Row.fromSeq(vals :+ path :+ null))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Iterator.single(Row.fromSeq(
+            names.map(_ => null) :+ path :+
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }(Encoders.row(rawSchema))
+    applySchema(raw.toDF(), StructType(
+      schema.fields :+ StructField("source_file", StringType) :+
+        StructField("ingest_error", StringType)))
   }
 }

@@ -172,4 +172,55 @@ class XlsxSpec extends SparkSpec {
     // the reordered workbook's columns land by NAME, not position
     assert(out.filter(col("id") === 7 && col("score") === 9.5).count() == 1)
   }
+
+  test("a corrupt row number is rejected, not materialized") {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(body.getBytes(UTF_8)); z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook><sheets><sheet name="S" sheetId="1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="x/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1"><v>1</v></c></row>""" +
+        """<row r="99999999"><c><v>2</v></c></row></sheetData></worksheet>""")
+    z.close()
+    val e = intercept[IllegalArgumentException](Xlsx.readRawBytes(bos.toByteArray))
+    assert(e.getMessage.contains("corrupt sheet"))
+  }
+
+  test("permissive bulk ingest quarantines poison files instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("xlsx-poison")
+    def write(n: String, bytes: Array[Byte]): Unit = {
+      val fos = new FileOutputStream(dir.resolve(n).toFile)
+      try fos.write(bytes) finally fos.close()
+    }
+    write("good.xlsx", miniXlsx())
+    write("reordered.xlsx", miniXlsxReordered())
+    write("truncated.xlsx", miniXlsx().take(100)) // corrupt zip
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("score", DoubleType)))
+    // strict path fails the whole job on the first poison file
+    intercept[org.apache.spark.SparkException] {
+      Xlsx.readSheetDistributed(spark, dir.toString + "/*.xlsx", "People", schema).count()
+    }
+    // permissive path: good rows flow, each bad FILE is one quarantine row
+    val out = Xlsx.readSheetDistributedPermissive(
+      spark, dir.toString + "/*.xlsx", "People", schema)
+    assert(out.columns.toSeq == Seq("id", "score", "source_file", "ingest_error"))
+    val good = out.filter(col("ingest_error").isNull)
+    val bad = out.filter(col("ingest_error").isNotNull)
+    assert(good.count() == 5) // 4 rows (good.xlsx) + 1 (reordered.xlsx)
+    assert(bad.count() == 1 && bad.select("source_file").first().getString(0).endsWith("truncated.xlsx"))
+    assert(bad.filter(col("id").isNull && col("score").isNull).count() == 1)
+    // a structurally fine workbook missing a declared column also quarantines
+    val out2 = Xlsx.readSheetDistributedPermissive(
+      spark, dir.toString + "/good.xlsx", "People",
+      StructType(Seq(StructField("id", IntegerType), StructField("nope", StringType))))
+    assert(out2.filter(col("ingest_error").isNull).isEmpty)
+    assert(out2.filter(col("ingest_error").contains("nope")).count() == 1)
+  }
 }
