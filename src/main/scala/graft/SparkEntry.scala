@@ -1823,6 +1823,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The STREAMED cell-partitioned IVF index (VectorIngest): two
+    // doc-disjoint micro-batches land on the layout (centroids trained by
+    // the first, reused by the second), then the standard partitioned
+    // search runs over the accumulation. nProbe = nCells probes every
+    // cell, making the search EXACT — so the brute-force oracle verifies
+    // the accumulation itself: every batch's vectors present exactly
+    // once, correctly assigned and scored. A one-row sentinel is written
+    // LAST so ensureIndex's marker can never see a half-built stream.
+    "ann_ivf_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val path = ensureIndex(s, emb, "ivfstream", "built") { p =>
+        graft.streaming.VectorIngest.processBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L, p, nCells = 8)
+        graft.streaming.VectorIngest.processBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L, p, nCells = 8)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      Similarity.ivfTopKFromPartitioned(s, path, emb.filter(col("vec_id") < 10),
+          k = 5, nProbe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Recall gates for the two approximate ANN paths: avg recall@5 against
     // the brute-force baseline must clear 0.6 (measured 0.86/0.96 LSH and
     // 0.80/0.78 IVF at sf0.01/sf0.1 — see tools/AnnProbe). The DuckDB
@@ -2982,6 +3007,21 @@ object SparkEntry {
        |FROM (SELECT unnest(units) AS unit, freq FROM seg)
        |GROUP BY unit ORDER BY unit""".stripMargin
 
+  /** Brute-force top-5 cosine over the `vec_id < 10` query batch — shared
+    * by the exact baseline and every query constructed to be exactly
+    * equivalent to it (e.g. IVF probing all cells).
+    */
+  private val bruteTopkOracle: String =
+    """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
+      |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id)
+      |SELECT query_id, rn AS rank, neighbor_id, sim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      |      FROM scored)
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
     "bpe_encode" -> bpeEncodeOracle(10),
@@ -4059,16 +4099,12 @@ object SparkEntry {
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE sim >= 0.45 ORDER BY doc_a, doc_b""".stripMargin,
 
-    "ann_cosine_topk" ->
-      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
-        |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id)
-        |SELECT query_id, rn AS rank, neighbor_id, sim
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-        |      FROM scored)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_cosine_topk" -> bruteTopkOracle,
+    // probing every cell makes IVF exact, so the STREAMED index query is
+    // verified against the same brute-force replay — what the hash then
+    // proves is the accumulation itself: every micro-batch's vectors
+    // present exactly once, correctly assigned and scored
+    "ann_ivf_streamed" -> bruteTopkOracle,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -221,7 +221,7 @@ object Similarity {
     * per row, so ranking by |c|² − 2x·c is equivalent and skips the
     * per-row norm.
     */
-  private def assignToCells(df: DataFrame, centroids: DataFrame,
+  private[graft] def assignToCells(df: DataFrame, centroids: DataFrame,
       srcId: String, srcVec: String, id: String, v: String,
       probes: Int): DataFrame = {
     import graft.functions.VectorOps.dotProduct
