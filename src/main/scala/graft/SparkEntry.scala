@@ -1936,6 +1936,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The streamed build of the SAME production package (PqIngest):
+    // meta bootstrapped from the corpus snapshot with the same seeded
+    // fits as the batch writer, then two doc-disjoint micro-batches
+    // encode against the frozen codebooks and append their codes under
+    // cell=/batch_id=. The shared assignment/encoding kernels make the
+    // accumulated codes — and therefore the search — row-identical to
+    // ann_ivfpq_pruned, so the same replay oracle verifies that a
+    // streamed index can never drift from its batch-built twin.
+    "ann_ivfpq_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val path = ensureIndex(s, emb, "ivfpqstream", "built") { p =>
+        graft.streaming.PqIngest.bootstrap(emb, p, nCells = 8)
+        graft.streaming.PqIngest.processBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L, p)
+        graft.streaming.PqIngest.processBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      Similarity.ivfPqTopKFromPartitioned(s, path, emb,
+          emb.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -4405,6 +4431,19 @@ object SparkEntry {
         "/tmp/graft_ann_index/ivfpqpart/*/codebooks/*.parquet")
       .replace("/tmp/graft_ann_index/pq/*/codes/*.parquet",
         "/tmp/graft_ann_index/ivfpqpart/*/codes/*/*.parquet"),
+
+    // the streamed oracle replays from the STREAMED index's own persisted
+    // tables (one more glob level for the cell=/batch_id= nesting) — so
+    // the hash proves the accumulated tables themselves, and since the
+    // result must equal the batch-built twin's (shared seeded fits +
+    // shared encoding kernels), drift between the two is impossible
+    "ann_ivfpq_streamed" -> ivfPqTopkOracle
+      .replace("/tmp/graft_ann_index/ivf/*/centroids/*.parquet",
+        "/tmp/graft_ann_index/ivfpqstream/*/centroids/*.parquet")
+      .replace("/tmp/graft_ann_index/pq/*/codebooks/*.parquet",
+        "/tmp/graft_ann_index/ivfpqstream/*/codebooks/*.parquet")
+      .replace("/tmp/graft_ann_index/pq/*/codes/*.parquet",
+        "/tmp/graft_ann_index/ivfpqstream/*/codes/*/*/*.parquet"),
 
     // The approximate-ANN recall gates: DuckDB can't run the LSH/IVF paths,
     // but it CAN assert the contract — 10 queries measured, avg recall@5

@@ -573,7 +573,7 @@ object Similarity {
     books
   }
 
-  private def normalize(v: org.apache.spark.sql.Column) = {
+  private[graft] def normalize(v: org.apache.spark.sql.Column) = {
     import graft.functions.VectorOps.dotProduct
     val nrm = sqrt(dotProduct(v, v))
     when(nrm > 0, transform(v, x => x / nrm)).otherwise(v)
@@ -617,7 +617,7 @@ object Similarity {
     * The codes are what a production index PERSISTS (m bytes/row) — nvec
     * rides along only for callers that re-rank from the same frame.
     */
-  private def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+  private[graft] def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
       idCol: String, vecCol: String): DataFrame =
     corpus
       .select(col(idCol).as("neighbor_id"), normalize(asDouble(col(vecCol))).as("nvec"))
@@ -628,7 +628,7 @@ object Similarity {
     * [[writeIvfPqPartitioned]], so stored and recomputed codes can never
     * disagree.
     */
-  private def pqCodeCols(books: Array[Array[Array[Double]]]): Seq[org.apache.spark.sql.Column] = {
+  private[graft] def pqCodeCols(books: Array[Array[Array[Double]]]): Seq[org.apache.spark.sql.Column] = {
     import graft.functions.VectorOps.dotProduct
     val subDim = books(0)(0).length
     def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class PqIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(id: Long): Seq[Double] = {
+    val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 29)
+    Seq.fill(8)(rnd.nextGaussian())
+  }
+  private val all = (0L until 24L).map(i => (i, vec(i)))
+  private def corpus = all.toDF("vec_id", "embedding")
+  private def batchA = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+  private def batchB = all.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+  private def queries = corpus.filter(col("vec_id") < 3)
+
+  test("bootstrap + streamed batches reproduce the batch-built package exactly") {
+    val dir = Files.createTempDirectory("pqingest").toFile
+    dir.deleteOnExit()
+    val flat = dir.getAbsolutePath + "/flat"
+    val streamed = dir.getAbsolutePath + "/streamed"
+
+    Similarity.writeIvfPqPartitioned(corpus, flat, nCells = 2, m = 2, ksub = 4)
+    PqIngest.bootstrap(corpus, streamed, nCells = 2, m = 2, ksub = 4)
+    PqIngest.processBatch(batchA, 0L, streamed)
+    PqIngest.processBatch(batchB, 1L, streamed)
+
+    // the meta fits are seeded over the same snapshot → identical tables,
+    // and the shared assignment/encoding kernels → identical codes
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .select("neighbor_id", "cell", "code_0", "code_1")
+      .collect().map(_.toSeq).toSet
+    assert(codes(streamed) === codes(flat))
+
+    // therefore the full pruned search is row-identical
+    def search(p: String) = Similarity.ivfPqTopKFromPartitioned(spark, p,
+      corpus, queries, k = 3, nProbe = 2, refine = 4)
+      .collect().map(_.toSeq).toSet
+    assert(search(streamed) === search(flat))
+  }
+
+  test("streaming into an un-bootstrapped index refuses; replay is a no-op") {
+    val dir = Files.createTempDirectory("pqguard").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/idx"
+
+    val e = intercept[IllegalStateException](PqIngest.processBatch(batchA, 0L, idx))
+    assert(e.getMessage.contains("bootstrap"))
+
+    PqIngest.bootstrap(corpus, idx, nCells = 2, m = 2, ksub = 4)
+    PqIngest.processBatch(batchA, 0L, idx)
+    val n0 = spark.read.parquet(s"$idx/codes").count()
+    PqIngest.processBatch(batchA, 0L, idx) // replay
+    assert(spark.read.parquet(s"$idx/codes").count() === n0)
+    PqIngest.processBatch(batchB, 1L, idx)
+    assert(spark.read.parquet(s"$idx/codes").select("neighbor_id").distinct()
+      .count() === all.size.toLong)
+  }
+}
