@@ -112,7 +112,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "ann_ivf_pruned",
     // same query-side centroid cross; codes come pre-assigned from the
     // partitioned package, true vectors only for the re-rank shortlist
-    "ann_ivfpq_pruned")
+    "ann_ivfpq_pruned",
+    // same query-side centroid cross as ann_ivf_pruned, over the STREAMED
+    // accumulation (stored assignments read from cell=/batch_id= dirs)
+    "ann_ivf_streamed",
+    // same query-side centroid cross as ann_ivfpq_pruned over the
+    // streamed codes package
+    "ann_ivfpq_streamed")
 
   test("curation_mix: document table is never shuffled (map-side hash filter)") {
     assume(available)
