@@ -2148,6 +2148,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The STREAMED partitioned BM25 index as a driver-oracled row (it was
+    // spec-verified only): two doc-disjoint micro-batches append their
+    // postings under the tok_bucket= dirs via IndexIngest, then the
+    // pruned searcher runs over the accumulation. The oracle recomputes
+    // df/N/avgdl from the streamed tables themselves and replays scoring —
+    // so the hash proves the accumulated postings/doclens, not just the
+    // search. Same query set as text_bm25_pruned: equal rows = the
+    // streamed index answers exactly like the batch-built one.
+    "text_bm25_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val path = ensureIndex(s, docs, "bm25stream", "built") { p =>
+        graft.streaming.IndexIngest.processBatchPartitioned(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0L, p,
+          "text", "doc_id", nBuckets = 16)
+        graft.streaming.IndexIngest.processBatchPartitioned(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, p,
+          "text", "doc_id", nBuckets = 16)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), " "), 1, 8), " ")
+            .as("qtext"))
+      graft.streaming.IndexIngest.bm25TopKPruned(s, path, q, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // The incremental-maintenance contract for the inverted index, proven
     // under text_bm25_topk's SHARED oracle: the index is built as two
     // doc-disjoint batch halves whose postings/doclens tables simply
@@ -4673,6 +4702,19 @@ object SparkEntry {
         "/tmp/graft_ann_index/bm25part/*/doclens/*.parquet")
       .replace("/tmp/graft_ann_index/bm25/*/doclens/*.parquet",
         "/tmp/graft_ann_index/bm25part/*/doclens/*.parquet"),
+
+    // replays from the STREAMED index's own tables. The ingest layout
+    // carries no n_corpus column (a stream doesn't know its final corpus
+    // size), so the oracle disambiguates the sibling index dirs by the
+    // ensureIndex dir name instead: filename must contain /n<count>_x
+    // (contains(), not LIKE — `_` is a LIKE wildcard)
+    "text_bm25_streamed" -> bm25TopkOracle
+      .replace(
+        "read_parquet('/tmp/graft_ann_index/bm25/*/postings/*.parquet')\n  WHERE n_corpus = (SELECT count(*) FROM documents)",
+        "read_parquet('/tmp/graft_ann_index/bm25stream/*/postings/*/*/*.parquet', filename=true)\n  WHERE contains(filename, '/n' || (SELECT count(*) FROM documents) || '_x')")
+      .replace(
+        "read_parquet('/tmp/graft_ann_index/bm25/*/doclens/*.parquet')\n  WHERE n_corpus = (SELECT count(*) FROM documents)",
+        "read_parquet('/tmp/graft_ann_index/bm25stream/*/doclens/*/*.parquet', filename=true)\n  WHERE contains(filename, '/n' || (SELECT count(*) FROM documents) || '_x')"),
 
     // Hybrid fusion replay: BM25 top-20 from the persisted index + cosine
     // top-20 over the aligned embeddings, fused as rounded-decimal
