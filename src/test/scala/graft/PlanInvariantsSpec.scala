@@ -97,6 +97,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "text_bm25_incremental",
     // same scalar cross as text_bm25_topk, over the partitioned layout
     "text_bm25_pruned",
+    // same scalar cross, over the streamed accumulation
+    "text_bm25_streamed",
     // same BM25 scalar cross + the deliberate brute-force cosine arm
     "hybrid_rrf_topk",
     // brute-force shortlist arm feeding the MMR re-rank
