@@ -40,11 +40,17 @@ object PqIngest {
       seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
     val spark = snapshot.sparkSession
     import spark.implicits._
+    val n = snapshot.count() // records the snapshot size, not a live count
+    // unlike VectorIngest's clamp, a too-small PQ snapshot is a caller
+    // error: ksub sub-centroids per subspace need at least that many
+    // training vectors, and a snapshot that small has no business
+    // bootstrapping a compressed index
+    require(n >= math.max(nCells, ksub),
+      s"snapshot has $n vectors — need >= max(nCells=$nCells, ksub=$ksub) to bootstrap")
     val centers = Similarity.fitQuantizer(snapshot, nCells, seed,
       maxTrainSamples, vecCol)
     val books = Similarity.fitPqCodebooks(snapshot, m, ksub, seed,
       maxTrainSamples, vecCol)
-    val n = snapshot.count() // records the snapshot size, not a live count
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq, n) }.toSeq
       .toDF("cell", "centroid", "n_corpus")
       .coalesce(1).write.mode("overwrite").parquet(indexPath + "/centroids")

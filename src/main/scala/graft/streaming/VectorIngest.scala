@@ -65,7 +65,12 @@ object VectorIngest {
     // replays into the same overwrite; later batches never re-fit
     val centers: Array[Array[Double]] = readCentroids(spark, centroidsPath)
       .getOrElse {
-        val c = Similarity.fitQuantizer(batch, nCells, seed, maxTrainSamples,
+        // a stream doesn't control its batch sizes: a first batch smaller
+        // than nCells must clamp k rather than fail the KMeans fit — the
+        // centroids table is self-describing, so later (larger) batches
+        // stay consistent with whatever cell count was stamped
+        val k = math.max(1L, math.min(nCells.toLong, batch.count())).toInt
+        val c = Similarity.fitQuantizer(batch, k, seed, maxTrainSamples,
           vecCol)
         c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
           .toDF("cell", "centroid")

@@ -81,6 +81,24 @@ class VectorIngestSpec extends SparkSpec {
       .count() === (batch1.size + batch2.size).toLong)
   }
 
+  test("a first batch smaller than nCells clamps k instead of failing the fit") {
+    val dir = Files.createTempDirectory("vectiny").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/index"
+    // 2 vectors, nCells = 4 → the quantizer must fit with k = 2
+    VectorIngest.processBatch(batch1.take(2).toDF("vec_id", "embedding"),
+      0L, idx, nCells = 4)
+    assert(spark.read.parquet(s"$idx/centroids").count() === 2)
+    // a later, larger batch stays consistent with the stamped cell count
+    VectorIngest.processBatch(batch2.toDF("vec_id", "embedding"), 1L, idx,
+      nCells = 4)
+    assert(spark.read.parquet(s"$idx/vectors").select("cell").distinct()
+      .count() <= 2)
+    val res = Similarity.ivfTopKFromPartitioned(spark, idx,
+      batch1.take(2).toDF("vec_id", "embedding"), k = 3, nProbe = 2)
+    assert(res.count() > 0)
+  }
+
   test("pruned search carries a cell PartitionFilter; per-cell compaction keeps it") {
     val dir = Files.createTempDirectory("vecprune").toFile
     dir.deleteOnExit()
