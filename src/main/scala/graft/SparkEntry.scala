@@ -1505,16 +1505,14 @@ object SparkEntry {
     }),
 
     // Subword vocabulary histogram of the encoded corpus — the unit
-    // frequency table a tokenizer trainer reports. Corpus-weighted via
-    // the word-frequency dictionary (unit count per distinct word ×
-    // word freq), never a second corpus pass.
+    // frequency table a tokenizer trainer reports. Bpe.vocabulary weights
+    // unit counts by the word-frequency dictionary, so the merge replay
+    // is vocab-sized: the corpus is aggregated once, never re-segmented
+    // occurrence-by-occurrence.
     "bpe_vocab" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = Bpe.learnMerges(docs, "text", nMerges = 10)
-      Bpe.segment(docs, "text", "doc_id", merges)
-        .select(explode(col("tokens")).as("unit"))
-        .groupBy("unit").agg(count(lit(1)).as("n"))
-        .orderBy("unit")
+      Bpe.vocabulary(docs, "text", merges).orderBy("unit")
     }),
 
     // §2.10 ML pipeline acceptance gate (the reference's only quantitative

@@ -82,6 +82,31 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Corpus-weighted subword-unit histogram — the vocabulary report a
+    * tokenizer trainer emits. One corpus pass builds the word-frequency
+    * dictionary (the same aggregation [[learnMerges]] starts from); the
+    * merges then replay over the DISTINCT words only, so the segmentation
+    * work is vocab-sized, never corpus-sized — at 100 TB the corpus is
+    * touched once and the explode carries units-per-distinct-word rows.
+    */
+  def vocabulary(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.step).map(m => (m.left, m.right))
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .flatMap { case (w, f) =>
+        var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+        ordered.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+        syms.map(u => (u, f))
+      }
+      .toDF("unit", "freq")
+      .groupBy("unit").agg(sum("freq").as("n"))
+  }
+
   /** Apply a learned merge table to the corpus: each word re-segmented by
     * replaying the merges in order (map-only — the table ships as a task
     * closure, exactly how a trained tokenizer deploys). Returns

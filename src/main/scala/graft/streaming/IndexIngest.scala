@@ -140,12 +140,19 @@ object IndexIngest {
     val doclensPath = s"$indexPath/doclens"
     val metaPath = s"$indexPath/meta"
     // postings nest tok_bucket OUTER (the pruned scan's partition key and
-    // the per-bucket compaction unit) with batch_id INNER, so the landed
-    // check is a glob over ≤ nBuckets directories — bounded by the layout,
-    // not by how many batches ever ran
-    val postingsHas = anyBucketLanded(spark, postingsPath, batchId)
+    // the per-bucket compaction unit) with batch_id INNER — a batch spans
+    // MANY partition dirs, and a Hadoop committer renames them
+    // sequentially, so dir existence can't prove the batch landed; the
+    // postings sink follows the BatchMarker exactly-once protocol
+    // (marker after commit; partial dirs deleted and rewritten on
+    // replay). Doclens stays one dir per batch → its rename is atomic
+    // and the dir-existence guard remains sound.
+    val postingsHas = BatchMarker.landed(spark, indexPath, "postings", batchId)
     val doclensHas = landed(spark, doclensPath, batchId)
     if (postingsHas && doclensHas) return
+    if (!postingsHas)
+      BatchMarker.clearPartial(spark,
+        s"$postingsPath/tok_bucket=*/batch_id=$batchId")
 
     // meta first, overwrite-idempotent: a crash after meta but before any
     // append replays into the same overwrite; later batches NEVER trust
@@ -163,26 +170,14 @@ object IndexIngest {
     if (!doclensHas)
       doclens.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(doclensPath)
-    if (!postingsHas)
+    if (!postingsHas) {
       postings.withColumn("batch_id", lit(batchId))
         .withColumn("tok_bucket",
           pmod(xxhash64(col("token")), lit(buckets.toLong)))
         .write.mode("append").partitionBy("tok_bucket", "batch_id")
         .parquet(postingsPath)
-  }
-
-  /** [[landed]] for the nested postings layout (tok_bucket= outer,
-    * batch_id= inner): any bucket directory holding the batch means the
-    * batch's job committed (the committer moves every partition dir at
-    * once).
-    */
-  private def anyBucketLanded(spark: org.apache.spark.sql.SparkSession,
-      postingsPath: String, batchId: Long): Boolean = {
-    val glob = new org.apache.hadoop.fs.Path(
-      s"$postingsPath/tok_bucket=*/batch_id=$batchId")
-    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
-    val hits = fs.globStatus(glob) // null when the parent doesn't exist
-    hits != null && hits.nonEmpty
+      BatchMarker.commit(spark, indexPath, "postings", batchId)
+    }
   }
 
   /** Partition-pruned search over the streamed index: the query terms'

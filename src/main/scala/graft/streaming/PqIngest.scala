@@ -22,10 +22,10 @@ import graft.operators.Similarity
   * from a fresh snapshot, never by mutating history).
   *
   * Codes append under `codes/cell=<c>/batch_id=<b>/` with the same
-  * bounded-glob replay guard and single-table atomic-commit argument as
-  * [[VectorIngest]]; [[Similarity.ivfPqTopKFromPartitioned]] and per-cell
-  * compaction compose unchanged (the search projects only
-  * (neighbor_id, cell, code_*) and re-ranks from the live corpus).
+  * [[BatchMarker]] exactly-once replay protocol as [[VectorIngest]];
+  * [[Similarity.ivfPqTopKFromPartitioned]] and per-cell compaction
+  * compose unchanged (the search projects only (neighbor_id, cell,
+  * code_*) and re-ranks from the live corpus).
   */
 object PqIngest {
 
@@ -36,7 +36,7 @@ object PqIngest {
     */
   def bootstrap(snapshot: DataFrame, indexPath: String,
       nCells: Int = 8, m: Int = 8, ksub: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding",
+      vecCol: String = "embedding",
       seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
     val spark = snapshot.sparkSession
     import spark.implicits._
@@ -78,7 +78,12 @@ object PqIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     val codesPath = s"$indexPath/codes"
-    if (anyCellLanded(spark, codesPath, batchId)) return
+    if (BatchMarker.landed(spark, indexPath, "codes", batchId)) return
+    BatchMarker.clearPartial(spark, s"$codesPath/cell=*/batch_id=$batchId")
+    if (batch.isEmpty) {
+      BatchMarker.commit(spark, indexPath, "codes", batchId)
+      return
+    }
 
     val (centers, books, nSnapshot) = readMeta(spark, indexPath).getOrElse(
       throw new IllegalStateException(
@@ -96,15 +101,7 @@ object PqIngest {
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").partitionBy("cell", "batch_id")
       .parquet(codesPath)
-  }
-
-  private def anyCellLanded(spark: SparkSession, codesPath: String,
-      batchId: Long): Boolean = {
-    val glob = new org.apache.hadoop.fs.Path(
-      s"$codesPath/cell=*/batch_id=$batchId")
-    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
-    val hits = fs.globStatus(glob)
-    hits != null && hits.nonEmpty
+    BatchMarker.commit(spark, indexPath, "codes", batchId)
   }
 
   private def readMeta(spark: SparkSession, indexPath: String)

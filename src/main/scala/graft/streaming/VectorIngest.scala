@@ -20,12 +20,12 @@ import graft.operators.Similarity
   * yet.
   *
   * Layout: `vectors/cell=<c>/batch_id=<b>/` — cell OUTER (the pruned
-  * scan's partition key and the per-cell compaction unit), batch inner, so
-  * the replay guard is a glob over ≤ nCells directories, O(layout) not
-  * O(batches ever run). Unlike the BM25 pair there is only ONE data table,
-  * and a parquet job commits every partition dir at once — so a batch is
-  * either fully present or fully absent and no cross-table completeness
-  * gate is needed.
+  * scan's partition key and the per-cell compaction unit), batch inner.
+  * Replay follows the [[BatchMarker]] exactly-once protocol: an O(1)
+  * per-batch marker written AFTER the append commits, with partial batch
+  * dirs deleted and rewritten on replay — a Hadoop committer renames
+  * partition dirs sequentially, so "some dirs exist" must never be read
+  * as "the batch landed".
   *
   * Search composes unchanged: [[Similarity.ivfTopKFromPartitioned]] reads
   * `centroids` + `vectors` and projects only (id, vec, cell), so the inner
@@ -58,7 +58,19 @@ object VectorIngest {
     import spark.implicits._
     val vectorsPath = s"$indexPath/vectors"
     val centroidsPath = s"$indexPath/centroids"
-    if (anyCellLanded(spark, vectorsPath, batchId)) return
+    if (BatchMarker.landed(spark, indexPath, "vectors", batchId)) return
+    // crash-replay: a crash mid-commit (or between the append and the
+    // marker) leaves partial batch dirs — the batch owns them, delete and
+    // rewrite (the BatchMarker protocol)
+    BatchMarker.clearPartial(spark, s"$vectorsPath/cell=*/batch_id=$batchId")
+
+    // an empty micro-batch (sources can advance offsets with no rows) has
+    // nothing to write and must NOT stamp a degenerate quantizer
+    val nBatch = batch.count()
+    if (nBatch == 0) {
+      BatchMarker.commit(spark, indexPath, "vectors", batchId)
+      return
+    }
 
     // centroids first, overwrite-idempotent (the IndexIngest meta
     // contract): a crash after centroids but before the vector append
@@ -69,7 +81,7 @@ object VectorIngest {
         // than nCells must clamp k rather than fail the KMeans fit — the
         // centroids table is self-describing, so later (larger) batches
         // stay consistent with whatever cell count was stamped
-        val k = math.max(1L, math.min(nCells.toLong, batch.count())).toInt
+        val k = math.max(1L, math.min(nCells.toLong, nBatch)).toInt
         val c = Similarity.fitQuantizer(batch, k, seed, maxTrainSamples,
           vecCol)
         c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -84,19 +96,7 @@ object VectorIngest {
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").partitionBy("cell", "batch_id")
       .parquet(vectorsPath)
-  }
-
-  /** Replay guard: any cell directory holding the batch means the batch's
-    * job committed (the committer moves every partition dir at once).
-    * Bounded by nCells directories, never by batch history.
-    */
-  private def anyCellLanded(spark: SparkSession, vectorsPath: String,
-      batchId: Long): Boolean = {
-    val glob = new org.apache.hadoop.fs.Path(
-      s"$vectorsPath/cell=*/batch_id=$batchId")
-    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
-    val hits = fs.globStatus(glob) // null when the parent doesn't exist
-    hits != null && hits.nonEmpty
+    BatchMarker.commit(spark, indexPath, "vectors", batchId)
   }
 
   private def readCentroids(spark: SparkSession,

@@ -35,6 +35,21 @@ class BpeSpec extends SparkSpec {
     assert(rebuilt === "lowest newest low")
   }
 
+  test("vocabulary equals the per-occurrence histogram of segment()") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog and the quick dog"),
+      (2L, "the brown dog and the quick fox ran over the lazy fox"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 5)
+    val viaVocab = Bpe.vocabulary(docs, "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val viaSegment = Bpe.segment(docs, "text", "doc_id", merges)
+      .select(explode(col("tokens")).as("unit"))
+      .groupBy("unit").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaVocab === viaSegment)
+  }
+
   test("corpus-level: merges are distinct, token count shrinks monotonically") {
     val docs = Seq(
       (1L, "the quick brown fox and the lazy dog and the quick dog"),

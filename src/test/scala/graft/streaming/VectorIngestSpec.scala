@@ -81,6 +81,36 @@ class VectorIngestSpec extends SparkSpec {
       .count() === (batch1.size + batch2.size).toLong)
   }
 
+  test("a partial mid-commit crash is repaired, not mistaken for a landed batch") {
+    val dir = Files.createTempDirectory("veccrash").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/index"
+    VectorIngest.processBatch(batch1.toDF("vec_id", "embedding"), 0L, idx,
+      nCells = 4)
+
+    // simulate a committer crash mid-batch-1: ONE cell dir landed, no
+    // marker — the old dir-glob guard would have skipped the replay
+    val partial = new java.io.File(s"$idx/vectors/cell=0/batch_id=1")
+    assert(partial.mkdirs())
+    val junk = new java.io.File(partial, "part-junk.parquet")
+    assert(junk.createNewFile())
+
+    VectorIngest.processBatch(batch2.toDF("vec_id", "embedding"), 1L, idx,
+      nCells = 4)
+    // the junk partial was deleted and the batch fully rewritten
+    assert(!junk.exists())
+    assert(spark.read.parquet(s"$idx/vectors").select("vec_id").distinct()
+      .count() === (batch1.size + batch2.size).toLong)
+
+    // an empty batch commits its marker without touching the quantizer
+    VectorIngest.processBatch(
+      batch1.toDF("vec_id", "embedding").filter(col("vec_id") < -1), 2L, idx,
+      nCells = 4)
+    assert(spark.read.parquet(s"$idx/centroids").count() === 4)
+    assert(spark.read.parquet(s"$idx/vectors").count() ===
+      (batch1.size + batch2.size).toLong)
+  }
+
   test("a first batch smaller than nCells clamps k instead of failing the fit") {
     val dir = Files.createTempDirectory("vectiny").toFile
     dir.deleteOnExit()
