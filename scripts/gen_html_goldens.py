@@ -67,6 +67,13 @@ CASES = [
     "&Agrave; &Uuml; &szlig; &ccedil;",
     "&alpha;&beta;&gamma; greek",
     "<h1>Title</h1>Body text <small>fine</small>.",
+    # raw-text close-tag NAME BOUNDARY: </scripted> is script data, the
+    # element ends only at a real </script>
+    "<script>x</scripted>y</script>z",
+    "<style>a</styled>b</style>c",
+    # whitespace between </ and the name still closes (stdlib endtagfind)
+    "<style>a</ style>b",
+    "<script>q</SCRIPT >tail",
 ]
 
 

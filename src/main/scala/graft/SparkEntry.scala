@@ -4697,8 +4697,6 @@ object SparkEntry {
       .replace("/tmp/graft_ann_index/bm25/*/postings/*.parquet",
         "/tmp/graft_ann_index/bm25part/*/postings/*/*.parquet")
       .replace("/tmp/graft_ann_index/bm25/*/doclens/*.parquet",
-        "/tmp/graft_ann_index/bm25part/*/doclens/*.parquet")
-      .replace("/tmp/graft_ann_index/bm25/*/doclens/*.parquet",
         "/tmp/graft_ann_index/bm25part/*/doclens/*.parquet"),
 
     // replays from the STREAMED index's own tables. The ingest layout

@@ -171,6 +171,12 @@ object DoiNetwork {
     * call when records are huge relative to the cache AND wide (melt
     * explodes and re-joins the records side; broadcast probes never
     * shuffle it) — both are kept, spec-pinned row-identical.
+    *
+    * Precondition (both forms): the cache is a K-V table — ONE body per
+    * key. On a malformed cache carrying two bodies for one key the forms
+    * diverge (the five-join multiplies the record row per body; the melt
+    * folds to max(body)) — neither is meaningful, but know which
+    * undefined behavior you get.
     */
   def resolveFromCachesMelted(records: DataFrame, rawCol: String,
       idCol: String, cache: DataFrame): DataFrame = {

@@ -23,6 +23,12 @@ import org.apache.spark.sql.SparkSession
   *  4. `commit(sink, id)` — create the marker. A crash between 3 and 4
   *     replays into 2 (delete + rewrite), which is idempotent: the batch
   *     content is a pure function of the batch.
+  *
+  * The `_batches` directory IS the index's replay state: when cloning or
+  * compacting an index to a new path, copy it along with the data tables
+  * — a marker-less copy that holds batches is refused by
+  * [[assertMarkeredSink]] precisely because its replay state would
+  * otherwise be unknowable.
   */
 object BatchMarker {
 
@@ -51,5 +57,27 @@ object BatchMarker {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
     fs.create(p, true).close()
+  }
+
+  /** Refuse to resume a sink written before the marker protocol: batches
+    * that landed under the old dir-existence guard carry no markers, so
+    * every one of them would replay as "never landed" and re-append
+    * duplicates. Detection is O(1) steady-state: the glob only runs when
+    * the sink has NO `_batches` directory at all (first contact), which
+    * on a marker-era sink exists from its first batch onward.
+    */
+  def assertMarkeredSink(spark: SparkSession, indexPath: String,
+      dataGlob: String): Unit = {
+    val batches = new Path(s"$indexPath/_batches")
+    val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(batches)) {
+      val hits = fs.globStatus(new Path(dataGlob))
+      if (hits != null && hits.nonEmpty)
+        throw new IllegalStateException(
+          s"$indexPath holds committed batches but no _batches markers — " +
+            "written by a pre-marker version of this sink; replaying onto " +
+            "it would duplicate every batch. Rebuild the sink (or create " +
+            "markers for the landed batch ids) before resuming.")
+    }
   }
 }

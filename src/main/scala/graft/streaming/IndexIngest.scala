@@ -51,31 +51,35 @@ object IndexIngest {
     val spark = batch.sparkSession
     val postingsPath = s"$indexPath/postings"
     val doclensPath = s"$indexPath/doclens"
-    val postingsHas = landed(spark, postingsPath, batchId)
-    val doclensHas = landed(spark, doclensPath, batchId)
+    // [[BatchMarker]] exactly-once guard per sink (the r10 revision of the
+    // r9 O(1) dir-existence guard): even one batch_id=N/ directory is not
+    // commit-atomic — the committer merges task outputs into it one task
+    // at a time — so each sink's marker is written only after its append
+    // commits, and a replay without the marker deletes the partial dir
+    // and rewrites it (row-identical: the batch content is a pure
+    // function of the batch).
+    BatchMarker.assertMarkeredSink(spark, indexPath,
+      s"$postingsPath/batch_id=*")
+    val postingsHas = BatchMarker.landed(spark, indexPath, "postings", batchId)
+    val doclensHas = BatchMarker.landed(spark, indexPath, "doclens", batchId)
     if (postingsHas && doclensHas) return // full replay of a landed batch
+    if (!postingsHas)
+      BatchMarker.clearPartial(spark, s"$postingsPath/batch_id=$batchId")
+    if (!doclensHas)
+      BatchMarker.clearPartial(spark, s"$doclensPath/batch_id=$batchId")
 
     val (postings, doclens) = Retrieval.invertedIndex(batch, textCol, idCol)
-    if (!doclensHas)
+    if (!doclensHas) {
       doclens.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(doclensPath)
-    if (!postingsHas)
+      BatchMarker.commit(spark, indexPath, "doclens", batchId)
+    }
+    if (!postingsHas) {
       postings.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(postingsPath)
+      BatchMarker.commit(spark, indexPath, "postings", batchId)
+    }
   }
-
-  /** O(1) replay guard: appends are hive-partitioned by `batch_id`, so
-    * "did this batch land in this sink" is the existence of its partition
-    * DIRECTORY — the output committer creates `batch_id=N/` only at job
-    * commit (in-flight work lives under `_temporary`, which also covers
-    * the hard-crash-mid-first-append debris case), and the check never
-    * lists the accumulated table, whose file count grows with every batch
-    * (the r9 guard filtered the whole table on batch_id per micro-batch:
-    * footer stats kept it metadata-only, but the LISTING was O(batches)).
-    */
-  private[streaming] def landed(spark: org.apache.spark.sql.SparkSession,
-      sinkPath: String, batchId: Long): Boolean =
-    exists(spark, s"$sinkPath/batch_id=$batchId")
 
   /** Search the accumulated index: same scorer as the batch path — the
     * tables just happen to have been written one batch at a time.
@@ -140,19 +144,22 @@ object IndexIngest {
     val doclensPath = s"$indexPath/doclens"
     val metaPath = s"$indexPath/meta"
     // postings nest tok_bucket OUTER (the pruned scan's partition key and
-    // the per-bucket compaction unit) with batch_id INNER — a batch spans
-    // MANY partition dirs, and a Hadoop committer renames them
-    // sequentially, so dir existence can't prove the batch landed; the
-    // postings sink follows the BatchMarker exactly-once protocol
-    // (marker after commit; partial dirs deleted and rewritten on
-    // replay). Doclens stays one dir per batch → its rename is atomic
-    // and the dir-existence guard remains sound.
+    // the per-bucket compaction unit) with batch_id INNER. Both sinks
+    // follow the BatchMarker exactly-once protocol: no partition-dir
+    // rename sequence — one dir or many — is commit-atomic, so each
+    // sink's marker is written only after its append commits, and a
+    // replay without the marker deletes the batch's partial dirs and
+    // rewrites them.
+    BatchMarker.assertMarkeredSink(spark, indexPath,
+      s"$postingsPath/tok_bucket=*/batch_id=*")
     val postingsHas = BatchMarker.landed(spark, indexPath, "postings", batchId)
-    val doclensHas = landed(spark, doclensPath, batchId)
+    val doclensHas = BatchMarker.landed(spark, indexPath, "doclens", batchId)
     if (postingsHas && doclensHas) return
     if (!postingsHas)
       BatchMarker.clearPartial(spark,
         s"$postingsPath/tok_bucket=*/batch_id=$batchId")
+    if (!doclensHas)
+      BatchMarker.clearPartial(spark, s"$doclensPath/batch_id=$batchId")
 
     // meta first, overwrite-idempotent: a crash after meta but before any
     // append replays into the same overwrite; later batches NEVER trust
@@ -167,9 +174,11 @@ object IndexIngest {
     }
 
     val (postings, doclens) = Retrieval.invertedIndex(batch, textCol, idCol)
-    if (!doclensHas)
+    if (!doclensHas) {
       doclens.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(doclensPath)
+      BatchMarker.commit(spark, indexPath, "doclens", batchId)
+    }
     if (!postingsHas) {
       postings.withColumn("batch_id", lit(batchId))
         .withColumn("tok_bucket",

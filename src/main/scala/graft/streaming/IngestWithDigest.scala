@@ -61,17 +61,22 @@ object IngestWithDigest {
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       digestPath: String): Unit = {
     val spark = batch.sparkSession
-    // O(1) replay guard: appends are hive-partitioned by batch_id, so
-    // "did this batch land in this sink" is the existence of its
-    // `batch_id=N/` directory — created only at job commit (in-flight
-    // work, including hard-crash-mid-first-append debris, lives under
-    // `_temporary`), and never listing the accumulated table, whose file
-    // count grows with every batch (same contract as IndexIngest)
-    def landed(path: String): Boolean =
-      exists(spark, s"$path/batch_id=$batchId")
-    val corpusHas = landed(corpusPath)
-    val digestHas = landed(digestPath)
+    // [[BatchMarker]] exactly-once guard per sink: a marker is written
+    // only AFTER that sink's append commits. Even a single batch_id=N/
+    // directory is NOT commit-atomic — the committer merges task outputs
+    // into it one task at a time — so dir existence can't stand in for
+    // "landed"; a replay without the marker deletes the batch's partial
+    // dir and rewrites it (row-identical: the anti-join state is the
+    // pre-batch history on first run and replay alike).
+    BatchMarker.assertMarkeredSink(spark, corpusPath, s"$corpusPath/batch_id=*")
+    BatchMarker.assertMarkeredSink(spark, digestPath, s"$digestPath/batch_id=*")
+    val corpusHas = BatchMarker.landed(spark, corpusPath, "corpus", batchId)
+    val digestHas = BatchMarker.landed(spark, digestPath, "digest", batchId)
     if (corpusHas && digestHas) return // full replay of a landed batch
+    if (!corpusHas)
+      BatchMarker.clearPartial(spark, s"$corpusPath/batch_id=$batchId")
+    if (!digestHas)
+      BatchMarker.clearPartial(spark, s"$digestPath/batch_id=$batchId")
 
     val hashed = batch.withColumn("content_md5", md5(col("text").cast("binary")))
       // a batch can carry its own internal dups: keep the smallest id
@@ -96,12 +101,16 @@ object IngestWithDigest {
       case None    => hashed
     }
 
-    if (!corpusHas)
+    if (!corpusHas) {
       survivors.drop("content_md5").withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(corpusPath)
-    if (!digestHas)
+      BatchMarker.commit(spark, corpusPath, "corpus", batchId)
+    }
+    if (!digestHas) {
       survivors.select(col("content_md5"), lit(batchId).as("batch_id"))
         .write.mode("append").partitionBy("batch_id").parquet(digestPath)
+      BatchMarker.commit(spark, digestPath, "digest", batchId)
+    }
   }
 
   /** Does the sink hold at least one COMMITTED batch partition? A glob for
@@ -117,11 +126,4 @@ object IngestWithDigest {
     hits != null && hits.nonEmpty
   }
 
-  /** Existence through the Hadoop FileSystem of the path's scheme — a
-    * java.io.File test is local-only and silently false on hdfs:///s3a://.
-    */
-  private def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
 }

@@ -91,6 +91,16 @@ class CompactionSpec extends SparkSpec {
     Compaction.compactPartitions(
       spark, s"$idx/doclens", s"$compacted/doclens", 1L << 30)
     spark.read.parquet(s"$idx/meta").write.parquet(s"$compacted/meta")
+    // a compacted copy is the SAME index: its landed-batch markers travel
+    // with it (without them the BatchMarker legacy guard refuses replays
+    // — correctly, since replay state would otherwise be unknowable)
+    locally {
+      val src = new java.io.File(s"$idx/_batches")
+      val dst = new java.io.File(s"$compacted/_batches")
+      dst.mkdirs()
+      src.listFiles().foreach(f => java.nio.file.Files.copy(
+        f.toPath, new java.io.File(dst, f.getName).toPath))
+    }
     val queries = Seq((100L, "apple cherry")).toDF("query_id", "qtext")
     val a = graft.streaming.IndexIngest.bm25TopKPruned(spark, idx, queries, k = 10)
       .collect().map(_.toSeq).toSet
