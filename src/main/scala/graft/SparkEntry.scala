@@ -1463,7 +1463,7 @@ object SparkEntry {
     // lexicographic tiebreak); BpeSpec pins the paper's canonical example.
     "bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      Bpe.learnMerges(t(s, dir, "documents"), "text", nMerges = 10)
+      Bpe.learnMergesCached(t(s, dir, "documents"), "text", nMerges = 10, corpusId = dir)
         .toDF("step", "left", "right")
         .select(col("step").cast("bigint"), col("left"), col("right"))
         .orderBy("step")
@@ -1474,7 +1474,7 @@ object SparkEntry {
     // shrinks the corpus token count (every merge had count >= 2).
     "bpe_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.learnMerges(docs, "text", nMerges = 10)
+      val merges = Bpe.learnMergesCached(docs, "text", nMerges = 10, corpusId = dir)
       val t0 = Bpe.segment(docs, "text", "doc_id", Nil)
         .agg(sum(size(col("tokens"))).as("t0"))
       val tN = Bpe.segment(docs, "text", "doc_id", merges)
@@ -1496,7 +1496,7 @@ object SparkEntry {
     // hash-verified as the training path.
     "bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.learnMerges(docs, "text", nMerges = 10)
+      val merges = Bpe.learnMergesCached(docs, "text", nMerges = 10, corpusId = dir)
       Bpe.segment(docs, "text", "doc_id", merges)
         .select(col("doc_id"),
           size(col("tokens")).cast("bigint").as("n_tokens"),
@@ -1511,7 +1511,7 @@ object SparkEntry {
     // occurrence-by-occurrence.
     "bpe_vocab" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.learnMerges(docs, "text", nMerges = 10)
+      val merges = Bpe.learnMergesCached(docs, "text", nMerges = 10, corpusId = dir)
       Bpe.vocabulary(docs, "text", merges).orderBy("unit")
     }),
 

@@ -44,6 +44,21 @@ object Bpe {
     out.toSeq
   }
 
+  /** Fit-once cache for merge tables — the [[graft.operators.Similarity]]
+    * quantizerCache convention: a production tokenizer trains ONCE per
+    * corpus and every consumer (gate, encode, vocab) deploys the same
+    * table. Keyed by a caller-supplied corpus identity naming a DATASET
+    * VERSION; entries are nMerges pairs of short strings — negligible.
+    */
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Seq[Merge]]
+
+  /** [[learnMerges]] through the per-JVM fit-once memo. */
+  def learnMergesCached(docs: DataFrame, textCol: String, nMerges: Int,
+      corpusId: String): Seq[Merge] =
+    mergeCache.getOrElseUpdate((corpusId, textCol, nMerges),
+      learnMerges(docs, textCol, nMerges))
+
   /** Learn up to `nMerges` merges from the corpus' whitespace words. */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
     val spark = docs.sparkSession
