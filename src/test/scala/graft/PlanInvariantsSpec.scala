@@ -161,6 +161,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"postings scan has no tok_bucket partition filter:\n$scanLine")
   }
 
+  test("text_bm25_streamed: the streamed postings scan still carries a " +
+      "tok_bucket PartitionFilter — accumulation does not cost the prune") {
+    assume(available)
+    val p = plan("text_bm25_streamed")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned postings scan in the plan:\n$p"))
+    assert(scanLine.contains("tok_bucket") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"streamed postings scan has no tok_bucket partition filter:\n$scanLine")
+  }
+
   test("ann_ivf_pruned: the vectors scan carries a cell PartitionFilter — " +
       "the search reads only the probed cells' directories") {
     assume(available)

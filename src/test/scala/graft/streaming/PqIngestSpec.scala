@@ -44,6 +44,36 @@ class PqIngestSpec extends SparkSpec {
     assert(search(streamed) === search(flat))
   }
 
+  test("start(): micro-batches stream codes onto a bootstrapped index end-to-end") {
+    val dir = Files.createTempDirectory("pqstream").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/idx"
+    val cp = dir.getAbsolutePath + "/cp"
+    PqIngest.bootstrap(corpus, idx, nCells = 2, m = 2, ksub = 4)
+
+    implicit val sql = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val q = PqIngest.start(vecs, idx, cp)
+    try {
+      input.addData(all.filter(_._1 % 2 == 0): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_._1 % 2 == 1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = Similarity.ivfPqTopKFromPartitioned(spark, idx,
+      corpus, queries, k = 3, nProbe = 2, refine = 4)
+      .collect().map(_.toSeq).toSet
+    val flat = dir.getAbsolutePath + "/flat"
+    Similarity.writeIvfPqPartitioned(corpus, flat, nCells = 2, m = 2, ksub = 4)
+    val batch = Similarity.ivfPqTopKFromPartitioned(spark, flat,
+      corpus, queries, k = 3, nProbe = 2, refine = 4)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming into an un-bootstrapped index refuses; replay is a no-op") {
     val dir = Files.createTempDirectory("pqguard").toFile
     dir.deleteOnExit()
