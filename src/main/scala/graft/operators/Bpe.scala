@@ -134,13 +134,20 @@ object Bpe {
     val ordered = merges.sortBy(_.step).map(m => (m.left, m.right))
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+      .mapPartitions { rows =>
+        // natural-language words repeat heavily: memoize the per-WORD
+        // merge fold within the task, so each distinct word pays the
+        // replay once and every later occurrence is a map hit
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def encode(w: String): Array[String] = memo.getOrElseUpdate(w, {
           var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
           ordered.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
-          syms
+          syms.toArray
+        })
+        rows.map { case (id, text) =>
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty).flatMap(encode)
+          (id, toks.toSeq)
         }
-        (id, toks.toSeq)
       }
       .toDF("doc_id", "tokens")
   }
