@@ -108,9 +108,24 @@ class IndexIngestSpec extends SparkSpec {
       batch1.toDF("doc_id", "text"), 0L, idx, nBuckets = 4)
     assert(spark.read.parquet(s"$idx/postings").count() === n0)
 
+    // a partial mid-commit crash (one bucket dir landed, no marker) is
+    // repaired on replay — the BatchMarker protocol deletes the partial
+    // dirs and rewrites the whole batch exactly once
+    val partial = new java.io.File(s"$idx/postings/tok_bucket=0/batch_id=7")
+    assert(partial.mkdirs())
+    val junk = new java.io.File(partial, "part-junk.parquet")
+    assert(junk.createNewFile())
+    IndexIngest.processBatchPartitioned(
+      Seq((9L, "apple kumquat")).toDF("doc_id", "text"), 7L, idx, nBuckets = 4)
+    assert(!junk.exists(), "partial-commit debris survived the replay")
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter("batch_id = 7").count() === 2) // apple + kumquat postings
+
     val flatIdx = dir.getAbsolutePath + "/flat"
     IndexIngest.processBatch(batch1.toDF("doc_id", "text"), 0L, flatIdx)
     IndexIngest.processBatch(batch2.toDF("doc_id", "text"), 1L, flatIdx)
+    IndexIngest.processBatch(
+      Seq((9L, "apple kumquat")).toDF("doc_id", "text"), 7L, flatIdx)
     val pruned = IndexIngest.bm25TopKPruned(spark, idx, queries, k = 10)
       .collect().map(_.toSeq).toSet
     val flat = IndexIngest.bm25TopK(spark, flatIdx, queries, k = 10)
