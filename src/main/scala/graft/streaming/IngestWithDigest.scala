@@ -87,13 +87,14 @@ object IngestWithDigest {
 
     // the digest never contains this batch here (digest is written LAST,
     // and a landed digest short-circuits above), so the anti-join state
-    // is the pre-batch history on first run and replay alike. "No history
-    // yet" means NO COMMITTED BATCH DIRECTORY — a directory holding only
-    // _temporary debris has none; but an unreadable digest that HAS
-    // committed batches (corruption, schema drift, permissions) must
-    // throw, not silently disable history dedup and let duplicates in
+    // is the pre-batch history on first run and replay alike. "History
+    // exists" is the O(1) `_batches/has_data` sentinel — stamped the
+    // first time a digest append lands actual rows (an all-duplicate
+    // batch writes no partition dir), never a listing of the accumulated
+    // table; an unreadable digest that HAS history still throws at the
+    // read site, not silently disabling dedup
     val history =
-      if (anyBatchLanded(spark, digestPath))
+      if (exists(spark, s"$digestPath/_batches/has_data"))
         Some(spark.read.parquet(digestPath).select("content_md5"))
       else None
     val survivors = history match {
@@ -109,21 +110,26 @@ object IngestWithDigest {
     if (!digestHas) {
       survivors.select(col("content_md5"), lit(batchId).as("batch_id"))
         .write.mode("append").partitionBy("batch_id").parquet(digestPath)
+      // an append with zero survivors writes no partition dir; stamp the
+      // has_data sentinel only when rows actually landed, so the history
+      // read above never targets a data-less table — and stays O(1),
+      // one existence check, never a batch_id=* glob whose listing cost
+      // grows with every batch ever run
+      if (exists(spark, s"$digestPath/batch_id=$batchId")) {
+        val p = new org.apache.hadoop.fs.Path(s"$digestPath/_batches/has_data")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) { fs.mkdirs(p.getParent); fs.create(p, true).close() }
+      }
       BatchMarker.commit(spark, digestPath, "digest", batchId)
     }
   }
 
-  /** Does the sink hold at least one COMMITTED batch partition? A glob for
-    * `batch_id=*` — never a read, so an empty-or-debris-only directory is
-    * cleanly "no history" while real-but-unreadable data still surfaces
-    * its error at the read site.
+  /** Existence through the Hadoop FileSystem of the path's scheme — a
+    * java.io.File test is local-only and silently false on hdfs:///s3a://.
     */
-  private def anyBatchLanded(spark: org.apache.spark.sql.SparkSession,
+  private def exists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
-    val glob = new org.apache.hadoop.fs.Path(s"$path/batch_id=*")
-    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
-    val hits = fs.globStatus(glob) // null when the parent doesn't exist
-    hits != null && hits.nonEmpty
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
-
 }
