@@ -217,13 +217,19 @@ object IndexIngest {
     Retrieval.bm25TopK(postings, doclens, queries, k)
   }
 
+  /** The committed bucket count, or None when no meta has COMMITTED yet
+    * (no `_SUCCESS` — a crash mid-overwrite leaves only _temporary
+    * debris, and the replay overwrites cleanly). A committed-but-
+    * unreadable meta THROWS instead of returning None: swallowing it
+    * would re-stamp the parameter's bucket count over the original and
+    * silently bucket later batches inconsistently with earlier ones —
+    * the narrowed-guard rule the digest history check follows.
+    */
   private def readBuckets(spark: org.apache.spark.sql.SparkSession,
       metaPath: String): Option[Int] =
-    if (!exists(spark, metaPath)) None
-    else
-      try Some(spark.read.parquet(metaPath).select(col("n_buckets"))
-        .first().getInt(0))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (!exists(spark, s"$metaPath/_SUCCESS")) None
+    else Some(spark.read.parquet(metaPath).select(col("n_buckets"))
+      .first().getInt(0))
 
   private def exists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
