@@ -197,6 +197,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"codes scan has no cell partition filter:\n$scanLine")
   }
 
+  test("ann_ivfpq_streamed: the streamed codes scan carries a cell " +
+      "PartitionFilter — streamed accumulation does not cost the prune") {
+    assume(available)
+    val p = plan("ann_ivfpq_streamed")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("codes") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned codes scan in the plan:\n$p"))
+    assert(scanLine.contains("cell") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"streamed codes scan has no cell partition filter:\n$scanLine")
+  }
+
   test("dynamic partition pruning: a round-partitioned write is pruned at " +
       "join time by a filtered dim (SURVEY §4's 'round becomes a partition " +
       "column → DPP free')") {
