@@ -41,6 +41,18 @@ object BatchMarker {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Create the `_batches` directory BEFORE any data is appended. This is
+    * what lets [[assertMarkeredSink]] tell a pre-marker sink apart from a
+    * marker-era sink whose very first batch crashed between its append
+    * and its marker: the protocol dir exists from the first ATTEMPT, not
+    * the first success, so that crash replays (delete + rewrite) instead
+    * of being mistaken for legacy data. Idempotent, O(1).
+    */
+  def ensureProtocol(spark: SparkSession, indexPath: String): Unit = {
+    val p = new Path(s"$indexPath/_batches")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+  }
+
   /** Delete every path matching `glob` — the crash-replay cleanup of a
     * batch's partial partition dirs.
     */

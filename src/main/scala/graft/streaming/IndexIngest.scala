@@ -60,6 +60,7 @@ object IndexIngest {
     // function of the batch).
     BatchMarker.assertMarkeredSink(spark, indexPath,
       s"$postingsPath/batch_id=*")
+    BatchMarker.ensureProtocol(spark, indexPath)
     val postingsHas = BatchMarker.landed(spark, indexPath, "postings", batchId)
     val doclensHas = BatchMarker.landed(spark, indexPath, "doclens", batchId)
     if (postingsHas && doclensHas) return // full replay of a landed batch
@@ -68,17 +69,22 @@ object IndexIngest {
     if (!doclensHas)
       BatchMarker.clearPartial(spark, s"$doclensPath/batch_id=$batchId")
 
-    val (postings, doclens) = Retrieval.invertedIndex(batch, textCol, idCol)
-    if (!doclensHas) {
-      doclens.withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(doclensPath)
-      BatchMarker.commit(spark, indexPath, "doclens", batchId)
-    }
-    if (!postingsHas) {
-      postings.withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(postingsPath)
-      BatchMarker.commit(spark, indexPath, "postings", batchId)
-    }
+    // both sinks derive from the same tokenization — persist the batch so
+    // it runs once, not once per append
+    val cached = batch.persist()
+    try {
+      val (postings, doclens) = Retrieval.invertedIndex(cached, textCol, idCol)
+      if (!doclensHas) {
+        doclens.withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("batch_id").parquet(doclensPath)
+        BatchMarker.commit(spark, indexPath, "doclens", batchId)
+      }
+      if (!postingsHas) {
+        postings.withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("batch_id").parquet(postingsPath)
+        BatchMarker.commit(spark, indexPath, "postings", batchId)
+      }
+    } finally cached.unpersist()
   }
 
   /** Search the accumulated index: same scorer as the batch path — the

@@ -70,15 +70,29 @@ object IngestWithDigest {
     // pre-batch history on first run and replay alike).
     BatchMarker.assertMarkeredSink(spark, corpusPath, s"$corpusPath/batch_id=*")
     BatchMarker.assertMarkeredSink(spark, digestPath, s"$digestPath/batch_id=*")
+    BatchMarker.ensureProtocol(spark, corpusPath)
+    BatchMarker.ensureProtocol(spark, digestPath)
     val corpusHas = BatchMarker.landed(spark, corpusPath, "corpus", batchId)
     val digestHas = BatchMarker.landed(spark, digestPath, "digest", batchId)
+    // repair the marker→sentinel crash window BEFORE any short-circuit:
+    // the digest marker commits first and the has_data sentinel second,
+    // so a landed data-bearing batch may still owe the sentinel
+    if (digestHas && !exists(spark, s"$digestPath/_batches/has_data") &&
+        exists(spark, s"$digestPath/batch_id=$batchId"))
+      stampHasData(spark, digestPath)
     if (corpusHas && digestHas) return // full replay of a landed batch
     if (!corpusHas)
       BatchMarker.clearPartial(spark, s"$corpusPath/batch_id=$batchId")
     if (!digestHas)
       BatchMarker.clearPartial(spark, s"$digestPath/batch_id=$batchId")
 
-    val hashed = batch.withColumn("content_md5", md5(col("text").cast("binary")))
+    // null text digests as the empty string, NOT null: a null key would
+    // make same-batch null-text docs collapse through the window while
+    // cross-batch ones never match the anti-join — inconsistent both
+    // ways. With the coalesce, "no content" dedups like any other
+    // content, intra- and cross-batch alike.
+    val hashed = batch
+      .withColumn("content_md5", md5(coalesce(col("text"), lit("")).cast("binary")))
       // a batch can carry its own internal dups: keep the smallest id
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -97,31 +111,42 @@ object IngestWithDigest {
       if (exists(spark, s"$digestPath/_batches/has_data"))
         Some(spark.read.parquet(digestPath).select("content_md5"))
       else None
-    val survivors = history match {
+    // BOTH appends consume survivors; persisted so the window dedup and
+    // the anti-join's full digest-history read run once per batch, not
+    // once per sink (the scaladoc's "reads it once" promise)
+    val survivors = (history match {
       case Some(h) => hashed.join(h, Seq("content_md5"), "left_anti")
       case None    => hashed
-    }
-
-    if (!corpusHas) {
-      survivors.drop("content_md5").withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(corpusPath)
-      BatchMarker.commit(spark, corpusPath, "corpus", batchId)
-    }
-    if (!digestHas) {
-      survivors.select(col("content_md5"), lit(batchId).as("batch_id"))
-        .write.mode("append").partitionBy("batch_id").parquet(digestPath)
-      // an append with zero survivors writes no partition dir; stamp the
-      // has_data sentinel only when rows actually landed, so the history
-      // read above never targets a data-less table — and stays O(1),
-      // one existence check, never a batch_id=* glob whose listing cost
-      // grows with every batch ever run
-      if (exists(spark, s"$digestPath/batch_id=$batchId")) {
-        val p = new org.apache.hadoop.fs.Path(s"$digestPath/_batches/has_data")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(p)) { fs.mkdirs(p.getParent); fs.create(p, true).close() }
+    }).persist()
+    try {
+      if (!corpusHas) {
+        survivors.drop("content_md5").withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("batch_id").parquet(corpusPath)
+        BatchMarker.commit(spark, corpusPath, "corpus", batchId)
       }
-      BatchMarker.commit(spark, digestPath, "digest", batchId)
-    }
+      if (!digestHas) {
+        survivors.select(col("content_md5"), lit(batchId).as("batch_id"))
+          .write.mode("append").partitionBy("batch_id").parquet(digestPath)
+        // marker FIRST, sentinel second: a crash between the two replays
+        // into the digestHas repair at the top of this method. The other
+        // order wedges the stream — replay's clearPartial deletes the
+        // batch's rows while the sentinel keeps claiming data exists,
+        // and the history read targets a data-less table forever. An
+        // append with zero survivors writes no partition dir and must
+        // not stamp (O(1) existence checks throughout, never a
+        // batch_id=* glob whose listing grows with every batch).
+        BatchMarker.commit(spark, digestPath, "digest", batchId)
+        if (exists(spark, s"$digestPath/batch_id=$batchId"))
+          stampHasData(spark, digestPath)
+      }
+    } finally survivors.unpersist()
+  }
+
+  private def stampHasData(spark: org.apache.spark.sql.SparkSession,
+      digestPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$digestPath/_batches/has_data")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) { fs.mkdirs(p.getParent); fs.create(p, true).close() }
   }
 
   /** Existence through the Hadoop FileSystem of the path's scheme — a

@@ -40,6 +40,22 @@ object PqIngest {
       seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
     val spark = snapshot.sparkSession
     import spark.implicits._
+    // re-bootstrapping over an index that already holds codes would
+    // silently invalidate every one of them (they were encoded against
+    // the about-to-be-replaced codebooks) — and a crash between the two
+    // meta overwrites would leave mixed-generation centroids/codebooks.
+    // Refuse; codebook drift is handled by building a FRESH index path
+    // from a new snapshot. A crashed INITIAL bootstrap (no codes yet)
+    // replays cleanly: both tables are overwritten together.
+    locally {
+      val codes = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
+      val fs = codes.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(codes))
+        throw new IllegalStateException(
+          s"$indexPath already holds codes encoded against its existing " +
+            "codebooks — bootstrap a fresh index path instead of " +
+            "re-fitting over them")
+    }
     val n = snapshot.count() // records the snapshot size, not a live count
     // unlike VectorIngest's clamp, a too-small PQ snapshot is a caller
     // error: ksub sub-centroids per subspace need at least that many
@@ -78,6 +94,9 @@ object PqIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     val codesPath = s"$indexPath/codes"
+    BatchMarker.assertMarkeredSink(spark, indexPath,
+      s"$codesPath/cell=*/batch_id=*")
+    BatchMarker.ensureProtocol(spark, indexPath)
     if (BatchMarker.landed(spark, indexPath, "codes", batchId)) return
     BatchMarker.clearPartial(spark, s"$codesPath/cell=*/batch_id=$batchId")
     if (batch.isEmpty) {

@@ -58,6 +58,9 @@ object VectorIngest {
     import spark.implicits._
     val vectorsPath = s"$indexPath/vectors"
     val centroidsPath = s"$indexPath/centroids"
+    BatchMarker.assertMarkeredSink(spark, indexPath,
+      s"$vectorsPath/cell=*/batch_id=*")
+    BatchMarker.ensureProtocol(spark, indexPath)
     if (BatchMarker.landed(spark, indexPath, "vectors", batchId)) return
     // crash-replay: a crash mid-commit (or between the append and the
     // marker) leaves partial batch dirs — the batch owns them, delete and
@@ -65,9 +68,10 @@ object VectorIngest {
     BatchMarker.clearPartial(spark, s"$vectorsPath/cell=*/batch_id=$batchId")
 
     // an empty micro-batch (sources can advance offsets with no rows) has
-    // nothing to write and must NOT stamp a degenerate quantizer
-    val nBatch = batch.count()
-    if (nBatch == 0) {
+    // nothing to write and must NOT stamp a degenerate quantizer.
+    // isEmpty, not count(): steady-state batches should pay a limit-1
+    // probe, not a full pass that only the first-ever batch needs
+    if (batch.isEmpty) {
       BatchMarker.commit(spark, indexPath, "vectors", batchId)
       return
     }
@@ -80,8 +84,9 @@ object VectorIngest {
         // a stream doesn't control its batch sizes: a first batch smaller
         // than nCells must clamp k rather than fail the KMeans fit — the
         // centroids table is self-describing, so later (larger) batches
-        // stay consistent with whatever cell count was stamped
-        val k = math.max(1L, math.min(nCells.toLong, nBatch)).toInt
+        // stay consistent with whatever cell count was stamped. The
+        // count() runs only on this one first-ever batch.
+        val k = math.max(1L, math.min(nCells.toLong, batch.count())).toInt
         val c = Similarity.fitQuantizer(batch, k, seed, maxTrainSamples,
           vecCol)
         c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq

@@ -90,5 +90,11 @@ class PqIngestSpec extends SparkSpec {
     PqIngest.processBatch(batchB, 1L, idx)
     assert(spark.read.parquet(s"$idx/codes").select("neighbor_id").distinct()
       .count() === all.size.toLong)
+
+    // re-bootstrapping over landed codes would silently invalidate them —
+    // refused; codebook drift means a FRESH index path
+    val e2 = intercept[IllegalStateException](
+      PqIngest.bootstrap(corpus, idx, nCells = 2, m = 2, ksub = 4))
+    assert(e2.getMessage.contains("fresh index path"))
   }
 }
