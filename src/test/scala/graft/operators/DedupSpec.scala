@@ -164,6 +164,38 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: one action per round (convergence rides the checkpoint)") {
+    // chain of diameter 6 forces real multi-round propagation; the changed
+    // count is observed DURING each round's eager localCheckpoint, so the
+    // loop must launch no isEmpty/count follow-up action. Pin that by
+    // counting Spark jobs: with AQE each round is its checkpoint job plus
+    // that plan's shuffle-stage materializations — a per-round convergence
+    // scan would add one more job per round on top of the pinned budget.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    Dedup.duplicateClusters(pairs).collect() // warm codegen/JIT outside the count
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val labels = Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // listener bus is async; wait for the count to go quiet
+      var last = -1
+      while (jobs.get != last) { last = jobs.get; Thread.sleep(200) }
+      assert(labels === (1L to 7L).map(_ -> 1L).toMap)
+      // measured budget on this chain (6 rounds): one-action loop = 33 jobs
+      // (setup checkpoints + per-round checkpoint + AQE stage
+      // materializations + collect); the two-action loop measures 39 (one
+      // isEmpty job per round). 35 sits between — it fails if the
+      // per-round convergence scan ever comes back.
+      assert(jobs.get <= 35, s"expected ≤35 jobs for the CC loop, saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("incrementalDedupFlags: exact and near flags against a corpus") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
