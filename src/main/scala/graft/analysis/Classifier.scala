@@ -143,9 +143,13 @@ object Classifier {
     */
   def classifierGate(docs: DataFrame, textCol: String, labelCol: String,
                      testFrac: Double, bar: Double): DataFrame = {
+    // The split is a window-rank over the corpus and feeds THREE consumers
+    // (balanced-weight counts, train featurization, test featurization) —
+    // cache it so the rank computes once, not once per consumer.
     val split = graft.operators.Curation.stratifiedSplit(
       docs, "doc_id", labelCol, testFrac, valFrac = 0.0)
       .drop("split_rank", "n_stratum")
+      .cache()
     val train = split.filter(col("split") === "train").drop("split")
     val test  = split.filter(col("split") === "test").drop("split")
     // One featurizer fit shared by both models (the full pipelines refit
@@ -157,7 +161,10 @@ object Classifier {
     // at |sample| rows each of the ~25 LBFGS jobs is pure task-scheduling
     // overhead at 32 partitions (measured 3.1 s → 1.0 s per model fit).
     // At real corpus scale the sample, not the coalesce, is the knob.
-    val toks = withBalancedWeights(tokenized(train, textCol), labelCol).coalesce(1)
+    // toks is traversed by every featurizer stage fit (StringIndexer scan,
+    // CountVectorizer vocab pass, IDF doc-freq pass) and again by the
+    // transform — cache the stemmed tokens so Porter runs once per row.
+    val toks = withBalancedWeights(tokenized(train, textCol), labelCol).coalesce(1).cache()
     val featurizer = new Pipeline().setStages(featureStages(labelCol)).fit(toks)
     val trainFeat = featurizer.transform(toks)
       .select(col("label"), col("features"), col("class_weight"))
@@ -180,7 +187,7 @@ object Classifier {
       .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")
     val lrAcc  = evaluator.evaluate(lr.fit(trainFeat).transform(testFeat))
     val svcAcc = evaluator.evaluate(ovr.fit(trainFeat).transform(testFeat))
-    trainFeat.unpersist(); testFeat.unpersist()
+    trainFeat.unpersist(); testFeat.unpersist(); toks.unpersist(); split.unpersist()
     val session = docs.sparkSession
     import session.implicits._
     Seq((nTrain, nTest, lrAcc >= bar, svcAcc >= bar))
