@@ -74,6 +74,16 @@ CASES = [
     # whitespace between </ and the name still closes (stdlib endtagfind)
     "<style>a</ style>b",
     "<script>q</SCRIPT >tail",
+    # an end tag CARRYING ATTRIBUTES fails endtagfind — html.parser stays
+    # in cdata mode, so the element ends only at the next bare close
+    '<script>x</script foo="bar">y</script>z',
+    "<style>p{}</style media=screen>q</style>r",
+    # attribute-bearing close with no real close after — and unterminated
+    # cdata generally: html.parser holds the body pending and close()
+    # DROPS it, so nothing is emitted
+    '<script>a</script foo>b',
+    "<script>abc",
+    "before<style>x",
 ]
 
 

@@ -1946,6 +1946,13 @@ object SparkEntry {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val path = ensureIndex(s, emb, "ivfpqstream", "built") { p =>
+        // crash-reentrant: a run killed between the first processBatch and
+        // the built sentinel leaves codes/ behind, and bootstrap
+        // (correctly) refuses to re-fit meta over live codes — so a
+        // re-entered build clears the partial index first; the seeded
+        // fits make the rebuild byte-identical.
+        val fsP = new org.apache.hadoop.fs.Path(p)
+        fsP.getFileSystem(s.sessionState.newHadoopConf()).delete(fsP, true)
         graft.streaming.PqIngest.bootstrap(emb, p, nCells = 8)
         graft.streaming.PqIngest.processBatch(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L, p)

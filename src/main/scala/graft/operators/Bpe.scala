@@ -47,17 +47,30 @@ object Bpe {
   /** Fit-once cache for merge tables — the [[graft.operators.Similarity]]
     * quantizerCache convention: a production tokenizer trains ONCE per
     * corpus and every consumer (gate, encode, vocab) deploys the same
-    * table. Keyed by a caller-supplied corpus identity naming a DATASET
-    * VERSION; entries are nMerges pairs of short strings — negligible.
+    * table. Keyed by the caller-supplied corpus identity PLUS a content
+    * fingerprint of the text column (count + bit_xor of xxhash64 — the
+    * ensureIndex convention), so a dataset regenerated under the same
+    * path within one JVM re-trains instead of silently serving the old
+    * table. Entries are nMerges pairs of short strings — negligible.
     */
   private val mergeCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), Seq[Merge]]
 
-  /** [[learnMerges]] through the per-JVM fit-once memo. */
+  /** [[learnMerges]] through the per-JVM fit-once memo. The fingerprint
+    * pass is one narrow map-side-combined scan of the text column —
+    * noise next to the training it guards, and the price of a cache that
+    * can never go stale.
+    */
   def learnMergesCached(docs: DataFrame, textCol: String, nMerges: Int,
-      corpusId: String): Seq[Merge] =
-    mergeCache.getOrElseUpdate((corpusId, textCol, nMerges),
+      corpusId: String): Seq[Merge] = {
+    val agg = docs.select(xxhash64(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
+      .first()
+    val fp = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val key = f"$corpusId%s/n${agg.getLong(0)}%d_x$fp%016x"
+    mergeCache.getOrElseUpdate((key, textCol, nMerges),
       learnMerges(docs, textCol, nMerges))
+  }
 
   /** Learn up to `nMerges` merges from the corpus' whitespace words. */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {

@@ -158,6 +158,11 @@ object IndexIngest {
     // rewrites them.
     BatchMarker.assertMarkeredSink(spark, indexPath,
       s"$postingsPath/tok_bucket=*/batch_id=*")
+    // protocol dir from the first ATTEMPT (not the first success) — same
+    // contract as every other sink; without this the first-batch crash
+    // window is closed only by the accident that the doclens marker lands
+    // before any postings dir exists
+    BatchMarker.ensureProtocol(spark, indexPath)
     val postingsHas = BatchMarker.landed(spark, indexPath, "postings", batchId)
     val doclensHas = BatchMarker.landed(spark, indexPath, "doclens", batchId)
     if (postingsHas && doclensHas) return

@@ -86,13 +86,16 @@ object IngestWithDigest {
     if (!digestHas)
       BatchMarker.clearPartial(spark, s"$digestPath/batch_id=$batchId")
 
-    // null text digests as the empty string, NOT null: a null key would
-    // make same-batch null-text docs collapse through the window while
-    // cross-batch ones never match the anti-join — inconsistent both
-    // ways. With the coalesce, "no content" dedups like any other
-    // content, intra- and cross-batch alike.
+    // null text digests under a reserved sentinel key, NOT as null and
+    // NOT as md5(''): a null key would make same-batch null-text docs
+    // collapse through the window while cross-batch ones never match the
+    // anti-join (inconsistent both ways), and md5('') would silently
+    // dedup "no content" against "empty content". The sentinel cannot
+    // collide with a real digest — md5 hex is exactly 32 [0-9a-f] chars.
     val hashed = batch
-      .withColumn("content_md5", md5(coalesce(col("text"), lit("")).cast("binary")))
+      .withColumn("content_md5",
+        when(col("text").isNull, lit("<null-text>"))
+          .otherwise(md5(col("text").cast("binary"))))
       // a batch can carry its own internal dups: keep the smallest id
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -35,18 +35,18 @@ class BpeSpec extends SparkSpec {
     assert(rebuilt === "lowest newest low")
   }
 
-  test("learnMergesCached: same corpus id serves the memo, a new id refits") {
+  test("learnMergesCached: memo on (id, content); regenerated data refits") {
     val docsA = Seq((1L, "aa aa aa bb")).toDF("doc_id", "text")
     val docsB = Seq((1L, "cc cc cc dd")).toDF("doc_id", "text")
     val id = s"bpe-memo-${System.nanoTime()}"
     val first = Bpe.learnMergesCached(docsA, "text", 3, corpusId = id)
-    // same id: the memo answers — even for a DIFFERENT frame (the id
-    // names a dataset version; callers own its correctness)
-    val again = Bpe.learnMergesCached(docsB, "text", 3, corpusId = id)
+    // same id + same content: the memo answers (same object)
+    val again = Bpe.learnMergesCached(docsA, "text", 3, corpusId = id)
     assert(again eq first)
-    // a new id refits on the new data
-    val fresh = Bpe.learnMergesCached(docsB, "text", 3, corpusId = id + "-v2")
-    assert(fresh.map(m => (m.left, m.right)) !=
+    // same id but REGENERATED content: the fingerprint misses and the
+    // table refits — a stale merge table can never be served silently
+    val refit = Bpe.learnMergesCached(docsB, "text", 3, corpusId = id)
+    assert(refit.map(m => (m.left, m.right)) !=
       first.map(m => (m.left, m.right)))
   }
 

@@ -46,6 +46,27 @@ class IngestWithDigestSpec extends SparkSpec {
       === Set(1L, 2L, 5L, 9L))
   }
 
+  test("null text and empty text stay distinct; nulls dedup against nulls") {
+    val dir = Files.createTempDirectory("digest_null").toFile
+    dir.deleteOnExit()
+    val corpus = dir.getAbsolutePath + "/corpus"
+    val digest = dir.getAbsolutePath + "/digest"
+
+    // batch 0: a null-text doc and an empty-text doc — DIFFERENT digest
+    // keys (sentinel vs md5('')), so both land
+    val b0 = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    IngestWithDigest.processBatch(b0, 0L, corpus, digest)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+
+    // batch 1: another null and another empty — both are HISTORICAL dups
+    // (null matched the sentinel, empty matched md5('')), plus a live doc
+    val b1 = Seq((3L, null: String), (4L, ""), (5L, "live")).toDF("doc_id", "text")
+    IngestWithDigest.processBatch(b1, 1L, corpus, digest)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 5L))
+  }
+
   test("a crash before the FIRST append (directory holds only _temporary " +
       "debris) replays to completion instead of crash-looping") {
     val dir = Files.createTempDirectory("digest_debris").toFile

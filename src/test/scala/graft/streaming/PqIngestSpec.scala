@@ -74,6 +74,38 @@ class PqIngestSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("a build killed mid-ingest re-enters cleanly after clearing the path") {
+    // the ann_ivfpq_streamed ensureIndex block's crash window: bootstrap +
+    // first batch land, then the run dies before the built sentinel. The
+    // re-entered block must not trip bootstrap's codes-exist guard — it
+    // clears the partial index first, and the seeded fits + shared
+    // encoding kernels make the rebuild identical to an uninterrupted one.
+    val dir = Files.createTempDirectory("pqreenter").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/idx"
+    def build(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+      PqIngest.bootstrap(corpus, p, nCells = 2, m = 2, ksub = 4)
+      PqIngest.processBatch(batchA, 0L, p)
+      PqIngest.processBatch(batchB, 1L, p)
+    }
+    // simulated crash: bootstrap + one batch only, no sentinel
+    PqIngest.bootstrap(corpus, idx, nCells = 2, m = 2, ksub = 4)
+    PqIngest.processBatch(batchA, 0L, idx)
+    // un-cleared re-entry is exactly what bootstrap refuses
+    intercept[IllegalStateException] {
+      PqIngest.bootstrap(corpus, idx, nCells = 2, m = 2, ksub = 4)
+    }
+    build(idx) // the reentrant block succeeds over the partial state
+    val flat = dir.getAbsolutePath + "/flat"
+    Similarity.writeIvfPqPartitioned(corpus, flat, nCells = 2, m = 2, ksub = 4)
+    def search(p: String) = Similarity.ivfPqTopKFromPartitioned(spark, p,
+      corpus, queries, k = 3, nProbe = 2, refine = 4)
+      .collect().map(_.toSeq).toSet
+    assert(search(idx) === search(flat))
+  }
+
   test("streaming into an un-bootstrapped index refuses; replay is a no-op") {
     val dir = Files.createTempDirectory("pqguard").toFile
     dir.deleteOnExit()
