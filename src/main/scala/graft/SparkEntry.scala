@@ -1731,14 +1731,22 @@ object SparkEntry {
           concat(lit("https://www.cambridge.org/core/article?fileId=S"),
             (id % 9000000 + 1000000).cast("string")))
         .otherwise(lit("https://example.com/plain/article.html"))
+      // F15 (doi.py:32-34): the urls arrive URL-ENCODED ('/' as %2F, noise
+      // '+' and %20) and Doi.urlFix must restore them before the cascade
+      // can match — an unfixed url matches NO stage, so every non-null doi
+      // below also proves the fix. The oracle replays the fix with plain
+      // replaces (the fixture's encoding alphabet is exactly {%2F, +, %20},
+      // so url_decode degenerates to string substitution there).
+      val enc = concat(lit("+"), regexp_replace(url, "/", "%2F"), lit("%20"))
       t(s, dir, "documents")
-        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), Doi.urlFix(enc).as("url"))
         // materialize the stage array ONCE (bound attribute): the winning
         // doi is its first element (the array preserves cascade order), so
         // the 5-stage regex battery runs a single time per row instead of
         // once for extractDoi and again for the stage name.
-        .select(col("doc_id"), Doi.extractAllStages(col("url")).as("stages"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("url"),
+          Doi.extractAllStages(col("url")).as("stages"))
+        .select(col("doc_id"), col("url").as("url_fixed"),
           // try_element_at: the no-match shape yields an EMPTY stage array,
           // and ANSI-mode element_at throws on out-of-bounds instead of null
           try_element_at(col("stages"), lit(1)).getField("doi").as("doi"),
@@ -4267,7 +4275,7 @@ object SparkEntry {
     // (upper -> strip trailing dots -> cut URL artifacts) for stages 1-2,
     // prefix synthesis for stages 3-5, first-non-null doi and stage name.
     "doi_extract" ->
-      """WITH u AS (
+      """WITH u0 AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 6 AS INT)
         |      WHEN 0 THEN 'https://doi.org/10.1' || CAST(doc_id % 1000 + 1000 AS VARCHAR)
@@ -4283,8 +4291,17 @@ object SparkEntry {
         |                  || CAST(doc_id % 9000000 + 1000000 AS VARCHAR)
         |      ELSE 'https://example.com/plain/article.html' END AS url
         |  FROM documents),
-        |raw AS (
+        |-- F15 replay: the fixture encodes '/' as %2F and wraps in '+'/'%20'
+        |-- noise; over that exact alphabet urlFix (decode + drop spaces) is
+        |-- pure string substitution, so the round-trip is replayed verbatim
+        |u AS (
         |  SELECT doc_id,
+        |    replace(replace(replace(
+        |      '+' || replace(url, '/', '%2F') || '%20',
+        |      '%2F', '/'), '%20', ''), '+', '') AS url
+        |  FROM u0),
+        |raw AS (
+        |  SELECT doc_id, url,
         |    nullif(regexp_extract(url, '(?i)(10\.\d{4,9}/[-._;()/:A-Z0-9]+)', 1), '') AS s1,
         |    nullif(regexp_extract(url, '(?i)(10.\d{4,9}/[-._A-Z0-9]+)', 1), '') AS s2,
         |    nullif(regexp_extract(url, '(\w+taxa\.\d{1,4}\.\d+\.\d+)', 1), '') AS s3,
@@ -4293,7 +4310,7 @@ object SparkEntry {
         |    nullif(regexp_extract(url, 'fileId=(S[A-Z0-9]+)', 1), '') AS s5
         |  FROM u),
         |norm AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, url,
         |    regexp_replace(regexp_replace(upper(s1), '\.+$', ''), '[./](E?PDF|ABSTRACT|FULL|SHORT).*$', '') AS d1,
         |    regexp_replace(regexp_replace(upper(s2), '\.+$', ''), '[./](E?PDF|ABSTRACT|FULL|SHORT).*$', '') AS d2,
         |    CASE WHEN s3 IS NOT NULL THEN '10.11646/' || s3 END AS d3,
@@ -4301,7 +4318,7 @@ object SparkEntry {
         |         WHEN s4b IS NOT NULL THEN '10.1038/' || s4b END AS d4,
         |    CASE WHEN s5 IS NOT NULL THEN '10.1017/' || s5 END AS d5
         |  FROM raw)
-        |SELECT doc_id, coalesce(d1, d2, d3, d4, d5) AS doi,
+        |SELECT doc_id, url AS url_fixed, coalesce(d1, d2, d3, d4, d5) AS doi,
         |  CASE WHEN d1 IS NOT NULL THEN 'doi_regex'
         |       WHEN d2 IS NOT NULL THEN 'doi_regex_strict'
         |       WHEN d3 IS NOT NULL THEN 'mapress_regex'
