@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Cleaning, Doi, Fuzzy, PosTag, TextStats}
-import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, RangeJoin, Retrieval, Rounds, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, Multimodal, RangeJoin, Retrieval, Rounds, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1352,11 +1352,19 @@ object SparkEntry {
 
     // Multimodal plumbing — opaque binary column + byte-level metadata
     // (decode itself is the stubbed stage, see graft.operators.Multimodal).
+    // REAL image decode round-trip (javax.imageio — no stub in this path):
+    // per doc, synthesize an actual PNG whose dimensions and pixels are
+    // arithmetic in doc_id, then recover width/height/pixel-sum from the
+    // ENCODED BYTES via ImageIO. The oracle replays the arithmetic — so a
+    // green row proves the encode→parse→pixel-access loop, not the
+    // formula. byte_len/content_md5 of the payload are encoder-dependent
+    // and deliberately not compared.
     "multimodal_meta" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          length(col("text").cast("binary")).as("byte_len"),
-          md5(col("text").cast("binary")).as("content_md5"))
+      val media = Multimodal.synthesizeImages(
+        t(s, dir, "documents").select("doc_id"))
+      Multimodal.decodeImageMeta(media).toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("pixel_sum"), col("decoded"))
         .orderBy("doc_id")
     }),
 
@@ -4265,10 +4273,23 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // replays synthesizeImages' arithmetic: dims from doc_id, red-channel
+    // sum over the w×h grid of (id·31 + x·7 + y·13) mod 256 — what Spark
+    // recovers from the real encoded PNG bytes via ImageIO
     "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
-        |  md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS width,
+        |    CAST(3 + doc_id % 7 AS INT) AS height
+        |  FROM documents),
+        |g AS (SELECT g FROM generate_series(0, 16) t(g))
+        |SELECT d.doc_id, d.width, d.height,
+        |  CAST(SUM((d.doc_id * 31 + x.g * 7 + y.g * 13) % 256) AS BIGINT) AS pixel_sum,
+        |  TRUE AS decoded
+        |FROM dims d
+        |JOIN g x ON x.g < d.width
+        |JOIN g y ON y.g < d.height
+        |GROUP BY 1, 2, 3 ORDER BY d.doc_id""".stripMargin,
 
     // Full offline cascade replicated in DuckDB: per-stage regex extracts
     // (RE2 accepts the same (?i) inline flag), the normalize pipeline

@@ -6,11 +6,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 /** Multimodal columns (builder brief): image/audio/video as opaque `binary`
   * columns with typed metadata, batch-decoded per partition.
   *
-  * The Spark-side plumbing — schema, partition-parallel decode, stable
-  * output shape — is real; the codec itself is a clearly-marked
-  * deterministic STUB (no image/audio libraries exist in this container).
-  * Swapping [[DecodeStub]] for a real decoder changes no plan shape: decode
-  * stays a `mapPartitions` over binary payloads, metadata stays columnar.
+  * The IMAGE leg is REAL: [[decodeImageMeta]] / [[resizeImage]] /
+  * [[synthesizeImages]] run `javax.imageio` (JDK, no external dependency)
+  * — actual PNG/JPEG header parse, pixel access and scaled re-encode.
+  * Audio/video decode stays a clearly-marked deterministic STUB
+  * ([[DecodeStub]] — no codec libraries exist in this container); swapping
+  * it for a real decoder changes no plan shape: decode stays a
+  * `mapPartitions` over binary payloads, metadata stays columnar.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is
   * map-side; downstream joins should carry only (id, features/meta) with the
@@ -104,6 +106,128 @@ object Multimodal {
             i += 1
           }
           ResizedMedia(r.media_id, out, targetW, targetH)
+        }
+      }
+  }
+
+  /** Decoded IMAGE metadata — real dimensions and a replayable pixel sum
+    * (red channel, row-major). `decoded=false` rows carry zeroed stats: a
+    * corrupt payload is reported, never silently faked.
+    */
+  case class ImageMeta(media_id: Long, width: Int, height: Int,
+                       pixel_sum: Long, decoded: Boolean)
+
+  /** Deterministic REAL-PNG synthesis: id → gray PNG of
+    * `(4 + id % 13) × (3 + id % 7)` with pixel value
+    * `(id·31 + x·7 + y·13) mod 256` in every channel — dimensions and
+    * pixel sums are pure arithmetic in id, so a DuckDB oracle can replay
+    * what [[decodeImageMeta]] recovers from the actual encoded bytes.
+    * mapPartitions: the encoder's buffers are reused across a batch.
+    */
+  def synthesizeImages(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 3 + (id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (p << 16) | (p << 8) | p)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRow(id, baos.toByteArray, "image/png")
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL image decode: `javax.imageio` parses the payload (PNG/JPEG/GIF/
+    * BMP — whatever the JDK's readers handle), yielding actual dimensions
+    * and the red-channel pixel sum. Unparseable or null payloads decode to
+    * `decoded=false` with zeroed stats — the poison-file posture of a
+    * 100 TB media scan: one corrupt object must not kill the stage, and
+    * must not masquerade as data either. mapPartitions so reader state is
+    * per-batch, exactly the Pandas-UDF batch shape the brief asks for.
+    */
+  def decodeImageMeta(media: DataFrame): Dataset[ImageMeta] = {
+    implicit val enc = Encoders.product[ImageMeta]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val img =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case _: java.io.IOException => null }
+          if (img == null) ImageMeta(r.media_id, 0, 0, 0L, decoded = false)
+          else {
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(r.media_id, img.getWidth, img.getHeight, sum,
+              decoded = true)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize: decode → `Graphics2D` bilinear scale to the target
+    * dims → PNG re-encode. Non-decodable payloads pass through the
+    * deterministic [[resizeStub]] path semantics (reported via width=0 —
+    * callers filter); binary in, binary out, per-partition batches.
+    */
+  def resizeImage(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    implicit val enc = Encoders.product[ResizedMedia]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val img =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case _: java.io.IOException => null }
+          if (img == null) ResizedMedia(r.media_id, Array.emptyByteArray, 0, 0)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            ResizedMedia(r.media_id, baos.toByteArray, targetW, targetH)
+          }
         }
       }
   }

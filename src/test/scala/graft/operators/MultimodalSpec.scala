@@ -12,6 +12,66 @@ class MultimodalSpec extends SparkSpec {
     (3L, Array.emptyByteArray, "image"))
     .toDF("media_id", "payload", "media_type")
 
+  test("decodeImageMeta: a Python-stdlib-encoded PNG decodes to exact pixels") {
+    // fixture written by scripts/gen_png_fixture.py with struct+zlib only —
+    // no shared code with the JVM reader, so this is a true
+    // cross-implementation pin of the REAL decode path
+    val in = getClass.getResourceAsStream("/fixture_rgb.png")
+    val bytes = in.readAllBytes(); in.close()
+    val df = Seq((7L, bytes, "image/png")).toDF("media_id", "payload", "media_type")
+    val m = Multimodal.decodeImageMeta(df).collect().head
+    assert(m.decoded && m.width === 5 && m.height === 3)
+    // red channel is (x*50)%256: sum over 5x3 = 3 * (0+50+100+150+200)
+    assert(m.pixel_sum === 3L * (0 + 50 + 100 + 150 + 200))
+    // full-pixel check through ImageIO directly (all three channels)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === (x * 50)  % 256, s"r($x,$y)")
+      assert(((rgb >> 8) & 0xff)  === (y * 80)  % 256, s"g($x,$y)")
+      assert((rgb & 0xff)         === (x * 20 + y * 40) % 256, s"b($x,$y)")
+    }
+  }
+
+  test("synthesizeImages -> decodeImageMeta round-trips dims and pixel sums") {
+    val ids = Seq(0L, 1L, 12L, 25L, 254L).toDF("doc_id")
+    val metas = Multimodal.decodeImageMeta(Multimodal.synthesizeImages(ids))
+      .collect().map(m => m.media_id -> m).toMap
+    for (id <- Seq(0L, 1L, 12L, 25L, 254L)) {
+      val (w, h) = (4 + (id % 13).toInt, 3 + (id % 7).toInt)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      val m = metas(id)
+      assert(m.decoded && m.width === w && m.height === h, s"dims(id=$id)")
+      assert(m.pixel_sum === expected, s"pixel_sum(id=$id)")
+    }
+  }
+
+  test("decodeImageMeta reports corrupt payloads instead of faking stats") {
+    val bad = Seq(
+      (1L, "not a png at all".getBytes("UTF-8"), "image/png"),
+      (2L, Array.emptyByteArray, "image/png"),
+      (3L, null.asInstanceOf[Array[Byte]], "image/png"))
+      .toDF("media_id", "payload", "media_type")
+    val ms = Multimodal.decodeImageMeta(bad).collect()
+    assert(ms.length === 3 && ms.forall(m =>
+      !m.decoded && m.width === 0 && m.height === 0 && m.pixel_sum === 0L))
+  }
+
+  test("resizeImage: real scaled re-encode round-trips through the decoder") {
+    val media = Multimodal.synthesizeImages(Seq(40L).toDF("doc_id"))
+    val out = Multimodal.resizeImage(media, targetW = 4, targetH = 3).collect().head
+    assert(out.width === 4 && out.height === 3)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth === 4 && back.getHeight === 3)
+    // corrupt input -> zeroed row, not an exception
+    val bad = Seq((9L, "junk".getBytes("UTF-8"), "image/png"))
+      .toDF("media_id", "payload", "media_type")
+    val r = Multimodal.resizeImage(bad, 4, 3).collect().head
+    assert(r.width === 0 && r.payload.isEmpty)
+  }
+
   test("decodeMeta: per-partition batch decode produces typed metadata, deterministic") {
     val m1 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
     val m2 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
