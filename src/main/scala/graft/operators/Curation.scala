@@ -572,27 +572,52 @@ object Curation {
         .drop("__hex")
     }
 
+    def hashSplit(part: DataFrame, nStratum: Column): DataFrame = {
+      val frac = hashFraction(col(idCol))
+      part.withColumn("split_rank", lit(null).cast("bigint"))
+        .withColumn("n_stratum", nStratum)
+        .withColumn("split",
+          when(frac < testFrac, "test")
+            .when(frac < testFrac + valFrac, "val")
+            .otherwise("train"))
+    }
+
     val giant = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > exactMaxRows).collect()
     if (giant.isEmpty) exact(df)
-    else {
+    else if (giant.length <= BroadcastGiantsAbove) {
       // null-safe membership: a null-keyed stratum is a group like any
       // other and must not silently fall out of BOTH branches
       val isGiant = giant.map(r => col(strataCol) <=> lit(r.get(0))).reduce(_ || _)
       val nStratum = giant.foldLeft(lit(null).cast("bigint")) { (acc, r) =>
         when(col(strataCol) <=> lit(r.get(0)), lit(r.getLong(1))).otherwise(acc)
       }
-      val frac = hashFraction(col(idCol))
-      val hashed = df.filter(isGiant)
-        .withColumn("split_rank", lit(null).cast("bigint"))
-        .withColumn("n_stratum", nStratum)
-        .withColumn("split",
-          when(frac < testFrac, "test")
-            .when(frac < testFrac + valFrac, "val")
-            .otherwise("train"))
-      exact(df.filter(!isGiant)).unionByName(hashed)
+      exact(df.filter(!isGiant)).unionByName(hashSplit(df.filter(isGiant), nStratum))
+    } else {
+      // thousands of giant strata: one when/|| node per giant would blow
+      // up the expression tree and codegen — membership becomes a
+      // null-safe broadcast join against the collected giant set instead
+      // (bounded by n/exactMaxRows rows, so always broadcastable)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        df.schema(strataCol).copy(name = "__gs", nullable = true),
+        StructField("__gn", LongType)))
+      val gdf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(giant.map(r => Row(r.get(0), r.getLong(1))): _*),
+        schema)
+      val joined = df.join(broadcast(gdf), col(strataCol) <=> col("__gs"), "left")
+      exact(joined.filter(col("__gn").isNull).drop("__gs", "__gn"))
+        .unionByName(hashSplit(
+          joined.filter(col("__gn").isNotNull), col("__gn")).drop("__gs", "__gn"))
     }
   }
+
+  /** Above this many giant strata the membership check switches from a
+    * folded expression chain to a broadcast join — the chain is cheaper
+    * to plan for a handful, the join is the only sane form for thousands.
+    */
+  private val BroadcastGiantsAbove = 64
 
   /** Group-aware train/val/test split — the leakage-free-by-construction
     * form of [[stratifiedSplit]]: the split decision hashes the near-dup

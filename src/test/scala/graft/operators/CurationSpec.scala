@@ -147,6 +147,42 @@ class CurationSpec extends SparkSpec {
     assert(dflt.filter(col("split_rank").isNull).count() === 0L)
   }
 
+  test("stratifiedSplit with 1k giant strata plans a broadcast join, not a " +
+      "kilo-node expression chain — and matches the chain's semantics") {
+    // 1000 strata of 2 rows each, all giant at exactMaxRows=1, plus one
+    // 1-row stratum that must keep the exact path, plus a NULL-keyed
+    // giant stratum (null-safe membership through the join)
+    val corpus = spark.range(0, 2000)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 1000).cast("string")).as("source"))
+      .unionByName(spark.range(2000, 2001)
+        .select(col("id").as("doc_id"), lit("lonely").as("source")))
+      .unionByName(spark.range(2001, 2003)
+        .select(col("id").as("doc_id"), lit(null).cast("string").as("source")))
+    val split = Curation.stratifiedSplit(corpus, "doc_id", "source",
+      testFrac = 0.2, valFrac = 0.2, exactMaxRows = 1L)
+
+    // planning stays sane: membership is a JOIN above the giant cutoff
+    // (the chain form would fold 1001 when/|| nodes into one predicate)
+    assert(split.queryExecution.analyzed.toString.contains("Join"))
+    assert(split.count() === 2003L)
+    assert(split.select("doc_id").distinct().count() === 2003L)
+    // every giant row bypassed the window and reports its true size
+    val giants = split.filter(col("source").isNull || col("source") =!= "lonely")
+    assert(giants.filter(col("split_rank").isNotNull).count() === 0L)
+    assert(giants.filter(col("n_stratum") =!= 2L).count() === 0L)
+    // the lone sub-threshold stratum kept the exact-count contract
+    val lone = split.filter(col("source") === "lonely").collect()
+    assert(lone.length === 1 && lone.head.getAs[Long]("split_rank") === 1L)
+    // assignment identical to the chain form (tiny giant set forces it)
+    val chain = Curation.stratifiedSplit(
+        corpus.filter(col("source").isNull), "doc_id", "source", 0.2, 0.2,
+        exactMaxRows = 1L)
+      .select("doc_id", "split")
+    val joinForm = split.filter(col("source").isNull).select("doc_id", "split")
+    assert(joinForm.exceptAll(chain).count() === 0L)
+  }
+
   test("perSourceCap keeps at most cap rows per source, ranks from 1") {
     val capped = Curation.perSourceCap(docs, "doc_id", "source", cap = 1)
     val bySource = capped.groupBy("source").count().as[(String, Long)].collect().toMap
