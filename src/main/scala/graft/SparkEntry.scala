@@ -561,6 +561,28 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // The streamed twin of events_hourly: two event-disjoint micro-batches
+    // append per-batch (window, type) PARTIALS under the BatchMarker
+    // protocol (EventIngest), and the serving read merges them. Shares
+    // events_hourly's oracle verbatim — green = the accumulated rollup is
+    // row-identical to the batch aggregate (decimal partials merge exact).
+    "events_hourly_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val path = ensureIndex(s, ev, "evhourlystream", "built") { p =>
+        graft.streaming.EventIngest.processBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
+        graft.streaming.EventIngest.processBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      graft.streaming.EventIngest.hourlyFromAccumulated(s, path)
+        .select(fmt(col("window_start")).as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // A10 — describe()/summary per group (classifiers.ipynb cell 30).
     "a10_describe" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2752,6 +2774,14 @@ object SparkEntry {
       |        ORDER BY sc DESC, doc_id) AS rn FROM scored)
       |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // shared by events_hourly AND events_hourly_streamed: the streamed
+  // accumulation (EventIngest partials) must merge to exactly this
+  private val eventsHourlyOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   private val partialRatioOracle: String =
     """WITH pref AS (SELECT doc_id, substr(text,1,40) AS s FROM documents),
       |win AS (SELECT doc_id,
@@ -3294,11 +3324,11 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
-    "events_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "events_hourly" -> eventsHourlyOracle,
+
+    // the SAME oracle: the streamed accumulation must merge to exactly the
+    // batch aggregate — a green row is the streamed ≡ batch proof
+    "events_hourly_streamed" -> eventsHourlyOracle,
 
     "a10_describe" ->
       """SELECT o_orderstatus AS status, count(*) AS n,

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streamed maintenance of a windowed event aggregate — the events-family
+  * sibling of [[IndexIngest]]/[[VectorIngest]]: each micro-batch's rows
+  * fold to per-(window, event_type) PARTIALS appended under
+  * `agg/batch_id=<b>/`, and the serving read merges partials. This is the
+  * append-only accumulation form of `events_hourly` (the watermarked
+  * stateful-agg form lives in [[EventStreams]]): partial counts and
+  * DECIMAL partial sums merge associatively, so the accumulated table is
+  * row-identical to the batch aggregate over the union of all batches —
+  * which is exactly what the shared driver oracle checks.
+  *
+  * Scale stance: a batch writes O(windows × types) partial rows, never
+  * raw events; the merge read aggregates partials, not history — the "a
+  * day of events lands on the rollup without recomputing the month"
+  * shape. Replay follows the [[BatchMarker]] exactly-once protocol
+  * (marker AFTER the append commits; partial dirs deleted and rewritten
+  * on replay).
+  */
+object EventIngest {
+
+  def start(events: DataFrame, aggPath: String, checkpoint: String,
+      windowDur: String = "1 hour"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, aggPath, windowDur)
+      }
+      .start()
+
+  /** One micro-batch, callable from tests and backfills directly. */
+  def processBatch(batch: DataFrame, batchId: Long, aggPath: String,
+      windowDur: String = "1 hour"): Unit = {
+    val spark = batch.sparkSession
+    val agg = s"$aggPath/agg"
+    BatchMarker.assertMarkeredSink(spark, aggPath, s"$agg/batch_id=*")
+    BatchMarker.ensureProtocol(spark, aggPath)
+    if (BatchMarker.landed(spark, aggPath, "agg", batchId)) return
+    BatchMarker.clearPartial(spark, s"$agg/batch_id=$batchId")
+    if (batch.isEmpty) {
+      BatchMarker.commit(spark, aggPath, "agg", batchId)
+      return
+    }
+    // decimal partials: exact under re-aggregation, so streamed ≡ batch
+    // bit-for-bit after the final cast (the oracle-determinism rule the
+    // batch query already follows)
+    batch
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("partial_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("partial_value"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(agg)
+    BatchMarker.commit(spark, aggPath, "agg", batchId)
+  }
+
+  /** Merge the accumulated partials into the serving aggregate — the same
+    * (window_start, event_type, n, total_value) shape as the batch
+    * `events_hourly`, with `total_value` cast to double only here, after
+    * the exact decimal merge.
+    */
+  def hourlyFromAccumulated(spark: SparkSession, aggPath: String): DataFrame =
+    spark.read.parquet(s"$aggPath/agg")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("partial_value")).cast("double").as("total_value"))
+}
