@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * ([[duckdbCaseSql]]) the oracle replays — both engines agree
   * bit-for-bit, so the `text_pos_*` queries hash-match.
   *
-  * Known mistags are the classic baseline ones (`family` → ADV by `-ly`,
-  * `animal` → ADJ by `-al`); they are the price of a deterministic,
-  * map-only, codegen'd tagger with no model file.
+  * The classic baseline mistags (`family` → ADV by `-ly`, `animal` → ADJ
+  * by `-al`) are corrected by an open-class EXCEPTION lexicon riding the
+  * same table ([[nounExceptions]]/[[adjExceptions]] — checked after the
+  * closed classes, before any suffix rule). Residual mistags are the
+  * long-tail suffix collisions outside that list — the remaining price of
+  * a deterministic, map-only, codegen'd tagger with no model file.
   */
 object PosTag {
 
@@ -69,6 +72,53 @@ object PosTag {
     "thirty", "forty", "fifty", "hundred", "thousand", "million", "billion",
     "first", "second", "third", "fourth", "fifth")
 
+  // ---- open-class exception lexicon -------------------------------------
+  // Common words whose suffix rule misfires — the classic baseline mistags
+  // (`family` → ADV by `-ly`, `animal` → ADJ by `-al`). Listed AFTER the
+  // closed classes (those win) and checked before any suffix rule, they
+  // ride the same single rule table as everything else, so the Spark
+  // cascade, the JVM fast path and the generated DuckDB CASE all pick
+  // them up from this one edit point.
+
+  val nounExceptions: Seq[String] = Seq(
+    // -ly nouns
+    "family", "assembly", "monopoly", "butterfly", "firefly", "dragonfly",
+    "jelly", "belly", "lily", "rally", "tally", "ally", "reply", "supply",
+    "italy",
+    // -al nouns
+    "animal", "mineral", "hospital", "capital", "metal", "petal", "crystal",
+    "signal", "journal", "festival", "interval", "mammal", "canal", "rival",
+    "arrival", "survival", "material", "terminal", "pedal", "sandal",
+    "scandal", "portal", "funeral", "admiral", "cathedral",
+    "approval", "removal", "proposal", "refusal", "denial", "trial",
+    // -ic nouns
+    "music", "magic", "logic", "critic", "topic", "clinic", "picnic",
+    "fabric", "traffic", "republic", "mechanic", "attic",
+    // -ant/-ent nouns
+    "plant", "giant", "infant", "tenant", "servant", "merchant", "elephant",
+    "restaurant", "assistant", "consultant", "accountant", "participant",
+    "student", "parent", "president", "resident", "agent", "client",
+    "moment", "continent", "incident", "accident", "ingredient",
+    // -ive nouns
+    "olive", "motive", "detective", "perspective",
+    // -ed nouns (past-participle lookalikes; genuinely verb-leaning
+    // members like feed/need/breed are left to the VERB rule)
+    "bed", "seed", "creed", "speed", "deed",
+    "reed", "shed", "sled", "weed",
+    // -ing nouns
+    "morning", "evening", "building", "ceiling", "clothing",
+    "wedding", "meeting", "painting", "feeling", "meaning", "warning",
+    "herring", "pudding", "sibling", "darling", "dumpling", "duckling",
+    "string", "spring", "sterling")
+
+  val adjExceptions: Seq[String] = Seq(
+    // -ly adjectives
+    "early", "likely", "unlikely", "lonely", "lovely", "friendly",
+    "unfriendly", "deadly", "elderly", "silly", "ugly", "holy", "lively",
+    "costly", "chilly", "curly", "oily", "smelly", "wobbly", "jolly",
+    "weekly", "daily", "monthly", "yearly", "hourly", "cowardly", "orderly",
+    "ghastly")
+
   // ---- suffix morphology (checked after the lexicon, in this order) -----
 
   val nounSuffixes: Seq[String] = Seq("tion", "sion", "ness", "ment", "ity",
@@ -82,7 +132,8 @@ object PosTag {
 
   private val lexicon: Seq[(Seq[String], String)] = Seq(
     det -> "DET", conj -> "CONJ", pron -> "PRON", adp -> "ADP",
-    aux -> "AUX", advLex -> "ADV", num -> "NUM")
+    aux -> "AUX", advLex -> "ADV", num -> "NUM",
+    nounExceptions -> "NOUN", adjExceptions -> "ADJ")
 
   /** Coarse tag of a (lowercased) token column. Rule order: lexicon →
     * numeric literal → `-ly` ADV → noun suffixes → adjective suffixes →

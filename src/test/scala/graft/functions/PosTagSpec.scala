@@ -38,10 +38,27 @@ class PosTagSpec extends SparkSpec {
     assert(t("123") == "NUM" && t("3.14") == "NUM")
   }
 
-  test("documented baseline mistags stay deterministic") {
-    val t = tagsOf(Seq("family", "animal"))
-    assert(t("family") == "ADV") // -ly rule; the classic baseline price
-    assert(t("animal") == "ADJ") // -al rule
+  test("exception lexicon corrects the classic suffix mistags") {
+    val t = tagsOf(Seq("family", "animal", "early", "likely", "lovely",
+      "hospital", "music", "student", "morning", "speed",
+      // …while words OUTSIDE the exception list still follow the suffix
+      // rules (the exceptions are a lexicon, not a rule change)
+      "quickly", "historical", "happiness"))
+    assert(t("family") == "NOUN" && t("animal") == "NOUN")
+    assert(t("hospital") == "NOUN" && t("music") == "NOUN")
+    assert(t("student") == "NOUN" && t("morning") == "NOUN")
+    assert(t("speed") == "NOUN")
+    assert(t("early") == "ADJ" && t("likely") == "ADJ" && t("lovely") == "ADJ")
+    assert(t("quickly") == "ADV")      // -ly still fires off-list
+    assert(t("historical") == "ADJ")   // -al still fires off-list
+    assert(t("happiness") == "NOUN")
+  }
+
+  test("closed classes still beat the exception lexicon") {
+    // 'only' sits in the ADV closed class; the adjective reading never
+    // shadows it (first-listed class wins in every engine)
+    val t = tagsOf(Seq("only", "one"))
+    assert(t("only") == "ADV" && t("one") == "NUM")
   }
 
   test("filterNounAdj keeps the reference's NOUN/ADJ-and-len>1 contract") {
