@@ -84,4 +84,37 @@ class EventIngestSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(after === batchAgg)
   }
+
+  test("per-batch partial files compact per batch_id=; replay state travels") {
+    val dir = Files.createTempDirectory("evcompact").toFile
+    dir.deleteOnExit()
+    val agg = dir.getAbsolutePath + "/idx"
+    val compacted = dir.getAbsolutePath + "/compacted"
+    allEvents.zipWithIndex.foreach { case (e, i) =>
+      EventIngest.processBatch(
+        Seq(e).toDF("event_id", "ts", "event_type", "value"), i.toLong, agg)
+    }
+    val stats = graft.sinks.Compaction.compactPartitions(
+      spark, s"$agg/agg", s"$compacted/agg", targetBytes = 1L << 30)
+    assert(stats.size === allEvents.size &&
+      stats.keys.forall(_.startsWith("batch_id=")))
+    assert(stats.values.forall(_.filesAfter === 1))
+    // a compacted copy is the SAME rollup: markers travel with the data,
+    // so the merge read answers identically and a replay is still a no-op
+    val src = new java.io.File(s"$agg/_batches")
+    val dst = new java.io.File(s"$compacted/_batches")
+    dst.mkdirs()
+    src.listFiles().foreach(f => java.nio.file.Files.copy(
+      f.toPath, new java.io.File(dst, f.getName).toPath))
+    val merged = EventIngest.hourlyFromAccumulated(spark, compacted)
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(merged === batchAgg)
+    val n0 = spark.read.parquet(s"$compacted/agg").count()
+    EventIngest.processBatch(
+      Seq(allEvents.head).toDF("event_id", "ts", "event_type", "value"),
+      0L, compacted)
+    assert(spark.read.parquet(s"$compacted/agg").count() === n0,
+      "replay re-appended into the compacted rollup")
+  }
 }
