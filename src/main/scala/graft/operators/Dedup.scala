@@ -524,16 +524,21 @@ object Dedup {
     * near-dup relations are not transitive-safe without it (a~b, b~c ⇒ a,c
     * in one cluster even if a~c was never emitted).
     *
-    * Algorithm: iterated min-label propagation ("hash-to-min") expressed as
-    * DataFrame joins — label(v) starts at min(v, neighbors) and each round
-    * takes the min of the neighbors' labels, converging in O(component
-    * diameter) rounds. Near-dup clusters are dense and tiny (boilerplate
-    * families), so diameter is small; each round is one equi-shuffle join +
-    * one aggregation over O(edges) rows, nothing driver-side but the
-    * convergence flag. Results are persisted per round and the previous
-    * round unpersisted, so lineage stays bounded; a multi-thousand-round
-    * graph (not a dedup graph) would want periodic reliable checkpoints
-    * instead.
+    * Algorithm: iterated min-label propagation ("hash-to-min") with a
+    * POINTER-JUMPING step, expressed as DataFrame joins — label(v) starts
+    * at min(v, neighbors), and each round takes (a) the min of the
+    * neighbors' labels, then (b) the label of that label
+    * (label(label(v)), valid because a label is always a node id of the
+    * same component and labels only decrease). Neighbor-min alone is
+    * O(diameter) rounds — fine for dense boilerplate families (diameter
+    * ≤ 3) but a correctness cliff for near-dup DRIFT CHAINS (a crawl's
+    * version chain A~B~C~… has diameter = its length, and a 50+-round
+    * graph used to exhaust maxIterations). The jump contracts label paths
+    * toward doubling per round, so convergence is O(log diameter): a
+    * 1000-link chain converges in ~12 rounds, not 1000. Each round is two
+    * equi-shuffle joins + one aggregation over O(edges) rows, nothing
+    * driver-side but the convergence flag; rounds are localCheckpointed
+    * and the previous round dropped, so lineage stays bounded.
     *
     * Each round runs exactly ONE action: the changed-row count rides the
     * eager localCheckpoint via `Dataset.observe` (CollectMetrics
@@ -568,19 +573,32 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      // candidate label for v = min over neighbors u of label(u); carry a
-      // per-row `changed` flag so convergence needs no second join
+      // step (a): candidate label for v = min over neighbors u of label(u)
       val prop = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_cid")), "src")
         .groupBy(col("dst"))
         .agg(min(col("src_cid")).as("nbr_cid"))
         .select(col("dst").as("doc_id"), col("nbr_cid"))
-      val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val stepped = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old_cid"),
           least(col("cluster_id"), coalesce(col("nbr_cid"), col("cluster_id")))
+            .as("mid_cid"))
+      // step (b): pointer jump — follow the label's own label one hop.
+      // Every label IS a node id with a labels row (it started as a
+      // min over node ids and only ever moves to other labels), and
+      // labels are monotone non-increasing, so label(label(v)) is a
+      // same-component id ≤ label(v); the left join + coalesce is
+      // belt-and-braces, not a semantic fallback.
+      val parents = labels
+        .select(col("doc_id").as("mid_cid"), col("cluster_id").as("jump_cid"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = stepped.join(parents, Seq("mid_cid"), "left")
+        .select(col("doc_id"),
+          least(col("mid_cid"), coalesce(col("jump_cid"), col("mid_cid")))
             .as("cluster_id"),
-          (col("nbr_cid") < col("cluster_id")).as("changed"))
+          col("old_cid"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") < col("old_cid")).as("changed"))
         // count(when) not sum: count is 0 on an empty frame, never null
         .observe(obs, count(when(col("changed"), lit(1))).as("n_changed"))
         .localCheckpoint() // the round's ONE action; the metric lands with it

@@ -164,6 +164,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: pointer jumping converges a 300-node drift chain") {
+    // diameter 299 — neighbor-min alone needs 299 rounds and would blow
+    // maxIterations=50; the label(label(v)) jump makes rounds O(log d),
+    // so this converging AT ALL is the proof the contraction works
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 300 && labels.values.forall(_ == 0L))
+  }
+
   test("duplicateClusters: one action per round (convergence rides the checkpoint)") {
     // chain of diameter 6 forces real multi-round propagation; the changed
     // count is observed DURING each round's eager localCheckpoint, so the
