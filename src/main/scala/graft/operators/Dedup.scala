@@ -591,8 +591,14 @@ object Dedup {
       // belt-and-braces, not a semantic fallback.
       val parents = labels
         .select(col("doc_id").as("mid_cid"), col("cluster_id").as("jump_cid"))
-      val obs = org.apache.spark.sql.Observation()
-      val next = stepped.join(parents, Seq("mid_cid"), "left")
+      // string-named observe, NOT an Observation object: Observation
+      // registers with the session's ObservationManager, whose backing
+      // field on classic.SparkSession is the one non-transient mutable
+      // field — once initialized it breaks serialization for ANY closure
+      // that drags the session along (spark.ml training summaries do).
+      // The named form is a pure CollectMetrics plan node; the metric is
+      // read off this queryExecution after the checkpoint action.
+      val observed = stepped.join(parents, Seq("mid_cid"), "left")
         .select(col("doc_id"),
           least(col("mid_cid"), coalesce(col("jump_cid"), col("mid_cid")))
             .as("cluster_id"),
@@ -600,9 +606,13 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id"),
           (col("cluster_id") < col("old_cid")).as("changed"))
         // count(when) not sum: count is 0 on an empty frame, never null
-        .observe(obs, count(when(col("changed"), lit(1))).as("n_changed"))
+        .observe("cc_round", count(when(col("changed"), lit(1))).as("n_changed"))
+      val next = observed
         .localCheckpoint() // the round's ONE action; the metric lands with it
-      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
+      val metric = observed.queryExecution.observedMetrics.getOrElse("cc_round",
+        throw new IllegalStateException(
+          "cc_round metric missing after the checkpoint action"))
+      converged = metric.getLong(0) == 0L
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }

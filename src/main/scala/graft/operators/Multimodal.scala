@@ -168,12 +168,15 @@ object Multimodal {
       .as(Encoders.product[MediaRow])
       .mapPartitions { it: Iterator[MediaRow] =>
         it.map { r =>
+          // NonFatal, not just IOException: the JDK's format readers throw
+          // unchecked exceptions on malformed headers too, and one corrupt
+          // object must not kill a 100 TB scan
           val img =
             if (r.payload == null || r.payload.isEmpty) null
             else
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(r.payload))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ImageMeta(r.media_id, 0, 0, 0L, decoded = false)
           else {
             var sum = 0L
@@ -212,7 +215,7 @@ object Multimodal {
             else
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(r.payload))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ResizedMedia(r.media_id, Array.emptyByteArray, 0, 0)
           else {
             val out = new java.awt.image.BufferedImage(

@@ -64,9 +64,25 @@ object EventIngest {
     * `events_hourly`, with `total_value` cast to double only here, after
     * the exact decimal merge.
     */
-  def hourlyFromAccumulated(spark: SparkSession, aggPath: String): DataFrame =
+  def hourlyFromAccumulated(spark: SparkSession, aggPath: String): DataFrame = {
+    // a rollup whose every batch was empty has markers but no agg/ dir —
+    // that is an EMPTY aggregate, not a read error (the batch twin over
+    // zero events returns empty too)
+    val agg = new org.apache.hadoop.fs.Path(s"$aggPath/agg")
+    val fs = agg.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(agg)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("window_start", TimestampType),
+          StructField("event_type", StringType),
+          StructField("n", LongType),
+          StructField("total_value", DoubleType))))
+    }
     spark.read.parquet(s"$aggPath/agg")
       .groupBy(col("window_start"), col("event_type"))
       .agg(sum(col("n")).as("n"),
         sum(col("partial_value")).cast("double").as("total_value"))
+  }
 }

@@ -75,6 +75,9 @@ class PosTagSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(explode(TextStats.tokenize(col("text"))).as("tok"))
       .union(Seq("the", "happiness", "walked", "family", "x", "123", "zz").toDF("tok"))
+      // the whole exception lexicon rides along: both engines must agree
+      // on every word the table special-cases
+      .union((PosTag.nounExceptions ++ PosTag.adjExceptions).toDF("tok"))
     val disagree = toks
       .select(col("tok"), PosTag.tag(col("tok")).as("slow"),
         PosTagColumn.posTag(col("tok")).as("fast"))

@@ -174,6 +174,22 @@ class DedupSpec extends SparkSpec {
     assert(labels.size === 300 && labels.values.forall(_ == 0L))
   }
 
+  test("duplicateClusters never initializes the session's ObservationManager") {
+    // classic.SparkSession's observationManager is its one non-transient
+    // mutable field: once initialized (an Observation OBJECT registering),
+    // any closure that drags the session into task serialization —
+    // spark.ml training summaries do — dies with NotSerializableException.
+    // The CC loop therefore uses the string-named observe form only; pin
+    // that the field stays null after a full clustering run.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    Dedup.duplicateClusters(pairs).collect()
+    val f = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getDeclaredField("observationManager")
+    f.setAccessible(true)
+    assert(f.get(spark) == null,
+      "CC initialized ObservationManager — spark.ml closures will break")
+  }
+
   test("duplicateClusters: one action per round (convergence rides the checkpoint)") {
     // chain of diameter 6 forces real multi-round propagation; the changed
     // count is observed DURING each round's eager localCheckpoint, so the
