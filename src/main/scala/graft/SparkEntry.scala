@@ -1472,6 +1472,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The daily-crawl form: 20% of the corpus "arrives today". Yesterday's
+    // labeling (CC over the historical pairs) folds the new batch's pairs
+    // in via incrementalClusters — history collapses to star edges, so
+    // rounds depend on the new batch, never on historical component size.
+    // Shares dedup_clusters' oracle VERBATIM: green = the incremental fold
+    // is row-identical to re-clustering the full corpus from scratch.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashBandedPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.7).localCheckpoint() // pair gen once, split twice
+      def isNew(c: Column) = pmod(c, lit(5)) === 0
+      val hist  = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      val fresh = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      val prev = Dedup.duplicateClusters(hist)
+      Dedup.clusterAssignmentsFromLabels(docs, "doc_id",
+          Dedup.incrementalClusters(prev, fresh))
+        .orderBy("doc_id")
+    }),
+
     // Declarative data-quality expectations (Deequ-shaped): the checklist
     // an ingestion runs before publishing a snapshot. Row-local checks
     // fold into ONE aggregation pass; uniqueness is one groupBy (never an
@@ -2774,6 +2793,50 @@ object SparkEntry {
       |        ORDER BY sc DESC, doc_id) AS rn FROM scored)
       |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // shared by dedup_clusters AND dedup_clusters_incremental: the oracle
+  // recomputes the >= 0.7 Jaccard pairs brute-force and closes them
+  // transitively with a recursive CTE — the incremental fold must land on
+  // exactly this from-scratch answer
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
+      |                x -> len(x) > 1) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+      |  FROM toks WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |labels AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+      |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT lab.doc_id, lab.cluster_id, csizes.cluster_size,
+      |  lab.doc_id = lab.cluster_id AS is_keeper
+      |FROM lab JOIN csizes USING (cluster_id)
+      |ORDER BY lab.doc_id""".stripMargin
+
   // shared by events_hourly AND events_hourly_streamed: the streamed
   // accumulation (EventIngest partials) must merge to exactly this
   private val eventsHourlyOracle: String =
@@ -3792,45 +3855,11 @@ object SparkEntry {
 
     // Connected components via transitive closure (recursive CTE) over the
     // brute-force >= 0.7 Jaccard pairs — checks labels, sizes and keepers.
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),
-        |                x -> len(x) > 1) AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
-        |  FROM toks WHERE len(toks) >= 3),
-        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1,2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |labels AS (
-        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-        |lab AS (
-        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
-        |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
-        |SELECT lab.doc_id, lab.cluster_id, csizes.cluster_size,
-        |  lab.doc_id = lab.cluster_id AS is_keeper
-        |FROM lab JOIN csizes USING (cluster_id)
-        |ORDER BY lab.doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersOracle,
+
+    // the SAME oracle: the incremental fold (star edges + new pairs) must
+    // reproduce from-scratch clustering of the full corpus exactly
+    "dedup_clusters_incremental" -> dedupClustersOracle,
 
     // Each check replayed as a plain SQL count; labels match the Scala
     // label() strings character for character.

@@ -174,6 +174,25 @@ class DedupSpec extends SparkSpec {
     assert(labels.size === 300 && labels.values.forall(_ == 0L))
   }
 
+  test("incrementalClusters equals from-scratch CC over the union of pairs") {
+    // yesterday: components {1,2,3} and {10,11}; today's batch BRIDGES
+    // them (3~10), extends one (11~12), and starts a fresh pair (20~21)
+    val hist  = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val fresh = Seq((3L, 10L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val prev = Dedup.duplicateClusters(hist)
+    val inc = Dedup.incrementalClusters(prev, fresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.duplicateClusters(hist.unionByName(fresh))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      12L -> 1L, 20L -> 20L, 21L -> 20L))
+    // an empty new batch reproduces the old labeling (star edges span it)
+    val none = Dedup.incrementalClusters(prev, fresh.limit(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none === prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("duplicateClusters never initializes the session's ObservationManager") {
     // classic.SparkSession's observationManager is its one non-transient
     // mutable field: once initialized (an Observation OBJECT registering),
