@@ -27,6 +27,28 @@ object SparkEntry {
 
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Shared DAU derivation over a (user_id, day) frame — used by both
+    * events_dau (straight off the events scan) and events_dau_streamed
+    * (off the accumulated activity set), which run under ONE oracle
+    * (green row = equivalence proof). Input rows may carry duplicates;
+    * the distinct here is part of the contract.
+    */
+  private def dauShape(ev: DataFrame): DataFrame = {
+    val pairs = ev.distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val firsts = pairs.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firsts, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(unix_micros(col("day")).as("day_us"), col("dau"),
+        col("new_users"), col("cum_users"))
+      .orderBy("day_us")
+  }
+
   /** Build-once guard for the persisted ANN indexes the replay oracles
     * read: index lives under a dir keyed by corpus size AND a content
     * fingerprint (xor of per-row xxhash64 over every column — order-free,
@@ -1181,21 +1203,28 @@ object SparkEntry {
     // as a running SUM over first-seen counts — no re-scan per day). The
     // running window is 30 rows (days), not the event stream.
     "events_dau" -> ((s, dir) => {
+      dauShape(t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+    }),
+
+    // The streamed twin: each micro-batch appends its DISTINCT
+    // (user_id, day) pairs (set-union accumulation — the idempotent merge
+    // class, vs events_hourly_streamed's additive partials); the serving
+    // read unions the set and runs the SAME dauShape derivation. Shares
+    // events_dau's oracle verbatim — distinct-user stats computed exactly
+    // from accumulated pairs, no sketches.
+    "events_dau_streamed" -> ((s, dir) => {
+      import s.implicits._
       val ev = t(s, dir, "events")
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      val dau = ev.distinct().groupBy(col("day"))
-        .agg(count(lit(1)).as("dau"))
-      val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
-        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dau.join(firsts, Seq("day"), "left")
-        .select(col("day"), col("dau"),
-          coalesce(col("new_users"), lit(0L)).as("new_users"))
-        .withColumn("cum_users", sum(col("new_users")).over(w))
-        .select(unix_micros(col("day")).as("day_us"), col("dau"),
-          col("new_users"), col("cum_users"))
-        .orderBy("day_us")
+      val path = ensureIndex(s, ev, "evdaustream", "built") { p =>
+        graft.streaming.EventIngest.processActivityBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
+        graft.streaming.EventIngest.processActivityBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      dauShape(graft.streaming.EventIngest.activityFromAccumulated(s, path))
     }),
 
     // Per-user activity deciles: ntile(10) over per-user event counts —
@@ -2836,6 +2865,20 @@ object SparkEntry {
       |  lab.doc_id = lab.cluster_id AS is_keeper
       |FROM lab JOIN csizes USING (cluster_id)
       |ORDER BY lab.doc_id""".stripMargin
+
+  // shared by events_dau AND events_dau_streamed: the streamed activity
+  // set (distinct user-day pairs) must reproduce these numbers exactly
+  private val eventsDauOracle: String =
+    """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+      |f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+      |nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT epoch_us(dau.day) AS day_us, dau.dau,
+      |  coalesce(nu.new_users, 0) AS new_users,
+      |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM dau LEFT JOIN nu ON dau.day = nu.day
+      |ORDER BY day_us""".stripMargin
 
   // shared by events_hourly AND events_hourly_streamed: the streamed
   // accumulation (EventIngest partials) must merge to exactly this
@@ -5530,17 +5573,11 @@ object SparkEntry {
         |FROM s JOIN o ON s.report_day = o.report_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "events_dau" ->
-      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
-        |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
-        |f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
-        |nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
-        |SELECT epoch_us(dau.day) AS day_us, dau.dau,
-        |  coalesce(nu.new_users, 0) AS new_users,
-        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-        |FROM dau LEFT JOIN nu ON dau.day = nu.day
-        |ORDER BY day_us""".stripMargin,
+    "events_dau" -> eventsDauOracle,
+
+    // the SAME oracle: the accumulated distinct (user, day) set must
+    // yield exactly the batch DAU/new/cumulative numbers
+    "events_dau_streamed" -> eventsDauOracle,
 
     // Same integer sums (s1, s2 bigint-exact), same IEEE chain for
     // mean/var/z — the compare is exact; round(,6) guards the last ulp.

@@ -59,6 +59,52 @@ object EventIngest {
     BatchMarker.commit(spark, aggPath, "agg", batchId)
   }
 
+  /** Streamed maintenance of the (user, day) ACTIVITY table — set-union
+    * accumulation, the other merge class next to [[processBatch]]'s
+    * additive partials: each batch appends its DISTINCT (user_id, day)
+    * pairs and the read unions them (distinct again — cross-batch
+    * duplicates collapse, idempotent by construction). Rows per batch are
+    * bounded by active-users × days-touched, never raw events, and every
+    * distinct-user statistic (DAU, first-seen, cumulative users) computes
+    * exactly from the accumulated set — no sketches, no approximation.
+    */
+  def processActivityBatch(batch: DataFrame, batchId: Long,
+      aggPath: String): Unit = {
+    val spark = batch.sparkSession
+    val act = s"$aggPath/activity"
+    BatchMarker.assertMarkeredSink(spark, aggPath, s"$act/batch_id=*")
+    BatchMarker.ensureProtocol(spark, aggPath)
+    if (BatchMarker.landed(spark, aggPath, "activity", batchId)) return
+    BatchMarker.clearPartial(spark, s"$act/batch_id=$batchId")
+    if (batch.isEmpty) {
+      BatchMarker.commit(spark, aggPath, "activity", batchId)
+      return
+    }
+    batch.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(act)
+    BatchMarker.commit(spark, aggPath, "activity", batchId)
+  }
+
+  /** The accumulated distinct (user_id, day) pairs — the exact input any
+    * batch DAU/retention derivation expects.
+    */
+  def activityFromAccumulated(spark: SparkSession, aggPath: String): DataFrame = {
+    val act = new org.apache.hadoop.fs.Path(s"$aggPath/activity")
+    val fs = act.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(act)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("day", TimestampType))))
+    }
+    spark.read.parquet(s"$aggPath/activity")
+      .select(col("user_id"), col("day")).distinct()
+  }
+
   /** Merge the accumulated partials into the serving aggregate — the same
     * (window_start, event_type, n, total_value) shape as the batch
     * `events_hourly`, with `total_value` cast to double only here, after

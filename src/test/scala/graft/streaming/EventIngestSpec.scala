@@ -85,6 +85,32 @@ class EventIngestSpec extends SparkSpec {
     assert(after === batchAgg)
   }
 
+  test("activity accumulation: cross-batch duplicate (user, day) pairs " +
+      "collapse; replay and empty batches are no-ops") {
+    val dir = Files.createTempDirectory("evactivity").toFile
+    dir.deleteOnExit()
+    val agg = dir.getAbsolutePath + "/idx"
+    // user 7 is active at 10:05 AND 10:40 across DIFFERENT batches — the
+    // set union must keep one (7, day) row; user 8 appears twice within
+    // one batch (the per-batch distinct handles that side)
+    val b0 = Seq((1L, ts(5), "click", 1.0), (7L, ts(5), "view", 1.0),
+      (8L, ts(10), "click", 1.0), (8L, ts(20), "view", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .select(col("user_id"), col("ts"))
+    val b1 = Seq((7L, ts(40), "click", 1.0), (9L, ts(45), "view", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .select(col("user_id"), col("ts"))
+    EventIngest.processActivityBatch(b0, 0L, agg)
+    EventIngest.processActivityBatch(b1, 1L, agg)
+    EventIngest.processActivityBatch(b0, 0L, agg) // replay: marker no-op
+    EventIngest.processActivityBatch(b0.limit(0), 2L, agg) // empty advance
+    val pairs = EventIngest.activityFromAccumulated(spark, agg)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val day = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    assert(pairs === Set((1L, day), (7L, day), (8L, day), (9L, day)))
+    assert(BatchMarker.landed(spark, agg, "activity", 2L))
+  }
+
   test("per-batch partial files compact per batch_id=; replay state travels") {
     val dir = Files.createTempDirectory("evcompact").toFile
     dir.deleteOnExit()
