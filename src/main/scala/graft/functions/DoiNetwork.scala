@@ -189,9 +189,12 @@ object DoiNetwork {
       case "pensoft"   => when(pensoftRequest(raw).isNotNull, concat(lit("pensoft:"), pensoftRequest(raw)))
       case "pubmed"    => when(pubmedPmc(raw).isNotNull, concat(lit("pubmed:PMC"), pubmedPmc(raw)))
     }
+    // keyed feeds BOTH the melt and the final id-rejoin: without a
+    // boundary each consumer re-runs the five recognizer regex batteries
+    // (~15 extracts/row) over the records scan
     val keyed = stages.foldLeft(records) { (df, st) =>
       df.withColumn(s"k_$st", keyOf(st))
-    }
+    }.persist()
     val melted = keyed.select(col(idCol).as("__id"),
         explode(filter(array(stages.map(st =>
           struct(lit(st).as("stage"), col(s"k_$st").as("key"))): _*),
