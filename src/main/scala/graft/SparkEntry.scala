@@ -27,6 +27,26 @@ object SparkEntry {
 
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Shared upsert fixture (base, updates) over customer — used by both
+    * etl_upsert (copy-on-write MERGE) and etl_upsert_streamed (changelog
+    * merge-on-read), which run under ONE oracle (green = equivalence).
+    */
+  private def upsertFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").cast("bigint").as("cust_id"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val updates = t(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(10)) === 3)
+      .select(col("c_custkey").cast("bigint").as("cust_id"),
+        (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+        lit("UPSERTED").as("c_mktsegment"))
+      .unionByName(t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(100)) === 7)
+        .select((col("c_custkey") + lit(1000000L)).cast("bigint").as("cust_id"),
+          col("c_acctbal"), lit("INSERTED").as("c_mktsegment")))
+    (base, updates)
+  }
+
   /** Shared DAU derivation over a (user_id, day) frame — used by both
     * events_dau (straight off the events scan) and events_dau_streamed
     * (off the accumulated activity set), which run under ONE oracle
@@ -2329,19 +2349,27 @@ object SparkEntry {
     // union the updates — updated keys carry new values, unseen keys
     // insert. One broadcast anti-join; the oracle replays it as plain SQL.
     "etl_upsert" -> ((s, dir) => {
-      val base = t(s, dir, "customer")
-        .select(col("c_custkey").cast("bigint").as("cust_id"),
-          col("c_acctbal"), col("c_mktsegment"))
-      val updates = t(s, dir, "customer")
-        .filter(pmod(col("c_custkey"), lit(10)) === 3)
-        .select(col("c_custkey").cast("bigint").as("cust_id"),
-          (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
-          lit("UPSERTED").as("c_mktsegment"))
-        .unionByName(t(s, dir, "customer")
-          .filter(pmod(col("c_custkey"), lit(100)) === 7)
-          .select((col("c_custkey") + lit(1000000L)).cast("bigint").as("cust_id"),
-            col("c_acctbal"), lit("INSERTED").as("c_mktsegment")))
+      val (base, updates) = upsertFixture(s, dir)
       graft.sinks.Upsert.merged(base, updates, "cust_id")
+        .orderBy("cust_id")
+    }),
+
+    // The streamed merge-on-read twin: base and updates land as two
+    // changelog batches under the BatchMarker protocol (UpsertIngest —
+    // appends only, batch id = version), and the serving read resolves
+    // latest-batch-per-key. Shares etl_upsert's oracle VERBATIM — green =
+    // the changelog resolve equals the copy-on-write MERGE row-for-row.
+    "etl_upsert_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val (base, updates) = upsertFixture(s, dir)
+      val path = ensureIndex(s, t(s, dir, "customer"), "upsertstream", "built") { p =>
+        graft.streaming.UpsertIngest.processBatch(base, 0L, p)
+        graft.streaming.UpsertIngest.processBatch(updates, 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      graft.streaming.UpsertIngest.readLatest(s, path, "cust_id")
+        .select("cust_id", "c_acctbal", "c_mktsegment")
         .orderBy("cust_id")
     }),
 
@@ -2865,6 +2893,25 @@ object SparkEntry {
       |  lab.doc_id = lab.cluster_id AS is_keeper
       |FROM lab JOIN csizes USING (cluster_id)
       |ORDER BY lab.doc_id""".stripMargin
+
+  // shared by etl_upsert AND etl_upsert_streamed: the changelog resolve
+  // must reproduce the copy-on-write merge exactly
+  private val etlUpsertOracle: String =
+    """WITH base AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_acctbal, c_mktsegment
+      |  FROM customer),
+      |up AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+      |    c_acctbal + 1000.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT CAST(c_custkey + 1000000 AS BIGINT), c_acctbal, 'INSERTED'
+      |  FROM customer WHERE c_custkey % 100 = 7),
+      |m AS (
+      |  SELECT b.* FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.cust_id = b.cust_id)
+      |  UNION ALL SELECT * FROM up)
+      |SELECT * FROM m ORDER BY cust_id""".stripMargin
 
   // shared by events_dau AND events_dau_streamed: the streamed activity
   // set (distinct user-day pairs) must reproduce these numbers exactly
@@ -4919,22 +4966,11 @@ object SparkEntry {
         |        ORDER BY fscore DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    "etl_upsert" ->
-      """WITH base AS (
-        |  SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_acctbal, c_mktsegment
-        |  FROM customer),
-        |up AS (
-        |  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
-        |    c_acctbal + 1000.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
-        |  FROM customer WHERE c_custkey % 10 = 3
-        |  UNION ALL
-        |  SELECT CAST(c_custkey + 1000000 AS BIGINT), c_acctbal, 'INSERTED'
-        |  FROM customer WHERE c_custkey % 100 = 7),
-        |m AS (
-        |  SELECT b.* FROM base b
-        |  WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.cust_id = b.cust_id)
-        |  UNION ALL SELECT * FROM up)
-        |SELECT * FROM m ORDER BY cust_id""".stripMargin,
+    "etl_upsert" -> etlUpsertOracle,
+
+    // the SAME oracle: latest-batch-per-key over the changelog must equal
+    // the copy-on-write merge
+    "etl_upsert_streamed" -> etlUpsertOracle,
 
     "etl_scd2" ->
       """WITH c AS (

@@ -174,6 +174,36 @@ class DedupSpec extends SparkSpec {
     assert(labels.size === 300 && labels.values.forall(_ == 0L))
   }
 
+  test("duplicateClusters matches a union-find reference on random graphs") {
+    // seeded randomized graphs (mixed chains, cliques, stars, isolates-in-
+    // pairs) checked against a driver-side union-find — the strongest
+    // guard on the jumping kernel: any propagation bug that converges to
+    // a fixed point with WRONG labels would slip past shape tests
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(60)
+      val m = n / 2 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val roots = parent.keys.map(k => k -> find(k)).toMap
+        val expected = roots.map { case (k, r) =>
+          k -> roots.collect { case (k2, r2) if r2 == r => k2 }.min
+        }
+        val got = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"trial $trial (n=$n m=$m) diverged")
+      }
+    }
+  }
+
   test("incrementalClusters equals from-scratch CC over the union of pairs") {
     // yesterday: components {1,2,3} and {10,11}; today's batch BRIDGES
     // them (3~10), extends one (11~12), and starts a fresh pair (20~21)
