@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MisraGries, PartialRatio, PorterStem, SmallestK}
+import graft.functions.{DotProduct, HtmlTextExtract, MisraGries, PartialRatio, PorterStem, PosTagExpr, SmallestK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c(1).foldable, "freq_items_mg: k must be a literal")
       MisraGries(c.head, c(1).eval().asInstanceOf[Number].intValue)
     })
+    register(ext, "pos_tag", classOf[PosTagExpr].getName, 1,
+      c => PosTagExpr(c.head))
+    register(ext, "html_text", classOf[HtmlTextExtract].getName, 1,
+      c => HtmlTextExtract(c.head))
   }
 }

@@ -23,4 +23,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[String]("stem") === "run")
     intercept[Exception](spark.sql("SELECT porter_stem('a', 'b')").collect())
   }
+
+  test("pos_tag and html_text are registered as SQL functions") {
+    val r = spark.sql(
+      "SELECT pos_tag('family') AS t1, pos_tag('quickly') AS t2, " +
+        "html_text('Iron <i>maiden</i>s') AS h").head()
+    assert(r.getAs[String]("t1") === "NOUN") // exception lexicon via SQL too
+    assert(r.getAs[String]("t2") === "ADV")
+    assert(r.getAs[String]("h") === "Iron maidens")
+    intercept[Exception](spark.sql("SELECT pos_tag('a', 'b')").collect())
+  }
 }
