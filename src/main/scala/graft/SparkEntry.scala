@@ -47,6 +47,46 @@ object SparkEntry {
     (base, updates)
   }
 
+  /** The streamed (user, day) activity table for this dataset — built
+    * once (two event-disjoint batches under the BatchMarker protocol) and
+    * served by BOTH events_dau_streamed and events_retention_streamed:
+    * one set-union accumulation, every distinct-user statistic.
+    */
+  private def activityPath(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    ensureIndex(s, ev, "evdaustream", "built") { p =>
+      graft.streaming.EventIngest.processActivityBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
+      graft.streaming.EventIngest.processActivityBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
+      Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+        .parquet(s"$p/built")
+    }
+  }
+
+  /** Cohort-retention derivation over a (user_id, day) frame — shared by
+    * events_retention and events_retention_streamed under ONE oracle.
+    * Week cohorts/activity are invariant to the day truncation
+    * (date_trunc('week', min(day)) = date_trunc('week', min(ts))), so the
+    * day-level activity set carries exactly the needed information.
+    */
+  private def retentionShape(pairs: DataFrame): DataFrame = {
+    val cohort = pairs.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .select(col("user_id"), date_trunc("week", col("first_day")).as("cohort_w"))
+    val active = pairs
+      .select(col("user_id"), date_trunc("week", col("day")).as("act_w"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_w"),
+        ((unix_micros(col("act_w")) - unix_micros(col("cohort_w"))) /
+          lit(604800000000L)).cast("bigint").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("cohort_w")).as("cohort_week_us"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week_us", "week_offset")
+  }
+
   /** Shared DAU derivation over a (user_id, day) frame — used by both
     * events_dau (straight off the events scan) and events_dau_streamed
     * (off the accumulated activity set), which run under ONE oracle
@@ -1234,17 +1274,8 @@ object SparkEntry {
     // events_dau's oracle verbatim — distinct-user stats computed exactly
     // from accumulated pairs, no sketches.
     "events_dau_streamed" -> ((s, dir) => {
-      import s.implicits._
-      val ev = t(s, dir, "events")
-      val path = ensureIndex(s, ev, "evdaustream", "built") { p =>
-        graft.streaming.EventIngest.processActivityBatch(
-          ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
-        graft.streaming.EventIngest.processActivityBatch(
-          ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
-        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
-          .parquet(s"$p/built")
-      }
-      dauShape(graft.streaming.EventIngest.activityFromAccumulated(s, path))
+      dauShape(graft.streaming.EventIngest.activityFromAccumulated(
+        s, activityPath(s, dir)))
     }),
 
     // Per-user activity deciles: ntile(10) over per-user event counts —
@@ -1345,20 +1376,18 @@ object SparkEntry {
     // Two aggregations + one keyed join; offsets are exact bigint
     // arithmetic on aligned week boundaries (UTC, no DST).
     "events_retention" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
-      val cohort = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
-        .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_w"))
-      val active = ev
-        .select(col("user_id"), date_trunc("week", col("ts")).as("act_w"))
-        .distinct()
-      active.join(cohort, Seq("user_id"))
-        .groupBy(col("cohort_w"),
-          ((unix_micros(col("act_w")) - unix_micros(col("cohort_w"))) /
-            lit(604800000000L)).cast("bigint").as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .select(unix_micros(col("cohort_w")).as("cohort_week_us"),
-          col("week_offset"), col("n_users"))
-        .orderBy("cohort_week_us", "week_offset")
+      retentionShape(t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+    }),
+
+    // SECOND serving view off the SAME accumulated activity table as
+    // events_dau_streamed — the point of set-union accumulation: one
+    // streamed (user, day) set serves every distinct-user statistic.
+    // Week cohorts are invariant to the day truncation (week(min(day)) =
+    // week(min(ts))), so this shares events_retention's oracle verbatim.
+    "events_retention_streamed" -> ((s, dir) => {
+      retentionShape(graft.streaming.EventIngest.activityFromAccumulated(
+        s, activityPath(s, dir)))
     }),
 
     // Composed keep/drop decision — the C4/Gopher-shape filter pipeline
@@ -2912,6 +2941,19 @@ object SparkEntry {
       |  WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.cust_id = b.cust_id)
       |  UNION ALL SELECT * FROM up)
       |SELECT * FROM m ORDER BY cust_id""".stripMargin
+
+  // shared by events_retention AND events_retention_streamed: week
+  // cohorts are invariant to day truncation, so the activity-set replay
+  // must land on these exact numbers
+  private val eventsRetentionOracle: String =
+    """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+      |co AS (SELECT user_id, date_trunc('week', first_ts) AS cw FROM f),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+      |SELECT epoch_us(co.cw) AS cohort_week_us,
+      |  (epoch_us(a.aw) - epoch_us(co.cw)) // 604800000000 AS week_offset,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN co ON a.user_id = co.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // shared by events_dau AND events_dau_streamed: the streamed activity
   // set (distinct user-day pairs) must reproduce these numbers exactly
@@ -5661,15 +5703,10 @@ object SparkEntry {
         |LEFT JOIN p ON p.user_id = v.user_id
         |ORDER BY v.user_id""".stripMargin,
 
-    "events_retention" ->
-      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
-        |co AS (SELECT user_id, date_trunc('week', first_ts) AS cw FROM f),
-        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
-        |SELECT epoch_us(co.cw) AS cohort_week_us,
-        |  (epoch_us(a.aw) - epoch_us(co.cw)) // 604800000000 AS week_offset,
-        |  count(DISTINCT a.user_id) AS n_users
-        |FROM a JOIN co ON a.user_id = co.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_retention" -> eventsRetentionOracle,
+
+    // the SAME oracle: the accumulated activity set serves retention too
+    "events_retention_streamed" -> eventsRetentionOracle,
 
     "events_asof" ->
       """WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
