@@ -1380,6 +1380,32 @@ object SparkEntry {
         .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
     }),
 
+    // The SKETCH tier of streamed DAU — per-batch per-day HLL binaries,
+    // O(days) rows per batch, CONSTANT in users: the 100 TB shape where
+    // even the distinct (user, day) set is too big to keep. Accuracy is
+    // gated the recall-gate way: Spark emits the exact DAU (which the
+    // oracle replays) plus a pinned-TRUE bound that the sketch estimate
+    // lands within 5% of it — a sketch regression becomes a hash mismatch.
+    "events_dau_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val path = ensureIndex(s, ev, "evsketchstream", "built") { p =>
+        graft.streaming.EventIngest.processSketchBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
+        graft.streaming.EventIngest.processSketchBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      val est = graft.streaming.EventIngest.dauEstimateFromSketches(s, path)
+      val exact = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      exact.join(est, Seq("day"))
+        .select(unix_micros(col("day")).as("day_us"), col("dau"),
+          (abs(col("dau_est") - col("dau")) <= col("dau") * 0.05).as("est_ok"))
+        .orderBy("day_us")
+    }),
+
     // SECOND serving view off the SAME accumulated activity table as
     // events_dau_streamed — the point of set-union accumulation: one
     // streamed (user, day) set serves every distinct-user statistic.
@@ -5707,6 +5733,13 @@ object SparkEntry {
 
     // the SAME oracle: the accumulated activity set serves retention too
     "events_retention_streamed" -> eventsRetentionOracle,
+
+    // recall-gate convention: exact DAU replayed, sketch-accuracy bound
+    // pinned TRUE — a sketch regression becomes a hash mismatch
+    "events_dau_sketch" ->
+      """SELECT epoch_us(day) AS day_us, count(*) AS dau, TRUE AS est_ok
+        |FROM (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        |GROUP BY day ORDER BY day_us""".stripMargin,
 
     "events_asof" ->
       """WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id

@@ -87,6 +87,44 @@ object EventIngest {
     BatchMarker.commit(spark, aggPath, "activity", batchId)
   }
 
+  /** Streamed maintenance of per-day HLL SKETCHES — the third merge class
+    * beside additive partials and set-union pairs: each batch appends one
+    * Datasketches-HLL binary per day it touched
+    * (`functions.hll_sketch_agg`), and the read unions sketches per day
+    * (`hll_union_agg`) before estimating. Rows per batch are O(days
+    * touched) — CONSTANT in users — which is the 100 TB tier where even
+    * the distinct (user, day) activity set is too big to keep; the price
+    * is the sketch's ~2% standard error, which the driver row gates
+    * against the exact count (the recall-gate convention).
+    */
+  def processSketchBatch(batch: DataFrame, batchId: Long,
+      aggPath: String): Unit = {
+    val spark = batch.sparkSession
+    val sk = s"$aggPath/sketches"
+    BatchMarker.assertMarkeredSink(spark, aggPath, s"$sk/batch_id=*")
+    BatchMarker.ensureProtocol(spark, aggPath)
+    if (BatchMarker.landed(spark, aggPath, "sketches", batchId)) return
+    BatchMarker.clearPartial(spark, s"$sk/batch_id=$batchId")
+    if (batch.isEmpty) {
+      BatchMarker.commit(spark, aggPath, "sketches", batchId)
+      return
+    }
+    batch.select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(sk)
+    BatchMarker.commit(spark, aggPath, "sketches", batchId)
+  }
+
+  /** Estimated DAU per day from the accumulated sketches: one union-agg
+    * per day over O(batches) sketch rows, then the estimate.
+    */
+  def dauEstimateFromSketches(spark: SparkSession, aggPath: String): DataFrame =
+    spark.read.parquet(s"$aggPath/sketches")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("dau_est"))
+
   /** The accumulated distinct (user_id, day) pairs — the exact input any
     * batch DAU/retention derivation expects.
     */

@@ -111,6 +111,27 @@ class EventIngestSpec extends SparkSpec {
     assert(BatchMarker.landed(spark, agg, "activity", 2L))
   }
 
+  test("sketch accumulation: per-day HLL unions estimate the exact DAU") {
+    val dir = Files.createTempDirectory("evsketch").toFile
+    dir.deleteOnExit()
+    val agg = dir.getAbsolutePath + "/idx"
+    // 40 distinct users across two batches with overlap (users 10-19 in
+    // both) — the union must not double-count them
+    val b0 = (0L until 20L).map(u => (u, ts(5), "click", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val b1 = (10L until 40L).map(u => (u, ts(30), "view", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    EventIngest.processSketchBatch(b0.select("user_id", "ts"), 0L, agg)
+    EventIngest.processSketchBatch(b1.select("user_id", "ts"), 1L, agg)
+    EventIngest.processSketchBatch(b0.select("user_id", "ts"), 0L, agg) // replay
+    val est = EventIngest.dauEstimateFromSketches(spark, agg)
+      .collect().head.getLong(1)
+    // at 40 uniques the HLL sketch is exact in practice; allow 5%
+    assert(math.abs(est - 40L) <= 2, s"estimate $est too far from 40")
+    // one sketch row per (batch, day touched) — constant in users
+    assert(spark.read.parquet(s"$agg/sketches").count() === 2L)
+  }
+
   test("per-batch partial files compact per batch_id=; replay state travels") {
     val dir = Files.createTempDirectory("evcompact").toFile
     dir.deleteOnExit()

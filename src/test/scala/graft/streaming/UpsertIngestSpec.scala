@@ -59,4 +59,26 @@ class UpsertIngestSpec extends SparkSpec {
     UpsertIngest.processBatch(resolved, 0L, tbl2)
     assert(latest(tbl2) === latest(tbl))
   }
+
+  test("CDC soft delete: a tombstone row wins the key, serving read filters") {
+    // deletes over a changelog are just upserts of a deleted=true row —
+    // latest-batch-per-key makes the tombstone win, and the serving view
+    // filters it; compaction of the FILTERED view drops deleted keys
+    // from the fresh log entirely
+    val dir = Files.createTempDirectory("upserttomb").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    val b0 = Seq((1L, "a", false), (2L, "b", false)).toDF("k", "v", "deleted")
+    val b1 = Seq((2L, "b", true)).toDF("k", "v", "deleted") // tombstone for 2
+    UpsertIngest.processBatch(b0, 0L, tbl)
+    UpsertIngest.processBatch(b1, 1L, tbl)
+    val serving = UpsertIngest.readLatest(spark, tbl, "k")
+      .filter(!col("deleted"))
+    assert(serving.select("k").as[Long].collect().toSet === Set(1L))
+    // compact the filtered view: key 2 is gone from the fresh log
+    val tbl2 = dir.getAbsolutePath + "/tbl2"
+    UpsertIngest.processBatch(serving, 0L, tbl2)
+    assert(spark.read.parquet(s"$tbl2/log").select("k").as[Long]
+      .collect().toSet === Set(1L))
+  }
 }
