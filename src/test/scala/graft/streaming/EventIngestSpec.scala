@@ -111,6 +111,28 @@ class EventIngestSpec extends SparkSpec {
     assert(BatchMarker.landed(spark, agg, "activity", 2L))
   }
 
+  test("a crash MID-append (unreadable debris in the batch dir) replays clean") {
+    // harsher than the complete-but-unmarked window: the batch dir holds
+    // a CORRUPT file. The replay's clearPartial must remove it before the
+    // rewrite, and the merged read must neither crash nor double-count.
+    val dir = Files.createTempDirectory("evdebris").toFile
+    dir.deleteOnExit()
+    val agg = dir.getAbsolutePath + "/idx"
+    val b0 = allEvents.take(3).toDF("event_id", "ts", "event_type", "value")
+    val b1 = allEvents.drop(3).toDF("event_id", "ts", "event_type", "value")
+    EventIngest.processBatch(b0, 0L, agg)
+    val debris = new java.io.File(s"$agg/agg/batch_id=1")
+    debris.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(debris, "part-corrupt.snappy.parquet").toPath,
+      "not parquet at all".getBytes("UTF-8"))
+    EventIngest.processBatch(b1, 1L, agg)
+    val merged = EventIngest.hourlyFromAccumulated(spark, agg)
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(merged === batchAgg)
+  }
+
   test("sketch accumulation: per-day HLL unions estimate the exact DAU") {
     val dir = Files.createTempDirectory("evsketch").toFile
     dir.deleteOnExit()
