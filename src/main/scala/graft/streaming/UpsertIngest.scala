@@ -50,6 +50,10 @@ object UpsertIngest {
 
   /** Merge-on-read resolve: latest batch per key. One shuffle on the key;
     * the window ranks the few versions of one key, never the table.
+    * Precondition: at least one data-bearing batch has landed — an
+    * all-empty-batch log has no files and therefore no inferable schema,
+    * so the read throws (Spark's own contract; a changelog table's schema
+    * is unknowable before its first row).
     */
   def readLatest(spark: SparkSession, tablePath: String, keyCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("batch_id").desc)
