@@ -65,6 +65,24 @@ object SparkEntry {
     }
   }
 
+  /** Trailing-7-day WAU derivation over a (user_id, day) frame — shared
+    * by events_wau and events_wau_streamed under ONE oracle. Input rows
+    * may carry duplicates; the distinct here is part of the contract.
+    */
+  private def wauShape(ev: DataFrame): DataFrame = {
+    val d = ev.distinct()
+    val support = d.select(col("user_id"),
+      explode(sequence(col("day"),
+        col("day") + expr("interval 6 days"),
+        expr("interval 1 day"))).as("report_day"))
+    val observed = d.select(col("day").as("report_day")).distinct()
+    support.join(observed, Seq("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(unix_micros(col("report_day")).as("day_us"), col("wau"))
+      .orderBy("day_us")
+  }
+
   /** Cohort-retention derivation over a (user_id, day) frame — shared by
     * events_retention and events_retention_streamed under ONE oracle.
     * Week cohorts/activity are invariant to the day truncation
@@ -1302,19 +1320,16 @@ object SparkEntry {
     // ×7 then ONE keyed agg, never a re-scan per day); report days
     // restricted to observed days.
     "events_wau" -> ((s, dir) => {
-      val d = t(s, dir, "events")
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .distinct()
-      val support = d.select(col("user_id"),
-        explode(sequence(col("day"),
-          col("day") + expr("interval 6 days"),
-          expr("interval 1 day"))).as("report_day"))
-      val observed = d.select(col("day").as("report_day")).distinct()
-      support.join(observed, Seq("report_day"))
-        .groupBy(col("report_day"))
-        .agg(countDistinct(col("user_id")).as("wau"))
-        .select(unix_micros(col("report_day")).as("day_us"), col("wau"))
-        .orderBy("day_us")
+      wauShape(t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+    }),
+
+    // THIRD serving view off the streamed activity set (after DAU and
+    // retention) — the accumulation's whole point: every distinct-user
+    // statistic, one table. Shares events_wau's oracle verbatim.
+    "events_wau_streamed" -> ((s, dir) => {
+      wauShape(graft.streaming.EventIngest.activityFromAccumulated(
+        s, activityPath(s, dir)))
     }),
 
     // Event-rate anomaly detection: hourly counts per type, z-score from
@@ -2967,6 +2982,21 @@ object SparkEntry {
       |  WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.cust_id = b.cust_id)
       |  UNION ALL SELECT * FROM up)
       |SELECT * FROM m ORDER BY cust_id""".stripMargin
+
+  // shared by events_wau AND events_wau_streamed: trailing-7-day WAU from
+  // the same distinct (user, day) set the activity table accumulates
+  private val eventsWauOracle: String =
+    """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+      |      AS report_day
+      |  FROM d),
+      |o AS (SELECT DISTINCT day AS report_day FROM d)
+      |SELECT epoch_us(s.report_day) AS day_us,
+      |  count(DISTINCT s.user_id) AS wau
+      |FROM s JOIN o ON s.report_day = o.report_day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // shared by events_retention AND events_retention_streamed: week
   // cohorts are invariant to day truncation, so the activity-set replay
@@ -5664,18 +5694,10 @@ object SparkEntry {
         |  min(n_events) AS min_events, max(n_events) AS max_events
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "events_wau" ->
-      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
-        |s AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
-        |      AS report_day
-        |  FROM d),
-        |o AS (SELECT DISTINCT day AS report_day FROM d)
-        |SELECT epoch_us(s.report_day) AS day_us,
-        |  count(DISTINCT s.user_id) AS wau
-        |FROM s JOIN o ON s.report_day = o.report_day
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_wau" -> eventsWauOracle,
+
+    // the SAME oracle: third serving view off the streamed activity set
+    "events_wau_streamed" -> eventsWauOracle,
 
     "events_dau" -> eventsDauOracle,
 
