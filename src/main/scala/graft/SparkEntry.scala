@@ -5,7 +5,8 @@ import graft.operators.{Bpe, Curation, Dedup, Expectations, Incremental, Multimo
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Driver contract (SURVEY §7 + builder prompt): one `queries` entry per
   * implemented operator from SURVEY §2, each with a DuckDB-equivalent
@@ -26,6 +27,43 @@ object SparkEntry {
     Tables.load(s, dir, n)
 
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** The testdata corpus has no NULL text, so the NULL-digest contract
+    * (NULL dedups against NULL under the `<null-text>` sentinel, and never
+    * against `''`) would go unexercised by the driver compare. This
+    * appends three synthetic rows — a NULL-text + an empty-text doc in the
+    * batch source and a NULL-text doc in the corpus — and the oracle
+    * appends the SAME literals (see `nullFixtureSql`), so the green row
+    * proves: batch NULL → exact_dup (matched corpus NULL via sentinel),
+    * batch '' → NOT exact_dup (md5('') is a real digest with no corpus
+    * twin). IDs start at 1e9, far above any generated doc_id.
+    */
+  private def docsWithNullTextFixture(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val extra = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1000000001L, null, "en", "src0", 0L),
+        Row(1000000004L, "", "en", "src0", 0L),
+        Row(1000000002L, null, "en", "src1", 0L)),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(extra)
+  }
+
+  /** DuckDB twin of [[docsWithNullTextFixture]] — a CTE body the dedup
+    * oracles splice in place of the raw `documents` table.
+    */
+  private val nullFixtureSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (CAST(1000000001 AS BIGINT), CAST(NULL AS VARCHAR), 'en', 'src0', CAST(0 AS BIGINT)),
+      |    (CAST(1000000004 AS BIGINT), '', 'en', 'src0', CAST(0 AS BIGINT)),
+      |    (CAST(1000000002 AS BIGINT), CAST(NULL AS VARCHAR), 'en', 'src1', CAST(0 AS BIGINT)))
+      |    t(doc_id, text, lang, source, n_chars)""".stripMargin
 
   /** Shared upsert fixture (base, updates) over customer — used by both
     * etl_upsert (copy-on-write MERGE) and etl_upsert_streamed (changelog
@@ -2707,7 +2745,7 @@ object SparkEntry {
     }),
 
     "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = docsWithNullTextFixture(t(s, dir, "documents"))
       Dedup.incrementalDedupFlags(
           docs.filter(col("source") === "src0"),
           docs.filter(col("source") =!= "src0"),
@@ -2720,7 +2758,7 @@ object SparkEntry {
     // batch side of the digest semi-join shrinks to dups + fpp before the
     // shuffle. Same oracle as dedup_incremental — green = equivalent.
     "dedup_incremental_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = docsWithNullTextFixture(t(s, dir, "documents"))
       Dedup.incrementalDedupFlags(
           docs.filter(col("source") === "src0"),
           docs.filter(col("source") =!= "src0"),
@@ -3094,11 +3132,17 @@ object SparkEntry {
     * implementations — the driver's green row IS the equivalence proof.
     */
   private val incrementalDedupOracle: String =
-    """WITH batch AS (SELECT * FROM documents WHERE source = 'src0'),
-      |corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+    // the coalesce replays the Spark side's `<null-text>` digest sentinel
+    // (Dedup.incrementalDedupFlags / IngestWithDigest): NULL text dedups
+    // against NULL text, '' keeps its real md5('') digest — exercised by
+    // the three nullFixtureSql rows
+    "WITH documents_aug AS (" + nullFixtureSql + "),\n" +
+    """batch AS (SELECT * FROM documents_aug WHERE source = 'src0'),
+      |corpus AS (SELECT * FROM documents_aug WHERE source <> 'src0'),
       |ex AS (
       |  SELECT DISTINCT b.doc_id FROM batch b
-      |  JOIN corpus c ON md5(b.text) = md5(c.text)),
+      |  JOIN corpus c ON coalesce(md5(b.text), '<null-text>')
+      |                 = coalesce(md5(c.text), '<null-text>')),
       |btoks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(regexp_replace(lower(text), '[^a-z\- ]', ' ', 'g'), ' '),

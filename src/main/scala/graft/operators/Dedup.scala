@@ -474,16 +474,24 @@ object Dedup {
       batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
       n: Int, minShared: Int, maxShingleDf: Int = 64,
       bloomFpp: Option[Double] = None): DataFrame = {
-    val bh0 = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    // NULL text digests under the same reserved sentinel as the streamed
+    // ingest (IngestWithDigest): NULL dedups against NULL, and never
+    // against '' (md5('') is a distinct real digest). A NULL join key
+    // would silently make NULL text never-a-dup on this path while the
+    // streamed path flags it — the two arms must share one contract. The
+    // sentinel cannot collide: md5 hex is exactly 32 [0-9a-f] chars.
+    def digest(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("<null-text>")).otherwise(md5(c))
+    val bh0 = batch.select(col(idCol).as("doc_id"), digest(col(textCol)).as("h"))
     val bh = bloomFpp match {
       case Some(fpp) =>
-        val hashes = corpus.select(xxhash64(md5(col(textCol))).as("h64"))
+        val hashes = corpus.select(xxhash64(digest(col(textCol))).as("h64"))
         val bf = hashes.stat.bloomFilter("h64",
           math.max(hashes.count(), 1L), fpp)
         bh0.filter(bloomMightContain(bf, xxhash64(col("h"))))
       case None => bh0
     }
-    val ch = corpus.select(md5(col(textCol)).as("h"))
+    val ch = corpus.select(digest(col(textCol)).as("h"))
     val exact = bh.join(ch, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
     // Explode from the PERSISTED array tables, never inline above the
