@@ -1547,6 +1547,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode round-trip (javax.sound.sampled — WAV/PCM is JDK
+    // stdlib, same pattern as the image leg): per doc, synthesize an
+    // actual 16-bit mono WAV whose rate/length/samples are arithmetic in
+    // doc_id, then recover sample rate, frame count, integer-microsecond
+    // duration and the signed-sample sum from the ENCODED RIFF CONTAINER
+    // BYTES. The oracle replays the arithmetic — a green row proves the
+    // encode→container-parse→PCM-decode loop, not the formula. Video
+    // remains the one documented decode stub (no codec libs here).
+    "multimodal_audio" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWavs(
+        t(s, dir, "documents").select("doc_id"))
+      Multimodal.decodeAudioMeta(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("sample_rate").cast("bigint").as("sample_rate"),
+          col("n_samples").cast("bigint").as("n_samples"),
+          col("duration_us"), col("sample_sum"), col("decoded"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; flag
     // corpus docs sharing >= 3 word-3-gram shingles with any of them.
     "dedup_contamination" -> ((s, dir) => {
@@ -4581,6 +4600,24 @@ object SparkEntry {
         |JOIN g x ON x.g < d.width
         |JOIN g y ON y.g < d.height
         |GROUP BY 1, 2, 3 ORDER BY d.doc_id""".stripMargin,
+
+    // replays synthesizeWavs' arithmetic: rate and frame count from
+    // doc_id, signed-sample sum over (id·31 + i·17) mod 2048 − 1024 —
+    // what Spark recovers from the real encoded WAV container bytes via
+    // javax.sound.sampled; duration is integer-floor µs on both sides
+    "multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |    CAST(40 + doc_id % 101 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |g AS (SELECT g FROM generate_series(0, 140) t(g))
+        |SELECT p.doc_id, p.sample_rate, p.n_samples,
+        |  CAST(p.n_samples * 1000000 // p.sample_rate AS BIGINT) AS duration_us,
+        |  CAST(SUM((p.doc_id * 31 + g.g * 17) % 2048 - 1024) AS BIGINT) AS sample_sum,
+        |  TRUE AS decoded
+        |FROM p JOIN g ON g.g < p.n_samples
+        |GROUP BY 1, 2, 3, 4 ORDER BY p.doc_id""".stripMargin,
 
     // Full offline cascade replicated in DuckDB: per-stage regex extracts
     // (RE2 accepts the same (?i) inline flag), the normalize pipeline

@@ -9,10 +9,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
   * The IMAGE leg is REAL: [[decodeImageMeta]] / [[resizeImage]] /
   * [[synthesizeImages]] run `javax.imageio` (JDK, no external dependency)
   * — actual PNG/JPEG header parse, pixel access and scaled re-encode.
-  * Audio/video decode stays a clearly-marked deterministic STUB
-  * ([[DecodeStub]] — no codec libraries exist in this container); swapping
-  * it for a real decoder changes no plan shape: decode stays a
-  * `mapPartitions` over binary payloads, metadata stays columnar.
+  * The AUDIO leg is REAL too: [[decodeAudioMeta]] / [[synthesizeWavs]]
+  * run `javax.sound.sampled` (also JDK) — actual RIFF/WAV container
+  * parse and signed-PCM sample access. VIDEO decode stays the one
+  * clearly-marked deterministic STUB ([[DecodeStub]] — no video codec
+  * libraries exist in this container); swapping it for a real decoder
+  * changes no plan shape: decode stays a `mapPartitions` over binary
+  * payloads, metadata stays columnar.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is
   * map-side; downstream joins should carry only (id, features/meta) with the
@@ -231,6 +234,108 @@ object Multimodal {
             javax.imageio.ImageIO.write(out, "png", baos)
             ResizedMedia(r.media_id, baos.toByteArray, targetW, targetH)
           }
+        }
+      }
+  }
+
+  /** Decoded AUDIO metadata — real sample rate, frame count, integer
+    * microsecond duration and a replayable signed-sample sum. As with
+    * images, `decoded=false` rows carry zeroed stats.
+    */
+  case class AudioMeta(media_id: Long, sample_rate: Int, n_samples: Int,
+                       duration_us: Long, sample_sum: Long, decoded: Boolean)
+
+  /** Deterministic REAL-WAV synthesis: id → 16-bit signed mono PCM WAV at
+    * `8000 + (id % 3)·4000` Hz with `40 + id % 101` samples of value
+    * `(id·31 + i·17) mod 2048 − 1024` — rate, length and sample sum are
+    * pure arithmetic in id, so a DuckDB oracle can replay what
+    * [[decodeAudioMeta]] recovers from the actual RIFF container bytes.
+    * `javax.sound.sampled` is JDK-stdlib: no codec dependency.
+    */
+  def synthesizeWavs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        it.map { id =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val n = 40 + (id % 101).toInt
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 31 + i * 17) % 2048) - 1024).toInt
+            data(2 * i) = (s & 0xff).toByte          // little-endian PCM
+            data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          MediaRow(id, baos.toByteArray, "audio/wav")
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses the container
+    * (WAV/AIFF/AU — the JDK's readers), yielding the actual sample rate,
+    * frame count, integer-microsecond duration and the signed 16-bit
+    * sample sum across all channels. Unparseable or null payloads decode
+    * to `decoded=false` with zeroed stats — same poison-file posture as
+    * [[decodeImageMeta]]: one corrupt object must not kill a 100 TB scan,
+    * and must not masquerade as data. mapPartitions so reader state is
+    * per-batch.
+    */
+  def decodeAudioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val ais =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (ais == null) AudioMeta(r.media_id, 0, 0, 0L, 0L, decoded = false)
+          else
+            try {
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              val bytesPer = fmt.getSampleSizeInBits / 8
+              val ch = fmt.getChannels
+              val n =
+                if (bytesPer > 0 && ch > 0) bytes.length / (bytesPer * ch)
+                else 0
+              var sum = 0L
+              if (fmt.getSampleSizeInBits == 16) {
+                var i = 0
+                while (i < n * ch) {
+                  // signed 16-bit: the high byte sign-extends through Int
+                  val v =
+                    if (fmt.isBigEndian)
+                      (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+                    else
+                      (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+                  sum += v
+                  i += 1
+                }
+              }
+              val rate = fmt.getSampleRate.toInt
+              AudioMeta(r.media_id, rate, n,
+                if (rate > 0) n.toLong * 1000000L / rate else 0L,
+                sum, decoded = true)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                AudioMeta(r.media_id, 0, 0, 0L, 0L, decoded = false)
+            } finally ais.close()
         }
       }
   }

@@ -72,6 +72,61 @@ class MultimodalSpec extends SparkSpec {
     assert(r.width === 0 && r.payload.isEmpty)
   }
 
+  test("synthesizeWavs -> decodeAudioMeta round-trips rate, frames and sample sum") {
+    val ids = Seq(0L, 1L, 2L, 100L, 253L)
+    val metas = Multimodal.decodeAudioMeta(
+        Multimodal.synthesizeWavs(ids.toDF("doc_id")))
+      .collect().map(m => m.media_id -> m).toMap
+    for (id <- ids) {
+      val rate = 8000 + (id % 3).toInt * 4000
+      val n = 40 + (id % 101).toInt
+      val expected = (0 until n).map(i => (id * 31 + i * 17) % 2048 - 1024).sum
+      val m = metas(id)
+      assert(m.decoded, s"decoded(id=$id)")
+      assert(m.sample_rate === rate && m.n_samples === n, s"fmt(id=$id)")
+      assert(m.sample_sum === expected, s"sample_sum(id=$id)")
+      assert(m.duration_us === n.toLong * 1000000L / rate, s"duration(id=$id)")
+    }
+  }
+
+  test("decodeAudioMeta parses a hand-built RIFF header (no shared encode code)") {
+    // 4 samples at 8000 Hz, values 100, -100, 32767, -32768 — the WAV is
+    // byte-assembled here, so decode is pinned against the spec, not
+    // against AudioSystem.write
+    val samples = Seq[Short](100, -100, 32767, -32768)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)          // PCM
+      .putShort(1)          // mono
+      .putInt(8000)         // sample rate
+      .putInt(8000 * 2)     // byte rate
+      .putShort(2)          // block align
+      .putShort(16)         // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val df = Seq((5L, bb.array(), "audio/wav"))
+      .toDF("media_id", "payload", "media_type")
+    val m = Multimodal.decodeAudioMeta(df).collect().head
+    assert(m.decoded && m.sample_rate === 8000 && m.n_samples === 4)
+    assert(m.sample_sum === samples.map(_.toLong).sum)
+  }
+
+  test("decodeAudioMeta reports corrupt payloads instead of faking stats") {
+    val bad = Seq(
+      (1L, "definitely not a wav".getBytes("UTF-8"), "audio/wav"),
+      (2L, Array.emptyByteArray, "audio/wav"),
+      (3L, null.asInstanceOf[Array[Byte]], "audio/wav"))
+      .toDF("media_id", "payload", "media_type")
+    val ms = Multimodal.decodeAudioMeta(bad).collect()
+    assert(ms.length === 3 && ms.forall(m =>
+      !m.decoded && m.sample_rate === 0 && m.n_samples === 0 &&
+        m.sample_sum === 0L && m.duration_us === 0L))
+  }
+
   test("decodeMeta: per-partition batch decode produces typed metadata, deterministic") {
     val m1 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
     val m2 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
