@@ -2483,15 +2483,25 @@ object SparkEntry {
 
     // The streamed merge-on-read twin: base and updates land as two
     // changelog batches under the BatchMarker protocol (UpsertIngest —
-    // appends only, batch id = version), and the serving read resolves
-    // latest-batch-per-key. Shares etl_upsert's oracle VERBATIM — green =
-    // the changelog resolve equals the copy-on-write MERGE row-for-row.
+    // appends only, batch id = version), the COMPACTION POLICY then
+    // collapses the log (depth 2 > maxBatches 1 → resolve → fresh
+    // single-batch log, markers preserved), and a deliberate REPLAY of
+    // batch 1 after the compaction proves the exactly-once contract
+    // survived it (the preserved marker short-circuits — no double
+    // append). The serving read resolves latest-batch-per-key as before.
+    // Shares etl_upsert's oracle VERBATIM — green = changelog resolve ≡
+    // copy-on-write MERGE row-for-row, through a compaction cycle.
     "etl_upsert_streamed" -> ((s, dir) => {
       import s.implicits._
       val (base, updates) = upsertFixture(s, dir)
-      val path = ensureIndex(s, t(s, dir, "customer"), "upsertstream", "built") { p =>
+      val path = ensureIndex(s, t(s, dir, "customer"), "upsertstreamc", "built") { p =>
         graft.streaming.UpsertIngest.processBatch(base, 0L, p)
         graft.streaming.UpsertIngest.processBatch(updates, 1L, p)
+        assert(graft.streaming.UpsertIngest.maybeCompact(s, p, "cust_id",
+          maxBatches = 1), "compaction policy must fire at depth 2")
+        assert(graft.streaming.UpsertIngest.logStats(s, p).nBatches == 1,
+          "log must be collapsed to one batch")
+        graft.streaming.UpsertIngest.processBatch(updates, 1L, p) // replay
         Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
           .parquet(s"$p/built")
       }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,6 +38,7 @@ object UpsertIngest {
     val log = s"$tablePath/log"
     BatchMarker.assertMarkeredSink(spark, tablePath, s"$log/batch_id=*")
     BatchMarker.ensureProtocol(spark, tablePath)
+    recoverCompaction(spark, tablePath)
     if (BatchMarker.landed(spark, tablePath, "log", batchId)) return
     BatchMarker.clearPartial(spark, s"$log/batch_id=$batchId")
     if (batch.isEmpty) {
@@ -56,10 +58,155 @@ object UpsertIngest {
     * is unknowable before its first row).
     */
   def readLatest(spark: SparkSession, tablePath: String, keyCol: String): DataFrame = {
+    recoverCompaction(spark, tablePath)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("batch_id").desc)
     spark.read.parquet(s"$tablePath/log")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "batch_id")
+  }
+
+  /** Changelog health: batch-dir depth and data-file count — the two
+    * read-amplification axes. O(listing), no data read.
+    */
+  final case class LogStats(nBatches: Int, nFiles: Int, nBytes: Long,
+                            maxBatchId: Long)
+
+  def logStats(spark: SparkSession, tablePath: String): LogStats = {
+    val log = new Path(s"$tablePath/log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(log)) return LogStats(0, 0, 0L, -1L)
+    val dirs = fs.listStatus(log).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val files = dirs.flatMap(d => fs.listStatus(d.getPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val maxId = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .foldLeft(-1L)(math.max)
+    LogStats(dirs.size, files.size, files.map(_.getLen).sum, maxId)
+  }
+
+  /** The compaction POLICY — the scheduler shape around [[compactLog]]:
+    * collapse the changelog whenever its depth exceeds `maxBatches` OR its
+    * file count exceeds `maxFiles`. Called between batches (foreachBatch
+    * is serial per query, so the writer is quiesced exactly then — wire it
+    * into the stream via [[startWithCompaction]] or call it from a
+    * maintenance schedule). Returns whether a compaction ran. At crawl
+    * cadence this bounds [[readLatest]]'s read amplification to
+    * O(maxBatches) versions per key instead of O(all batches ever).
+    */
+  def maybeCompact(spark: SparkSession, tablePath: String, keyCol: String,
+      maxBatches: Int = 16, maxFiles: Int = 256,
+      targetBytes: Long = 128L << 20): Boolean = {
+    val st = logStats(spark, tablePath)
+    val due = st.nBatches > maxBatches || st.nFiles > maxFiles
+    if (due) compactLog(spark, tablePath, keyCol, targetBytes)
+    due
+  }
+
+  /** [[start]] with the maintenance policy folded into the ingest loop:
+    * after each batch lands, the policy check runs while the writer is
+    * quiescent (foreachBatch delivers batches serially).
+    */
+  def startWithCompaction(updates: DataFrame, tablePath: String,
+      checkpoint: String, keyCol: String, maxBatches: Int = 16,
+      maxFiles: Int = 256): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, tablePath)
+        maybeCompact(batch.sparkSession, tablePath, keyCol,
+          maxBatches, maxFiles)
+        ()
+      }
+      .start()
+
+  /** Collapse the changelog to ONE batch holding the resolved view —
+    * [[readLatest]] → fresh log, the merge-on-read debt payment. The
+    * resolved rows land under the HIGHEST landed batch id, and every
+    * existing `_batches` marker is preserved, so the exactly-once replay
+    * contract survives: a replayed pre-compaction batch short-circuits on
+    * its marker (its effects are already inside the resolved view), and
+    * post-compaction batches keep winning on their higher ids.
+    *
+    * Crash safety (no multi-dir rename is atomic — the BatchMarker
+    * lesson): the resolved view is staged under `_compact_tmp` first,
+    * then an INTENT marker `_batches/compactlog_<id>` commits the
+    * decision, then the old batch dirs are deleted and the staged dir
+    * renamed in (one rename), then the intent is cleared.
+    * [[recoverCompaction]] — called by [[processBatch]] and
+    * [[readLatest]] — rolls an interrupted pass forward from the intent
+    * marker: before the intent exists the old log is untouched (the pass
+    * simply re-runs); after it, the staged view is the truth and recovery
+    * finishes the swap. Caller contract: the writer is quiescent (run it
+    * from the foreachBatch loop or a paused-stream maintenance window).
+    *
+    * Output file sizing follows [[graft.sinks.Compaction]]: file count
+    * from on-disk log bytes over `targetBytes` (an upper bound on the
+    * resolved size — resolve only drops rows), via a shuffle-free
+    * coalesce.
+    */
+  def compactLog(spark: SparkSession, tablePath: String, keyCol: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    recoverCompaction(spark, tablePath)
+    val st = logStats(spark, tablePath)
+    if (st.nBatches <= 1) return // already compact (or empty)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val tmp = new Path(s"$tablePath/_compact_tmp")
+    fs.delete(tmp, true) // pre-intent leftovers of a dead pass
+    val nOut = math.max(1, math.ceil(st.nBytes.toDouble / targetBytes).toInt)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("batch_id").desc)
+    // resolve inline (not readLatest: keep this pass free of the recovery
+    // re-entrance) and stage under the winning batch id's hive dir name
+    spark.read.parquet(s"$tablePath/log")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "batch_id")
+      .coalesce(nOut)
+      .write.mode("overwrite")
+      .parquet(s"$tablePath/_compact_tmp/batch_id=${st.maxBatchId}")
+    // COMMIT POINT: from here the staged view is the table's truth
+    BatchMarker.commit(spark, tablePath, "compactlog", st.maxBatchId)
+    finishCompaction(spark, tablePath, st.maxBatchId)
+  }
+
+  /** Roll forward an interrupted [[compactLog]]: an intent marker without
+    * its finished swap means the staged view (or the already-renamed log)
+    * is the truth — finish the deletes/rename and clear the intent.
+    * No-op in O(1) listing when no intent marker exists.
+    */
+  def recoverCompaction(spark: SparkSession, tablePath: String): Unit = {
+    val batches = new Path(s"$tablePath/_batches")
+    val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(batches)) return
+    fs.listStatus(batches).toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("compactlog_"))
+      .map(_.stripPrefix("compactlog_").toLong)
+      .sorted
+      .foreach(id => finishCompaction(spark, tablePath, id))
+  }
+
+  private def finishCompaction(spark: SparkSession, tablePath: String,
+      maxBatchId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val staged = new Path(s"$tablePath/_compact_tmp/batch_id=$maxBatchId")
+    val log = new Path(s"$tablePath/log")
+    if (fs.exists(staged)) {
+      // deletes are idempotent; the staged dir still holds the truth
+      if (fs.exists(log))
+        fs.listStatus(log).toIndexedSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          .foreach(s => fs.delete(s.getPath, true))
+      else fs.mkdirs(log)
+      if (!fs.rename(staged, new Path(log, s"batch_id=$maxBatchId")))
+        throw new IllegalStateException(
+          s"compaction rename failed: $staged -> $log/batch_id=$maxBatchId")
+    }
+    // else: rename already happened in a previous attempt — only the
+    // intent (and tmp debris) are left to clear
+    fs.delete(new Path(s"$tablePath/_compact_tmp"), true)
+    fs.delete(new Path(s"$tablePath/_batches/compactlog_$maxBatchId"), false)
   }
 }

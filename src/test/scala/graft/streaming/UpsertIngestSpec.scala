@@ -60,6 +60,76 @@ class UpsertIngestSpec extends SparkSpec {
     assert(latest(tbl2) === latest(tbl))
   }
 
+  test("compactLog collapses depth, preserves markers, replays short-circuit") {
+    val dir = Files.createTempDirectory("upsertcompact").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    val b0 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "v", "n")
+    val b1 = Seq((2L, "B2", 2L), (4L, "d", 2L)).toDF("k", "v", "n")
+    val b2 = Seq((1L, "A3", 3L)).toDF("k", "v", "n")
+    UpsertIngest.processBatch(b0, 0L, tbl)
+    UpsertIngest.processBatch(b1, 1L, tbl)
+    UpsertIngest.processBatch(b2, 2L, tbl)
+    val before = latest(tbl)
+    assert(UpsertIngest.logStats(spark, tbl).nBatches === 3)
+    UpsertIngest.compactLog(spark, tbl, "k")
+    val st = UpsertIngest.logStats(spark, tbl)
+    assert(st.nBatches === 1 && st.maxBatchId === 2L) // depth collapsed
+    assert(latest(tbl) === before) // resolve unchanged row-for-row
+    // replay contract survives: every pre-compaction marker is intact and
+    // a replayed old batch short-circuits instead of re-appending
+    (0L to 2L).foreach(id => assert(BatchMarker.landed(spark, tbl, "log", id)))
+    UpsertIngest.processBatch(b1, 1L, tbl)
+    assert(latest(tbl) === before)
+    // post-compaction batches keep winning on their higher ids
+    UpsertIngest.processBatch(Seq((4L, "D4", 4L)).toDF("k", "v", "n"), 3L, tbl)
+    assert(latest(tbl) === before + (4L -> ("D4", 4L)))
+  }
+
+  test("an interrupted compaction rolls forward from the intent marker") {
+    val dir = Files.createTempDirectory("upsertcrash").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    UpsertIngest.processBatch(Seq((1L, "a", 1L)).toDF("k", "v", "n"), 0L, tbl)
+    UpsertIngest.processBatch(Seq((1L, "A1", 2L)).toDF("k", "v", "n"), 1L, tbl)
+    // simulate the crash window: resolved view staged + intent committed,
+    // but the swap (deletes + rename) never ran
+    val staged = s"$tbl/_compact_tmp/batch_id=1"
+    UpsertIngest.readLatest(spark, tbl, "k").coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    BatchMarker.commit(spark, tbl, "compactlog", 1L)
+    // the next serving read recovers: swap finished, intent cleared
+    assert(latest(tbl) === Map(1L -> ("A1", 2L)))
+    val st = UpsertIngest.logStats(spark, tbl)
+    assert(st.nBatches === 1 && st.maxBatchId === 1L)
+    assert(!new java.io.File(s"$tbl/_compact_tmp").exists())
+    assert(!new java.io.File(s"$tbl/_batches/compactlog_1").exists())
+    // and the crash window AFTER the rename (intent only) is also cleared
+    BatchMarker.commit(spark, tbl, "compactlog", 1L)
+    UpsertIngest.recoverCompaction(spark, tbl)
+    assert(latest(tbl) === Map(1L -> ("A1", 2L)))
+    assert(!new java.io.File(s"$tbl/_batches/compactlog_1").exists())
+  }
+
+  test("maybeCompact policy: idle under thresholds, fires above them") {
+    val dir = Files.createTempDirectory("upsertpolicy").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    (0 to 3).foreach { i =>
+      UpsertIngest.processBatch(
+        Seq((i.toLong % 2, s"v$i", i.toLong)).toDF("k", "v", "n"), i.toLong, tbl)
+    }
+    val before = latest(tbl)
+    assert(!UpsertIngest.maybeCompact(spark, tbl, "k", maxBatches = 16))
+    assert(UpsertIngest.logStats(spark, tbl).nBatches === 4) // untouched
+    assert(UpsertIngest.maybeCompact(spark, tbl, "k", maxBatches = 3))
+    assert(UpsertIngest.logStats(spark, tbl).nBatches === 1)
+    assert(latest(tbl) === before)
+    // a single-batch log never compacts (nothing to pay back)
+    assert(!UpsertIngest.maybeCompact(spark, tbl, "k", maxBatches = 0,
+      maxFiles = 0) || UpsertIngest.logStats(spark, tbl).nBatches === 1)
+  }
+
   test("CDC soft delete: a tombstone row wins the key, serving read filters") {
     // deletes over a changelog are just upserts of a deleted=true row —
     // latest-batch-per-key makes the tombstone win, and the serving view
