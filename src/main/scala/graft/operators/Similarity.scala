@@ -579,6 +579,79 @@ object Similarity {
     when(nrm > 0, transform(v, x => x / nrm)).otherwise(v)
   }
 
+  /** Driver-side twin of [[normalize]] for centroid arrays. */
+  private[graft] def normalizeArr(c: Array[Double]): Array[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n > 0) c.map(_ / n) else c
+  }
+
+  /** The normalized coarse centroids as one array literal, indexable by
+    * cell id — the residual-encoding anchor shared by every IVF-PQ path.
+    */
+  private[graft] def normalizedCentersLit(centers: Array[Array[Double]]) =
+    typedlit(centers.map(c => normalizeArr(c).toSeq).toSeq)
+
+  /** Residual of a normalized vector against its cell's NORMALIZED coarse
+    * centroid: `r = x̂ − ĉ(cell)`. The IVF-PQ codebooks quantize THIS —
+    * residuals are small, so the same m×ksub code budget spends its
+    * precision on the fine structure instead of re-describing the cell's
+    * position (Jégou et al. 2011 §IV: quantize x − q_coarse(x)). Cosine
+    * scoring decomposes exactly: `q̂·x̂ = q̂·ĉ(cell) + q̂·r`, so the ADC
+    * estimate is the per-(query, cell) offset plus the table lookups.
+    */
+  private[graft] def residualOf(nvec: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column,
+      centers: Array[Array[Double]]): org.apache.spark.sql.Column =
+    zip_with(nvec, element_at(normalizedCentersLit(centers), cell + 1),
+      (a, b) => a - b)
+
+  /** Train PQ codebooks on RESIDUALS: assign each (sampled) vector to its
+    * raw-space cell, subtract the normalized centroid, and fit an
+    * independent KMeans per subspace on the residual slices — the
+    * standard accuracy move for CLUSTERED embedding corpora (Jégou et
+    * al. 2011 §IV), where residuals carry far less energy than the
+    * vectors. Same bounded-sample posture as [[fitPqCodebooks]].
+    *
+    * A/B'd against direct coding on this repo's synthetic corpus
+    * (round 12, sf0.1): the embeddings are unit-norm and near-isotropic,
+    * so E‖x̂−ĉ(cell)‖² ≈ 1.54 > E‖x̂‖² = 1 — the residual carries MORE
+    * energy than the vector and recall@5 DROPS (0.72 → 0.56 at
+    * nProbe=4, m=8, ksub=16; confirmed in an independent NumPy replica).
+    * That is why `residual=false` is the default everywhere: the option
+    * is correct and tested, and becomes profitable exactly when the
+    * corpus has coarse cluster structure for the cells to absorb.
+    */
+  def fitPqCodebooksResidual(corpus: DataFrame, centers: Array[Array[Double]],
+      m: Int, ksub: Int, seed: Long, maxTrainSamples: Int,
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nCorpus = corpus.count()
+    val trainSrc =
+      if (nCorpus > maxTrainSamples)
+        corpus.sample(withReplacement = false, maxTrainSamples.toDouble / nCorpus, seed)
+      else corpus
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val assigned = assignToCells(
+        trainSrc.withColumn("__rid", monotonically_increasing_id()),
+        centroids, "__rid", vecCol, "__rid", "rawv", probes = 1)
+      .select(residualOf(normalize(col("rawv")), col("cell"), centers).as("v"))
+    val dim = assigned.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val cached = assigned.persist()
+    cached.count()
+    val books = (0 until m).map { j =>
+      val sub = cached.select(
+        array_to_vector(slice(col("v"), j * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed ^ (j + 1) * 0x9E3779B97F4A7C15L)
+        .setFeaturesCol("features").fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    cached.unpersist()
+    books
+  }
+
   /** PQ-compressed ANN top-k with asymmetric-distance scoring and exact
     * re-ranking — the MEMORY-bound scale path: at 100 TB of float
     * embeddings the corpus cannot be held (or even streamed cheaply) as
@@ -628,13 +701,14 @@ object Similarity {
     * [[writeIvfPqPartitioned]], so stored and recomputed codes can never
     * disagree.
     */
-  private[graft] def pqCodeCols(books: Array[Array[Array[Double]]]): Seq[org.apache.spark.sql.Column] = {
+  private[graft] def pqCodeCols(books: Array[Array[Array[Double]]],
+      over: org.apache.spark.sql.Column = col("nvec")): Seq[org.apache.spark.sql.Column] = {
     import graft.functions.VectorOps.dotProduct
     val subDim = books(0)(0).length
     def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
     books.indices.map { j =>
       val dists = array(books(j).map(c =>
-        dotProduct(lit(c), lit(c)) - lit(2.0) * dotProduct(subv(col("nvec"), j), lit(c))): _*)
+        dotProduct(lit(c), lit(c)) - lit(2.0) * dotProduct(subv(over, j), lit(c))): _*)
       array_position(dists, array_min(dists)).cast("int").as(s"code_$j")
     }
   }
@@ -704,8 +778,44 @@ object Similarity {
     val n = corpus.count()
     books.indices.flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
       .toDF("subspace", "centroid_id", "centroid").withColumn("n_corpus", lit(n))
+      .withColumn("residual", lit(false)) // self-describing encoding space
       .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
     pqEncode(corpus, books, idCol, vecCol).drop("nvec")
+      .withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(path + "/codes")
+  }
+
+  /** The residual-PQ half of a composed IVF+PQ deployment: codebooks
+    * trained on residuals against the coarse centroids persisted at
+    * `ivfPath`, plus a flat codes table holding every corpus vector's
+    * encoded residual — what [[ivfPqTopKFromIndexes]] consumes as its PQ
+    * half. Unlike [[writePqIndex]] (whose books quantize whole vectors
+    * for the cell-less flat-PQ search), these books are only meaningful
+    * TOGETHER with the centroids they were trained against.
+    */
+  def writePqResidualIndex(corpus: DataFrame, ivfPath: String, path: String,
+      m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = spark.read.parquet(ivfPath + "/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val books = fitPqCodebooksResidual(corpus, centers, m, ksub, seed,
+      maxTrainSamples, vecCol)
+    val n = corpus.count()
+    books.indices.flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
+      .toDF("subspace", "centroid_id", "centroid").withColumn("n_corpus", lit(n))
+      .withColumn("residual", lit(true)) // self-describing encoding space
+      .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    assignToCells(corpus, centroids, idCol, vecCol, "neighbor_id", "rawv",
+        probes = 1)
+      .select(col("neighbor_id"), normalize(col("rawv")).as("nvec"), col("cell"))
+      .withColumn("rvec", residualOf(col("nvec"), col("cell"), centers))
+      .select(col("neighbor_id") +: pqCodeCols(books, col("rvec")): _*)
       .withColumn("n_corpus", lit(n))
       .write.mode("overwrite").parquet(path + "/codes")
   }
@@ -785,7 +895,8 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, refine: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, maxTrainSamples: Int = 100000,
-      corpusId: Option[String] = None): DataFrame = {
+      corpusId: Option[String] = None,
+      residual: Boolean = false): DataFrame = {
     import graft.functions.VectorOps.dotProduct
     val centers = corpusId match {
       case Some(id) => quantizerCache.getOrElseUpdate(
@@ -793,13 +904,28 @@ object Similarity {
         fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol))
       case None => fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
     }
+    // residual books cache under a ":res" key — a different model from
+    // the direct-vector books. Default is DIRECT: on this corpus's
+    // near-isotropic unit vectors the residual carries MORE energy than
+    // the vector (measured ‖x̂−ĉ‖²≈1.54 vs ‖x̂‖²=1 at sf0.1), so
+    // residual coding loses recall — see the A/B note at
+    // fitPqCodebooksResidual. Clustered real-world embeddings are the
+    // case residual=true exists for.
     val books = corpusId match {
       case Some(id) => pqCache.getOrElseUpdate(
-        (id, vecCol, m, ksub, seed, maxTrainSamples),
-        fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol))
-      case None => fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
+        (id + (if (residual) ":res" else ""), vecCol, m, ksub, seed, maxTrainSamples),
+        if (residual)
+          fitPqCodebooksResidual(corpus, centers, m, ksub, seed,
+            maxTrainSamples, vecCol)
+        else fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol))
+      case None =>
+        if (residual)
+          fitPqCodebooksResidual(corpus, centers, m, ksub, seed,
+            maxTrainSamples, vecCol)
+        else fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
     }
-    ivfPqSearch(centers, books, corpus, queries, k, nProbe, refine, idCol, vecCol)
+    ivfPqSearch(centers, books, corpus, queries, k, nProbe, refine, idCol,
+      vecCol, residual)
   }
 
   /** IVF-PQ against persisted index halves: coarse centroids from
@@ -815,13 +941,19 @@ object Similarity {
     val centers = spark.read.parquet(ivfPath + "/centroids")
       .select(col("cell"), col("centroid")).collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-    val books = spark.read.parquet(pqPath + "/codebooks")
+    val bdf = spark.read.parquet(pqPath + "/codebooks")
+    // the codebooks table self-describes its encoding space (legacy
+    // tables without the column are direct-coded)
+    val residual = bdf.columns.contains("residual") &&
+      bdf.select(col("residual")).head().getBoolean(0)
+    val books = bdf.select(col("subspace"), col("centroid_id"), col("centroid"))
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
         rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
       }.toArray
-    ivfPqSearch(centers, books, corpus, queries, k, nProbe, refine, idCol, vecCol)
+    ivfPqSearch(centers, books, corpus, queries, k, nProbe, refine, idCol,
+      vecCol, residual)
   }
 
   /** The search half of IVF-PQ, shared by the in-session [[ivfPqTopK]] and
@@ -830,7 +962,8 @@ object Similarity {
   private def ivfPqSearch(centers: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nProbe: Int, refine: Int, idCol: String, vecCol: String): DataFrame = {
+      nProbe: Int, refine: Int, idCol: String, vecCol: String,
+      residual: Boolean): DataFrame = {
     import graft.functions.VectorOps.dotProduct
     val m = books.length
     val subDim = books(0)(0).length
@@ -855,30 +988,42 @@ object Similarity {
     }
 
     // stored side: (cell, codes, nvec) — what the index persists, cell
-    // being the partition column; encode once
+    // being the partition column; encode once. In residual mode the codes
+    // quantize x̂ − ĉ(cell) (shared kernel with the index writers);
+    // direct mode quantizes x̂ itself.
     def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
-    val codeCols = (0 until m).map { j =>
-      val dists = array(books(j).map(c =>
-        dotProduct(lit(c), lit(c)) - lit(2.0) * dotProduct(subv(col("nvec"), j), lit(c))): _*)
-      array_position(dists, array_min(dists)).cast("int").as(s"code_$j")
-    }
+    val encodeOver =
+      if (residual) residualOf(col("nvec"), col("cell"), centers)
+      else col("nvec")
     val cells = assign(corpus, "neighbor_id", "nvec", probes = 1)
-      .select(col("neighbor_id") +: col("nvec") +: col("cell") +: codeCols: _*)
+      .withColumn("rvec", encodeOver)
+      .select(col("neighbor_id") +: col("nvec") +: col("cell") +:
+        pqCodeCols(books, col("rvec")): _*)
 
-    // probe side: query ADC tables, one row per (query, probed cell)
+    // probe side: query ADC tables, one row per (query, probed cell) —
+    // the tables are cell-independent under inner-product scoring; in
+    // residual mode the cell enters only through the additive q̂·ĉ(cell)
+    // offset below
     val tableCols = (0 until m).map { j =>
       array(books(j).map(c => dotProduct(subv(col("qvec"), j), lit(c))): _*).as(s"t_$j")
     }
     val probes = assign(queries, "query_id", "qvec", probes = nProbe)
       .select(col("query_id") +: col("qvec") +: col("cell") +: tableCols: _*)
 
+    // ADC estimate of q̂·x̂ — residual mode adds back the q̂·ĉ(cell)
+    // term the decomposition q̂·x̂ = q̂·ĉ + q̂·(x̂ − ĉ) factors out
+    val offset =
+      if (residual)
+        dotProduct(col("qvec"),
+          element_at(normalizedCentersLit(centers), col("cell") + 1))
+      else lit(0.0)
     val adc = (0 until m)
       .map(j => element_at(col(s"t_$j"), col(s"code_$j")))
       .reduce(_ + _)
     val shortlist = rankTopK(
       cells.join(probes, Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", round(adc, 4)),
+        .withColumn("sim", round(offset + adc, 4)),
       k * refine)
 
     val rescored = shortlist.select(col("query_id"), col("neighbor_id"))
@@ -902,26 +1047,40 @@ object Similarity {
   def writeIvfPqPartitioned(corpus: DataFrame, path: String,
       nCells: Int = 8, m: Int = 8, ksub: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
+      seed: Long = 42L, maxTrainSamples: Int = 100000,
+      residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centers = fitQuantizer(corpus, nCells, seed, maxTrainSamples, vecCol)
-    val books = fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
+    val books =
+      if (residual)
+        fitPqCodebooksResidual(corpus, centers, m, ksub, seed,
+          maxTrainSamples, vecCol)
+      else fitPqCodebooks(corpus, m, ksub, seed, maxTrainSamples, vecCol)
     val n = corpus.count()
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq, n) }.toSeq
       .toDF("cell", "centroid", "n_corpus")
       .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    // the `residual` column makes the package self-describing: readers
+    // pick the matching ADC formula without out-of-band configuration
     books.indices.flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
       .toDF("subspace", "centroid_id", "centroid").withColumn("n_corpus", lit(n))
+      .withColumn("residual", lit(residual))
       .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
     val centroids = centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     // raw-space cell assignment (the quantizer was fit there), then
-    // normalize for the PQ encoding only — the ivfPqSearch convention
+    // normalize for the PQ encoding — residual mode additionally
+    // subtracts the cell's normalized centroid (the ivfPqSearch
+    // convention: codes quantize x̂ − ĉ(cell))
     assignToCells(corpus, centroids, idCol, vecCol, "neighbor_id", "rawv",
         probes = 1)
       .select(col("neighbor_id"), normalize(col("rawv")).as("nvec"), col("cell"))
-      .select(col("neighbor_id") +: col("cell") +: pqCodeCols(books): _*)
+      .withColumn("rvec",
+        if (residual) residualOf(col("nvec"), col("cell"), centers)
+        else col("nvec"))
+      .select(col("neighbor_id") +: col("cell") +:
+        pqCodeCols(books, col("rvec")): _*)
       .withColumn("n_corpus", lit(n))
       .write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
   }
@@ -945,7 +1104,11 @@ object Similarity {
     import spark.implicits._
     val centerRows = spark.read.parquet(path + "/centroids")
       .select(col("cell"), col("centroid")).collect().sortBy(_.getInt(0))
-    val books = spark.read.parquet(path + "/codebooks")
+    val bdf = spark.read.parquet(path + "/codebooks")
+    // self-described encoding space (legacy tables = direct)
+    val residual = bdf.columns.contains("residual") &&
+      bdf.select(col("residual")).head().getBoolean(0)
+    val books = bdf
       .select(col("subspace"), col("centroid_id"), col("centroid")).collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
@@ -970,13 +1133,21 @@ object Similarity {
 
     val codes = spark.read.parquet(path + "/codes")
       .filter(col("cell").isin(probedCells: _*))
+    // residual-coded packages add back the per-(query, cell) offset
+    // q̂·ĉ(cell) the decomposition factors out; direct packages need none
+    val centersArr = centerRows.map(_.getSeq[Double](1).toArray)
+    val offset =
+      if (residual)
+        dotProduct(col("qvec"),
+          element_at(normalizedCentersLit(centersArr), col("cell") + 1))
+      else lit(0.0)
     val adc = (0 until m)
       .map(j => element_at(col(s"t_$j"), col(s"code_$j")))
       .reduce(_ + _)
     val shortlist = rankTopK(
       codes.join(probes, Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", round(adc, 4)),
+        .withColumn("sim", round(offset + adc, 4)),
       k * refine)
 
     val vecs = corpus.select(col(idCol).as("neighbor_id"),

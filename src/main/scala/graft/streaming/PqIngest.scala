@@ -37,7 +37,8 @@ object PqIngest {
   def bootstrap(snapshot: DataFrame, indexPath: String,
       nCells: Int = 8, m: Int = 8, ksub: Int = 16,
       vecCol: String = "embedding",
-      seed: Long = 42L, maxTrainSamples: Int = 100000): Unit = {
+      seed: Long = 42L, maxTrainSamples: Int = 100000,
+      residual: Boolean = false): Unit = {
     val spark = snapshot.sparkSession
     import spark.implicits._
     // re-bootstrapping over an index that already holds codes would
@@ -65,14 +66,22 @@ object PqIngest {
       s"snapshot has $n vectors — need >= max(nCells=$nCells, ksub=$ksub) to bootstrap")
     val centers = Similarity.fitQuantizer(snapshot, nCells, seed,
       maxTrainSamples, vecCol)
-    val books = Similarity.fitPqCodebooks(snapshot, m, ksub, seed,
-      maxTrainSamples, vecCol)
+    // same encoding-space choice as writeIvfPqPartitioned (direct by
+    // default — see the A/B note at fitPqCodebooksResidual); the
+    // codebooks table records it so batches encode consistently forever
+    val books =
+      if (residual)
+        Similarity.fitPqCodebooksResidual(snapshot, centers, m, ksub,
+          seed, maxTrainSamples, vecCol)
+      else Similarity.fitPqCodebooks(snapshot, m, ksub, seed,
+        maxTrainSamples, vecCol)
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq, n) }.toSeq
       .toDF("cell", "centroid", "n_corpus")
       .coalesce(1).write.mode("overwrite").parquet(indexPath + "/centroids")
     books.indices
       .flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq, n)))
       .toDF("subspace", "centroid_id", "centroid", "n_corpus")
+      .withColumn("residual", lit(residual))
       .coalesce(1).write.mode("overwrite").parquet(indexPath + "/codebooks")
   }
 
@@ -104,18 +113,22 @@ object PqIngest {
       return
     }
 
-    val (centers, books, nSnapshot) = readMeta(spark, indexPath).getOrElse(
-      throw new IllegalStateException(
-        s"$indexPath has no centroids/codebooks — bootstrap() the index " +
-          "from a corpus snapshot before streaming into it"))
+    val (centers, books, nSnapshot, residual) =
+      readMeta(spark, indexPath).getOrElse(
+        throw new IllegalStateException(
+          s"$indexPath has no centroids/codebooks — bootstrap() the index " +
+            "from a corpus snapshot before streaming into it"))
     val centroids = centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     Similarity.assignToCells(batch, centroids, idCol, vecCol,
         "neighbor_id", "rawv", probes = 1)
       .select(col("neighbor_id"),
         Similarity.normalize(col("rawv")).as("nvec"), col("cell"))
+      .withColumn("rvec",
+        if (residual) Similarity.residualOf(col("nvec"), col("cell"), centers)
+        else col("nvec"))
       .select(col("neighbor_id") +: col("cell") +:
-        Similarity.pqCodeCols(books): _*)
+        Similarity.pqCodeCols(books, col("rvec")): _*)
       .withColumn("n_corpus", lit(nSnapshot)) // the flat layout's stamp
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").partitionBy("cell", "batch_id")
@@ -124,7 +137,7 @@ object PqIngest {
   }
 
   private def readMeta(spark: SparkSession, indexPath: String)
-      : Option[(Array[Array[Double]], Array[Array[Array[Double]]], Long)] = {
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]], Long, Boolean)] = {
     def ok(t: String) = {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$t", "_SUCCESS")
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
@@ -136,14 +149,18 @@ object PqIngest {
         .sortBy(_.getInt(0))
       val centers = centRows.map(_.getSeq[Double](1).toArray)
       val nSnapshot = centRows.head.getLong(2)
-      val books = spark.read.parquet(s"$indexPath/codebooks")
+      val bdf = spark.read.parquet(s"$indexPath/codebooks")
+      // legacy meta without the column = direct-coded
+      val residual = bdf.columns.contains("residual") &&
+        bdf.select(col("residual")).head().getBoolean(0)
+      val books = bdf
         .select(col("subspace"), col("centroid_id"), col("centroid"))
         .collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map { case (_, rows) =>
           rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
         }.toArray
-      Some((centers, books, nSnapshot))
+      Some((centers, books, nSnapshot, residual))
     }
   }
 }

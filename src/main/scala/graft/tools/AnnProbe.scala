@@ -38,12 +38,22 @@ object AnnProbe {
         min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
       println(f"pq m=8 ksub=16 refine=$refine%-3d minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
     }
-    for ((probe, refine) <- Seq((2, 32), (4, 32), (8, 32))) {
+    for ((probe, ksub) <- Seq((2, 16), (4, 16), (8, 16), (4, 32), (6, 32), (8, 32))) {
       val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 5, nCells = 8,
-        nProbe = probe, refine = refine, corpusId = Some(sfDir))
+        nProbe = probe, ksub = ksub, refine = 32, corpusId = Some(sfDir))
       val r = Similarity.recallAtK(ivfpq, brute).agg(
         min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
-      println(f"ivfpq cells=8 probe=$probe%-2d refine=$refine%-3d minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
+      println(f"ivfpq cells=8 probe=$probe%-2d ksub=$ksub%-3d refine=32 minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
+    }
+    // the residual-coding A/B at the product budget (expected to LOSE on
+    // this isotropic corpus — see fitPqCodebooksResidual's scaladoc)
+    for ((probe, ksub) <- Seq((4, 16), (6, 32))) {
+      val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 5, nCells = 8,
+        nProbe = probe, ksub = ksub, refine = 32, corpusId = Some(sfDir),
+        residual = true)
+      val r = Similarity.recallAtK(ivfpq, brute).agg(
+        min(col("recall")).as("min"), avg(col("recall")).as("avg")).collect()(0)
+      println(f"ivfpq-RES cells=8 probe=$probe%-2d ksub=$ksub%-3d refine=32 minRecall=${r.getDouble(0)}%.2f avgRecall=${r.getDouble(1)}%.2f")
     }
     spark.stop()
   }

@@ -190,8 +190,12 @@ class SimilaritySpec extends SparkSpec {
     val pq = dir.getAbsolutePath + "/pq"
     val part = dir.getAbsolutePath + "/part"
     Similarity.writeIvfCentroids(vecs, ivf, nCells = 3)
-    Similarity.writePqIndex(vecs, pq, m = 2, ksub = 2)
-    Similarity.writeIvfPqPartitioned(vecs, part, nCells = 3, m = 2, ksub = 2)
+    // BOTH packages residual-coded here: the equality then also proves
+    // the self-describing `residual` flag routes every reader onto the
+    // residual ADC formula (the product queries run the direct default)
+    Similarity.writePqResidualIndex(vecs, ivf, pq, m = 2, ksub = 2)
+    Similarity.writeIvfPqPartitioned(vecs, part, nCells = 3, m = 2, ksub = 2,
+      residual = true)
 
     val cellDirs = new java.io.File(part + "/codes")
       .listFiles().filter(_.getName.startsWith("cell="))
