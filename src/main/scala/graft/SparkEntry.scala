@@ -1459,6 +1459,32 @@ object SparkEntry {
         .orderBy("day_us")
     }),
 
+    // WAU off the SKETCH tier — completing the three-tier story (raw →
+    // activity set → sketch) for BOTH distinct-user statistics: the
+    // trailing-7-day union is just seven more HLL merges over the same
+    // per-day sketches events_dau_sketch reads, O(days·7) sketch rows
+    // per report, constant in users. Same recall-gate convention: exact
+    // WAU replayed by the oracle, estimate pinned within 5%.
+    "events_wau_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val path = ensureIndex(s, ev, "evsketchstream", "built") { p =>
+        graft.streaming.EventIngest.processSketchBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
+        graft.streaming.EventIngest.processSketchBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      val est = graft.streaming.EventIngest.wauEstimateFromSketches(s, path)
+        .select(unix_micros(col("report_day")).as("day_us"), col("wau_est"))
+      wauShape(ev.select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+        .join(est, Seq("day_us"))
+        .select(col("day_us"), col("wau"),
+          (abs(col("wau_est") - col("wau")) <= col("wau") * 0.05).as("est_ok"))
+        .orderBy("day_us")
+    }),
+
     // SECOND serving view off the SAME accumulated activity table as
     // events_dau_streamed — the point of set-union accumulation: one
     // streamed (user, day) set serves every distinct-user statistic.
@@ -5859,6 +5885,21 @@ object SparkEntry {
 
     // the SAME oracle: the accumulated activity set serves retention too
     "events_retention_streamed" -> eventsRetentionOracle,
+
+    // recall-gate convention over the exact WAU replay (the eventsWauOracle
+    // derivation + the pinned-TRUE sketch-accuracy bound)
+    "events_wau_sketch" ->
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |      AS report_day
+        |  FROM d),
+        |o AS (SELECT DISTINCT day AS report_day FROM d)
+        |SELECT epoch_us(s.report_day) AS day_us,
+        |  count(DISTINCT s.user_id) AS wau, TRUE AS est_ok
+        |FROM s JOIN o ON s.report_day = o.report_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // recall-gate convention: exact DAU replayed, sketch-accuracy bound
     // pinned TRUE — a sketch regression becomes a hash mismatch

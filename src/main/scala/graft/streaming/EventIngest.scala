@@ -125,6 +125,28 @@ object EventIngest {
       .groupBy(col("day"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("dau_est"))
 
+  /** Estimated trailing-7-day WAU per observed day from the SAME
+    * accumulated sketches — the mergeability payoff beyond per-day DAU:
+    * a 7-day distinct-user count is just seven more sketch unions, so
+    * the whole report costs O(observed days × 7) sketch-row merges and
+    * stays CONSTANT in users. Shape mirrors the exact wauShape idiom
+    * (explode each day's sketch to the 7 report days it supports, one
+    * union-agg per report day, report days restricted to observed days)
+    * — with `hll_union_agg` replacing `countDistinct` as the merge.
+    */
+  def wauEstimateFromSketches(spark: SparkSession, aggPath: String): DataFrame = {
+    val daily = spark.read.parquet(s"$aggPath/sketches")
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+    val support = daily.select(col("sketch"),
+      explode(sequence(col("day"), col("day") + expr("interval 6 days"),
+        expr("interval 1 day"))).as("report_day"))
+    val observed = daily.select(col("day").as("report_day")).distinct()
+    support.join(observed, Seq("report_day"))
+      .groupBy(col("report_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("wau_est"))
+  }
+
   /** The accumulated distinct (user_id, day) pairs — the exact input any
     * batch DAU/retention derivation expects.
     */

@@ -154,6 +154,27 @@ class EventIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$agg/sketches").count() === 2L)
   }
 
+  test("sketch WAU: the 7-day union of per-day sketches tracks exact WAU") {
+    val dir = Files.createTempDirectory("evwausketch").toFile
+    dir.deleteOnExit()
+    val agg = dir.getAbsolutePath + "/idx"
+    def dayTs(d: Int) = Timestamp.valueOf(f"2024-03-0$d%d 00:00:00")
+    // day 1: users 0-19; day 3: users 10-39 — both inside each other's
+    // trailing-7-day window, overlap 10-19 must not double-count
+    val b0 = (0L until 20L).map(u => (u, dayTs(1))).toDF("user_id", "ts")
+    val b1 = (10L until 40L).map(u => (u, dayTs(3))).toDF("user_id", "ts")
+    EventIngest.processSketchBatch(b0, 0L, agg)
+    EventIngest.processSketchBatch(b1, 1L, agg)
+    val wau = EventIngest.wauEstimateFromSketches(spark, agg)
+      .collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1))
+      .toMap
+    // observed report days only: day 1 (sees day 1 alone) and day 3
+    // (sees days 1+3 — the union across sketch days)
+    assert(wau.keySet === Set("2024-03-01", "2024-03-03"))
+    assert(math.abs(wau("2024-03-01") - 20L) <= 1, s"day1 ${wau("2024-03-01")}")
+    assert(math.abs(wau("2024-03-03") - 40L) <= 2, s"day3 ${wau("2024-03-03")}")
+  }
+
   test("per-batch partial files compact per batch_id=; replay state travels") {
     val dir = Files.createTempDirectory("evcompact").toFile
     dir.deleteOnExit()
