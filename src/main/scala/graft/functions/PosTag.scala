@@ -101,6 +101,10 @@ object PosTag {
     "moment", "continent", "incident", "accident", "ingredient",
     // -ive nouns
     "olive", "motive", "detective", "perspective",
+    // -able/-ible nouns (r12 sweep: `table` was the corpus's one live
+    // suffix mistag — ADJ by -able)
+    "table", "timetable", "vegetable", "cable", "fable", "stable",
+    "syllable", "bible", "marble", "gable",
     // -ed nouns (past-participle lookalikes; genuinely verb-leaning
     // members like feed/need/breed are left to the VERB rule)
     "bed", "seed", "creed", "speed", "deed",
@@ -117,7 +121,17 @@ object PosTag {
     "unfriendly", "deadly", "elderly", "silly", "ugly", "holy", "lively",
     "costly", "chilly", "curly", "oily", "smelly", "wobbly", "jolly",
     "weekly", "daily", "monthly", "yearly", "hourly", "cowardly", "orderly",
-    "ghastly")
+    "ghastly",
+    // suffixless core adjectives the default-NOUN prior mistags (r12
+    // sweep: `big`, `slow`, `fast` are live corpus words; the rest are
+    // the unambiguous high-frequency members of the same class)
+    "big", "slow", "fast", "good", "bad", "new", "old", "high", "low",
+    "large", "long", "short", "hot", "cold", "warm", "cool", "young",
+    "strong", "weak", "rich", "poor", "dark", "deep", "wide", "narrow",
+    "quick", "great", "free", "full", "empty", "hard", "soft", "late",
+    "far", "easy", "busy", "tiny", "huge", "nice", "true", "false",
+    "simple", "cheap", "tall", "thick", "thin", "broad", "flat", "loud",
+    "quiet", "clean", "dirty", "dry", "wet", "heavy", "safe")
 
   // ---- suffix morphology (checked after the lexicon, in this order) -----
 
