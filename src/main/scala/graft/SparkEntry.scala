@@ -1331,7 +1331,8 @@ object SparkEntry {
     // from accumulated pairs, no sketches.
     "events_dau_streamed" -> ((s, dir) => {
       dauShape(graft.streaming.EventIngest.activityFromAccumulated(
-        s, activityPath(s, dir)))
+        s, activityPath(s, dir),
+        t(s, dir, "events").schema("user_id").dataType))
     }),
 
     // Per-user activity deciles: ntile(10) over per-user event counts —
@@ -1367,7 +1368,8 @@ object SparkEntry {
     // statistic, one table. Shares events_wau's oracle verbatim.
     "events_wau_streamed" -> ((s, dir) => {
       wauShape(graft.streaming.EventIngest.activityFromAccumulated(
-        s, activityPath(s, dir)))
+        s, activityPath(s, dir),
+        t(s, dir, "events").schema("user_id").dataType))
     }),
 
     // Event-rate anomaly detection: hourly counts per type, z-score from
@@ -1492,7 +1494,8 @@ object SparkEntry {
     // week(min(ts))), so this shares events_retention's oracle verbatim.
     "events_retention_streamed" -> ((s, dir) => {
       retentionShape(graft.streaming.EventIngest.activityFromAccumulated(
-        s, activityPath(s, dir)))
+        s, activityPath(s, dir),
+        t(s, dir, "events").schema("user_id").dataType))
     }),
 
     // Composed keep/drop decision — the C4/Gopher-shape filter pipeline

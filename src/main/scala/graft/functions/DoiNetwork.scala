@@ -191,10 +191,14 @@ object DoiNetwork {
     }
     // keyed feeds BOTH the melt and the final id-rejoin: without a
     // boundary each consumer re-runs the five recognizer regex batteries
-    // (~15 extracts/row) over the records scan
+    // (~15 extracts/row) over the records scan. Eager localCheckpoint,
+    // not persist: a persist here would pin executor storage for the
+    // JVM's lifetime unless the CALLER remembered to unpersist (this
+    // method never sees the consuming action), while checkpoint blocks
+    // are freed with the frame — the lifetime is bounded by construction
     val keyed = stages.foldLeft(records) { (df, st) =>
       df.withColumn(s"k_$st", keyOf(st))
-    }.persist()
+    }.localCheckpoint()
     val melted = keyed.select(col(idCol).as("__id"),
         explode(filter(array(stages.map(st =>
           struct(lit(st).as("stage"), col(s"k_$st").as("key"))): _*),

@@ -149,8 +149,16 @@ object EventIngest {
 
   /** The accumulated distinct (user_id, day) pairs — the exact input any
     * batch DAU/retention derivation expects.
+    *
+    * @param userIdType the id type of the EVENTS SOURCE, used only for
+    *   the no-batches-landed-yet empty frame: hardcoding it would make
+    *   the empty and non-empty reads disagree on schema whenever the
+    *   source carries a non-bigint user_id, silently breaking downstream
+    *   unions/joins. Pass `events.schema("user_id").dataType`.
     */
-  def activityFromAccumulated(spark: SparkSession, aggPath: String): DataFrame = {
+  def activityFromAccumulated(spark: SparkSession, aggPath: String,
+      userIdType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
     val act = new org.apache.hadoop.fs.Path(s"$aggPath/activity")
     val fs = act.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(act)) {
@@ -158,7 +166,7 @@ object EventIngest {
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(
-          StructField("user_id", LongType),
+          StructField("user_id", userIdType),
           StructField("day", TimestampType))))
     }
     spark.read.parquet(s"$aggPath/activity")

@@ -59,9 +59,22 @@ object UpsertIngest {
     */
   def readLatest(spark: SparkSession, tablePath: String, keyCol: String): DataFrame = {
     recoverCompaction(spark, tablePath)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("batch_id").desc)
-    spark.read.parquet(s"$tablePath/log")
-      .withColumn("__rn", row_number().over(w))
+    latestPerKey(spark.read.parquet(s"$tablePath/log"), keyCol)
+  }
+
+  /** Latest-batch-per-key resolve — the one window both [[readLatest]]
+    * and [[compactLog]] use, so a compaction can never change which row
+    * a key resolves to. Within one batch the caller owes one row per key;
+    * a violation still resolves DETERMINISTICALLY (content-hash order
+    * over the sorted column list, not file/task order), so reruns and
+    * pre/post-compaction reads agree instead of flapping — and truly
+    * identical duplicate rows tie harmlessly.
+    */
+  private def latestPerKey(log: DataFrame, keyCol: String): DataFrame = {
+    val tie = xxhash64(log.columns.filter(_ != "batch_id").sorted.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("batch_id").desc, tie.desc)
+    log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "batch_id")
   }
@@ -155,13 +168,10 @@ object UpsertIngest {
     val tmp = new Path(s"$tablePath/_compact_tmp")
     fs.delete(tmp, true) // pre-intent leftovers of a dead pass
     val nOut = math.max(1, math.ceil(st.nBytes.toDouble / targetBytes).toInt)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("batch_id").desc)
-    // resolve inline (not readLatest: keep this pass free of the recovery
-    // re-entrance) and stage under the winning batch id's hive dir name
-    spark.read.parquet(s"$tablePath/log")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "batch_id")
+    // resolve via the shared window (not readLatest: keep this pass free
+    // of the recovery re-entrance) and stage under the winning batch id's
+    // hive dir name
+    latestPerKey(spark.read.parquet(s"$tablePath/log"), keyCol)
       .coalesce(nOut)
       .write.mode("overwrite")
       .parquet(s"$tablePath/_compact_tmp/batch_id=${st.maxBatchId}")

@@ -232,8 +232,18 @@ class DedupSpec extends SparkSpec {
     // that the field stays null after a full clustering run.
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     Dedup.duplicateClusters(pairs).collect()
-    val f = classOf[org.apache.spark.sql.classic.SparkSession]
-      .getDeclaredField("observationManager")
+    // guarded reflection: the pin targets a private Spark 4.1 field — on
+    // a version bump that renames/removes it, SKIP (the pin must be
+    // re-derived for the new internals) instead of failing the suite
+    val f =
+      try classOf[org.apache.spark.sql.classic.SparkSession]
+        .getDeclaredField("observationManager")
+      catch {
+        case _: NoSuchFieldException =>
+          cancel("classic.SparkSession.observationManager no longer " +
+            "exists — re-derive the spark.ml serialization pin for this " +
+            "Spark version")
+      }
     f.setAccessible(true)
     assert(f.get(spark) == null,
       "CC initialized ObservationManager — spark.ml closures will break")
@@ -250,24 +260,42 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
       .toDF("doc_a", "doc_b")
     Dedup.duplicateClusters(pairs).collect() // warm codegen/JIT outside the count
+    // count ONLY jobs attributable to this run via a job group, so
+    // unrelated listener traffic (other suites' leftovers, background
+    // actions) can never fail the budget
+    val group = s"cc-one-action-${System.nanoTime()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val grouped = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == group) grouped.incrementAndGet()
+        ()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val labels = Dedup.duplicateClusters(pairs)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sparkContext.setJobGroup(group, "CC one-action budget pin")
+      val labels =
+        try Dedup.duplicateClusters(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.sparkContext.clearJobGroup()
       // listener bus is async; wait for the count to go quiet
       var last = -1
       while (jobs.get != last) { last = jobs.get; Thread.sleep(200) }
       assert(labels === (1L to 7L).map(_ -> 1L).toMap)
-      // measured budget on this chain (6 rounds): one-action loop = 33 jobs
-      // (setup checkpoints + per-round checkpoint + AQE stage
-      // materializations + collect); the two-action loop measures 39 (one
-      // isEmpty job per round). 35 sits between — it fails if the
-      // per-round convergence scan ever comes back.
-      assert(jobs.get <= 35, s"expected ≤35 jobs for the CC loop, saw ${jobs.get}")
+      if (grouped.get == 0)
+        cancel("no job carried spark.jobGroup.id — the property name " +
+          "changed in this Spark version; re-derive the budget pin")
+      // measured budget on this chain (6 rounds): one-action loop = 33
+      // jobs in-group (setup checkpoints + per-round checkpoint + AQE
+      // stage materializations + collect); a second action per round
+      // adds >= 1 job per round, measuring 39. The margin is per-round:
+      // budget = measured 33 + 2 slack, still below 33 + rounds.
+      assert(grouped.get <= 35,
+        s"expected <=35 in-group jobs for the CC loop, saw ${grouped.get}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

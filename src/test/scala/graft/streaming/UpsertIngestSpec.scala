@@ -130,6 +130,24 @@ class UpsertIngestSpec extends SparkSpec {
       maxFiles = 0) || UpsertIngest.logStats(spark, tbl).nBatches === 1)
   }
 
+  test("within-batch duplicate keys resolve deterministically, compaction-stable") {
+    val dir = Files.createTempDirectory("upserttie").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    // contract violation on purpose: key 1 appears twice in batch 0 — the
+    // resolve must pick the SAME row on every rerun and across compaction
+    // (content-hash order), never file/task order
+    val b0 = Seq((1L, "x", 1L), (1L, "y", 1L), (2L, "b", 1L)).toDF("k", "v", "n")
+    UpsertIngest.processBatch(b0, 0L, tbl)
+    val r1 = latest(tbl)
+    val r2 = latest(tbl)
+    assert(r1 === r2, "rerun changed the within-batch winner")
+    UpsertIngest.processBatch(Seq((3L, "c", 2L)).toDF("k", "v", "n"), 1L, tbl)
+    UpsertIngest.compactLog(spark, tbl, "k")
+    assert(latest(tbl) === r1 + (3L -> ("c", 2L)),
+      "compaction changed the within-batch winner")
+  }
+
   test("CDC soft delete: a tombstone row wins the key, serving read filters") {
     // deletes over a changelog are just upserts of a deleted=true row —
     // latest-batch-per-key makes the tombstone win, and the serving view
