@@ -1397,6 +1397,12 @@ object SparkEntry {
             .otherwise(lit(0.0)))
         .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
           col("n"), col("z"), (abs(col("z")) > 2.5).as("is_anomaly"))
+        // ORACLE-DETERMINISM SORT, NOT THE PRODUCTION CONTRACT: the tail
+        // orderBy exists so the driver's hash compare sees one row order;
+        // the operator itself is the unordered frame above it. At 100 TB
+        // ship the unordered form — a global sort of per-hour rows would
+        // be a pure artifact of the test harness. (COVERAGE.md "Ordered
+        // outputs" note.)
         .orderBy("event_type", "hour_us")
     }),
 
@@ -1423,6 +1429,11 @@ object SparkEntry {
           unix_micros(col("t_view")).as("view_us"),
           coalesce(unix_micros(col("t_click")), lit(-1L)).as("click_us"),
           coalesce(unix_micros(col("t_purchase")), lit(-1L)).as("purchase_us"))
+        // ORACLE-DETERMINISM SORT, NOT THE PRODUCTION CONTRACT: a global
+        // sort of per-USER rows is the single worst tail to ship at
+        // 100 TB — the operator ends at the unordered join above; this
+        // orderBy exists solely for the driver's hash compare.
+        // (COVERAGE.md "Ordered outputs" note.)
         .orderBy("user_id")
     }),
 
