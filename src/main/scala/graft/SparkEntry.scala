@@ -1606,6 +1606,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video-container decode round-trip (animated GIF — the one
+    // multi-frame format the JDK encodes AND decodes; MP4-class codecs
+    // stay documented out-of-scope): per doc synthesize an actual
+    // animation whose frame count/dims/pixels are arithmetic in doc_id
+    // over a lossless 256-gray palette, then SAMPLE every 2nd frame from
+    // the ENCODED CONTAINER BYTES — real frame extraction, the
+    // row-multiplying shape of a production video pipeline. The oracle
+    // replays the arithmetic over (doc, frame, x, y); green proves the
+    // encode→container-walk→frame-decode loop.
+    "multimodal_video" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGifs(
+        t(s, dir, "documents").select("doc_id"))
+      Multimodal.sampleVideoFrames(media, every = 2).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("frame_no").cast("bigint").as("frame_no"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("pixel_sum"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; flag
     // corpus docs sharing >= 3 word-3-gram shingles with any of them.
     "dedup_contamination" -> ((s, dir) => {
@@ -4681,6 +4702,28 @@ object SparkEntry {
         |  TRUE AS decoded
         |FROM p JOIN g ON g.g < p.n_samples
         |GROUP BY 1, 2, 3, 4 ORDER BY p.doc_id""".stripMargin,
+
+    // replays synthesizeGifs' arithmetic: dims and frame count from
+    // doc_id, every-2nd frame, gray sum over the w×h grid of
+    // (id·31 + x·7 + y·13 + f·101) mod 256 — what Spark recovers from
+    // the real encoded GIF container via ImageIO frame reads
+    "multimodal_video" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 9 AS BIGINT) AS width,
+        |    CAST(3 + doc_id % 5 AS BIGINT) AS height,
+        |    CAST(2 + doc_id % 5 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |g AS (SELECT g FROM generate_series(0, 12) t(g)),
+        |fr AS (SELECT p.*, f.g AS frame_no FROM p
+        |       JOIN g f ON f.g < p.n_frames AND f.g % 2 = 0)
+        |SELECT fr.doc_id, fr.frame_no, fr.width, fr.height,
+        |  CAST(SUM((fr.doc_id * 31 + x.g * 7 + y.g * 13 + fr.frame_no * 101) % 256)
+        |    AS BIGINT) AS pixel_sum
+        |FROM fr
+        |JOIN g x ON x.g < fr.width
+        |JOIN g y ON y.g < fr.height
+        |GROUP BY 1, 2, 3, 4 ORDER BY fr.doc_id, fr.frame_no""".stripMargin,
 
     // Full offline cascade replicated in DuckDB: per-stage regex extracts
     // (RE2 accepts the same (?i) inline flag), the normalize pipeline

@@ -11,11 +11,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
   * — actual PNG/JPEG header parse, pixel access and scaled re-encode.
   * The AUDIO leg is REAL too: [[decodeAudioMeta]] / [[synthesizeWavs]]
   * run `javax.sound.sampled` (also JDK) — actual RIFF/WAV container
-  * parse and signed-PCM sample access. VIDEO decode stays the one
-  * clearly-marked deterministic STUB ([[DecodeStub]] — no video codec
-  * libraries exist in this container); swapping it for a real decoder
-  * changes no plan shape: decode stays a `mapPartitions` over binary
-  * payloads, metadata stays columnar.
+  * parse and signed-PCM sample access. The VIDEO leg is real for the
+  * one multi-frame container the JDK can encode AND decode:
+  * [[synthesizeGifs]] / [[decodeVideoMeta]] / [[sampleVideoFrames]] do
+  * actual animated-GIF container walks and per-frame pixel decode —
+  * the frame-extraction shape a codec binding slots into unchanged.
+  * MP4/H.264-class codecs remain out of scope (no codec libraries in
+  * this container): for those formats [[DecodeStub]]/[[sampleFrames]]
+  * stay as the clearly-marked byte-chunk stubs; swapping in a real
+  * codec changes no plan shape — decode stays a `mapPartitions` over
+  * binary payloads, metadata stays columnar.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is
   * map-side; downstream joins should carry only (id, features/meta) with the
@@ -336,6 +341,180 @@ object Multimodal {
               case scala.util.control.NonFatal(_) =>
                 AudioMeta(r.media_id, 0, 0, 0L, 0L, decoded = false)
             } finally ais.close()
+        }
+      }
+  }
+
+  /** Decoded VIDEO (multi-frame container) metadata. */
+  case class VideoMeta(media_id: Long, n_frames: Int, width: Int,
+                       height: Int, decoded: Boolean)
+
+  /** One sampled frame: real per-frame dimensions and gray pixel sum. */
+  case class VideoFrame(media_id: Long, frame_no: Int, width: Int,
+                        height: Int, pixel_sum: Long)
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Deterministic REAL-ANIMATION synthesis: id → animated GIF of
+    * `2 + id % 5` frames at `(4 + id % 9) × (3 + id % 5)`, frame `f`
+    * gray value `(id·31 + x·7 + y·13 + f·101) mod 256`. The frames are
+    * written TYPE_BYTE_INDEXED over an explicit 256-gray palette, so the
+    * GIF encoding is LOSSLESS by construction — frame count, dimensions
+    * and per-frame pixel sums are pure arithmetic in id, and a DuckDB
+    * oracle can replay what [[sampleVideoFrames]] recovers from the
+    * actual container bytes. GIF is the one real multi-frame container
+    * the JDK can both encode and decode; MP4/H.264-class codecs remain
+    * out of scope in this container (no codec libraries) — but the frame
+    * extraction SHAPE below is exactly what a real codec binding slots
+    * into.
+    */
+  def synthesizeGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        val cm = grayPalette // palette + writer reused across the batch
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val param = writer.getDefaultWriteParam
+        // interlaceFlag MUST be forced FALSE: the JDK GIF writer defaults
+        // to interlaced output and mis-lays rows for images shorter than
+        // the 8-row interlace pass stride (verified: a 4×3 gradient
+        // round-trips wrong interlaced, exact non-interlaced)
+        def nonInterlacedMeta(img: java.awt.image.BufferedImage) = {
+          val md = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), param)
+          val fmt = md.getNativeMetadataFormatName
+          val root = md.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          desc.setAttribute("interlaceFlag", "FALSE")
+          md.setFromTree(fmt, root)
+          md
+        }
+        val out = it.map { id =>
+          val w = 4 + (id % 9).toInt
+          val h = 3 + (id % 5).toInt
+          val nf = 2 + (id % 5).toInt
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  ((id * 31 + x * 7 + y * 13 + f * 101) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, nonInterlacedMeta(img)),
+              param)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          MediaRow(id, baos.toByteArray, "video/gif")
+        }
+        // writer.dispose() is owed after the batch, but Iterator has no
+        // close hook here; the writer is unreachable after the partition
+        // and carries no native state in the JDK GIF plugin
+        out
+      }
+      .toDF()
+  }
+
+  /** REAL multi-frame container decode: frame count + first-frame
+    * dimensions from the actual GIF bytes (`ImageReader.getNumImages`
+    * walks the container directory). Corrupt/null payloads →
+    * `decoded=false`, zeroed stats — the poison-file posture.
+    */
+  def decodeVideoMeta(media: DataFrame): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.map { r =>
+          try {
+            if (r.payload == null || r.payload.isEmpty)
+              VideoMeta(r.media_id, 0, 0, 0, decoded = false)
+            else {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(r.payload)))
+              val n = reader.getNumImages(true)
+              VideoMeta(r.media_id, n, reader.getWidth(0),
+                reader.getHeight(0), decoded = true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              VideoMeta(r.media_id, 0, 0, 0, decoded = false)
+          }
+        }
+      }
+  }
+
+  /** REAL frame sampling: every `every`-th frame of the container is
+    * decoded and reduced to (dims, gray pixel sum) — the row-multiplying
+    * extraction shape of a production video pipeline, run on actual
+    * encoded frames (compare [[sampleFrames]], the byte-chunk stub for
+    * codec-less formats). One reader per partition, reused across rows;
+    * corrupt payloads contribute zero rows (callers join
+    * [[decodeVideoMeta]] for the poison-file report).
+    */
+  def sampleVideoFrames(media: DataFrame, every: Int = 1): Dataset[VideoFrame] = {
+    require(every > 0, "every must be positive")
+    implicit val enc = Encoders.product[VideoFrame]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { r =>
+          try {
+            if (r.payload == null || r.payload.isEmpty) Iterator.empty
+            else {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(r.payload)))
+              val n = reader.getNumImages(true)
+              // materialized eagerly: the shared reader's input is reset
+              // by the next row, so the frames must be read NOW, not when
+              // a downstream consumer pulls the iterator
+              (0 until n by every).map { f =>
+                val img = reader.read(f)
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    sum += (img.getRGB(x, y) >> 16) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                VideoFrame(r.media_id, f, img.getWidth, img.getHeight, sum)
+              }.iterator
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
         }
       }
   }

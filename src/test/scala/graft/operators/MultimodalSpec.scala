@@ -127,6 +127,51 @@ class MultimodalSpec extends SparkSpec {
         m.sample_sum === 0L && m.duration_us === 0L))
   }
 
+  test("synthesizeGifs -> decodeVideoMeta/sampleVideoFrames round-trip the container") {
+    val ids = Seq(0L, 1L, 7L, 44L, 253L)
+    val media = Multimodal.synthesizeGifs(ids.toDF("doc_id"))
+    val metas = Multimodal.decodeVideoMeta(media)
+      .collect().map(m => m.media_id -> m).toMap
+    val frames = Multimodal.sampleVideoFrames(media, every = 1)
+      .collect().groupBy(_.media_id)
+    for (id <- ids) {
+      val (w, h, nf) = (4 + (id % 9).toInt, 3 + (id % 5).toInt, 2 + (id % 5).toInt)
+      val m = metas(id)
+      assert(m.decoded && m.n_frames === nf && m.width === w && m.height === h,
+        s"meta(id=$id)")
+      val fs = frames(id).sortBy(_.frame_no)
+      assert(fs.map(_.frame_no).toSeq === (0 until nf), s"frames(id=$id)")
+      for (fr <- fs) {
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield (id * 31 + x * 7 + y * 13 + fr.frame_no * 101) % 256).sum
+        assert(fr.pixel_sum === expected, s"pixel_sum(id=$id, f=${fr.frame_no})")
+      }
+    }
+    // every=2 samples exactly the even frames
+    val sampled = Multimodal.sampleVideoFrames(media, every = 2)
+      .collect().groupBy(_.media_id)
+    for (id <- ids) {
+      val nf = 2 + (id % 5).toInt
+      assert(sampled(id).map(_.frame_no).sorted.toSeq === (0 until nf by 2),
+        s"sampled(id=$id)")
+    }
+  }
+
+  test("corrupt video payloads: meta reports, frame sampling yields no rows") {
+    val bad = Seq(
+      (1L, "not a gif".getBytes("UTF-8"), "video/gif"),
+      (2L, Array.emptyByteArray, "video/gif"),
+      (3L, null.asInstanceOf[Array[Byte]], "video/gif"))
+      .toDF("media_id", "payload", "media_type")
+    val ms = Multimodal.decodeVideoMeta(bad).collect()
+    assert(ms.length === 3 && ms.forall(m => !m.decoded && m.n_frames === 0))
+    assert(Multimodal.sampleVideoFrames(bad).collect().isEmpty)
+    // a corrupt row mixed among good ones poisons nothing
+    val mixed = Multimodal.synthesizeGifs(Seq(9L).toDF("doc_id")).unionByName(bad)
+    val ok = Multimodal.sampleVideoFrames(mixed).collect()
+    assert(ok.nonEmpty && ok.forall(_.media_id === 9L))
+  }
+
   test("decodeMeta: per-partition batch decode produces typed metadata, deterministic") {
     val m1 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
     val m2 = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
