@@ -519,6 +519,61 @@ object Multimodal {
       }
   }
 
+  /** One extracted frame as a standalone image payload. */
+  case class FrameImage(media_id: Long, frame_no: Int, payload: Array[Byte],
+                        media_type: String)
+
+  /** Keyframe extraction ACROSS modalities: every `every`-th container
+    * frame decoded and re-encoded as a standalone PNG payload — the
+    * video → image bridge of a thumbnailing/feature pipeline. The output
+    * rows feed [[decodeImageMeta]] / [[resizeImage]] / [[featureStub]]
+    * unchanged (re-key `media_id` per frame first if the consumer needs
+    * unique ids). PNG re-encode is lossless, so downstream image decode
+    * recovers the exact frame pixels the container held. Corrupt
+    * payloads contribute zero rows (pair with [[decodeVideoMeta]] for
+    * the report).
+    */
+  def extractFrameImages(media: DataFrame, every: Int = 1): Dataset[FrameImage] = {
+    require(every > 0, "every must be positive")
+    implicit val enc = Encoders.product[FrameImage]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { r =>
+          try {
+            if (r.payload == null || r.payload.isEmpty) Iterator.empty
+            else {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(r.payload)))
+              val n = reader.getNumImages(true)
+              // eager for the same shared-reader reason as sampleVideoFrames
+              (0 until n by every).map { f =>
+                val frame = reader.read(f)
+                // re-encode via TYPE_INT_RGB: a palette/gray frame written
+                // straight to PNG comes back TYPE_BYTE_GRAY, whose getRGB
+                // applies a linear→sRGB conversion and silently shifts
+                // every pixel value — RGB PNG round-trips exactly
+                val rgb = new java.awt.image.BufferedImage(
+                  frame.getWidth, frame.getHeight,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val gfx = rgb.createGraphics()
+                try gfx.drawImage(frame, 0, 0, null) finally gfx.dispose()
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(rgb, "png", baos)
+                FrameImage(r.media_id, f, baos.toByteArray, "image/png")
+              }.iterator
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      }
+  }
+
   /** One media embedding row — shaped exactly like the `embeddings` table
     * (`vec_id`, `embedding: Array[Float]`) so the output plugs straight
     * into the similarity/dedup operators.

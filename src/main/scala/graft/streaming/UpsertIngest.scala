@@ -24,16 +24,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object UpsertIngest {
 
-  def start(updates: DataFrame, tablePath: String, checkpoint: String): StreamingQuery =
+  def start(updates: DataFrame, tablePath: String, checkpoint: String,
+      uniqueKey: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, tablePath)
+        processBatch(batch, batchId, tablePath, uniqueKey)
       }
       .start()
 
-  /** One micro-batch, callable from tests and backfills directly. */
-  def processBatch(batch: DataFrame, batchId: Long, tablePath: String): Unit = {
+  /** One micro-batch, callable from tests and backfills directly.
+    *
+    * @param uniqueKey when set, the one-row-per-key-per-batch caller
+    *   contract is ENFORCED: a batch carrying duplicate keys fails here,
+    *   before anything lands, naming the offending keys — instead of the
+    *   violation resolving silently (deterministically, but silently) at
+    *   read time. One extra aggregation over the batch; leave None when
+    *   the upstream already guarantees uniqueness.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, tablePath: String,
+      uniqueKey: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val log = s"$tablePath/log"
     BatchMarker.assertMarkeredSink(spark, tablePath, s"$log/batch_id=*")
@@ -44,6 +54,16 @@ object UpsertIngest {
     if (batch.isEmpty) {
       BatchMarker.commit(spark, tablePath, "log", batchId)
       return
+    }
+    uniqueKey.foreach { k =>
+      val dups = batch.groupBy(col(k)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .select(col(k)).limit(5).collect().map(_.get(0))
+      if (dups.nonEmpty)
+        throw new IllegalArgumentException(
+          s"batch $batchId violates the one-row-per-key contract on '$k' " +
+            s"(sample duplicate keys: ${dups.mkString(", ")}) — dedupe " +
+            "upstream or drop uniqueKey to accept content-hash resolution")
     }
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("append").partitionBy("batch_id").parquet(log)
@@ -122,11 +142,12 @@ object UpsertIngest {
     */
   def startWithCompaction(updates: DataFrame, tablePath: String,
       checkpoint: String, keyCol: String, maxBatches: Int = 16,
-      maxFiles: Int = 256): StreamingQuery =
+      maxFiles: Int = 256, validateUnique: Boolean = false): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, tablePath)
+        processBatch(batch, batchId, tablePath,
+          if (validateUnique) Some(keyCol) else None)
         maybeCompact(batch.sparkSession, tablePath, keyCol,
           maxBatches, maxFiles)
         ()

@@ -157,6 +157,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("extractFrameImages bridges video -> image: PNG frames decode to exact pixels") {
+    val media = Multimodal.synthesizeGifs(Seq(6L, 13L).toDF("doc_id"))
+    val frames = Multimodal.extractFrameImages(media, every = 1).toDF()
+      // re-key so each frame is its own image row for the image pipeline
+      .select((col("media_id") * 1000 + col("frame_no")).as("media_id"),
+        col("payload"), col("media_type"))
+    val metas = Multimodal.decodeImageMeta(frames)
+      .collect().map(m => m.media_id -> m).toMap
+    for (id <- Seq(6L, 13L)) {
+      val (w, h, nf) = (4 + (id % 9).toInt, 3 + (id % 5).toInt, 2 + (id % 5).toInt)
+      for (f <- 0 until nf) {
+        val m = metas(id * 1000 + f)
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield (id * 31 + x * 7 + y * 13 + f * 101) % 256).sum
+        assert(m.decoded && m.width === w && m.height === h, s"dims($id,$f)")
+        assert(m.pixel_sum === expected, s"pixel_sum($id,$f)")
+      }
+    }
+    // and the frames feed the feature extractor -> embedding shape
+    val vecs = Multimodal.featureStub(frames, dim = 8).collect()
+    assert(vecs.nonEmpty && vecs.forall(_.embedding.length === 8))
+  }
+
   test("corrupt video payloads: meta reports, frame sampling yields no rows") {
     val bad = Seq(
       (1L, "not a gif".getBytes("UTF-8"), "video/gif"),

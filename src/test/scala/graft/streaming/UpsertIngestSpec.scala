@@ -130,6 +130,25 @@ class UpsertIngestSpec extends SparkSpec {
       maxFiles = 0) || UpsertIngest.logStats(spark, tbl).nBatches === 1)
   }
 
+  test("uniqueKey enforcement: a duplicate-key batch fails before landing") {
+    val dir = Files.createTempDirectory("upsertuniq").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    val dup = Seq((1L, "x", 1L), (1L, "y", 1L)).toDF("k", "v", "n")
+    val e = intercept[IllegalArgumentException] {
+      UpsertIngest.processBatch(dup, 0L, tbl, uniqueKey = Some("k"))
+    }
+    assert(e.getMessage.contains("one-row-per-key") && e.getMessage.contains("1"))
+    // nothing landed, no marker — the batch can be fixed and retried
+    assert(!BatchMarker.landed(spark, tbl, "log", 0L))
+    assert(UpsertIngest.logStats(spark, tbl).nBatches === 0)
+    // a clean batch under the same flag passes
+    UpsertIngest.processBatch(
+      Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("k", "v", "n"),
+      0L, tbl, uniqueKey = Some("k"))
+    assert(latest(tbl) === Map(1L -> ("x", 1L), 2L -> ("y", 1L)))
+  }
+
   test("within-batch duplicate keys resolve deterministically, compaction-stable") {
     val dir = Files.createTempDirectory("upserttie").toFile
     dir.deleteOnExit()
