@@ -44,6 +44,34 @@ class PqIngestSpec extends SparkSpec {
     assert(search(streamed) === search(flat))
   }
 
+  test("residual bootstrap: batches encode residuals, equality with the batch package holds") {
+    // the residual flag rides the codebooks table, so processBatch picks
+    // the residual encoder with no out-of-band configuration — pin that
+    // the streamed residual package equals the batch-built residual one
+    val dir = Files.createTempDirectory("pqingestres").toFile
+    dir.deleteOnExit()
+    val flat = dir.getAbsolutePath + "/flat"
+    val streamed = dir.getAbsolutePath + "/streamed"
+    Similarity.writeIvfPqPartitioned(corpus, flat, nCells = 2, m = 2,
+      ksub = 4, residual = true)
+    PqIngest.bootstrap(corpus, streamed, nCells = 2, m = 2, ksub = 4,
+      residual = true)
+    PqIngest.processBatch(batchA, 0L, streamed)
+    PqIngest.processBatch(batchB, 1L, streamed)
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .select("neighbor_id", "cell", "code_0", "code_1")
+      .collect().map(_.toSeq).toSet
+    assert(codes(streamed) === codes(flat))
+    def search(p: String) = Similarity.ivfPqTopKFromPartitioned(spark, p,
+      corpus, queries, k = 3, nProbe = 2, refine = 4)
+      .collect().map(_.toSeq).toSet
+    assert(search(streamed) === search(flat))
+    // and the flag is actually set on both meta tables
+    for (p <- Seq(flat, streamed))
+      assert(spark.read.parquet(s"$p/codebooks")
+        .select("residual").head().getBoolean(0))
+  }
+
   test("start(): micro-batches stream codes onto a bootstrapped index end-to-end") {
     val dir = Files.createTempDirectory("pqstream").toFile
     dir.deleteOnExit()
