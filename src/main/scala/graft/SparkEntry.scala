@@ -103,6 +103,25 @@ object SparkEntry {
     }
   }
 
+  /** The streamed per-day-HLL index, built once and shared by
+    * `events_dau_sketch` and `events_wau_sketch` — one sketch table
+    * serves every distinct-user estimate (the mergeability point), and
+    * ONE build block means the batch split can never drift between its
+    * consumers (the `activityPath` pattern).
+    */
+  private def sketchPath(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    ensureIndex(s, ev, "evsketchstream", "built") { p =>
+      graft.streaming.EventIngest.processSketchBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
+      graft.streaming.EventIngest.processSketchBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
+      Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+        .parquet(s"$p/built")
+    }
+  }
+
   /** Trailing-7-day WAU derivation over a (user_id, day) frame — shared
     * by events_wau and events_wau_streamed under ONE oracle. Input rows
     * may carry duplicates; the distinct here is part of the contract.
@@ -1453,17 +1472,9 @@ object SparkEntry {
     // oracle replays) plus a pinned-TRUE bound that the sketch estimate
     // lands within 5% of it — a sketch regression becomes a hash mismatch.
     "events_dau_sketch" -> ((s, dir) => {
-      import s.implicits._
       val ev = t(s, dir, "events")
-      val path = ensureIndex(s, ev, "evsketchstream", "built") { p =>
-        graft.streaming.EventIngest.processSketchBatch(
-          ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
-        graft.streaming.EventIngest.processSketchBatch(
-          ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
-        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
-          .parquet(s"$p/built")
-      }
-      val est = graft.streaming.EventIngest.dauEstimateFromSketches(s, path)
+      val est = graft.streaming.EventIngest.dauEstimateFromSketches(
+        s, sketchPath(s, dir))
       val exact = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
       exact.join(est, Seq("day"))
@@ -1479,17 +1490,9 @@ object SparkEntry {
     // per report, constant in users. Same recall-gate convention: exact
     // WAU replayed by the oracle, estimate pinned within 5%.
     "events_wau_sketch" -> ((s, dir) => {
-      import s.implicits._
       val ev = t(s, dir, "events")
-      val path = ensureIndex(s, ev, "evsketchstream", "built") { p =>
-        graft.streaming.EventIngest.processSketchBatch(
-          ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
-        graft.streaming.EventIngest.processSketchBatch(
-          ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
-        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
-          .parquet(s"$p/built")
-      }
-      val est = graft.streaming.EventIngest.wauEstimateFromSketches(s, path)
+      val est = graft.streaming.EventIngest.wauEstimateFromSketches(
+          s, sketchPath(s, dir))
         .select(unix_micros(col("report_day")).as("day_us"), col("wau_est"))
       wauShape(ev.select(col("user_id"), date_trunc("day", col("ts")).as("day")))
         .join(est, Seq("day_us"))
@@ -2569,6 +2572,13 @@ object SparkEntry {
       import s.implicits._
       val (base, updates) = upsertFixture(s, dir)
       val path = ensureIndex(s, t(s, dir, "customer"), "upsertstreamc", "built") { p =>
+        // crash-reentrant (the ann_ivfpq_streamed pattern): a run killed
+        // between the compaction and the built sentinel would otherwise
+        // re-enter with the log ALREADY collapsed to depth 1 — the
+        // markers short-circuit both processBatch calls — and the
+        // depth-2 assert below would fail forever
+        val fsP = new org.apache.hadoop.fs.Path(p)
+        fsP.getFileSystem(s.sessionState.newHadoopConf()).delete(fsP, true)
         graft.streaming.UpsertIngest.processBatch(base, 0L, p)
         graft.streaming.UpsertIngest.processBatch(updates, 1L, p)
         assert(graft.streaming.UpsertIngest.maybeCompact(s, p, "cust_id",

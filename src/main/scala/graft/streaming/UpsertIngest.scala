@@ -129,12 +129,17 @@ object UpsertIngest {
     */
   def maybeCompact(spark: SparkSession, tablePath: String, keyCol: String,
       maxBatches: Int = 16, maxFiles: Int = 256,
-      targetBytes: Long = 128L << 20): Boolean = {
-    val st = logStats(spark, tablePath)
-    val due = st.nBatches > maxBatches || st.nFiles > maxFiles
-    if (due) compactLog(spark, tablePath, keyCol, targetBytes)
-    due
-  }
+      targetBytes: Long = 128L << 20): Boolean =
+    tableLock(tablePath).synchronized {
+      recoverCompaction(spark, tablePath)
+      // stats AFTER recovery (a rolled-forward swap changes both axes),
+      // and computed ONCE — compactLogResolved reuses them instead of
+      // re-listing the whole log
+      val st = logStats(spark, tablePath)
+      val due = st.nBatches > maxBatches || st.nFiles > maxFiles
+      if (due) compactLogResolved(spark, tablePath, keyCol, targetBytes)
+      due
+    }
 
   /** [[start]] with the maintenance policy folded into the ingest loop:
     * after each batch lands, the policy check runs while the writer is
@@ -171,8 +176,16 @@ object UpsertIngest {
     * [[readLatest]] — rolls an interrupted pass forward from the intent
     * marker: before the intent exists the old log is untouched (the pass
     * simply re-runs); after it, the staged view is the truth and recovery
-    * finishes the swap. Caller contract: the writer is quiescent (run it
-    * from the foreachBatch loop or a paused-stream maintenance window).
+    * finishes the swap. In-process entry points all serialize on a
+    * per-table monitor, so concurrent serving reads can never interleave
+    * one swap's non-idempotent steps. Caller contract: the writer is
+    * quiescent (run it from the foreachBatch loop or a paused-stream
+    * maintenance window), and — as for the append protocol itself — one
+    * process owns the table's maintenance. UNMARKERED batch dirs
+    * (crashed partials of never-committed batches) are cleared before
+    * the resolve, never folded in: their batch will replay in full, and
+    * a resolved view staged under a marker-less id would be deleted
+    * wholesale by that replay's clearPartial.
     *
     * Output file sizing follows [[graft.sinks.Compaction]]: file count
     * from on-disk log bytes over `targetBytes` (an upper bound on the
@@ -180,12 +193,33 @@ object UpsertIngest {
     * coalesce.
     */
   def compactLog(spark: SparkSession, tablePath: String, keyCol: String,
-      targetBytes: Long = 128L << 20): Unit = {
-    recoverCompaction(spark, tablePath)
-    val st = logStats(spark, tablePath)
-    if (st.nBatches <= 1) return // already compact (or empty)
+      targetBytes: Long = 128L << 20): Unit =
+    tableLock(tablePath).synchronized {
+      recoverCompaction(spark, tablePath)
+      compactLogResolved(spark, tablePath, keyCol, targetBytes)
+    }
+
+  /** The pass proper — callers hold the table lock and have recovered. */
+  private def compactLogResolved(spark: SparkSession, tablePath: String,
+      keyCol: String, targetBytes: Long): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(tablePath).getFileSystem(conf)
+    // UNMARKERED batch dirs are crashed partials of never-committed
+    // batches: their rows will be re-appended when the batch replays, and
+    // folding them into the resolved view would be fatal — the staged
+    // view would land under an id with NO marker, so that batch's replay
+    // clearPartial would delete the entire compacted table. Clear the
+    // debris now (exactly what the replay itself would do first); the
+    // quiescent-writer contract makes this safe.
+    val log = new Path(s"$tablePath/log")
+    if (fs.exists(log))
+      fs.listStatus(log).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .filterNot(s => BatchMarker.landed(spark, tablePath, "log",
+          s.getPath.getName.stripPrefix("batch_id=").toLong))
+        .foreach(s => fs.delete(s.getPath, true))
+    val st = logStats(spark, tablePath) // marker-covered dirs only, now
+    if (st.nBatches <= 1) return // already compact (or empty)
     val tmp = new Path(s"$tablePath/_compact_tmp")
     fs.delete(tmp, true) // pre-intent leftovers of a dead pass
     val nOut = math.max(1, math.ceil(st.nBytes.toDouble / targetBytes).toInt)
@@ -201,22 +235,36 @@ object UpsertIngest {
     finishCompaction(spark, tablePath, st.maxBatchId)
   }
 
+  /** One monitor per table path: every recovery/compaction/serving-read
+    * entry point serializes on it, so concurrent readers (readLatest
+    * auto-recovers) can never interleave the non-idempotent steps of one
+    * swap. CROSS-PROCESS exclusion is the caller's contract, exactly as
+    * for the append protocol itself: one maintenance actor per table
+    * (BatchMarker assumes a single writer; compaction assumes a single
+    * recoverer the same way).
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def tableLock(tablePath: String): Object =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object)
+
   /** Roll forward an interrupted [[compactLog]]: an intent marker without
     * its finished swap means the staged view (or the already-renamed log)
     * is the truth — finish the deletes/rename and clear the intent.
     * No-op in O(1) listing when no intent marker exists.
     */
-  def recoverCompaction(spark: SparkSession, tablePath: String): Unit = {
-    val batches = new Path(s"$tablePath/_batches")
-    val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(batches)) return
-    fs.listStatus(batches).toIndexedSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("compactlog_"))
-      .map(_.stripPrefix("compactlog_").toLong)
-      .sorted
-      .foreach(id => finishCompaction(spark, tablePath, id))
-  }
+  def recoverCompaction(spark: SparkSession, tablePath: String): Unit =
+    tableLock(tablePath).synchronized {
+      val batches = new Path(s"$tablePath/_batches")
+      val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(batches)) return
+      fs.listStatus(batches).toIndexedSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("compactlog_"))
+        .map(_.stripPrefix("compactlog_").toLong)
+        .sorted
+        .foreach(id => finishCompaction(spark, tablePath, id))
+    }
 
   private def finishCompaction(spark: SparkSession, tablePath: String,
       maxBatchId: Long): Unit = {

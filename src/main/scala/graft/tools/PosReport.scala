@@ -25,29 +25,15 @@ object PosReport {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc)
       .collect()
-    def rule(t: String): String = {
-      if (PosTag.det.contains(t) || PosTag.conj.contains(t) ||
-        PosTag.pron.contains(t) || PosTag.adp.contains(t) ||
-        PosTag.aux.contains(t) || PosTag.advLex.contains(t) ||
-        PosTag.num.contains(t)) "closed-lex"
-      else if (PosTag.nounExceptions.contains(t) ||
-        PosTag.adjExceptions.contains(t)) "exception-lex"
-      else if (t.matches("^[0-9]+([.][0-9]+)?$")) "numeric"
-      else if (t.endsWith("ly")) "sfx:-ly"
-      else PosTag.nounSuffixes.find(t.endsWith).map("sfx:-" + _)
-        .orElse(PosTag.adjSuffixes.find(t.endsWith).map("sfx:-" + _))
-        .orElse(PosTag.verbSuffixes.find(t.endsWith).map("sfx:-" + _))
-        .getOrElse(
-          if (t.endsWith("ing") && t.length > 5) "sfx:-ing"
-          else if (t.endsWith("ed") && t.length > 4) "sfx:-ed"
-          else "default-NOUN")
-    }
+    // attribution comes from PosTag.ruleOf — the SAME cascade the tagger
+    // runs (PosTagSpec pins ruleOf == tagOf), so this report can never
+    // drift from the rules it audits
     var shown = 0
     vocab.iterator.takeWhile(_ => shown < topN).foreach { r =>
       val (w, f) = (r.getString(0), r.getLong(1))
-      val ru = rule(w)
+      val (ru, tg) = PosTag.ruleOf(w)
       if (ru.startsWith("sfx:")) {
-        println(f"$f%7d  $w%-24s ${PosTag.tagOf(w)}%-5s $ru")
+        println(f"$f%7d  $w%-24s $tg%-5s $ru")
         shown += 1
       }
     }

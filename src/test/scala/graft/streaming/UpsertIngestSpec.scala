@@ -86,6 +86,31 @@ class UpsertIngestSpec extends SparkSpec {
     assert(latest(tbl) === before + (4L -> ("D4", 4L)))
   }
 
+  test("compaction never folds in an unmarkered crashed-partial batch") {
+    // the fatal composition: writer crashes mid-append of batch 2 (dir
+    // exists, no marker), a maintenance compaction runs, then the stream
+    // restarts and redelivers batch 2 — whose clearPartial must NOT be
+    // able to delete the compacted table
+    val dir = Files.createTempDirectory("upsertdebris").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    UpsertIngest.processBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "n"), 0L, tbl)
+    UpsertIngest.processBatch(Seq((2L, "B2", 2L)).toDF("k", "v", "n"), 1L, tbl)
+    // crash window: batch 2's rows land WITHOUT a marker
+    Seq((3L, "c", 3L)).toDF("k", "v", "n").withColumn("batch_id", lit(2L))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$tbl/log")
+    UpsertIngest.compactLog(spark, tbl, "k")
+    val st = UpsertIngest.logStats(spark, tbl)
+    // the resolved view sits under the highest MARKERED id (1), the
+    // debris is gone, and key 3 is absent (its batch never committed)
+    assert(st.nBatches === 1 && st.maxBatchId === 1L)
+    assert(latest(tbl) === Map(1L -> ("a", 1L), 2L -> ("B2", 2L)))
+    // the redelivered batch replays in full on top of the compacted log
+    UpsertIngest.processBatch(Seq((3L, "c", 3L)).toDF("k", "v", "n"), 2L, tbl)
+    assert(latest(tbl) === Map(
+      1L -> ("a", 1L), 2L -> ("B2", 2L), 3L -> ("c", 3L)))
+  }
+
   test("an interrupted compaction rolls forward from the intent marker") {
     val dir = Files.createTempDirectory("upsertcrash").toFile
     dir.deleteOnExit()
