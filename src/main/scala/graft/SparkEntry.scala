@@ -1582,8 +1582,11 @@ object SparkEntry {
     // formula. byte_len/content_md5 of the payload are encoder-dependent
     // and deliberately not compared.
     "multimodal_meta" -> ((s, dir) => {
+      // single-file id table → repartition so codec work is 32-way (see
+      // multimodal_video)
       val media = Multimodal.synthesizeImages(
-        t(s, dir, "documents").select("doc_id"))
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       Multimodal.decodeImageMeta(media).toDF()
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("pixel_sum"), col("decoded"))
@@ -1599,8 +1602,11 @@ object SparkEntry {
     // encode→container-parse→PCM-decode loop, not the formula. Video
     // remains the one documented decode stub (no codec libs here).
     "multimodal_audio" -> ((s, dir) => {
+      // single-file id table → repartition so codec work is 32-way (see
+      // multimodal_video)
       val media = Multimodal.synthesizeWavs(
-        t(s, dir, "documents").select("doc_id"))
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       Multimodal.decodeAudioMeta(media).toDF()
         .select(col("media_id").as("doc_id"),
           col("sample_rate").cast("bigint").as("sample_rate"),
@@ -1619,8 +1625,18 @@ object SparkEntry {
     // replays the arithmetic over (doc, frame, x, y); green proves the
     // encode→container-walk→frame-decode loop.
     "multimodal_video" -> ((s, dir) => {
+      // the id table is one parquet file = ONE partition; the per-row
+      // codec work is the cost here, so spread it across the session's
+      // parallelism before the map-side encode/decode (a shuffle of 500
+      // longs buys 32-way frame work). The partition count is EXPLICIT:
+      // a bare repartition(col) is AQE-coalescible, and AQE folds these
+      // few kilobytes straight back into one partition — serializing the
+      // codec work AND letting the oracle sort's range-sampling pass
+      // recompute it single-threaded a second time (measured 5.5 s vs
+      // 0.3 s for the identical pipeline at explicit 32)
       val media = Multimodal.synthesizeGifs(
-        t(s, dir, "documents").select("doc_id"))
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       Multimodal.sampleVideoFrames(media, every = 2).toDF()
         .select(col("media_id").as("doc_id"),
           col("frame_no").cast("bigint").as("frame_no"),

@@ -255,7 +255,13 @@ object Multimodal {
     * `(id·31 + i·17) mod 2048 − 1024` — rate, length and sample sum are
     * pure arithmetic in id, so a DuckDB oracle can replay what
     * [[decodeAudioMeta]] recovers from the actual RIFF container bytes.
-    * `javax.sound.sampled` is JDK-stdlib: no codec dependency.
+    *
+    * The container is byte-assembled against the RIFF/WAVE spec here
+    * (44-byte header + little-endian PCM), NOT via `AudioSystem.write`:
+    * it shares no code with the JDK reader the decode side runs — a true
+    * cross-implementation pin, the PNG-fixture convention — and it
+    * sidesteps `AudioSystem.write`'s per-call provider lookup, which
+    * measurably convoyed under 32-way partition parallelism.
     */
   def synthesizeWavs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     implicit val enc = Encoders.product[MediaRow]
@@ -265,22 +271,25 @@ object Multimodal {
         it.map { id =>
           val rate = 8000 + (id % 3).toInt * 4000
           val n = 40 + (id % 101).toInt
-          val data = new Array[Byte](n * 2)
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)                 // PCM
+            .putShort(1)                 // mono
+            .putInt(rate)
+            .putInt(rate * 2)            // byte rate
+            .putShort(2)                 // block align
+            .putShort(16)                // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
           var i = 0
           while (i < n) {
-            val s = (((id * 31 + i * 17) % 2048) - 1024).toInt
-            data(2 * i) = (s & 0xff).toByte          // little-endian PCM
-            data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            bb.putShort((((id * 31 + i * 17) % 2048) - 1024).toShort)
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            rate.toFloat, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-          MediaRow(id, baos.toByteArray, "audio/wav")
+          MediaRow(id, bb.array(), "audio/wav")
         }
       }
       .toDF()
@@ -302,13 +311,31 @@ object Multimodal {
         col("media_type").cast("string"))
       .as(Encoders.product[MediaRow])
       .mapPartitions { it: Iterator[MediaRow] =>
+        // the JDK's registered container parsers, resolved ONCE per
+        // partition through the public ServiceLoader path —
+        // AudioSystem.getAudioInputStream re-walks the provider registry
+        // per call, which measurably convoys across 32 threads
+        val readers = {
+          val sl = java.util.ServiceLoader.load(
+            classOf[javax.sound.sampled.spi.AudioFileReader])
+          val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+          sl.forEach(r => b += r)
+          b.result()
+        }
+        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          var i = 0
+          while (i < readers.length) {
+            try return readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => () }
+            i += 1
+          }
+          null
+        }
         it.map { r =>
           val ais =
             if (r.payload == null || r.payload.isEmpty) null
-            else
-              try javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(r.payload))
-              catch { case scala.util.control.NonFatal(_) => null }
+            else open(r.payload)
           if (ais == null) AudioMeta(r.media_id, 0, 0, 0L, 0L, decoded = false)
           else
             try {
@@ -383,25 +410,36 @@ object Multimodal {
         // interlaceFlag MUST be forced FALSE: the JDK GIF writer defaults
         // to interlaced output and mis-lays rows for images shorter than
         // the 8-row interlace pass stride (verified: a 4×3 gradient
-        // round-trips wrong interlaced, exact non-interlaced)
-        def nonInterlacedMeta(img: java.awt.image.BufferedImage) = {
-          val md = writer.getDefaultImageMetadata(
-            new javax.imageio.ImageTypeSpecifier(img), param)
-          val fmt = md.getNativeMetadataFormatName
-          val root = md.getAsTree(fmt)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          val desc = root.getElementsByTagName("ImageDescriptor").item(0)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          desc.setAttribute("interlaceFlag", "FALSE")
-          md.setFromTree(fmt, root)
-          md
-        }
+        // round-trips wrong interlaced, exact non-interlaced). The
+        // metadata tree build (getAsTree → edit → setFromTree) costs more
+        // than the pixel work at these frame sizes, so it is cached per
+        // dimension across the batch — the object is reusable: the writer
+        // only READS it per writeToSequence call
+        val metaCache =
+          scala.collection.mutable.HashMap.empty[(Int, Int), javax.imageio.metadata.IIOMetadata]
+        def nonInterlacedMeta(img: java.awt.image.BufferedImage) =
+          metaCache.getOrElseUpdate((img.getWidth, img.getHeight), {
+            val md = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img), param)
+            val fmt = md.getNativeMetadataFormatName
+            val root = md.getAsTree(fmt)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            desc.setAttribute("interlaceFlag", "FALSE")
+            md.setFromTree(fmt, root)
+            md
+          })
         val out = it.map { id =>
           val w = 4 + (id % 9).toInt
           val h = 3 + (id % 5).toInt
           val nf = 2 + (id % 5).toInt
           val baos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          // MemoryCache, never ImageIO.createImageOutputStream: the
+          // factory wraps OutputStreams in a FileCache stream — a temp
+          // FILE per row, which dominated the whole query (~6 ms/frame
+          // of disk churn for kilobyte payloads)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
@@ -455,7 +493,8 @@ object Multimodal {
             if (r.payload == null || r.payload.isEmpty)
               VideoMeta(r.media_id, 0, 0, 0, decoded = false)
             else {
-              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              // MemoryCache for the same no-temp-file reason as the writer
+              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
                 new java.io.ByteArrayInputStream(r.payload)))
               val n = reader.getNumImages(true)
               VideoMeta(r.media_id, n, reader.getWidth(0),
@@ -491,7 +530,8 @@ object Multimodal {
           try {
             if (r.payload == null || r.payload.isEmpty) Iterator.empty
             else {
-              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              // MemoryCache for the same no-temp-file reason as the writer
+              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
                 new java.io.ByteArrayInputStream(r.payload)))
               val n = reader.getNumImages(true)
               // materialized eagerly: the shared reader's input is reset
@@ -547,7 +587,8 @@ object Multimodal {
           try {
             if (r.payload == null || r.payload.isEmpty) Iterator.empty
             else {
-              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              // MemoryCache for the same no-temp-file reason as the writer
+              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
                 new java.io.ByteArrayInputStream(r.payload)))
               val n = reader.getNumImages(true)
               // eager for the same shared-reader reason as sampleVideoFrames
