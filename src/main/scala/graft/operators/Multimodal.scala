@@ -29,6 +29,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
   */
 object Multimodal {
 
+  // Every ImageIO.read/write over a plain byte stream wraps it in a
+  // FileCache stream — a temp FILE on disk per call — unless the cache
+  // is off. These payloads are kilobytes; none of them belong on disk.
+  // Object-init runs once per JVM (per executor on a cluster).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: id + opaque payload + declared type. */
   case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String)
 
