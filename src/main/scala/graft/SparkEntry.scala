@@ -1646,6 +1646,43 @@ object SparkEntry {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // REAL perceptual hash from encoded bytes: synthesize md5-pixel 9x8
+    // PNGs (ids in one family of 4 share a base image; variants perturb
+    // one pixel), decode and dHash them — 64 bits of adjacent-pixel
+    // comparisons carried as two 32-bit words. The oracle replays the
+    // md5 pixel arithmetic and re-derives every bit in SQL; green proves
+    // the encode→decode→hash loop recovers the ground truth from actual
+    // PNG bytes.
+    "multimodal_phash" -> ((s, dir) => {
+      // single-file id table → repartition so codec work is 32-way (see
+      // multimodal_video)
+      val media = Multimodal.synthesizePhashImages(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      Multimodal.imageDHash(media).toDF()
+        .select(col("media_id").as("doc_id"), col("hash_hi"),
+          col("hash_lo"), col("decoded"))
+        .orderBy("doc_id")
+    }),
+
+    // Image near-dup pairs at hamming <= 3 over the perceptual hashes —
+    // the LAION-shape image-dedup join, banded with the same pigeonhole
+    // completeness proof as dedup_simhash_pairs (4 bands > 3 differing
+    // bits ⇒ every qualifying pair shares a band). The oracle recomputes
+    // ALL pairs brute-force from the replayed hashes — an equality check
+    // on the banding, not a recall gate. Multimodal decode feeding the
+    // dedup family end-to-end.
+    "dedup_phash_pairs" -> ((s, dir) => {
+      val media = Multimodal.synthesizePhashImages(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val sigs = Multimodal.imageDHash(media).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+      Dedup.hammingPairsHiLo(sigs, maxHamming = 3, bands = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; flag
     // corpus docs sharing >= 3 word-3-gram shingles with any of them.
     "dedup_contamination" -> ((s, dir) => {
@@ -3200,6 +3237,27 @@ object SparkEntry {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  // Shared head of the two perceptual-hash oracles: replay
+  // synthesizePhashImages' md5 pixel formula over the 9x8 grid, then fold
+  // the 64 adjacent-pixel comparison bits into the (hash_hi, hash_lo)
+  // 32-bit words exactly as Multimodal.imageDHash packs them.
+  private val phashSigsSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, xs.x, ys.y,
+      |    (CAST(concat('0x', substr(md5(concat(d.doc_id // 4, '_', xs.x, '_', ys.y)), 1, 2)) AS BIGINT)
+      |     + CASE WHEN d.doc_id % 4 > 0 AND xs.x = d.doc_id % 4 AND ys.y = d.doc_id % 4
+      |            THEN (d.doc_id % 4) * 3 ELSE 0 END) % 256 AS p
+      |  FROM documents d, generate_series(0, 8) xs(x), generate_series(0, 7) ys(y)),
+      |bits AS (
+      |  SELECT a.doc_id, a.x, a.y, CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   private val partialRatioOracle: String =
     """WITH pref AS (SELECT doc_id, substr(text,1,40) AS s FROM documents),
       |win AS (SELECT doc_id,
@@ -4750,6 +4808,30 @@ object SparkEntry {
         |JOIN g x ON x.g < fr.width
         |JOIN g y ON y.g < fr.height
         |GROUP BY 1, 2, 3, 4 ORDER BY fr.doc_id, fr.frame_no""".stripMargin,
+
+    // replays synthesizePhashImages' md5 pixel arithmetic and re-derives
+    // every dHash bit in SQL: pixel = (first md5 byte of "family_x_y" +
+    // single-pixel variant perturbation) mod 256; bit y*8+x compares
+    // (x+1,y) > (x,y); rows 0-3 -> hash_lo, rows 4-7 -> hash_hi (32-bit
+    // words, no sign-bit traps). What Spark recovers from the real
+    // encoded PNG bytes via ImageIO.
+    "multimodal_phash" -> (phashSigsSql +
+      """
+        |SELECT doc_id, hash_hi, hash_lo, TRUE AS decoded
+        |FROM sigs ORDER BY doc_id""".stripMargin),
+
+    // Brute-force ALL image pairs at hamming <= 3 from the same replayed
+    // hashes — the pigeonhole guarantee means the banded Spark path must
+    // produce exactly this set (equality, not recall).
+    "dedup_phash_pairs" -> (phashSigsSql +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |       bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Full offline cascade replicated in DuckDB: per-stage regex extracts
     // (RE2 accepts the same (?i) inline flag), the normalize pipeline

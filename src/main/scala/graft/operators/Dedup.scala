@@ -810,4 +810,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("bigint").as("hamming"))
   }
+
+  /** Near-duplicate pairs over an EXTERNAL 64-bit signature carried as two
+    * 32-bit words (`hash_hi`, `hash_lo` — e.g.
+    * [[graft.operators.Multimodal.imageDHash]]'s perceptual hashes, which
+    * split the hash to keep BIGINT sign bits out of both engines). Same
+    * pigeonhole-complete banding as [[simhashPairs]]: `bands` contiguous
+    * bands over the 64 bits, a qualifying pair (hamming ≤ `maxHamming` <
+    * `bands`) always shares one band exactly, so the banded join emits
+    * EXACTLY the brute-force pair set — partitioning trick, not
+    * approximation. One shuffle on (band, band-value), O(docs × bands)
+    * rows; verification is two codegen'd `bit_count(xor)` per candidate.
+    * Input: one row per doc with columns (doc_id, hash_hi, hash_lo).
+    */
+  def hammingPairsHiLo(sigs0: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
+    require(64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands=$bands must cut the two 32-bit words on band boundaries")
+    val bandWidth = 64 / bands
+    val perWord = 32 / bandWidth
+    val mask = (1L << bandWidth) - 1
+    val sigs = materialized(
+      sigs0.select(col("doc_id"), col("hash_hi").cast("long"),
+        col("hash_lo").cast("long")))
+    val bandCols = (0 until bands).map { b =>
+      val word = if (b < perWord) col("hash_lo") else col("hash_hi")
+      val shift = (b % perWord) * bandWidth
+      struct(lit(b).as("band"),
+        shiftrightunsigned(word, shift).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val cand = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(intraBucketPairs(col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("bigint").as("hamming"))
+  }
 }

@@ -621,6 +621,130 @@ object Multimodal {
       }
   }
 
+  /** Per-image 64-bit difference-hash, split into two 32-bit words so the
+    * value never touches a BIGINT sign bit in either engine (`hash_hi` =
+    * rows 4-7, `hash_lo` = rows 0-3; bit `y*8+x` within a word compares
+    * pixel (x+1,y) against (x,y)). `decoded=false` rows carry zeroed
+    * hashes — same poison-file posture as [[decodeImageMeta]].
+    */
+  case class PhashRow(media_id: Long, hash_hi: Long, hash_lo: Long,
+                      decoded: Boolean)
+
+  /** dHash grid: 9 columns × 8 rows → 8 horizontal comparisons per row ×
+    * 8 rows = 64 bits. The standard perceptual-hash geometry (LAION-scale
+    * image dedup uses exactly this shape).
+    */
+  private val dhashW = 9
+  private val dhashH = 8
+
+  /** Deterministic REAL-PNG synthesis for the perceptual-hash pipeline:
+    * ids in the same FAMILY (`id / 4`) share an md5-derived pseudo-random
+    * 9×8 gray base image; variants (`v = id % 4 > 0`) perturb the single
+    * pixel at (v, v) by `v*3 mod 256` — a near-duplicate within a few
+    * dHash bits of its siblings, while cross-family hashes are
+    * independent uniform 64-bit values (no accidental pair explosions:
+    * gradient-like arithmetic pixels make dHash bits near-constant, so
+    * the pixel source must be a real mixer; md5 is the one both this
+    * side and a SQL oracle can replay bit-for-bit). Pixel:
+    * `(md5(s"${id/4}_${x}_${y}")[0] + perturbation) mod 256` in every
+    * channel.
+    */
+  def synthesizePhashImages(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        // one digest instance per partition (MessageDigest is not
+        // thread-safe; digest() resets it for reuse across the batch)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val family = id / 4
+          val v = (id % 4).toInt
+          val img = new java.awt.image.BufferedImage(
+            dhashW, dhashH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dhashH) {
+            var x = 0
+            while (x < dhashW) {
+              val base = md.digest(
+                s"${family}_${x}_${y}".getBytes("UTF-8"))(0) & 0xff
+              val p =
+                if (v > 0 && x == v && y == v) (base + v * 3) % 256 else base
+              img.setRGB(x, y, (p << 16) | (p << 8) | p)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRow(id, baos.toByteArray, "image/png")
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL perceptual hash from encoded bytes: `javax.imageio` decode →
+    * (if needed) bilinear downsample to the 9×8 dHash grid → 64 bits of
+    * adjacent-pixel comparisons on the red channel. Payloads already at
+    * grid size skip the resample, so a lossless source round-trips
+    * bit-exactly (what the oracle relies on); arbitrary-size images take
+    * the resize path like any production thumbnail pass. Corrupt/null
+    * payloads → `decoded=false`, zeroed hash — one bad object must not
+    * kill a 100 TB scan.
+    */
+  def imageDHash(media: DataFrame): Dataset[PhashRow] = {
+    implicit val enc = Encoders.product[PhashRow]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val decoded0 =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (decoded0 == null) PhashRow(r.media_id, 0L, 0L, decoded = false)
+          else {
+            val img =
+              if (decoded0.getWidth == dhashW && decoded0.getHeight == dhashH)
+                decoded0
+              else {
+                val out = new java.awt.image.BufferedImage(
+                  dhashW, dhashH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(decoded0, 0, 0, dhashW, dhashH, null)
+                } finally g.dispose()
+                out
+              }
+            var hi = 0L
+            var lo = 0L
+            var y = 0
+            while (y < dhashH) {
+              var x = 0
+              while (x < dhashW - 1) {
+                val a = (img.getRGB(x, y) >> 16) & 0xff
+                val b = (img.getRGB(x + 1, y) >> 16) & 0xff
+                if (b > a) {
+                  if (y < 4) lo |= 1L << (y * 8 + x)
+                  else hi |= 1L << ((y - 4) * 8 + x)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            PhashRow(r.media_id, hi, lo, decoded = true)
+          }
+        }
+      }
+  }
+
   /** One media embedding row — shaped exactly like the `embeddings` table
     * (`vec_id`, `embedding: Array[Float]`) so the output plugs straight
     * into the similarity/dedup operators.

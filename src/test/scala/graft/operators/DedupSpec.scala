@@ -360,4 +360,36 @@ class DedupSpec extends SparkSpec {
     assert(rows(3L) === ((2L, 2L, false)))
     assert(rows(7L) === ((7L, 1L, true)))
   }
+
+  test("hammingPairsHiLo: banded pair set equals brute force (pigeonhole)") {
+    // deterministic pseudo-random 64-bit signatures as two 32-bit words,
+    // with planted near-dups every 10th id (flip 2 bits off the neighbor)
+    def sig(i: Int) = {
+      val r = new scala.util.Random(i * 2654435761L)
+      (i.toLong, r.nextLong() & 0xffffffffL, r.nextLong() & 0xffffffffL)
+    }
+    val sigs0 = (0 until 200).map { i =>
+      if (i % 10 == 1) {
+        val (_, hi, lo) = sig(i - 1)
+        (i.toLong, hi ^ (1L << (i % 32)), lo ^ (1L << ((i * 7) % 32)))
+      } else sig(i)
+    }
+    val df = sigs0.toDF("doc_id", "hash_hi", "hash_lo")
+    val banded = Dedup.hammingPairsHiLo(df, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      a <- sigs0; b <- sigs0 if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) if d <= 3
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must plant at least one near-dup pair")
+    // completeness preconditions are enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairsHiLo(df, maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairsHiLo(df, maxHamming = 3, bands = 5)
+    }
+  }
 }

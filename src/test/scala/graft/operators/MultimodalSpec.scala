@@ -72,6 +72,53 @@ class MultimodalSpec extends SparkSpec {
     assert(r.width === 0 && r.payload.isEmpty)
   }
 
+  test("synthesizePhashImages -> imageDHash recovers the md5 formula bit-for-bit") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 17L, 255L, 1023L)
+    val rows = Multimodal.imageDHash(
+      Multimodal.synthesizePhashImages(ids.toDF("doc_id")))
+      .collect().map(r => r.media_id -> r).toMap
+    // independent recompute of the ground truth (digest called directly,
+    // no synthesis/decode code shared)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pix(id: Long, x: Int, y: Int): Int = {
+      val base = md.digest(s"${id / 4}_${x}_${y}".getBytes("UTF-8"))(0) & 0xff
+      val v = (id % 4).toInt
+      if (v > 0 && x == v && y == v) (base + v * 3) % 256 else base
+    }
+    for (id <- ids) {
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (pix(id, x + 1, y) > pix(id, x, y)) {
+          if (y < 4) lo |= 1L << (y * 8 + x) else hi |= 1L << ((y - 4) * 8 + x)
+        }
+      val r = rows(id)
+      assert(r.decoded, s"decoded(id=$id)")
+      assert(r.hash_hi === hi && r.hash_lo === lo, s"hash(id=$id)")
+      assert(r.hash_hi >= 0L && r.hash_lo >= 0L, s"sign-safe words(id=$id)")
+    }
+    // family structure: variants of one family stay within a few bits of
+    // the base; the single-pixel perturbation can flip at most 2 bits
+    val base = rows(0L); val variant = rows(1L)
+    val d = java.lang.Long.bitCount(base.hash_hi ^ variant.hash_hi) +
+      java.lang.Long.bitCount(base.hash_lo ^ variant.hash_lo)
+    assert(d <= 2, s"variant drift $d > 2 bits")
+  }
+
+  test("imageDHash: corrupt payloads report, arbitrary sizes take the resize path") {
+    val ph = Multimodal.imageDHash(media).collect().map(r => r.media_id -> r).toMap
+    assert(ph.values.forall(r => !r.decoded && r.hash_hi === 0L && r.hash_lo === 0L))
+    // non-grid-size real PNGs (synthesizeImages emits 4..16 x 3..9) go
+    // through the bilinear downsample; deterministic across calls
+    val ids = Seq(5L, 6L, 40L).toDF("doc_id")
+    val a = Multimodal.imageDHash(Multimodal.synthesizeImages(ids))
+      .collect().map(r => r.media_id -> r).toMap
+    val b = Multimodal.imageDHash(Multimodal.synthesizeImages(ids))
+      .collect().map(r => r.media_id -> r).toMap
+    assert(a.values.forall(_.decoded))
+    for (id <- Seq(5L, 6L, 40L))
+      assert(a(id).hash_hi === b(id).hash_hi && a(id).hash_lo === b(id).hash_lo)
+  }
+
   test("synthesizeWavs -> decodeAudioMeta round-trips rate, frames and sample sum") {
     val ids = Seq(0L, 1L, 2L, 100L, 253L)
     val metas = Multimodal.decodeAudioMeta(
