@@ -1615,6 +1615,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL spectral analysis from encoded bytes: synthesize pure-tone
+    // WAVs whose dominant frequency is arithmetic in doc_id, then RECOVER
+    // that frequency from the container bytes by measuring actual DFT-bin
+    // energies (Goertzel per candidate). The oracle states the ground
+    // truth; a green row proves the encode→parse→PCM-decode→spectral-
+    // measurement loop found it, with >=50% of candidate-set energy in
+    // the winning bin (peak_ok) — detection, not argmax luck.
+    "multimodal_audio_spectrum" -> ((s, dir) => {
+      val media = Multimodal.synthesizeToneWavs(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      Multimodal.audioSpectrum(media).toDF()
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("dominant_hz"), col("peak_ok"),
+          col("decoded"))
+        .orderBy("doc_id")
+    }),
+
     // REAL video-container decode round-trip (animated GIF — the one
     // multi-frame format the JDK encodes AND decodes; MP4-class codecs
     // stay documented out-of-scope): per doc synthesize an actual
@@ -4786,6 +4804,21 @@ object SparkEntry {
         |  TRUE AS decoded
         |FROM p JOIN g ON g.g < p.n_samples
         |GROUP BY 1, 2, 3, 4 ORDER BY p.doc_id""".stripMargin,
+
+    // states synthesizeToneWavs' ground truth: the tone frequency is
+    // arithmetic in doc_id, and Spark must MEASURE it back from the real
+    // WAV bytes via Goertzel DFT-bin energies (recall-gate convention:
+    // the spectral concentration boolean is pinned TRUE; any detection
+    // miss or diffuse spectrum breaks the row)
+    "multimodal_audio_spectrum" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(400 AS BIGINT) AS n_samples,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 500 WHEN 1 THEN 1000 WHEN 2 THEN 2000
+        |    ELSE 2500 END AS BIGINT) AS dominant_hz,
+        |  TRUE AS peak_ok, TRUE AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // replays synthesizeGifs' arithmetic: dims and frame count from
     // doc_id, every-2nd frame, gray sum over the w×h grid of

@@ -378,6 +378,174 @@ object Multimodal {
       }
   }
 
+  /** Spectral analysis of one decoded audio payload: the dominant
+    * frequency among a candidate set (real DFT energies via the Goertzel
+    * recurrence) plus a concentration gate — `peak_ok` is true when the
+    * winning bin carries at least half the candidate-set energy, so a
+    * green row proves genuine spectral concentration, not argmax luck.
+    */
+  case class AudioSpectrum(media_id: Long, sample_rate: Long,
+                           n_samples: Long, dominant_hz: Long,
+                           peak_ok: Boolean, decoded: Boolean)
+
+  /** The candidate tone frequencies: all bin-aligned at 8 kHz / 400
+    * samples (f·N/sr integral), so a pure tone's energy lands entirely in
+    * its own Goertzel bin — no spectral leakage between candidates.
+    */
+  val toneCandidatesHz: Array[Int] = Array(500, 1000, 2000, 2500)
+
+  /** Deterministic REAL-WAV tone synthesis: id → 16-bit mono PCM at 8 kHz,
+    * 400 samples of a pure sine at `toneCandidatesHz(id % 4)` with
+    * amplitude `5000 + (id % 7)·1000`. The byte-assembled RIFF container
+    * (same no-shared-code posture as [[synthesizeWavs]]) carries a signal
+    * whose DOMINANT FREQUENCY is pure arithmetic in id — the oracle
+    * states it, and [[audioSpectrum]] must recover it from the encoded
+    * bytes by actually measuring the spectrum.
+    */
+  def synthesizeToneWavs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        val rate = 8000
+        val n = 400
+        it.map { id =>
+          val freq = toneCandidatesHz((id % 4).toInt)
+          val amp = 5000 + (id % 7).toInt * 1000
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)                 // PCM
+            .putShort(1)                 // mono
+            .putInt(rate)
+            .putInt(rate * 2)            // byte rate
+            .putShort(2)                 // block align
+            .putShort(16)                // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            val s = math.round(
+              amp * math.sin(2.0 * math.Pi * freq * i / rate)).toInt
+            bb.putShort(s.toShort)
+            i += 1
+          }
+          MediaRow(id, bb.array(), "audio/wav")
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL spectral measurement from encoded bytes: container parse via
+    * the JDK readers ([[decodeAudioMeta]]'s provider path), channel-mixed
+    * 16-bit samples, then one Goertzel recurrence per candidate frequency
+    * — an O(candidates × samples) exact DFT-bin energy, the standard
+    * tone-detection kernel (cheaper than a full FFT when only a known
+    * candidate set matters, and branch-free inside the sample loop).
+    * Corrupt/null payloads → `decoded=false`, zeroed stats.
+    */
+  def audioSpectrum(media: DataFrame,
+      candidates: Array[Int] = toneCandidatesHz): Dataset[AudioSpectrum] = {
+    require(candidates.nonEmpty, "candidate set must be non-empty")
+    implicit val enc = Encoders.product[AudioSpectrum]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        val readers = {
+          val sl = java.util.ServiceLoader.load(
+            classOf[javax.sound.sampled.spi.AudioFileReader])
+          val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+          sl.forEach(r => b += r)
+          b.result()
+        }
+        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          var i = 0
+          while (i < readers.length) {
+            try return readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => () }
+            i += 1
+          }
+          null
+        }
+        it.map { r =>
+          val ais =
+            if (r.payload == null || r.payload.isEmpty) null
+            else open(r.payload)
+          if (ais == null)
+            AudioSpectrum(r.media_id, 0L, 0L, 0L, peak_ok = false,
+              decoded = false)
+          else
+            try {
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              val ch = fmt.getChannels
+              val rate = fmt.getSampleRate.toInt
+              if (fmt.getSampleSizeInBits != 16 || ch <= 0 || rate <= 0)
+                AudioSpectrum(r.media_id, 0L, 0L, 0L, peak_ok = false,
+                  decoded = false)
+              else {
+                val n = bytes.length / (2 * ch)
+                // channel-mix to one mono series (sum across channels —
+                // identity for mono, preserves each tone's energy)
+                val x = new Array[Double](n)
+                var i = 0
+                while (i < n) {
+                  var c = 0
+                  var acc = 0.0
+                  while (c < ch) {
+                    val j = 2 * (i * ch + c)
+                    val v =
+                      if (fmt.isBigEndian)
+                        (bytes(j) << 8) | (bytes(j + 1) & 0xff)
+                      else
+                        (bytes(j + 1) << 8) | (bytes(j) & 0xff)
+                    acc += v
+                    c += 1
+                  }
+                  x(i) = acc
+                  i += 1
+                }
+                // Goertzel per candidate: energy of the DFT bin nearest f
+                var best = 0
+                var bestP = -1.0
+                var total = 0.0
+                var k = 0
+                while (k < candidates.length) {
+                  val w = 2.0 * math.Pi * candidates(k) / rate
+                  val coeff = 2.0 * math.cos(w)
+                  var s1 = 0.0
+                  var s2 = 0.0
+                  var j = 0
+                  while (j < n) {
+                    val s = x(j) + coeff * s1 - s2
+                    s2 = s1
+                    s1 = s
+                    j += 1
+                  }
+                  val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+                  total += p
+                  if (p > bestP) { bestP = p; best = k }
+                  k += 1
+                }
+                AudioSpectrum(r.media_id, rate.toLong, n.toLong,
+                  candidates(best).toLong,
+                  peak_ok = total > 0.0 && bestP >= 0.5 * total,
+                  decoded = true)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                AudioSpectrum(r.media_id, 0L, 0L, 0L, peak_ok = false,
+                  decoded = false)
+            } finally ais.close()
+        }
+      }
+  }
+
   /** Decoded VIDEO (multi-frame container) metadata. */
   case class VideoMeta(media_id: Long, n_frames: Int, width: Int,
                        height: Int, decoded: Boolean)

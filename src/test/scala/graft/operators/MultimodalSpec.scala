@@ -162,6 +162,59 @@ class MultimodalSpec extends SparkSpec {
     assert(m.sample_sum === samples.map(_.toLong).sum)
   }
 
+  test("audioSpectrum: Goertzel recovers each synthesized tone from the bytes") {
+    val ids = Seq(0L, 1L, 2L, 3L, 8L, 13L, 102L).toDF("doc_id")
+    val rows = Multimodal.audioSpectrum(Multimodal.synthesizeToneWavs(ids))
+      .collect().map(r => r.media_id -> r).toMap
+    for (id <- Seq(0L, 1L, 2L, 3L, 8L, 13L, 102L)) {
+      val r = rows(id)
+      assert(r.decoded && r.sample_rate === 8000L && r.n_samples === 400L)
+      assert(r.dominant_hz === Multimodal.toneCandidatesHz((id % 4).toInt),
+        s"dominant(id=$id)")
+      assert(r.peak_ok, s"concentration(id=$id)")
+    }
+  }
+
+  test("audioSpectrum: equal-energy three-tone mix fails the concentration gate") {
+    // hand-built RIFF with three equal-amplitude bin-aligned tones: the
+    // argmax still picks one, but no bin holds >= 50% of the
+    // candidate-set energy (~33% each) — peak_ok must be false, proving
+    // the gate measures concentration rather than rubber-stamping the
+    // argmax. (Two equal tones sit exactly AT the 0.5 boundary, where
+    // rounding jitter decides — three keeps the test far from it.)
+    val rate = 8000; val n = 400
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    for (i <- 0 until n) {
+      val s = 3000 * math.sin(2 * math.Pi * 500 * i / rate) +
+        3000 * math.sin(2 * math.Pi * 1000 * i / rate) +
+        3000 * math.sin(2 * math.Pi * 2000 * i / rate)
+      bb.putShort(math.round(s).toShort)
+    }
+    val df = Seq((5L, bb.array(), "audio/wav"))
+      .toDF("media_id", "payload", "media_type")
+    val r = Multimodal.audioSpectrum(df).collect().head
+    assert(r.decoded && !r.peak_ok)
+    assert(Seq(500L, 1000L, 2000L).contains(r.dominant_hz))
+  }
+
+  test("audioSpectrum reports corrupt payloads instead of faking stats") {
+    val bad = Seq(
+      (1L, "not audio".getBytes("UTF-8"), "audio/wav"),
+      (2L, Array.emptyByteArray, "audio/wav"),
+      (3L, null.asInstanceOf[Array[Byte]], "audio/wav"))
+      .toDF("media_id", "payload", "media_type")
+    val rs = Multimodal.audioSpectrum(bad).collect()
+    assert(rs.length === 3 && rs.forall(r =>
+      !r.decoded && !r.peak_ok && r.dominant_hz === 0L))
+  }
+
   test("decodeAudioMeta reports corrupt payloads instead of faking stats") {
     val bad = Seq(
       (1L, "definitely not a wav".getBytes("UTF-8"), "audio/wav"),
