@@ -1701,6 +1701,24 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Image near-dup CLUSTERS: the perceptual-hash pair set closed to
+    // connected components (pointer-jumped min-label CC) with one keeper
+    // per cluster — decode → dHash → banded pairs → CC, the full image
+    // dedup pipeline a crawl dedup stage runs. The oracle re-derives the
+    // hashes, recomputes ALL pairs brute-force and closes them with a
+    // recursive CTE — labels, sizes and keepers checked end-to-end.
+    "dedup_phash_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.synthesizePhashImages(
+        docs.select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val sigs = Multimodal.imageDHash(media).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+      val pairs = Dedup.hammingPairsHiLo(sigs, maxHamming = 3, bands = 4)
+      Dedup.clusterAssignments(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; flag
     // corpus docs sharing >= 3 word-3-gram shingles with any of them.
     "dedup_contamination" -> ((s, dir) => {
@@ -4865,6 +4883,35 @@ object SparkEntry {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
         |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Brute-force phash pairs closed transitively with a recursive CTE —
+    // the banded + pointer-jumped Spark path must land on exactly these
+    // labels, sizes and keepers (same closure shape as dedupClustersOracle)
+    "dedup_phash_clusters" -> ("WITH RECURSIVE " +
+      phashSigsSql.stripPrefix("WITH ") +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |        bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_id, csizes.cluster_size,
+        |  lab.doc_id = lab.cluster_id AS is_keeper
+        |FROM lab JOIN csizes USING (cluster_id)
+        |ORDER BY lab.doc_id""".stripMargin),
 
     // Full offline cascade replicated in DuckDB: per-stage regex extracts
     // (RE2 accepts the same (?i) inline flag), the normalize pipeline
