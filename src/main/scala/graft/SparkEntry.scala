@@ -1701,6 +1701,27 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental image dedup — the daily-crawl shape: only pairs
+    // touching the incoming batch (docs with doc_id % 7 = 3 play the new
+    // crawl) are computed; the corpus×corpus quadratic term never forms,
+    // and per-ingest work scales with the batch. The oracle brute-forces
+    // ALL pairs from the same replayed hashes and keeps those touching
+    // the batch — the banded incremental path must produce exactly that
+    // set (completeness restricted to the emitted scope).
+    "dedup_phash_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizePhashImages(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val sigs = Multimodal.imageDHash(media).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+      Dedup.hammingPairsHiLoIncremental(
+          existing = sigs.filter(col("doc_id") % 7 =!= 3),
+          incoming = sigs.filter(col("doc_id") % 7 === 3),
+          maxHamming = 3, bands = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Image near-dup CLUSTERS: the perceptual-hash pair set closed to
     // connected components (pointer-jumped min-label CC) with one keeper
     // per cluster — decode → dHash → banded pairs → CC, the full image
@@ -4882,6 +4903,20 @@ object SparkEntry {
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
         |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Brute-force ALL pairs, kept where a member is in the incoming
+    // batch (doc_id % 7 = 3) — the incremental banded path must emit
+    // exactly this set: new-new and new-old pairs, never old-old
+    "dedup_phash_incremental" -> (phashSigsSql +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |       bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |  AND (a.doc_id % 7 = 3 OR b.doc_id % 7 = 3)
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Brute-force phash pairs closed transitively with a recursive CTE —

@@ -860,4 +860,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         col("hamming").cast("bigint").as("hamming"))
   }
+
+  /** Incremental [[hammingPairsHiLo]]: only pairs TOUCHING the incoming
+    * batch (new-new and new-old) are emitted, never old-old — the daily
+    * crawl shape. Candidates form by joining the BATCH's band keys
+    * against the union's, so per-ingest work scales with the batch, not
+    * the corpus: the corpus side contributes one equi-join probe per
+    * (band, value) the batch actually carries (store the signature index
+    * bucketed/partitioned by band value and that probe prunes to the
+    * touched buckets), and the corpus×corpus quadratic term never forms.
+    * Same pigeonhole completeness as the full variant, restricted to the
+    * emitted scope: a qualifying pair with a new member always shares a
+    * band, and the new member's band row is always on the probe side.
+    * Degenerate buckets (e.g. a constant-signature flood) are kept, like
+    * every completeness-proof path here — cap upstream if the corpus has
+    * them in volume. Caller contract: `existing` and `incoming` carry
+    * disjoint doc_ids, one row per doc, columns (doc_id, hash_hi,
+    * hash_lo).
+    */
+  def hammingPairsHiLoIncremental(existing: DataFrame, incoming: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
+    require(64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands=$bands must cut the two 32-bit words on band boundaries")
+    val bandWidth = 64 / bands
+    val perWord = 32 / bandWidth
+    val mask = (1L << bandWidth) - 1
+    def normed(df: DataFrame) =
+      df.select(col("doc_id"), col("hash_hi").cast("long"),
+        col("hash_lo").cast("long"))
+    val newSigs = materialized(normed(incoming))
+    val allSigs = materialized(normed(existing).unionByName(newSigs))
+    def bandRows(df: DataFrame, idAs: String, hiAs: String, loAs: String) = {
+      val bandCols = (0 until bands).map { b =>
+        val word = if (b < perWord) col("hash_lo") else col("hash_hi")
+        val shift = (b % perWord) * bandWidth
+        struct(lit(b).as("band"),
+          shiftrightunsigned(word, shift).bitwiseAND(lit(mask)).as("bv"))
+      }
+      df.select(col("doc_id").as(idAs), col("hash_hi").as(hiAs),
+          col("hash_lo").as(loAs), explode(array(bandCols: _*)).as("bb"))
+        .select(col(idAs), col(hiAs), col(loAs),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+    }
+    // hashes ride the band rows, so the hamming check needs no second
+    // join back to the signature tables
+    bandRows(newSigs, "doc_n", "hi_n", "lo_n")
+      .join(bandRows(allSigs, "doc_o", "hi_o", "lo_o"), Seq("band", "bv"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .withColumn("hamming",
+        bit_count(col("hi_n").bitwiseXOR(col("hi_o"))) +
+          bit_count(col("lo_n").bitwiseXOR(col("lo_o"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+        col("hamming").cast("bigint").as("hamming"))
+      .distinct()
+  }
 }

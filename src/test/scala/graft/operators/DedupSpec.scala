@@ -363,16 +363,30 @@ class DedupSpec extends SparkSpec {
 
   test("hammingPairsHiLo: banded pair set equals brute force (pigeonhole)") {
     // deterministic pseudo-random 64-bit signatures as two 32-bit words,
-    // with planted near-dups every 10th id (flip 2 bits off the neighbor)
+    // with planted near-dups chosen so that — under the incremental
+    // split below (new = id % 5 == 1) — new-old, new-new AND old-old
+    // pairs all exist
     def sig(i: Int) = {
       val r = new scala.util.Random(i * 2654435761L)
       (i.toLong, r.nextLong() & 0xffffffffL, r.nextLong() & 0xffffffffL)
     }
-    val sigs0 = (0 until 200).map { i =>
-      if (i % 10 == 1) {
-        val (_, hi, lo) = sig(i - 1)
-        (i.toLong, hi ^ (1L << (i % 32)), lo ^ (1L << ((i * 7) % 32)))
-      } else sig(i)
+    val sigs0 = {
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for (i <- 0 until 200) {
+        val t =
+          if (i % 10 == 1) {          // (i-1, i): old-new
+            val (_, hi, lo) = sig(i - 1)
+            (i.toLong, hi ^ (1L << (i % 32)), lo ^ (1L << ((i * 7) % 32)))
+          } else if (i % 10 == 6) {   // (i-5, i): new-new (both ≡ 1 mod 5)
+            val (_, hi, lo) = buf(i - 5)
+            (i.toLong, hi ^ (1L << ((i * 3) % 32)), lo)
+          } else if (i % 10 == 9) {   // (i-1, i): old-old (8, 9 mod 10)
+            val (_, hi, lo) = buf(i - 1)
+            (i.toLong, hi, lo ^ (1L << ((i * 11) % 32)))
+          } else sig(i)
+        buf += t
+      }
+      buf.toSeq
     }
     val df = sigs0.toDF("doc_id", "hash_hi", "hash_lo")
     val banded = Dedup.hammingPairsHiLo(df, maxHamming = 3, bands = 4)
@@ -391,5 +405,22 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.hammingPairsHiLo(df, maxHamming = 3, bands = 5)
     }
+
+    // incremental scope: exactly the full pair set restricted to pairs
+    // touching the batch — new-new kept, new-old kept, old-old dropped
+    val isNew: Long => Boolean = _ % 5 == 1
+    val inc = Dedup.hammingPairsHiLoIncremental(
+        df.filter(col("doc_id") % 5 =!= 1),
+        df.filter(col("doc_id") % 5 === 1),
+        maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = brute.filter { case (a, b, _) => isNew(a) || isNew(b) }
+    assert(inc === expected)
+    assert(expected.exists { case (a, b, _) => isNew(a) && isNew(b) },
+      "fixture must exercise a new-new pair")
+    assert(expected.exists { case (a, b, _) => isNew(a) ^ isNew(b) },
+      "fixture must exercise a new-old pair")
+    assert(brute.exists { case (a, b, _) => !isNew(a) && !isNew(b) },
+      "fixture must have an old-old pair the incremental path must drop")
   }
 }
