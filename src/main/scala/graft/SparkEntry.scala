@@ -1701,6 +1701,40 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // REAL image feature extraction from encoded bytes: 16-bin
+    // red-channel intensity histogram of the decoded pixels — integer
+    // counts, the classic model-free retrieval descriptor. The oracle
+    // re-bins the md5 pixel arithmetic; green proves decode recovers
+    // every pixel of every image.
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.synthesizePhashImages(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      Multimodal.imageFeatures(media, bins = 16).toDF()
+        .select(col("media_id").as("doc_id"),
+          posexplode(col("histogram")).as(Seq("bin", "n")))
+        .select(col("doc_id"), col("bin").cast("bigint").as("bin"), col("n"))
+        .orderBy("doc_id", "bin")
+    }),
+
+    // Image similarity search over the REAL extracted features: cosine
+    // top-5 neighbors per query image (doc_id < 10) on the histogram
+    // vectors — decode → feature-extract → ANN, the multimodal retrieval
+    // composition with every stage oracled (integer histograms make the
+    // cosine exactly replayable).
+    "ann_image_topk" -> ((s, dir) => {
+      val media = Multimodal.synthesizePhashImages(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val vecs = Multimodal.imageFeatures(media, bins = 16).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("vec_id"),
+          col("histogram").cast("array<double>").as("embedding"))
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental image dedup — the daily-crawl shape: only pairs
     // touching the incoming batch (docs with doc_id % 7 = 3 play the new
     // crawl) are computed; the corpus×corpus quadratic term never forms,
@@ -3294,17 +3328,22 @@ object SparkEntry {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
-  // Shared head of the two perceptual-hash oracles: replay
-  // synthesizePhashImages' md5 pixel formula over the 9x8 grid, then fold
-  // the 64 adjacent-pixel comparison bits into the (hash_hi, hash_lo)
-  // 32-bit words exactly as Multimodal.imageDHash packs them.
-  private val phashSigsSql: String =
+  // Replay of synthesizePhashImages' md5 pixel formula over the 9x8 grid
+  // — the shared head of every image-pipeline oracle (dHash signatures
+  // AND histogram features re-derive from these same pixels).
+  private val phashPxSql: String =
     """WITH px AS (
       |  SELECT d.doc_id, xs.x, ys.y,
       |    (CAST(concat('0x', substr(md5(concat(d.doc_id // 4, '_', xs.x, '_', ys.y)), 1, 2)) AS BIGINT)
       |     + CASE WHEN d.doc_id % 4 > 0 AND xs.x = d.doc_id % 4 AND ys.y = d.doc_id % 4
       |            THEN (d.doc_id % 4) * 3 ELSE 0 END) % 256 AS p
-      |  FROM documents d, generate_series(0, 8) xs(x), generate_series(0, 7) ys(y)),
+      |  FROM documents d, generate_series(0, 8) xs(x), generate_series(0, 7) ys(y))""".stripMargin
+
+  // ... then fold the 64 adjacent-pixel comparison bits into the
+  // (hash_hi, hash_lo) 32-bit words exactly as Multimodal.imageDHash
+  // packs them.
+  private val phashSigsSql: String = phashPxSql +
+    """,
       |bits AS (
       |  SELECT a.doc_id, a.x, a.y, CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
       |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
@@ -4904,6 +4943,41 @@ object SparkEntry {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
         |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // re-bins the replayed pixels: bin = p // 16, count per (doc, bin),
+    // zero bins materialized — what Spark recovers by decoding every
+    // pixel of the real PNG bytes
+    "multimodal_features" -> (phashPxSql +
+      """,
+        |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),
+        |bins AS (SELECT b FROM generate_series(0, 15) t(b))
+        |SELECT d.doc_id, CAST(b.b AS BIGINT) AS bin,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n
+        |FROM documents d CROSS JOIN bins b
+        |LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b
+        |ORDER BY d.doc_id, bin""".stripMargin),
+
+    // the bruteTopkOracle shape over histogram vectors re-derived from
+    // the replayed pixels — integer counts keep the cosine chain
+    // bit-reproducible across engines
+    "ann_image_topk" -> (phashPxSql +
+      """,
+        |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),
+        |bins AS (SELECT b FROM generate_series(0, 15) t(b)),
+        |vecs AS (
+        |  SELECT d.doc_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY b.b) AS v
+        |  FROM documents d CROSS JOIN bins b
+        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b
+        |  GROUP BY d.doc_id),
+        |q AS (SELECT * FROM vecs WHERE doc_id < 10),
+        |scored AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |  FROM q, vecs c WHERE c.doc_id <> q.doc_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // Brute-force ALL pairs, kept where a member is in the incoming
     // batch (doc_id % 7 = 3) — the incremental banded path must emit

@@ -913,6 +913,58 @@ object Multimodal {
       }
   }
 
+  /** REAL image feature vector: the red-channel intensity histogram of
+    * the decoded pixels — integer counts, so the features (and anything
+    * derived from them, cosine included) are exactly reproducible in any
+    * engine. `decoded=false` rows carry an all-zero histogram.
+    */
+  case class ImageFeatureRow(media_id: Long, histogram: Array[Long],
+                             decoded: Boolean)
+
+  /** REAL feature extraction from encoded bytes (the non-stub counterpart
+    * of [[featureStub]] for images): `javax.imageio` decode → `bins`-bin
+    * red-channel intensity histogram. A genuine, model-free visual
+    * descriptor (the classic color-histogram retrieval feature), computed
+    * map-side per partition; the integer counts slot into the
+    * `Similarity` operators as exact-arithmetic embeddings. A real CNN
+    * embedding model changes nothing in this shape — decode + batch
+    * inference in the same mapPartitions, vector column out.
+    */
+  def imageFeatures(media: DataFrame, bins: Int = 16): Dataset[ImageFeatureRow] = {
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    implicit val enc = Encoders.product[ImageFeatureRow]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val img =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null)
+            ImageFeatureRow(r.media_id, new Array[Long](bins), decoded = false)
+          else {
+            val h = new Array[Long](bins)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                h(((img.getRGB(x, y) >> 16) & 0xff) / width) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatureRow(r.media_id, h, decoded = true)
+          }
+        }
+      }
+  }
+
   /** One media embedding row — shaped exactly like the `embeddings` table
     * (`vec_id`, `embedding: Array[Float]`) so the output plugs straight
     * into the similarity/dedup operators.

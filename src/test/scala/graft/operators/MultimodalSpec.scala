@@ -162,6 +162,31 @@ class MultimodalSpec extends SparkSpec {
     assert(m.sample_sum === samples.map(_.toLong).sum)
   }
 
+  test("imageFeatures: decoded histogram matches the md5 pixel formula; corrupt zeroed") {
+    val ids = Seq(0L, 3L, 42L)
+    val rows = Multimodal.imageFeatures(
+      Multimodal.synthesizePhashImages(ids.toDF("doc_id")), bins = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- ids) {
+      val expected = new Array[Long](16)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val base = md.digest(s"${id / 4}_${x}_${y}".getBytes("UTF-8"))(0) & 0xff
+        val v = (id % 4).toInt
+        val p = if (v > 0 && x == v && y == v) (base + v * 3) % 256 else base
+        expected(p / 16) += 1L
+      }
+      val r = rows(id)
+      assert(r.decoded && r.histogram.toSeq === expected.toSeq, s"hist(id=$id)")
+      assert(r.histogram.sum === 72L, s"mass(id=$id)")
+    }
+    val bad = Multimodal.imageFeatures(media).collect()
+    assert(bad.forall(r => !r.decoded && r.histogram.forall(_ == 0L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.imageFeatures(media, bins = 17)
+    }
+  }
+
   test("audioSpectrum: Goertzel recovers each synthesized tone from the bytes") {
     val ids = Seq(0L, 1L, 2L, 3L, 8L, 13L, 102L).toDF("doc_id")
     val rows = Multimodal.audioSpectrum(Multimodal.synthesizeToneWavs(ids))
