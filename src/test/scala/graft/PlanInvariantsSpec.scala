@@ -63,6 +63,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
   //    dequantized) to oracle the quantization's ranking loss
   private val allPairsByDesign = Set(
     "dedup_embedding_pairs", "ann_cosine_topk",
+    // brute-force cosine over the REAL image-histogram features — the
+    // same deliberate verification-grade all-pairs as ann_cosine_topk
+    "ann_image_topk",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore",
     "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm",
     // 1-row V broadcast, the same scalar cross join as text_unigram_lm
