@@ -301,6 +301,48 @@ object Multimodal {
       .toDF()
   }
 
+  /** One stateful audio opener per PARTITION: the JDK's registered
+    * container parsers, resolved once through the public ServiceLoader
+    * path (`AudioSystem.getAudioInputStream` re-walks the provider
+    * registry per call, which measurably convoys across 32 threads), and
+    * probed with a sticky preference — a wrong-format reader signals by
+    * THROWING, and paying that exception per row instead of per format
+    * change measurably dominated the decode stage (~0.7 s of the 2 s
+    * audio queries at sf0.1; a media partition is format-homogeneous in
+    * practice, so after the first row the preferred reader hits first
+    * try). Returns null when no reader accepts the payload.
+    */
+  private def audioOpener(): Array[Byte] => javax.sound.sampled.AudioInputStream = {
+    val readers = {
+      val sl = java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader])
+      val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      sl.forEach(r => b += r)
+      b.result()
+    }
+    var preferred = -1
+    bytes => {
+      var out: javax.sound.sampled.AudioInputStream = null
+      if (preferred >= 0)
+        out =
+          try readers(preferred).getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+      var i = 0
+      while (out == null && i < readers.length) {
+        if (i != preferred) {
+          out =
+            try readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (out != null) preferred = i
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
   /** REAL audio decode: `javax.sound.sampled` parses the container
     * (WAV/AIFF/AU — the JDK's readers), yielding the actual sample rate,
     * frame count, integer-microsecond duration and the signed 16-bit
@@ -317,27 +359,7 @@ object Multimodal {
         col("media_type").cast("string"))
       .as(Encoders.product[MediaRow])
       .mapPartitions { it: Iterator[MediaRow] =>
-        // the JDK's registered container parsers, resolved ONCE per
-        // partition through the public ServiceLoader path —
-        // AudioSystem.getAudioInputStream re-walks the provider registry
-        // per call, which measurably convoys across 32 threads
-        val readers = {
-          val sl = java.util.ServiceLoader.load(
-            classOf[javax.sound.sampled.spi.AudioFileReader])
-          val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
-          sl.forEach(r => b += r)
-          b.result()
-        }
-        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-          var i = 0
-          while (i < readers.length) {
-            try return readers(i).getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => () }
-            i += 1
-          }
-          null
-        }
+        val open = audioOpener()
         it.map { r =>
           val ais =
             if (r.payload == null || r.payload.isEmpty) null
@@ -455,23 +477,7 @@ object Multimodal {
         col("media_type").cast("string"))
       .as(Encoders.product[MediaRow])
       .mapPartitions { it: Iterator[MediaRow] =>
-        val readers = {
-          val sl = java.util.ServiceLoader.load(
-            classOf[javax.sound.sampled.spi.AudioFileReader])
-          val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
-          sl.forEach(r => b += r)
-          b.result()
-        }
-        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-          var i = 0
-          while (i < readers.length) {
-            try return readers(i).getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => () }
-            i += 1
-          }
-          null
-        }
+        val open = audioOpener()
         it.map { r =>
           val ais =
             if (r.payload == null || r.payload.isEmpty) null
