@@ -1735,6 +1735,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The SCALE PATH for image retrieval: the same decode → histogram
+    // features, served through the persisted-centroid IVF index instead
+    // of ann_image_topk's (deliberately brute-force) baseline — at 100 TB
+    // the brute scan is the recall reference, this is the query path.
+    // Centroids are trained once on the feature vectors and persisted
+    // (ensureIndex keyed by the doc_id set — the pixels are a pure
+    // function of doc_id); the DuckDB oracle re-derives the histograms
+    // from the md5 pixel arithmetic, reads the SAME centroids parquet,
+    // and replays assignment → probe → cosine row-for-row.
+    "ann_image_ivf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = Multimodal.synthesizePhashImages(
+        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val vecs = Multimodal.imageFeatures(media, bins = 16).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("vec_id"),
+          col("histogram").cast("array<double>").as("embedding"))
+      val path = ensureIndex(s, docs, "ivfimg", "centroids") { p =>
+        Similarity.writeIvfCentroids(vecs, p, nCells = 8)
+      }
+      Similarity.ivfTopKFromCentroids(path, vecs, vecs.filter(col("vec_id") < 10),
+          k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental image dedup — the daily-crawl shape: only pairs
     // touching the incoming batch (docs with doc_id % 7 = 3 play the new
     // crawl) are computed; the corpus×corpus quadratic term never forms,
@@ -4974,6 +5000,44 @@ object SparkEntry {
         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
         |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
         |  FROM q, vecs c WHERE c.doc_id <> q.doc_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // the ivfTopkOracle shape over histogram vectors re-derived from the
+    // replayed pixels: centroids read from the persisted ivfimg index,
+    // assignment (cr=1) and probes (cr<=4) replayed by squared-L2 rank,
+    // cosine over the probed cells — row-for-row the Spark IVF search
+    "ann_image_ivf" -> (phashPxSql +
+      """,
+        |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),
+        |bins AS (SELECT b FROM generate_series(0, 15) t(b)),
+        |vecs AS (
+        |  SELECT d.doc_id AS vec_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY b.b) AS e
+        |  FROM documents d CROSS JOIN bins b
+        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b
+        |  GROUP BY d.doc_id),
+        |cent AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/ivfimg/*/centroids/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+        |d AS (SELECT vec_id, cell,
+        |        list_inner_product(centroid, centroid)
+        |          - 2.0 * list_inner_product(e, centroid) AS d2
+        |      FROM vecs, cent),
+        |ranked AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+        |           FROM d),
+        |cells AS (SELECT r.vec_id AS neighbor_id, v.e AS nvec, r.cell
+        |          FROM ranked r JOIN vecs v USING (vec_id) WHERE cr = 1),
+        |probes AS (SELECT r.vec_id AS query_id, v.e AS qvec, r.cell
+        |           FROM ranked r JOIN vecs v USING (vec_id)
+        |           WHERE cr <= 4 AND r.vec_id < 10),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             round(list_cosine_similarity(qvec, nvec), 4) AS sim
+        |           FROM cells JOIN probes USING (cell)
+        |           WHERE neighbor_id <> query_id)
         |SELECT query_id, rn AS rank, neighbor_id, sim
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)

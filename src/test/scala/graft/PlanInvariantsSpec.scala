@@ -67,6 +67,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // same deliberate verification-grade all-pairs as ann_cosine_topk
     "ann_image_topk",
     "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_topk", "w4_zscore",
+    // crossJoin(broadcast(centroids)) cell assignment over the image
+    // feature vectors — the same bounded rows × nCells shape as
+    // ann_ivf_topk, not data × data
+    "ann_image_ivf",
     "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm",
     // 1-row V broadcast, the same scalar cross join as text_unigram_lm
     "text_bigram_lm",

@@ -372,4 +372,25 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((1L, 4L))) // exactly the payload duplicates
   }
+
+  test("image IVF from persisted centroids equals brute force when every " +
+      "cell is probed — the scale path loses nothing to the assignment") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val vecs = Multimodal.imageFeatures(
+        Multimodal.synthesizePhashImages(ids), bins = 16).toDF()
+      .filter(col("decoded"))
+      .select(col("media_id").as("vec_id"),
+        col("histogram").cast("array<double>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfimg").toFile
+    dir.deleteOnExit()
+    Similarity.writeIvfCentroids(vecs, dir.getAbsolutePath, nCells = 4)
+    val q = vecs.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopKFromCentroids(dir.getAbsolutePath, vecs, q,
+        k = 3, nProbe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf === brute,
+      "exhaustive-probe IVF over image features diverged from brute force")
+  }
 }
