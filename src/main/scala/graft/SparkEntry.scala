@@ -1782,6 +1782,32 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // STREAMED image dedup ingest (PhashIngest): two micro-batches of
+    // encoded images land on the persisted signature index — each batch
+    // decodes, hashes, pairs against the accumulated history (new-new +
+    // new-old only) and appends its signatures, under the BatchMarker
+    // exactly-once protocol. Every pair lands exactly once, in the batch
+    // of its LATER member, so the accumulated pair table must equal the
+    // brute-force ALL-pairs set — dedup_phash_pairs' oracle verbatim, and
+    // the green row proves the streamed accumulation loses nothing and
+    // double-emits nothing.
+    "dedup_phash_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = Multimodal.synthesizePhashImages(
+        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val path = ensureIndex(s, docs, "phashstream", "built") { p =>
+        graft.streaming.PhashIngest.processBatch(
+          media.filter(col("media_id") % 7 =!= 3), 0L, p)
+        graft.streaming.PhashIngest.processBatch(
+          media.filter(col("media_id") % 7 === 3), 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      graft.streaming.PhashIngest.readPairs(s, path)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Image near-dup CLUSTERS: the perceptual-hash pair set closed to
     // connected components (pointer-jumped min-label CC) with one keeper
     // per cluster — decode → dHash → banded pairs → CC, the full image
@@ -3380,6 +3406,23 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT) AS hash_lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Brute-force ALL hamming-≤3 pairs from the replayed dHash signatures —
+    * shared by `dedup_phash_pairs` (the one-shot banded computation) and
+    * `dedup_phash_streamed` (the accumulated per-batch appends of the
+    * streamed signature-index ingest), so one green row per variant proves
+    * both the banding's pigeonhole completeness and the stream's
+    * no-loss/no-double-emit accumulation.
+    */
+  private val phashPairsOracle: String = phashSigsSql +
+    """
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) +
+      |       bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+      |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val partialRatioOracle: String =
     """WITH pref AS (SELECT doc_id, substr(text,1,40) AS s FROM documents),
       |win AS (SELECT doc_id,
@@ -4960,15 +5003,15 @@ object SparkEntry {
     // Brute-force ALL image pairs at hamming <= 3 from the same replayed
     // hashes — the pigeonhole guarantee means the banded Spark path must
     // produce exactly this set (equality, not recall).
-    "dedup_phash_pairs" -> (phashSigsSql +
-      """
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) +
-        |       bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
-        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
-        |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_phash_pairs" -> phashPairsOracle,
+
+    // SHARED with dedup_phash_pairs: the streamed ingest's accumulated
+    // per-batch pair appends (batch-internal for the first batch,
+    // batch-touching for every later one) must union to exactly the
+    // all-pairs brute-force set — the green row is the equivalence proof
+    // that the incremental banding over the persisted signature index
+    // drops nothing and double-emits nothing across batches.
+    "dedup_phash_streamed" -> phashPairsOracle,
 
     // re-bins the replayed pixels: bin = p // 16, count per (doc, bin),
     // zero bins materialized — what Spark recovers by decoding every
