@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object DoiNetwork {
 
-  private def nonEmpty(c: Column): Column = when(length(c) > 0, c)
+  // nullif, not when(length(c) > 0, c): the when-form inlines `c` twice
+  // (condition + value), and for the regexp-extract recognizers that means
+  // running every regex twice per row — nullif evaluates the extract once
+  // (identical semantics: null→null, ''→null, else c)
+  private def nonEmpty(c: Column): Column = nullif(c, lit(""))
 
   /** elsevier_api recognizer (doi.py:135-137): Elsevier PII. */
   def elsevierPii(c: Column): Column =
@@ -62,19 +66,25 @@ object DoiNetwork {
     * runner, so the stage yields nothing).
     */
   def pensoftRequest(c: Column): Column = {
-    val applies = c.contains("pensoft") || c.contains("zookeys")
+    // null-gate the regex battery: regexp_extract is null-intolerant, so
+    // rows that can't apply (2/3 of a mixed corpus) skip every matcher
+    // instead of running them and discarding the result
+    val g = when(c.contains("pensoft") || c.contains("zookeys"), c)
     val id = coalesce(
-      nonEmpty(regexp_extract(c, PensoftId1, 1)),
-      nonEmpty(regexp_extract(c, PensoftId2, 1)),
-      nonEmpty(regexp_extract(c, PensoftId2, 2)))
-    val jm = coalesce(
-      nonEmpty(regexp_extract(c, PensoftJournal, 1)),
-      nonEmpty(regexp_extract(c, PensoftJournal, 2)))
-    val journal = when(jm.isNull, lit("zookeys"))
-      .when(jm === "www", lit(null)).otherwise(jm)
-    when(applies && id.isNotNull && journal.isNotNull,
-      concat(lit("https://"), journal, lit(".pensoft.net/article/"), id,
-        lit("/download/bibtex")))
+      nonEmpty(regexp_extract(g, PensoftId1, 1)),
+      nonEmpty(regexp_extract(g, PensoftId2, 1)),
+      nonEmpty(regexp_extract(g, PensoftId2, 2)))
+    // jm null → zookeys; jm 'www' → null; else jm — one jm reference,
+    // where the when-chain form re-evaluated it (and its two regexes) per
+    // branch
+    val journal = nullif(coalesce(
+      nonEmpty(regexp_extract(g, PensoftJournal, 1)),
+      nonEmpty(regexp_extract(g, PensoftJournal, 2)),
+      lit("zookeys")), lit("www"))
+    // concat null-propagates, so a null id / null journal / non-applying
+    // row all yield null without re-referencing (= re-computing) either
+    concat(lit("https://"), journal, lit(".pensoft.net/article/"), id,
+      lit("/download/bibtex"))
   }
 
   /** pubmed recognizer (doi.py:214-218): 7-digit PMC id on NCBI URLs. */
@@ -150,26 +160,27 @@ object DoiNetwork {
       .drop("b_elsevier", "b_cambridge", "b_ingenta", "b_pensoft", "b_pubmed")
   }
 
-  /** The melt-join alternative to [[resolveFromCaches]]: the five stage
-    * keys of each record melt to `(id, stage, key)` rows (non-null keys
-    * only), ONE join against the cache fetches every stage's body, a
-    * pivot-style aggregate folds them back to one row per id, and a final
-    * id-join reattaches the input columns. Exactly the same cascade
+  /** The melt-join alternative to [[resolveFromCaches]]: each record's
+    * five stage keys melt to ≤5 `(full row, stage, key)` rows via one
+    * `explode_outer`, ONE join against the cache fetches every stage's
+    * body, and an ObjectHashAggregate keyed by the full carried row folds
+    * the matches back to one row per record. Exactly the same cascade
     * semantics — bodies ride per stage and the SAME ordered parse coalesce
     * decides, so "first stage whose response parses" is preserved even
-    * when several stages matched. One cache join instead of five, but the
-    * records side is exploded (≤5×), aggregated (one exchange on id) and
-    * re-joined (another exchange) — the A/B this trades against the five
-    * stage-sliced broadcast probes of [[resolveFromCaches]], which never
-    * shuffle the records side at all. `idCol` must be unique per record.
+    * when several stages matched. One cache join instead of five and ONE
+    * records-side exchange (the fold) — no id-rejoin: the record rides
+    * the melt whole, which is what removed the previous form's sort-merge
+    * rejoin, its localCheckpoint boundary, and the SortAggregate its
+    * per-stage max(string) forced (string max has no fixed-size buffer,
+    * so it sorted the melted rows; collect_list is typed-imperative and
+    * hash-aggregates). `idCol` must be unique per record and the records
+    * columns must be groupable types.
     *
-    * Measured (honest toRdd, sf0.1, 6 runs, both orders, warm JVM): this
-    * shape runs ~7–9 s steady vs ~11–15 s for the five-join cascade — the
-    * five broadcast builds + five wide probes cost more than the melt's
-    * two exchanges at this records/cache ratio, and the cache needs no
-    * persist boundary (consumed once). The five-join form stays the right
-    * call when records are huge relative to the cache AND wide (melt
-    * explodes and re-joins the records side; broadcast probes never
+    * Measured (honest toRdd, sf0.1, 6 runs, warm JVM): ~4.6 s steady for
+    * the full doi_network_stages vs ~8.1 s for the previous melt form and
+    * ~11–15 s for the five-join cascade (r10 A/B). The five-join form
+    * stays the right call when records are huge relative to the cache AND
+    * wide (melt explodes the records side ≤5×; broadcast probes never
     * shuffle it) — both are kept, spec-pinned row-identical.
     *
     * Precondition (both forms): the cache is a K-V table — ONE body per
@@ -189,36 +200,46 @@ object DoiNetwork {
       case "pensoft"   => when(pensoftRequest(raw).isNotNull, concat(lit("pensoft:"), pensoftRequest(raw)))
       case "pubmed"    => when(pubmedPmc(raw).isNotNull, concat(lit("pubmed:PMC"), pubmedPmc(raw)))
     }
-    // keyed feeds BOTH the melt and the final id-rejoin: without a
-    // boundary each consumer re-runs the five recognizer regex batteries
-    // (~15 extracts/row) over the records scan. Eager localCheckpoint,
-    // not persist: a persist here would pin executor storage for the
-    // JVM's lifetime unless the CALLER remembered to unpersist (this
-    // method never sees the consuming action), while checkpoint blocks
-    // are freed with the frame — the lifetime is bounded by construction
     val keyed = stages.foldLeft(records) { (df, st) =>
       df.withColumn(s"k_$st", keyOf(st))
-    }.localCheckpoint()
-    val melted = keyed.select(col(idCol).as("__id"),
-        explode(filter(array(stages.map(st =>
-          struct(lit(st).as("stage"), col(s"k_$st").as("key"))): _*),
-          e => e.getField("key").isNotNull)).as("sk"))
-      .select(col("__id"), col("sk.stage").as("stage"), col("sk.key").as("key"))
-    val bodies = melted.join(cache, Seq("key"))
-      .groupBy(col("__id"))
-      .agg(
-        max(when(col("stage") === "elsevier", col("body"))).as("b_elsevier"),
-        max(when(col("stage") === "cambridge", col("body"))).as("b_cambridge"),
-        max(when(col("stage") === "ingenta", col("body"))).as("b_ingenta"),
-        max(when(col("stage") === "pensoft", col("body"))).as("b_pensoft"),
-        max(when(col("stage") === "pubmed", col("body"))).as("b_pubmed"))
-    keyed.join(bodies, col(idCol) === col("__id"), "left")
+    }
+    // single-pass melt: the record's FULL row rides through the explode,
+    // so nothing joins back by id afterwards (the previous form's
+    // sort-merge rejoin and its localCheckpoint boundary are gone — one
+    // consumer means the recognizer battery runs once without either).
+    // explode_outer keeps zero-key records alive with a null stage row,
+    // which the left join then carries through with a null body.
+    val carried = records.columns.map(col).toSeq ++
+      stages.map(st => col(s"k_$st"))
+    val exploded = keyed.select(carried :+
+      explode_outer(filter(array(stages.map(st =>
+        struct(lit(st).as("stage"), col(s"k_$st").as("key"))): _*),
+        e => e.getField("key").isNotNull)).as("sk"): _*)
+    // collect_list, not per-stage max(string): max over a string column
+    // can't hash-aggregate (no fixed-size buffer → SortAggregate, a full
+    // sort of the melted rows), while collect_list is typed-imperative →
+    // ObjectHashAggregate. The ≤5-entry array then unpacks per stage with
+    // array_max(transform(filter(...))) — same fold as max(when(...)),
+    // including the duplicate-key undefined case documented above.
+    // Grouping is by the full carried row (idCol is unique per record, so
+    // the extra keys are functionally dependent; records columns must be
+    // groupable types).
+    val grouped = exploded
+      .join(cache, exploded("sk.key") === cache("key"), "left")
+      .groupBy(carried.map(c => c): _*)
+      .agg(collect_list(when(col("body").isNotNull,
+        struct(col("sk.stage").as("stage"), col("body").as("body"))))
+        .as("__entries"))
+    def bodyOf(st: String): Column = array_max(transform(
+      filter(col("__entries"), e => e.getField("stage") === st),
+      e => e.getField("body")))
+    grouped
       .withColumn("doi", coalesce(
-        elsevierDoiFromXml(col("b_elsevier")),
-        doiFromBibtex(col("b_cambridge")),
-        doiFromBibtex(col("b_ingenta")),
-        doiFromBibtex(col("b_pensoft")),
-        doiFromRefindit(col("b_pubmed"))))
-      .drop("__id", "b_elsevier", "b_cambridge", "b_ingenta", "b_pensoft", "b_pubmed")
+        elsevierDoiFromXml(bodyOf("elsevier")),
+        doiFromBibtex(bodyOf("cambridge")),
+        doiFromBibtex(bodyOf("ingenta")),
+        doiFromBibtex(bodyOf("pensoft")),
+        doiFromRefindit(bodyOf("pubmed"))))
+      .drop("__entries")
   }
 }
