@@ -2373,6 +2373,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
     }),
 
+    // Recall gate for the image-retrieval scale path (ann_image_ivf's
+    // parameters) against its own brute baseline — measured avg recall@5:
+    // 1.00 at sf0.01, 0.88 at sf0.1 (tools/ImgAnnProbe), gated at the
+    // same 0.6 floor as the text-embedding IVF gate. A regression in the
+    // decode → feature → quantizer chain becomes a hash mismatch.
+    "ann_image_recall" -> ((s, dir) => {
+      val media = Multimodal.synthesizePhashImages(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      // persist: the decode → feature pass feeds both arms' corpus AND
+      // query sides (4 consumers); Verify/Bench clearCache per query
+      val vecs = Multimodal.imageFeatures(media, bins = 16).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("vec_id"),
+          col("histogram").cast("array<double>").as("embedding"))
+        .persist()
+      val q = vecs.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(vecs, q, k = 5)
+      val ivf = Similarity.ivfTopK(vecs, q, k = 5, nCells = 8, nProbe = 4,
+        corpusId = Some(s"img:$dir"))
+      Similarity.recallAtK(ivf, brute)
+        .agg(count(lit(1)).as("n_queries"), (avg(col("recall")) >= 0.6).as("recall_ok"))
+    }),
+
     // PQ-compressed ANN (ADC scan over m-byte codes + exact re-rank of a
     // refine*k shortlist) — the memory-bound scale path — against the
     // PERSISTED index. Given the codebooks + codes tables, the ADC lookup
@@ -5374,6 +5398,9 @@ object SparkEntry {
 
     "ann_ivf_recall" ->
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    "ann_image_recall" ->
+      "SELECT count(DISTINCT doc_id) AS n_queries, TRUE AS recall_ok FROM documents WHERE doc_id < 10",
 
     "ann_pq_recall" ->
       "SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10",

@@ -71,6 +71,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // feature vectors — the same bounded rows × nCells shape as
     // ann_ivf_topk, not data × data
     "ann_image_ivf",
+    // embeds the brute-force image baseline to measure recall against,
+    // like ann_ivf_recall
+    "ann_image_recall",
     "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm",
     // 1-row V broadcast, the same scalar cross join as text_unigram_lm
     "text_bigram_lm",
