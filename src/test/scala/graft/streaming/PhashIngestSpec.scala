@@ -107,6 +107,48 @@ class PhashIngestSpec extends SparkSpec {
       "partial debris was double-counted or the rewrite dropped rows")
   }
 
+  test("the signature index compacts (Compaction.compactPartitions) with " +
+      "markers, sentinel and replay semantics intact") {
+    val dir = Files.createTempDirectory("phash_compact").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/idx"
+    val idx2 = dir.getAbsolutePath + "/idx2"
+    PhashIngest.processBatch(media(0L until 8L), 0L, idx)
+    PhashIngest.processBatch(media(8L until 12L), 1L, idx)
+
+    // compact both tables into a new index root, then carry the replay
+    // state the way the BatchMarker header prescribes: the _batches
+    // markers and the O(1) has_data sentinels travel with the data
+    graft.sinks.Compaction.compactPartitions(spark, s"$idx/sigs", s"$idx2/sigs",
+      targetBytes = 128L * 1024 * 1024)
+    graft.sinks.Compaction.compactPartitions(spark, s"$idx/pairs", s"$idx2/pairs",
+      targetBytes = 128L * 1024 * 1024)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    def cp(rel: String) = org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$idx/$rel"),
+      fs, new org.apache.hadoop.fs.Path(s"$idx2/$rel"), false, conf)
+    cp("_batches"); cp("sigs/_batches_has_data"); cp("pairs/_batches_has_data")
+
+    // a replay of a landed batch still short-circuits on the copy
+    val pairsBefore = PhashIngest.readPairs(spark, idx2).count()
+    PhashIngest.processBatch(media(8L until 12L), 1L, idx2)
+    assert(PhashIngest.readPairs(spark, idx2).count() === pairsBefore,
+      "replay re-appended on the compacted index")
+
+    // and a NEW batch pairs correctly against the compacted history
+    PhashIngest.processBatch(media(12L until 16L), 2L, idx2)
+    val got = PhashIngest.readPairs(spark, idx2)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = Dedup.hammingPairsHiLo(allSigs(0L until 16L),
+        maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === want,
+      "post-compaction accumulation diverged from the all-pairs set")
+  }
+
   test("corrupt payloads are dropped before pairing and indexing; an " +
       "empty batch commits its markers and writes nothing") {
     val dir = Files.createTempDirectory("phash_corrupt").toFile
