@@ -1771,6 +1771,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The image search over the CELL-PARTITIONED feature layout — the
+    // same partition-column shape as ann_ivf_pruned, over decoded image
+    // features: vectors ship hive-partitioned by assigned cell, the query
+    // batch's probed cells become scan-time literals, and the vectors
+    // scan carries a `cell` PartitionFilter (PlanInvariantsSpec pins it).
+    // At 100 TB this is the layout an image-retrieval index actually
+    // stores; the flat ann_image_ivf must scan the corpus to recompute
+    // assignments. Oracle = ann_image_ivf's replay over this index's own
+    // centroids table.
+    "ann_image_pruned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = Multimodal.synthesizePhashImages(
+        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val vecs = Multimodal.imageFeatures(media, bins = 16).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("vec_id"),
+          col("histogram").cast("array<double>").as("embedding"))
+      val path = ensureIndex(s, docs, "ivfimgpart", "vectors") { p =>
+        Similarity.writeIvfPartitioned(vecs, p, nCells = 8)
+      }
+      Similarity.ivfTopKFromPartitioned(s, path,
+          vecs.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental image dedup — the daily-crawl shape: only pairs
     // touching the incoming batch (docs with doc_id % 7 = 3 play the new
     // crawl) are computed; the corpus×corpus quadratic term never forms,
@@ -3440,6 +3466,47 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT) AS hash_lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** The ivfTopkOracle shape over histogram vectors re-derived from the
+    * replayed pixels — shared by `ann_image_ivf` (flat centroids index)
+    * and, with the ivfimgpart glob, `ann_image_pruned` (cell-partitioned
+    * layout): centroids read from the persisted index, assignment (cr=1)
+    * and probes (cr<=4) replayed by squared-L2 rank, cosine over the
+    * probed cells — row-for-row the Spark IVF search.
+    */
+  private val imageIvfOracle: String = (phashPxSql +
+      """,
+        |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),
+        |bins AS (SELECT b FROM generate_series(0, 15) t(b)),
+        |vecs AS (
+        |  SELECT d.doc_id AS vec_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY b.b) AS e
+        |  FROM documents d CROSS JOIN bins b
+        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b
+        |  GROUP BY d.doc_id),
+        |cent AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/ivfimg/*/centroids/*.parquet')
+        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
+        |d AS (SELECT vec_id, cell,
+        |        list_inner_product(centroid, centroid)
+        |          - 2.0 * list_inner_product(e, centroid) AS d2
+        |      FROM vecs, cent),
+        |ranked AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+        |           FROM d),
+        |cells AS (SELECT r.vec_id AS neighbor_id, v.e AS nvec, r.cell
+        |          FROM ranked r JOIN vecs v USING (vec_id) WHERE cr = 1),
+        |probes AS (SELECT r.vec_id AS query_id, v.e AS qvec, r.cell
+        |           FROM ranked r JOIN vecs v USING (vec_id)
+        |           WHERE cr <= 4 AND r.vec_id < 10),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             round(list_cosine_similarity(qvec, nvec), 4) AS sim
+        |           FROM cells JOIN probes USING (cell)
+        |           WHERE neighbor_id <> query_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+
   /** Brute-force ALL hamming-≤3 pairs from the replayed dHash signatures —
     * shared by `dedup_phash_pairs` (the one-shot banded computation) and
     * `dedup_phash_streamed` (the accumulated per-batch appends of the
@@ -5086,39 +5153,13 @@ object SparkEntry {
     // replayed pixels: centroids read from the persisted ivfimg index,
     // assignment (cr=1) and probes (cr<=4) replayed by squared-L2 rank,
     // cosine over the probed cells — row-for-row the Spark IVF search
-    "ann_image_ivf" -> (phashPxSql +
-      """,
-        |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),
-        |bins AS (SELECT b FROM generate_series(0, 15) t(b)),
-        |vecs AS (
-        |  SELECT d.doc_id AS vec_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY b.b) AS e
-        |  FROM documents d CROSS JOIN bins b
-        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b
-        |  GROUP BY d.doc_id),
-        |cent AS (
-        |  SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_ann_index/ivfimg/*/centroids/*.parquet')
-        |  WHERE n_corpus = (SELECT count(*) FROM documents)),
-        |d AS (SELECT vec_id, cell,
-        |        list_inner_product(centroid, centroid)
-        |          - 2.0 * list_inner_product(e, centroid) AS d2
-        |      FROM vecs, cent),
-        |ranked AS (SELECT vec_id, cell,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
-        |           FROM d),
-        |cells AS (SELECT r.vec_id AS neighbor_id, v.e AS nvec, r.cell
-        |          FROM ranked r JOIN vecs v USING (vec_id) WHERE cr = 1),
-        |probes AS (SELECT r.vec_id AS query_id, v.e AS qvec, r.cell
-        |           FROM ranked r JOIN vecs v USING (vec_id)
-        |           WHERE cr <= 4 AND r.vec_id < 10),
-        |scored AS (SELECT query_id, neighbor_id,
-        |             round(list_cosine_similarity(qvec, nvec), 4) AS sim
-        |           FROM cells JOIN probes USING (cell)
-        |           WHERE neighbor_id <> query_id)
-        |SELECT query_id, rn AS rank, neighbor_id, sim
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_image_ivf" -> imageIvfOracle,
+
+    // identical replay from the partitioned image index's own centroids
+    // (stored assignments were written by the same seeded kernel)
+    "ann_image_pruned" -> imageIvfOracle.replace(
+      "/tmp/graft_ann_index/ivfimg/", "/tmp/graft_ann_index/ivfimgpart/"),
+
 
     // Brute-force ALL pairs, kept where a member is in the incoming
     // batch (doc_id % 7 = 3) — the incremental banded path must emit

@@ -122,6 +122,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // query-side broadcast-centroid scalar cross (the corpus side reads
     // stored assignments from the partitioned index — no corpus cross)
     "ann_ivf_pruned",
+    // same query-side centroid cross over the partitioned IMAGE index
+    "ann_image_pruned",
     // same query-side centroid cross; codes come pre-assigned from the
     // partitioned package, true vectors only for the re-rank shortlist
     "ann_ivfpq_pruned",
@@ -187,6 +189,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "the search reads only the probed cells' directories") {
     assume(available)
     val p = plan("ann_ivf_pruned")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("vectors") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned vectors scan in the plan:\n$p"))
+    assert(scanLine.contains("cell") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"vectors scan has no cell partition filter:\n$scanLine")
+  }
+
+  test("ann_image_pruned: the image-feature vectors scan carries a cell " +
+      "PartitionFilter — the search reads only the probed cells") {
+    assume(available)
+    val p = plan("ann_image_pruned")
     val scanLine = p.linesIterator
       .find(l => l.contains("vectors") && l.contains("PartitionFilters"))
       .getOrElse(fail(s"no partitioned vectors scan in the plan:\n$p"))
