@@ -116,17 +116,14 @@ object DoiNetwork {
   def resolveFromCaches(records: DataFrame, rawCol: String,
       cache: DataFrame): DataFrame = {
     val raw = col(rawCol)
+    // concat null-propagates over the literal prefix — no isNotNull guard
+    // needed, which would re-run each recognizer's regexes a second time
     val keyed = records
-      .withColumn("k_elsevier",
-        when(elsevierPii(raw).isNotNull, concat(lit("elsevier:"), elsevierPii(raw))))
-      .withColumn("k_cambridge",
-        when(cambridgeUrl(raw).isNotNull, concat(lit("cambridge:"), cambridgeUrl(raw))))
-      .withColumn("k_ingenta",
-        when(ingentaPath(raw).isNotNull, concat(lit("ingenta:"), ingentaPath(raw))))
-      .withColumn("k_pensoft",
-        when(pensoftRequest(raw).isNotNull, concat(lit("pensoft:"), pensoftRequest(raw))))
-      .withColumn("k_pubmed",
-        when(pubmedPmc(raw).isNotNull, concat(lit("pubmed:PMC"), pubmedPmc(raw))))
+      .withColumn("k_elsevier", concat(lit("elsevier:"), elsevierPii(raw)))
+      .withColumn("k_cambridge", concat(lit("cambridge:"), cambridgeUrl(raw)))
+      .withColumn("k_ingenta", concat(lit("ingenta:"), ingentaPath(raw)))
+      .withColumn("k_pensoft", concat(lit("pensoft:"), pensoftRequest(raw)))
+      .withColumn("k_pubmed", concat(lit("pubmed:PMC"), pubmedPmc(raw)))
 
     // materialized once: five stage joins consume the cache table, and
     // without the boundary each broadcast replays the cache's whole
@@ -193,12 +190,16 @@ object DoiNetwork {
       idCol: String, cache: DataFrame): DataFrame = {
     val raw = col(rawCol)
     val stages = Seq("elsevier", "cambridge", "ingenta", "pensoft", "pubmed")
+    // concat null-propagates over its non-null literal prefix, so
+    // concat(prefix, recognizer) IS the null-gated key — the previous
+    // when(recognizer.isNotNull, ...) guard referenced (= re-ran) each
+    // recognizer's regex battery a second time for nothing
     def keyOf(stage: String): Column = stage match {
-      case "elsevier"  => when(elsevierPii(raw).isNotNull, concat(lit("elsevier:"), elsevierPii(raw)))
-      case "cambridge" => when(cambridgeUrl(raw).isNotNull, concat(lit("cambridge:"), cambridgeUrl(raw)))
-      case "ingenta"   => when(ingentaPath(raw).isNotNull, concat(lit("ingenta:"), ingentaPath(raw)))
-      case "pensoft"   => when(pensoftRequest(raw).isNotNull, concat(lit("pensoft:"), pensoftRequest(raw)))
-      case "pubmed"    => when(pubmedPmc(raw).isNotNull, concat(lit("pubmed:PMC"), pubmedPmc(raw)))
+      case "elsevier"  => concat(lit("elsevier:"), elsevierPii(raw))
+      case "cambridge" => concat(lit("cambridge:"), cambridgeUrl(raw))
+      case "ingenta"   => concat(lit("ingenta:"), ingentaPath(raw))
+      case "pensoft"   => concat(lit("pensoft:"), pensoftRequest(raw))
+      case "pubmed"    => concat(lit("pubmed:PMC"), pubmedPmc(raw))
     }
     val keyed = stages.foldLeft(records) { (df, st) =>
       df.withColumn(s"k_$st", keyOf(st))
