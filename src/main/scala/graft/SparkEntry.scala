@@ -1063,7 +1063,8 @@ object SparkEntry {
       // single-pass melt-join shape (full row rides the explode, one
       // cache join, one hash-agg fold, no id-rejoin) — A/B history: five
       // stage-sliced broadcast joins ~11-15 s (r10), rejoin melt ~8.1 s,
-      // this form ~4.6 s steady at sf0.1 (r12, DoiProbe/Time)
+      // this form ~2.9 s steady at sf0.1 (r12, DoiProbe/Time; includes
+      // the recognizer dedup + direct fixture keys of the same round)
       graft.functions.DoiNetwork.resolveFromCachesMelted(records, "url", "id", cache)
         .select(col("id"), col("url"), col("k_elsevier"), col("k_cambridge"),
           col("k_ingenta"), col("k_pensoft"), col("k_pubmed"), col("doi"))

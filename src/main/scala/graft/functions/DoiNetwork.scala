@@ -170,8 +170,9 @@ object DoiNetwork {
     * rejoin, its localCheckpoint boundary, and the SortAggregate its
     * per-stage max(string) forced (string max has no fixed-size buffer,
     * so it sorted the melted rows; collect_list is typed-imperative and
-    * hash-aggregates). `idCol` must be unique per record and the records
-    * columns must be groupable types.
+    * hash-aggregates). `idCol` must be unique per record, the records
+    * columns must be groupable types, and none of them may be named
+    * `key` or `body` (the cache's columns join alongside them).
     *
     * Measured (honest toRdd, sf0.1, 6 runs, warm JVM): ~4.6 s steady for
     * the full doi_network_stages vs ~8.1 s for the previous melt form and
