@@ -1863,6 +1863,33 @@ object SparkEntry {
       Dedup.clusterAssignments(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // Incremental image CLUSTERING — the crawl composition end-to-end:
+    // yesterday's labeling (CC over old-old pairs) enters as star edges,
+    // only the incoming batch's pairs (hammingPairsHiLoIncremental — the
+    // old-old quadratic term never recomputes) are added, and the
+    // relabeling must equal the from-scratch closure: SHARES
+    // dedup_phash_clusters' recursive-CTE oracle, so green is the
+    // equivalence proof. Per-crawl cost = new pairs + touched history.
+    "dedup_phash_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.synthesizePhashImages(
+        docs.select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val sigs = Multimodal.imageDHash(media).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+        .localCheckpoint() // decode once, split twice
+      val hist  = sigs.filter(col("doc_id") % 7 =!= 3)
+      val fresh = sigs.filter(col("doc_id") % 7 === 3)
+      val prev = Dedup.duplicateClusters(
+        Dedup.hammingPairsHiLo(hist, maxHamming = 3, bands = 4))
+      val newPairs = Dedup.hammingPairsHiLoIncremental(hist, fresh,
+        maxHamming = 3, bands = 4)
+      Dedup.clusterAssignmentsFromLabels(docs, "doc_id",
+          Dedup.incrementalClusters(prev, newPairs))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; flag
     // corpus docs sharing >= 3 word-3-gram shingles with any of them.
     "dedup_contamination" -> ((s, dir) => {
@@ -3507,6 +3534,37 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** From-scratch recursive-CTE closure of the replayed dHash pair set —
+    * shared by `dedup_phash_clusters` (one-shot CC) and
+    * `dedup_phash_clusters_incremental` (previous labels + batch-touching
+    * pairs), so the incremental row doubles as an equivalence proof.
+    */
+  private val phashClustersOracle: String = ("WITH RECURSIVE " +
+      phashSigsSql.stripPrefix("WITH ") +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |        bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_id, csizes.cluster_size,
+        |  lab.doc_id = lab.cluster_id AS is_keeper
+        |FROM lab JOIN csizes USING (cluster_id)
+        |ORDER BY lab.doc_id""".stripMargin)
 
   /** Brute-force ALL hamming-≤3 pairs from the replayed dHash signatures —
     * shared by `dedup_phash_pairs` (the one-shot banded computation) and
@@ -5179,31 +5237,13 @@ object SparkEntry {
     // Brute-force phash pairs closed transitively with a recursive CTE —
     // the banded + pointer-jumped Spark path must land on exactly these
     // labels, sizes and keepers (same closure shape as dedupClustersOracle)
-    "dedup_phash_clusters" -> ("WITH RECURSIVE " +
-      phashSigsSql.stripPrefix("WITH ") +
-      """,
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
-        |        bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |labels AS (
-        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-        |lab AS (
-        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
-        |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
-        |SELECT lab.doc_id, lab.cluster_id, csizes.cluster_size,
-        |  lab.doc_id = lab.cluster_id AS is_keeper
-        |FROM lab JOIN csizes USING (cluster_id)
-        |ORDER BY lab.doc_id""".stripMargin),
+    "dedup_phash_clusters" -> phashClustersOracle,
+
+    // SHARED with dedup_phash_clusters: the incremental relabeling
+    // (previous labels as star edges + batch-touching pairs only) must
+    // equal the from-scratch closure — green = exact-equivalence proof,
+    // the same twin contract as dedup_clusters_incremental.
+    "dedup_phash_clusters_incremental" -> phashClustersOracle,
 
     // Full offline cascade replicated in DuckDB: per-stage regex extracts
     // (RE2 accepts the same (?i) inline flag), the normalize pipeline
