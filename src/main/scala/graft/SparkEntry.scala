@@ -1717,6 +1717,27 @@ object SparkEntry {
     // counts, the classic model-free retrieval descriptor. The oracle
     // re-bins the md5 pixel arithmetic; green proves decode recovers
     // every pixel of every image.
+    // Image QUALITY curation gate over REAL decoded pixels — the image
+    // modality's Gopher rules: mean / contrast (population stddev) /
+    // histogram entropy per image, gate = contrast ≥ 8 AND entropy ≥ 1.5.
+    // Fixture plants both classes: md5-noise frames (pass) and flat
+    // placeholder frames (doc_id % 5 = 0 — contrast 0, entropy 0, fail).
+    // All stats are exact functions of integer pixel sums, so DuckDB
+    // replays them from the md5 pixel arithmetic at 4 dp.
+    "multimodal_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val media = Multimodal.synthesizePhashImages(
+          docs.filter(col("doc_id") % 5 =!= 0))
+        .unionByName(Multimodal.synthesizeFlatImages(
+          docs.filter(col("doc_id") % 5 === 0)))
+      Multimodal.imageQuality(media, bins = 16).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("n_px"), col("mean_px"),
+          col("contrast"), col("entropy"), col("quality_ok"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesizePhashImages(
         t(s, dir, "documents").select("doc_id")
@@ -5176,6 +5197,35 @@ object SparkEntry {
     // re-bins the replayed pixels: bin = p // 16, count per (doc, bin),
     // zero bins materialized — what Spark recovers by decoding every
     // pixel of the real PNG bytes
+    // mean / contrast / entropy replayed from the md5 pixel arithmetic
+    // for the noise class (integer sums → exact float replay at 4 dp);
+    // the flat class (doc_id % 5 = 0) is constants by construction
+    "multimodal_quality" -> (phashPxSql +
+      """,
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n, sum(p) AS s, sum(p * p) AS s2
+        |  FROM px WHERE doc_id % 5 <> 0 GROUP BY doc_id),
+        |hist AS (
+        |  SELECT doc_id, p // 16 AS bin, count(*) AS k
+        |  FROM px WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id, -sum((k / 72.0) * ln(k / 72.0)) AS e
+        |  FROM hist GROUP BY doc_id),
+        |noise AS (
+        |  SELECT stats.doc_id, 72 AS n_px,
+        |    round(s / 72.0, 4) AS mean_px,
+        |    round(sqrt(s2 / 72.0 - (s / 72.0) * (s / 72.0)), 4) AS contrast,
+        |    round(e, 4) AS entropy
+        |  FROM stats JOIN ent USING (doc_id)),
+        |flat AS (
+        |  SELECT doc_id, 72 AS n_px, 128.0 AS mean_px, 0.0 AS contrast,
+        |    0.0 AS entropy
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |q AS (SELECT * FROM noise UNION ALL SELECT * FROM flat)
+        |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px, mean_px, contrast,
+        |  entropy, (contrast >= 8.0 AND entropy >= 1.5) AS quality_ok
+        |FROM q ORDER BY doc_id""".stripMargin),
+
     "multimodal_features" -> (phashPxSql +
       """,
         |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),

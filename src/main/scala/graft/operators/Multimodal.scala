@@ -971,6 +971,110 @@ object Multimodal {
       }
   }
 
+  case class ImageQualityRow(media_id: Long, decoded: Boolean, n_px: Long,
+      mean_px: Double, contrast: Double, entropy: Double, quality_ok: Boolean)
+
+  /** Image QUALITY gating over decoded pixels — the curation rule set for
+    * the image modality (what Gopher-style rules are to text): per image,
+    * red-channel mean, contrast (population stddev) and `bins`-bin
+    * histogram entropy, plus the gate flag. Flat/near-flat frames (blank
+    * thumbnails, solid placeholders — contrast ≈ 0, entropy ≈ 0) and
+    * degenerate two-tone frames fail; natural-statistics content passes.
+    * All three stats are exact functions of integer pixel sums (sum,
+    * sum-of-squares, bin counts), so a SQL oracle replays them from the
+    * same pixel arithmetic bit-for-bit at 4 dp. Corrupt payloads →
+    * `decoded = false`, zeroed stats, gate false — poison-file posture.
+    * Map-side only; entropy folds bins in ascending order (deterministic
+    * float association).
+    */
+  def imageQuality(media: DataFrame, bins: Int = 16,
+      minContrast: Double = 8.0, minEntropy: Double = 1.5): Dataset[ImageQualityRow] = {
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    implicit val enc = Encoders.product[ImageQualityRow]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          val img =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null)
+            ImageQualityRow(r.media_id, decoded = false, 0L, 0.0, 0.0, 0.0,
+              quality_ok = false)
+          else {
+            val h = new Array[Long](bins)
+            var s = 0L
+            var s2 = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = (img.getRGB(x, y) >> 16) & 0xff
+                s += p; s2 += p.toLong * p; h(p / width) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            val mean = s.toDouble / n
+            val contrast = math.sqrt(math.max(0.0, s2.toDouble / n - mean * mean))
+            var ent = 0.0
+            var b = 0
+            while (b < bins) {
+              if (h(b) > 0L) {
+                val p = h(b).toDouble / n
+                ent -= p * math.log(p)
+              }
+              b += 1
+            }
+            def r4(v: Double) = BigDecimal(v)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            // + 0.0 turns the single-bin case's -0.0 into 0.0 (parquet
+            // bit-compares against the oracle's +0.0)
+            val (cR, eR) = (r4(contrast + 0.0), r4(ent + 0.0))
+            ImageQualityRow(r.media_id, decoded = true, n, r4(mean), cR, eR,
+              quality_ok = cR >= minContrast && eR >= minEntropy)
+          }
+        }
+      }
+  }
+
+  /** Deterministic flat-frame synthesis (the failing class for
+    * [[imageQuality]]'s gate): a constant-`gray` 9×8 PNG per id — the
+    * blank-thumbnail/solid-placeholder shape a crawl curation pass drops.
+    */
+  def synthesizeFlatImages(ids: DataFrame, gray: Int = 128,
+      idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            dhashW, dhashH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dhashH) {
+            var x = 0
+            while (x < dhashW) {
+              img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRow(id, baos.toByteArray, "image/png")
+        }
+      }
+      .toDF()
+  }
+
   /** One media embedding row — shaped exactly like the `embeddings` table
     * (`vec_id`, `embedding: Array[Float]`) so the output plugs straight
     * into the similarity/dedup operators.

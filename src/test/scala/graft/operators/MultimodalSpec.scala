@@ -373,6 +373,49 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet === Set((1L, 4L))) // exactly the payload duplicates
   }
 
+  test("imageQuality: flat frames fail the gate, noise frames pass, " +
+      "stats match hand arithmetic, corrupt payloads decode=false") {
+    val noise = Multimodal.synthesizePhashImages(Seq(1L, 2L).toDF("doc_id"))
+    val flat = Multimodal.synthesizeFlatImages(Seq(10L).toDF("doc_id"))
+    val rows = Multimodal.imageQuality(
+        noise.unionByName(flat).unionByName(media.filter(col("media_id") === 3)))
+      .collect().map(r => r.media_id -> r).toMap
+
+    val f = rows(10L)
+    assert(f.decoded && f.n_px === 72L && f.mean_px === 128.0)
+    assert(f.contrast === 0.0 && f.entropy === 0.0 && !f.quality_ok)
+    // +0.0 guard: the single-bin entropy must be +0.0, not -0.0
+    assert(java.lang.Double.doubleToLongBits(f.entropy) ===
+      java.lang.Double.doubleToLongBits(0.0))
+
+    for (id <- Seq(1L, 2L)) {
+      val r = rows(id)
+      assert(r.decoded && r.quality_ok, s"noise frame $id failed the gate")
+      // hand-replay from the md5 pixel formula
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val px = for (y <- 0 until 8; x <- 0 until 9) yield {
+        val base = md.digest(s"${id / 4}_${x}_${y}".getBytes("UTF-8"))(0) & 0xff
+        val v = (id % 4).toInt
+        if (v > 0 && x == v && y == v) (base + v * 3) % 256 else base
+      }
+      val mean = px.sum.toDouble / 72
+      val c = math.sqrt(px.map(p => p.toDouble * p).sum / 72 - mean * mean)
+      def r4(d: Double) =
+        BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.mean_px === r4(mean) && r.contrast === r4(c), s"stats(id=$id)")
+    }
+
+    val bad = rows(3L) // empty payload from the shared fixture
+    assert(!bad.decoded && !bad.quality_ok && bad.n_px === 0L)
+
+    // flat frames at both extremes of the range fail identically — the
+    // gate keys on spread, not level
+    val ext = Multimodal.synthesizeFlatImages(Seq(20L).toDF("doc_id"), gray = 0)
+      .unionByName(Multimodal.synthesizeFlatImages(Seq(21L).toDF("doc_id"), gray = 255))
+    val extRows = Multimodal.imageQuality(ext).collect()
+    assert(extRows.forall(r => !r.quality_ok && r.entropy === 0.0 && r.contrast === 0.0))
+  }
+
   test("image IVF from persisted centroids equals brute force when every " +
       "cell is probed — the scale path loses nothing to the assignment") {
     val ids = (0L until 40L).toDF("doc_id")
