@@ -1717,6 +1717,22 @@ object SparkEntry {
     // counts, the classic model-free retrieval descriptor. The oracle
     // re-bins the md5 pixel arithmetic; green proves decode recovers
     // every pixel of every image.
+    // Audio QUALITY curation gate over REAL decoded PCM — silence (RMS
+    // floor) and saturation (clip-ratio cap) drop, healthy takes pass.
+    // Mixed-class fixture by doc_id % 5: 0 → dead air, 1 → full-scale
+    // alternation, else integer-mixer noise; every class's samples are
+    // integer arithmetic, so DuckDB replays peak/RMS/ratio exactly.
+    "multimodal_audio_quality" -> ((s, dir) => {
+      val media = Multimodal.synthesizeQualityWavs(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      Multimodal.audioQuality(media).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("n_samples"), col("peak"),
+          col("rms"), col("clip_ratio"), col("quality_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Image QUALITY curation gate over REAL decoded pixels — the image
     // modality's Gopher rules: mean / contrast (population stddev) /
     // histogram entropy per image, gate = contrast ≥ 8 AND entropy ≥ 1.5.
@@ -5197,6 +5213,32 @@ object SparkEntry {
     // re-bins the replayed pixels: bin = p // 16, count per (doc, bin),
     // zero bins materialized — what Spark recovers by decoding every
     // pixel of the real PNG bytes
+    // peak / RMS / clip-ratio replayed from the per-class sample
+    // arithmetic (bounded series + inequality join for the per-doc
+    // length; all sums exact integer folds)
+    "multimodal_audio_quality" ->
+      """WITH lens AS (SELECT doc_id, 40 + doc_id % 101 AS n FROM documents),
+        |samp AS (
+        |  SELECT l.doc_id, l.n,
+        |    CASE CAST(l.doc_id % 5 AS INT)
+        |      WHEN 0 THEN 0
+        |      WHEN 1 THEN CASE WHEN t.i % 2 = 0 THEN 32767 ELSE -32768 END
+        |      ELSE ((l.doc_id * 31 + t.i * 17) % 2048) - 1024 END AS s
+        |  FROM lens l JOIN generate_series(0, 140) t(i) ON t.i < l.n),
+        |st AS (
+        |  SELECT doc_id, max(n) AS n, max(abs(s)) AS peak, sum(s * s) AS s2,
+        |    sum(CASE WHEN abs(s) >= 32000 THEN 1 ELSE 0 END) AS clipped
+        |  FROM samp GROUP BY doc_id),
+        |q AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |    CAST(peak AS BIGINT) AS peak,
+        |    round(sqrt(s2 * 1.0 / n), 4) AS rms,
+        |    round(clipped * 1.0 / n, 4) AS clip_ratio
+        |  FROM st)
+        |SELECT doc_id, n_samples, peak, rms, clip_ratio,
+        |  (rms >= 10.0 AND clip_ratio <= 0.1) AS quality_ok
+        |FROM q ORDER BY doc_id""".stripMargin,
+
     // mean / contrast / entropy replayed from the md5 pixel arithmetic
     // for the noise class (integer sums → exact float replay at 4 dp);
     // the flat class (doc_id % 5 = 0) is constants by construction

@@ -343,6 +343,126 @@ object Multimodal {
     }
   }
 
+  case class AudioQualityRow(media_id: Long, decoded: Boolean, n_samples: Long,
+      peak: Long, rms: Double, clip_ratio: Double, quality_ok: Boolean)
+
+  /** Audio QUALITY gating over decoded PCM — the audio modality's
+    * curation rules (the [[imageQuality]] posture over samples instead of
+    * pixels): per clip, peak |sample|, RMS and the clipped-sample ratio
+    * (|s| ≥ `clipThreshold`), gate = RMS ≥ `minRms` (drops silence /
+    * dead-air recordings) AND clip ratio ≤ `maxClipRatio` (drops
+    * saturated takes). Channel-interleaved 16-bit samples are folded as
+    * one stream, matching [[decodeAudioMeta]]'s sample walk. Peak and the
+    * squared sum are exact integer folds, so a SQL oracle replays RMS and
+    * the ratio from the same sample arithmetic at 4 dp. Unparseable →
+    * `decoded=false`, zeroed stats, gate false.
+    */
+  def audioQuality(media: DataFrame, clipThreshold: Int = 32000,
+      minRms: Double = 10.0, maxClipRatio: Double = 0.1): Dataset[AudioQualityRow] = {
+    implicit val enc = Encoders.product[AudioQualityRow]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        val open = audioOpener()
+        it.map { r =>
+          val ais =
+            if (r.payload == null || r.payload.isEmpty) null
+            else open(r.payload)
+          if (ais == null)
+            AudioQualityRow(r.media_id, decoded = false, 0L, 0L, 0.0, 0.0,
+              quality_ok = false)
+          else
+            try {
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              val bytesPer = fmt.getSampleSizeInBits / 8
+              val ch = fmt.getChannels
+              val n =
+                if (bytesPer > 0 && ch > 0) bytes.length / (bytesPer * ch)
+                else 0
+              var peak = 0L
+              var s2 = 0L
+              var clipped = 0L
+              val total = n.toLong * ch
+              if (fmt.getSampleSizeInBits == 16) {
+                var i = 0
+                while (i < total) {
+                  val v =
+                    if (fmt.isBigEndian)
+                      (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+                    else
+                      (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+                  val a = math.abs(v.toLong)
+                  if (a > peak) peak = a
+                  s2 += v.toLong * v
+                  if (a >= clipThreshold) clipped += 1L
+                  i += 1
+                }
+              }
+              def r4(d: Double) = BigDecimal(d)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val rms =
+                if (total > 0) r4(math.sqrt(s2.toDouble / total)) else 0.0
+              val ratio =
+                if (total > 0) r4(clipped.toDouble / total) else 0.0
+              AudioQualityRow(r.media_id, decoded = true, total, peak, rms,
+                ratio, quality_ok = rms >= minRms && ratio <= maxClipRatio)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                AudioQualityRow(r.media_id, decoded = false, 0L, 0L, 0.0, 0.0,
+                  quality_ok = false)
+            } finally ais.close()
+        }
+      }
+  }
+
+  /** Deterministic mixed-class WAV synthesis for [[audioQuality]]'s gate:
+    * `id % 5 = 0` → silence (all-zero samples — dead air, fails the RMS
+    * floor); `id % 5 = 1` → full-scale alternation ±32767/−32768 (a
+    * saturated take, fails the clip-ratio cap); else the integer-mixer
+    * noise samples of [[synthesizeWavs]] (`((id*31 + i*17) % 2048) −
+    * 1024` — passes). Same 8 kHz mono 16-bit container and
+    * `n = 40 + id % 101` length everywhere, so one SQL CASE replays every
+    * class.
+    */
+  def synthesizeQualityWavs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        it.map { id =>
+          val n = 40 + (id % 101).toInt
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)                 // PCM
+            .putShort(1)                 // mono
+            .putInt(8000)
+            .putInt(16000)               // byte rate
+            .putShort(2)                 // block align
+            .putShort(16)                // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            val v: Long = (id % 5).toInt match {
+              case 0 => 0L
+              case 1 => if (i % 2 == 0) 32767L else -32768L
+              case _ => ((id * 31 + i * 17) % 2048) - 1024
+            }
+            bb.putShort(v.toShort)
+            i += 1
+          }
+          MediaRow(id, bb.array(), "audio/wav")
+        }
+      }
+      .toDF()
+  }
+
   /** REAL audio decode: `javax.sound.sampled` parses the container
     * (WAV/AIFF/AU — the JDK's readers), yielding the actual sample rate,
     * frame count, integer-microsecond duration and the signed 16-bit

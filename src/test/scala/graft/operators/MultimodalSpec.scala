@@ -416,6 +416,39 @@ class MultimodalSpec extends SparkSpec {
     assert(extRows.forall(r => !r.quality_ok && r.entropy === 0.0 && r.contrast === 0.0))
   }
 
+  test("audioQuality: silence fails the RMS floor, saturation fails the " +
+      "clip cap, noise passes with hand-replayed stats") {
+    // ids 0/1/2 land in the silence/clipped/noise classes respectively
+    val rows = Multimodal.audioQuality(
+        Multimodal.synthesizeQualityWavs(Seq(0L, 1L, 2L).toDF("doc_id")))
+      .collect().map(r => r.media_id -> r).toMap
+
+    val silent = rows(0L)
+    assert(silent.decoded && silent.n_samples === 40L && silent.peak === 0L)
+    assert(silent.rms === 0.0 && !silent.quality_ok)
+
+    val clipped = rows(1L)
+    assert(clipped.decoded && clipped.n_samples === 41L)
+    assert(clipped.peak === 32768L && clipped.clip_ratio === 1.0 &&
+      !clipped.quality_ok)
+
+    val noise = rows(2L)
+    val n = 42
+    val samples = (0 until n).map(i => ((2L * 31 + i * 17) % 2048) - 1024)
+    def r4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(noise.decoded && noise.n_samples === n.toLong)
+    assert(noise.peak === samples.map(math.abs).max)
+    assert(noise.rms === r4(math.sqrt(
+      samples.map(s => s.toDouble * s).sum / n)))
+    assert(noise.clip_ratio === 0.0 && noise.quality_ok)
+
+    val bad = Multimodal.audioQuality(
+      Seq((9L, "not-audio".getBytes("UTF-8"), "audio/wav"))
+        .toDF("media_id", "payload", "media_type")).collect().head
+    assert(!bad.decoded && !bad.quality_ok)
+  }
+
   test("image IVF from persisted centroids equals brute force when every " +
       "cell is probed — the scale path loses nothing to the assignment") {
     val ids = (0L until 40L).toDF("doc_id")
