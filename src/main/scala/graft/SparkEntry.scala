@@ -1717,6 +1717,24 @@ object SparkEntry {
     // counts, the classic model-free retrieval descriptor. The oracle
     // re-bins the md5 pixel arithmetic; green proves decode recovers
     // every pixel of every image.
+    // Video QUALITY curation gate over REAL decoded frames — mean
+    // absolute inter-frame motion per pixel; static clips (doc_id % 5 =
+    // 0 drops the frame term, every frame identical) fail, moving
+    // content passes. Completes the per-modality curation quartet
+    // (Gopher rules : text :: contrast/entropy : image :: RMS/clip :
+    // audio :: motion : video), every gate over real decodes with an
+    // exact arithmetic oracle.
+    "multimodal_video_quality" -> ((s, dir) => {
+      val media = Multimodal.synthesizeQualityGifs(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      Multimodal.videoQuality(media).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("n_frames"),
+          col("motion"), col("quality_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Audio QUALITY curation gate over REAL decoded PCM — silence (RMS
     // floor) and saturation (clip-ratio cap) drop, healthy takes pass.
     // Mixed-class fixture by doc_id % 5: 0 → dead air, 1 → full-scale
@@ -5213,6 +5231,32 @@ object SparkEntry {
     // re-bins the replayed pixels: bin = p // 16, count per (doc, bin),
     // zero bins materialized — what Spark recovers by decoding every
     // pixel of the real PNG bytes
+    // motion replayed from the per-class frame arithmetic: the absolute
+    // inter-frame difference of the synthesis formula, summed exactly
+    // over bounded series + inequality joins on (x, y, f)
+    "multimodal_video_quality" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+        |    2 + doc_id % 5 AS nf
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.nf,
+        |    abs(CAST((d.doc_id * 31 + xs.x * 7 + ys.y * 13 +
+        |          CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE fs.f * 101 END) % 256 AS BIGINT)
+        |      - CAST((d.doc_id * 31 + xs.x * 7 + ys.y * 13 +
+        |          CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE (fs.f - 1) * 101 END) % 256 AS BIGINT)) AS ad
+        |  FROM dims d
+        |  JOIN generate_series(0, 12) xs(x) ON xs.x < d.w
+        |  JOIN generate_series(0, 7) ys(y) ON ys.y < d.h
+        |  JOIN generate_series(1, 6) fs(f) ON fs.f < d.nf),
+        |st AS (
+        |  SELECT doc_id, max(nf) AS nf, sum(ad) AS diff, count(*) AS npx
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  round(diff * 1.0 / npx, 4) AS motion,
+        |  (nf >= 2 AND round(diff * 1.0 / npx, 4) >= 1.0) AS quality_ok
+        |FROM st ORDER BY doc_id""".stripMargin,
+
     // peak / RMS / clip-ratio replayed from the per-class sample
     // arithmetic (bounded series + inequality join for the per-doc
     // length; all sums exact integer folds)

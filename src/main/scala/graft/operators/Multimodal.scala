@@ -698,7 +698,16 @@ object Multimodal {
     * extraction SHAPE below is exactly what a real codec binding slots
     * into.
     */
-  def synthesizeGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def synthesizeGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    synthesizeGifsWith(ids, idCol,
+      (id, x, y, f) => ((id * 31 + x * 7 + y * 13 + f * 101) % 256).toInt)
+
+  /** [[synthesizeGifs]] with a caller-chosen per-(id,x,y,f) gray formula —
+    * the shared writer core; the quality fixture switches the formula per
+    * id class to plant static clips.
+    */
+  private def synthesizeGifsWith(ids: DataFrame, idCol: String,
+      px: (Long, Int, Int, Int) => Int): DataFrame = {
     implicit val enc = Encoders.product[MediaRow]
     ids.select(col(idCol).cast("long").as("media_id"))
       .as(Encoders.scalaLong)
@@ -751,8 +760,7 @@ object Multimodal {
             while (y < h) {
               var x = 0
               while (x < w) {
-                raster.setSample(x, y, 0,
-                  ((id * 31 + x * 7 + y * 13 + f * 101) % 256).toInt)
+                raster.setSample(x, y, 0, px(id, x, y, f))
                 x += 1
               }
               y += 1
@@ -772,6 +780,86 @@ object Multimodal {
         out
       }
       .toDF()
+  }
+
+  /** Mixed-class GIF synthesis for [[videoQuality]]'s gate: `id % 5 = 0`
+    * clips drop the frame term (every frame identical — the static
+    * slideshow/frozen-encoder shape a video curation pass rejects); the
+    * rest carry [[synthesizeGifs]]' moving formula. Same container,
+    * dimensions and frame counts, so one SQL CASE replays both classes.
+    */
+  def synthesizeQualityGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    synthesizeGifsWith(ids, idCol, (id, x, y, f) =>
+      ((id * 31 + x * 7 + y * 13 +
+        (if (id % 5 == 0) 0 else f * 101)) % 256).toInt)
+
+  case class VideoQualityRow(media_id: Long, decoded: Boolean, n_frames: Long,
+      motion: Double, quality_ok: Boolean)
+
+  /** Video QUALITY gating over decoded frames — the curation rule for the
+    * video modality: mean absolute inter-frame gray difference per pixel
+    * ("motion"), gate = `motion ≥ minMotion` with at least two frames.
+    * Static clips (every frame identical — frozen encoders, slideshow
+    * padding) and single-frame containers fail; moving content passes.
+    * The absolute-difference sum is an exact integer fold over decoded
+    * pixels, so a SQL oracle replays motion at 4 dp from the synthesis
+    * arithmetic. Corrupt payloads → `decoded=false`, gate false.
+    */
+  def videoQuality(media: DataFrame, minMotion: Double = 1.0): Dataset[VideoQualityRow] = {
+    implicit val enc = Encoders.product[VideoQualityRow]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.map { r =>
+          try {
+            if (r.payload == null || r.payload.isEmpty)
+              VideoQualityRow(r.media_id, decoded = false, 0L, 0.0,
+                quality_ok = false)
+            else {
+              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(r.payload)))
+              val n = reader.getNumImages(true)
+              var diff = 0L
+              var px = 0L
+              var prev: java.awt.image.BufferedImage = null
+              var f = 0
+              while (f < n) {
+                val img = reader.read(f)
+                if (prev != null) {
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val a = (img.getRGB(x, y) >> 16) & 0xff
+                      val b = (prev.getRGB(x, y) >> 16) & 0xff
+                      diff += math.abs(a - b).toLong
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  px += img.getWidth.toLong * img.getHeight
+                }
+                prev = img
+                f += 1
+              }
+              val motion =
+                if (px > 0) BigDecimal(diff.toDouble / px)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                else 0.0
+              VideoQualityRow(r.media_id, decoded = true, n.toLong, motion,
+                quality_ok = n >= 2 && motion >= minMotion)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              VideoQualityRow(r.media_id, decoded = false, 0L, 0.0,
+                quality_ok = false)
+          }
+        }
+      }
   }
 
   /** REAL multi-frame container decode: frame count + first-frame

@@ -416,6 +416,37 @@ class MultimodalSpec extends SparkSpec {
     assert(extRows.forall(r => !r.quality_ok && r.entropy === 0.0 && r.contrast === 0.0))
   }
 
+  test("videoQuality: static clips fail the motion floor, moving clips " +
+      "pass with hand-replayed motion") {
+    // id 5 is static (id % 5 = 0), ids 1 and 3 are moving
+    val rows = Multimodal.videoQuality(
+        Multimodal.synthesizeQualityGifs(Seq(1L, 3L, 5L).toDF("doc_id")))
+      .collect().map(r => r.media_id -> r).toMap
+
+    val static = rows(5L)
+    assert(static.decoded && static.n_frames === 2L)
+    assert(static.motion === 0.0 && !static.quality_ok)
+
+    for (id <- Seq(1L, 3L)) {
+      val r = rows(id)
+      val (w, h, nf) = (4 + (id % 9).toInt, 3 + (id % 5).toInt, 2 + (id % 5).toInt)
+      assert(r.decoded && r.n_frames === nf.toLong, s"frames(id=$id)")
+      var diff = 0L
+      for (f <- 1 until nf; y <- 0 until h; x <- 0 until w)
+        diff += math.abs(
+          (id * 31 + x * 7 + y * 13 + f * 101) % 256 -
+            (id * 31 + x * 7 + y * 13 + (f - 1) * 101) % 256)
+      val motion = BigDecimal(diff.toDouble / ((nf - 1).toLong * w * h))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.motion === motion && r.quality_ok, s"motion(id=$id)")
+    }
+
+    val bad = Multimodal.videoQuality(
+      Seq((9L, "not-a-gif".getBytes("UTF-8"), "video/gif"))
+        .toDF("media_id", "payload", "media_type")).collect().head
+    assert(!bad.decoded && !bad.quality_ok)
+  }
+
   test("audioQuality: silence fails the RMS floor, saturation fails the " +
       "clip cap, noise passes with hand-replayed stats") {
     // ids 0/1/2 land in the silence/clipped/noise classes respectively
