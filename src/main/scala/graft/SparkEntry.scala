@@ -1717,6 +1717,40 @@ object SparkEntry {
     // counts, the classic model-free retrieval descriptor. The oracle
     // re-bins the md5 pixel arithmetic; green proves decode recovers
     // every pixel of every image.
+    // The image curation pipeline END-TO-END, in production order:
+    // decode → quality gate → near-dup clusters over the SURVIVORS →
+    // keepers. Gating before dedup is the load-bearing order at 100 TB
+    // (the failing class here is identical flat frames — ungated they
+    // would form one giant spurious cluster; gated they never reach the
+    // banded join). Output: every doc with its gate verdict, its cluster
+    // assignment if it survived, and the final kept flag.
+    "pipeline_multimodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val media = Multimodal.synthesizePhashImages(
+          docs.filter(col("doc_id") % 5 =!= 0))
+        .unionByName(Multimodal.synthesizeFlatImages(
+          docs.filter(col("doc_id") % 5 === 0)))
+      val quality = Multimodal.imageQuality(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          (col("decoded") && col("quality_ok")).as("quality_ok"))
+        .persist()
+      val passing = quality.filter(col("quality_ok")).select("doc_id")
+      val sigs = Multimodal.imageDHash(media).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+        .join(passing, Seq("doc_id"))
+      val pairs = Dedup.hammingPairsHiLo(sigs, maxHamming = 3, bands = 4)
+      val assigned = Dedup.clusterAssignments(passing, "doc_id", pairs)
+      val keeper = coalesce(col("is_keeper"), lit(false))
+      docs.join(quality, Seq("doc_id"), "left")
+        .join(assigned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_ok"), col("cluster_id"),
+          col("cluster_size"), keeper.as("is_keeper"),
+          (col("quality_ok") && keeper).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Video QUALITY curation gate over REAL decoded frames — mean
     // absolute inter-frame motion per pixel; static clips (doc_id % 5 =
     // 0 drops the frame term, every frame identical) fail, moving
@@ -5231,6 +5265,58 @@ object SparkEntry {
     // re-bins the replayed pixels: bin = p // 16, count per (doc, bin),
     // zero bins materialized — what Spark recovers by decoding every
     // pixel of the real PNG bytes
+    // gate → survivor pairs → recursive-CTE closure → keepers, all
+    // replayed from the md5 pixel arithmetic; flat docs (% 5 = 0) fail
+    // the gate by construction and never enter the pair set
+    "pipeline_multimodal" -> ("WITH RECURSIVE " +
+      phashSigsSql.stripPrefix("WITH ") +
+      """,
+        |gstats AS (
+        |  SELECT doc_id, sum(p) AS s, sum(p * p) AS s2
+        |  FROM px WHERE doc_id % 5 <> 0 GROUP BY doc_id),
+        |ghist AS (
+        |  SELECT doc_id, p // 16 AS bin, count(*) AS k
+        |  FROM px WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |gent AS (
+        |  SELECT doc_id, -sum((k / 72.0) * ln(k / 72.0)) AS e
+        |  FROM ghist GROUP BY doc_id),
+        |gate AS (
+        |  SELECT gstats.doc_id,
+        |    (round(sqrt(s2 / 72.0 - (s / 72.0) * (s / 72.0)), 4) >= 8.0
+        |     AND round(e, 4) >= 1.5) AS ok
+        |  FROM gstats JOIN gent USING (doc_id)),
+        |pass AS (SELECT doc_id FROM gate WHERE ok),
+        |psigs AS (SELECT s.* FROM sigs s JOIN pass USING (doc_id)),
+        |ppairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM psigs a JOIN psigs b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |        bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM ppairs
+        |  UNION ALL SELECT doc_b, doc_a FROM ppairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT p.doc_id, coalesce(l.cluster_id, p.doc_id) AS cluster_id
+        |  FROM pass p LEFT JOIN labels l USING (doc_id)),
+        |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(g.ok, false) AS quality_ok,
+        |  lab.cluster_id,
+        |  CAST(csizes.cluster_size AS BIGINT) AS cluster_size,
+        |  coalesce(lab.doc_id = lab.cluster_id, false) AS is_keeper,
+        |  (coalesce(g.ok, false) AND coalesce(lab.doc_id = lab.cluster_id, false)) AS kept
+        |FROM documents d
+        |LEFT JOIN gate g ON g.doc_id = d.doc_id
+        |LEFT JOIN lab ON lab.doc_id = d.doc_id
+        |LEFT JOIN csizes ON csizes.cluster_id = lab.cluster_id
+        |ORDER BY d.doc_id""".stripMargin),
+
     // motion replayed from the per-class frame arithmetic: the absolute
     // inter-frame difference of the synthesis formula, summed exactly
     // over bounded series + inequality joins on (x, y, f)
