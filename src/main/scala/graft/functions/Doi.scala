@@ -39,7 +39,9 @@ object Doi {
     regexp_replace(noDot, extras + ".*$", "")
   }
 
-  private def nonEmpty(c: Column): Column = when(length(c) > 0, c)
+  // nullif, not when(length(c) > 0, c): the when-form inlines `c` twice
+  // and re-runs the stage regex per reference (same fix as DoiNetwork)
+  private def nonEmpty(c: Column): Column = nullif(c, lit(""))
 
   /** Stage 1: standard DOI regex (doi.py:44-66). NULL when no match. */
   def doiRegex(c: Column): Column =
@@ -50,26 +52,24 @@ object Doi {
     normalize(nonEmpty(regexp_extract(c, DoiRegexStrict, 1)))
 
   /** Stage 3: mapress/biotaxa URL → `10.11646/` DOI (doi.py:91-103). */
-  def mapress(c: Column): Column = {
-    val m = nonEmpty(regexp_extract(c, "(\\w+taxa\\.\\d{1,4}\\.\\d+\\.\\d+)", 1))
-    when(m.isNotNull, concat(lit("10.11646/"), m))
-  }
+  def mapress(c: Column): Column =
+    // concat null-propagates: no isNotNull guard (which would re-run the
+    // extract a second time)
+    concat(lit("10.11646/"),
+      nonEmpty(regexp_extract(c, "(\\w+taxa\\.\\d{1,4}\\.\\d+\\.\\d+)", 1)))
 
   /** Stage 4: Nature article ids → `10.1038/` (doi.py:105-120), both the
     * `sNNNNN-NNN-NNNNN-x` form and `nature.com/articles/<id>`.
     */
-  def nature(c: Column): Column = {
-    val m1 = nonEmpty(regexp_extract(c, "(s\\d{5}-\\d{3}-\\d{5}-.)", 1))
-    val m2 = nonEmpty(regexp_extract(c, "nature\\.com/articles/([^/]+)", 1))
-    when(m1.isNotNull, concat(lit("10.1038/"), m1))
-      .otherwise(when(m2.isNotNull, concat(lit("10.1038/"), m2)))
-  }
+  def nature(c: Column): Column = coalesce(
+    concat(lit("10.1038/"),
+      nonEmpty(regexp_extract(c, "(s\\d{5}-\\d{3}-\\d{5}-.)", 1))),
+    concat(lit("10.1038/"),
+      nonEmpty(regexp_extract(c, "nature\\.com/articles/([^/]+)", 1))))
 
   /** Stage 5: Cambridge `fileId=S…` → `10.1017/` (doi.py:122-130). */
-  def cambridge(c: Column): Column = {
-    val m = nonEmpty(regexp_extract(c, "fileId=(S[A-Z0-9]+)", 1))
-    when(m.isNotNull, concat(lit("10.1017/"), m))
-  }
+  def cambridge(c: Column): Column =
+    concat(lit("10.1017/"), nonEmpty(regexp_extract(c, "fileId=(S[A-Z0-9]+)", 1)))
 
   /** F15 (doi.py:32-34): `fix=True` pre-step — URL-decode `+`/%xx and drop
     * spaces before extraction.
