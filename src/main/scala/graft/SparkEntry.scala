@@ -1887,6 +1887,39 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The STREAMED image-feature index: VectorIngest is modality-agnostic
+    // (it ingests any (vec_id, embedding) frame), so two doc-disjoint
+    // micro-batches of decoded histogram features land on the same
+    // cell-partitioned layout the text embeddings use — centroids trained
+    // by the first batch, reused by the second, BatchMarker exactly-once.
+    // nProbe = nCells makes the search EXACT, so the brute-force image
+    // oracle verifies the ACCUMULATION itself: every batch's vectors
+    // present exactly once, correctly assigned and scored. Completes the
+    // flat / pruned / streamed index symmetry between the text and image
+    // families.
+    "ann_image_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = Multimodal.synthesizePhashImages(
+        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val vecs = Multimodal.imageFeatures(media, bins = 16).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("vec_id"),
+          col("histogram").cast("array<double>").as("embedding"))
+      val path = ensureIndex(s, docs, "ivfimgstream", "built") { p =>
+        graft.streaming.VectorIngest.processBatch(
+          vecs.filter(pmod(col("vec_id"), lit(2)) === 0), 0L, p, nCells = 8)
+        graft.streaming.VectorIngest.processBatch(
+          vecs.filter(pmod(col("vec_id"), lit(2)) === 1), 1L, p, nCells = 8)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      Similarity.ivfTopKFromPartitioned(s, path, vecs.filter(col("vec_id") < 10),
+          k = 5, nProbe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental image dedup — the daily-crawl shape: only pairs
     // touching the incoming batch (docs with doc_id % 7 = 3 play the new
     // crawl) are computed; the corpus×corpus quadratic term never forms,
@@ -3582,6 +3615,30 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS BIGINT) AS hash_hi,
       |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT) AS hash_lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Brute-force cosine top-5 over histogram vectors re-derived from the
+    * replayed pixels — shared by `ann_image_topk` (the labeled brute
+    * baseline) and `ann_image_streamed` (exhaustive-probe search over the
+    * streamed accumulation, which must equal brute force).
+    */
+  private val imageBruteTopkOracle: String = (phashPxSql +
+      """,
+        |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),
+        |bins AS (SELECT b FROM generate_series(0, 15) t(b)),
+        |vecs AS (
+        |  SELECT d.doc_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY b.b) AS v
+        |  FROM documents d CROSS JOIN bins b
+        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b
+        |  GROUP BY d.doc_id),
+        |q AS (SELECT * FROM vecs WHERE doc_id < 10),
+        |scored AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |  FROM q, vecs c WHERE c.doc_id <> q.doc_id)
+        |SELECT query_id, rn AS rank, neighbor_id, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
 
   /** The ivfTopkOracle shape over histogram vectors re-derived from the
     * replayed pixels — shared by `ann_image_ivf` (flat centroids index)
@@ -5411,24 +5468,12 @@ object SparkEntry {
     // the bruteTopkOracle shape over histogram vectors re-derived from
     // the replayed pixels — integer counts keep the cosine chain
     // bit-reproducible across engines
-    "ann_image_topk" -> (phashPxSql +
-      """,
-        |hist AS (SELECT doc_id, p // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2),
-        |bins AS (SELECT b FROM generate_series(0, 15) t(b)),
-        |vecs AS (
-        |  SELECT d.doc_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY b.b) AS v
-        |  FROM documents d CROSS JOIN bins b
-        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b
-        |  GROUP BY d.doc_id),
-        |q AS (SELECT * FROM vecs WHERE doc_id < 10),
-        |scored AS (
-        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-        |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
-        |  FROM q, vecs c WHERE c.doc_id <> q.doc_id)
-        |SELECT query_id, rn AS rank, neighbor_id, sim
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_image_topk" -> imageBruteTopkOracle,
+
+    // exact search (nProbe = nCells) over the streamed accumulation must
+    // equal brute force — the oracle verifies the accumulation itself,
+    // the same contract as ann_ivf_streamed
+    "ann_image_streamed" -> imageBruteTopkOracle,
 
     // the ivfTopkOracle shape over histogram vectors re-derived from the
     // replayed pixels: centroids read from the persisted ivfimg index,

@@ -130,6 +130,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // same query-side centroid cross as ann_ivf_pruned, over the STREAMED
     // accumulation (stored assignments read from cell=/batch_id= dirs)
     "ann_ivf_streamed",
+    // identical shape over the streamed IMAGE-feature accumulation
+    "ann_image_streamed",
     // same query-side centroid cross as ann_ivfpq_pruned over the
     // streamed codes package
     "ann_ivfpq_streamed")
