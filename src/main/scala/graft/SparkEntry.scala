@@ -1887,6 +1887,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Duplicate-VIDEO detection via aligned frame perceptual hashes — the
+    // YouTube-dedup shape: every container frame crosses the video→image
+    // bridge (extractFrameImages), gets a dHash, and two videos pair when
+    // ≥ 2 temporally ALIGNED frames match within hamming 3. Frames ride
+    // the banded join as surrogate ids (video·1000 + frame), so the
+    // pigeonhole-complete kernel is reused unchanged and the same-frame
+    // restriction is a post-filter — exact, no all-pairs. The oracle
+    // re-derives every frame hash from the md5 pixel arithmetic and
+    // brute-forces the aligned comparison.
+    "dedup_video_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val media = Multimodal.synthesizeDupGifs(docs)
+      val frames = Multimodal.extractFrameImages(media, every = 1).toDF()
+      val sigs = Multimodal.imageDHash(
+          frames.select(
+            (col("media_id") * 1000 + col("frame_no")).as("media_id"),
+            col("payload"), col("media_type"))).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+      Dedup.hammingPairsHiLo(sigs, maxHamming = 3, bands = 4)
+        .filter(pmod(col("doc_a"), lit(1000)) === pmod(col("doc_b"), lit(1000)))
+        .groupBy(floor(col("doc_a") / 1000).cast("long").as("vid_a"),
+          floor(col("doc_b") / 1000).cast("long").as("vid_b"))
+        .agg(count(lit(1)).as("n_matching_frames"))
+        .filter(col("n_matching_frames") >= 2)
+        .orderBy("vid_a", "vid_b")
+    }),
+
     // The STREAMED image-feature index: VectorIngest is modality-agnostic
     // (it ingests any (vec_id, embedding) frame), so two doc-disjoint
     // micro-batches of decoded histogram features land on the same
@@ -5474,6 +5503,44 @@ object SparkEntry {
     // equal brute force — the oracle verifies the accumulation itself,
     // the same contract as ann_ivf_streamed
     "ann_image_streamed" -> imageBruteTopkOracle,
+
+    // every frame hash re-derived from the md5 pixel arithmetic, aligned
+    // comparison brute-forced, >= 2 matching frames — what the banded
+    // surrogate join must emit exactly
+    "dedup_video_pairs" ->
+      """WITH fams AS (
+        |  SELECT doc_id, doc_id // 4 AS family,
+        |    2 + CAST((doc_id // 4) % 3 AS INT) AS nf
+        |  FROM documents),
+        |vpx AS (
+        |  SELECT fm.doc_id, fr.f, xs.x, ys.y,
+        |    (CAST(concat('0x', substr(md5(concat(fm.family, '_', xs.x, '_', ys.y, '_', fr.f)), 1, 2)) AS BIGINT)
+        |     + CASE WHEN fm.doc_id % 4 > 0 AND xs.x = fm.doc_id % 4
+        |                 AND ys.y = fm.doc_id % 4 AND fr.f = 0
+        |            THEN (fm.doc_id % 4) * 3 ELSE 0 END) % 256 AS p
+        |  FROM fams fm
+        |  JOIN generate_series(0, 3) fr(f) ON fr.f < fm.nf
+        |  CROSS JOIN generate_series(0, 8) xs(x)
+        |  CROSS JOIN generate_series(0, 7) ys(y)),
+        |vbits AS (
+        |  SELECT a.doc_id, a.f, a.x, a.y,
+        |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+        |  FROM vpx a JOIN vpx b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |vsigs AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM vbits GROUP BY doc_id, f),
+        |fp AS (
+        |  SELECT a.doc_id AS vid_a, b.doc_id AS vid_b
+        |  FROM vsigs a JOIN vsigs b ON a.doc_id < b.doc_id AND a.f = b.f
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |        bit_count(xor(a.hash_lo, b.hash_lo)) <= 3)
+        |SELECT vid_a, vid_b, count(*) AS n_matching_frames
+        |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY vid_a, vid_b""".stripMargin,
 
     // the ivfTopkOracle shape over histogram vectors re-derived from the
     // replayed pixels: centroids read from the persisted ivfimg index,

@@ -707,6 +707,17 @@ object Multimodal {
     * id class to plant static clips.
     */
   private def synthesizeGifsWith(ids: DataFrame, idCol: String,
+      px: (Long, Int, Int, Int) => Int): DataFrame =
+    synthesizeGifsWithDims(ids, idCol,
+      dims = id => (4 + (id % 9).toInt, 3 + (id % 5).toInt, 2 + (id % 5).toInt),
+      px = px)
+
+  /** The writer core with caller-chosen per-id (w, h, nFrames) too — the
+    * video-dedup fixture needs dHash-grid frames and family-determined
+    * frame counts.
+    */
+  private def synthesizeGifsWithDims(ids: DataFrame, idCol: String,
+      dims: Long => (Int, Int, Int),
       px: (Long, Int, Int, Int) => Int): DataFrame = {
     implicit val enc = Encoders.product[MediaRow]
     ids.select(col(idCol).cast("long").as("media_id"))
@@ -740,9 +751,7 @@ object Multimodal {
             md
           })
         val out = it.map { id =>
-          val w = 4 + (id % 9).toInt
-          val h = 3 + (id % 5).toInt
-          val nf = 2 + (id % 5).toInt
+          val (w, h, nf) = dims(id)
           val baos = new java.io.ByteArrayOutputStream()
           // MemoryCache, never ImageIO.createImageOutputStream: the
           // factory wraps OutputStreams in a FileCache stream — a temp
@@ -792,6 +801,37 @@ object Multimodal {
     synthesizeGifsWith(ids, idCol, (id, x, y, f) =>
       ((id * 31 + x * 7 + y * 13 +
         (if (id % 5 == 0) 0 else f * 101)) % 256).toInt)
+
+  /** Deterministic near-duplicate GIF synthesis for the VIDEO dedup
+    * pipeline: ids in the same FAMILY (`id / 4`) share md5-derived
+    * pseudo-random 9×8 frames and a family-determined frame count
+    * (`2 + family % 3`); variants (`id % 4 > 0`) perturb the single pixel
+    * `(v, v)` of frame 0 by `v·3 mod 256` — aligned frames a few dHash
+    * bits apart, while cross-family frames are independent 64-bit hashes
+    * (md5 as the mixer for the same reason as
+    * [[synthesizePhashImages]]). Frames are exactly the 9×8 dHash grid,
+    * so the frame → image bridge feeds [[imageDHash]]'s resample-free
+    * path and a SQL oracle replays every bit.
+    */
+  // object field, not a closure capture: the anonymous ThreadLocal is not
+  // Serializable, but a module-field reference deserializes to the
+  // singleton on the executor
+  private val md5Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def synthesizeDupGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    synthesizeGifsWithDims(ids, idCol,
+      dims = id => (dhashW, dhashH, 2 + ((id / 4) % 3).toInt),
+      px = (id, x, y, f) => {
+        val family = id / 4
+        val v = (id % 4).toInt
+        val base = md5Pool.get.digest(
+          s"${family}_${x}_${y}_${f}".getBytes("UTF-8"))(0) & 0xff
+        if (v > 0 && x == v && y == v && f == 0) (base + v * 3) % 256
+        else base
+      })
 
   case class VideoQualityRow(media_id: Long, decoded: Boolean, n_frames: Long,
       motion: Double, quality_ok: Boolean)

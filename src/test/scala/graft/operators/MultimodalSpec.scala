@@ -416,6 +416,35 @@ class MultimodalSpec extends SparkSpec {
     assert(extRows.forall(r => !r.quality_ok && r.entropy === 0.0 && r.contrast === 0.0))
   }
 
+  test("synthesizeDupGifs: family members share aligned near-dup frames; " +
+      "cross-family frames are independent") {
+    // ids 0-3 = one family (base + 3 variants), 4 = another family
+    val media = Multimodal.synthesizeDupGifs((0L to 4L).toDF("doc_id"))
+    val frames = Multimodal.extractFrameImages(media, every = 1).toDF()
+    val sigs = Multimodal.imageDHash(
+        frames.select((col("media_id") * 1000 + col("frame_no")).as("media_id"),
+          col("payload"), col("media_type"))).toDF()
+      .filter(col("decoded"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("hash_hi"), r.getAs[Long]("hash_lo"))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // family 0 (ids 0-3): nf = 2; every aligned frame of base-vs-variant
+    // is within 3 bits (one perturbed pixel flips <= 2 comparison bits)
+    for (v <- 1L to 3L; f <- 0 until 2)
+      assert(ham(sigs(0L * 1000 + f), sigs(v * 1000 + f)) <= 3,
+        s"variant $v frame $f drifted from base")
+    // non-perturbed frames are IDENTICAL
+    for (v <- 1L to 3L)
+      assert(ham(sigs(0L * 1000 + 1), sigs(v * 1000 + 1)) === 0)
+    // cross-family aligned frames are independent 64-bit hashes
+    assert(ham(sigs(0L), sigs(4000L)) > 3, "cross-family frames collided")
+    // misaligned frames of the SAME family are independent too — the
+    // aligned-comparison rule is load-bearing
+    assert(ham(sigs(0L), sigs(1L * 1000 + 1)) > 3,
+      "misaligned family frames collided")
+  }
+
   test("videoQuality: static clips fail the motion floor, moving clips " +
       "pass with hand-replayed motion") {
     // id 5 is static (id % 5 = 0), ids 1 and 3 are moving
