@@ -3029,6 +3029,28 @@ object SparkEntry {
         .orderBy("cust_id")
     }),
 
+    // TIME TRAVEL on the changelog: the table AS OF batch 0 — the state
+    // before the update batch landed — must equal the base table exactly.
+    // The as-of read is the same per-key resolve restricted to
+    // batch_id <= N (partition-pruning the log scan to the surviving
+    // early dirs); the index is built WITHOUT compaction so the history
+    // is still on disk — after a compaction, as-of reads older than the
+    // horizon see an empty state, the lakehouse cleaning contract
+    // (spec-pinned in UpsertIngestSpec).
+    "etl_upsert_asof" -> ((s, dir) => {
+      import s.implicits._
+      val (base, updates) = upsertFixture(s, dir)
+      val path = ensureIndex(s, t(s, dir, "customer"), "upsertasof", "built") { p =>
+        graft.streaming.UpsertIngest.processBatch(base, 0L, p)
+        graft.streaming.UpsertIngest.processBatch(updates, 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      graft.streaming.UpsertIngest.readAsOf(s, path, "cust_id", asOfBatch = 0L)
+        .select("cust_id", "c_acctbal", "c_mktsegment")
+        .orderBy("cust_id")
+    }),
+
     // SCD2 interval versioning: each customer's order-priority history as
     // [valid_from, valid_to) dimension rows, no-op changes collapsed —
     // the warehouse-dimension build the as-of join consumes.
@@ -6109,6 +6131,12 @@ object SparkEntry {
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "etl_upsert" -> etlUpsertOracle,
+
+    // as-of batch 0 = the state before the update batch: the base table
+    // verbatim — history recovered from the untouched early log dirs
+    "etl_upsert_asof" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY cust_id""".stripMargin,
 
     // the SAME oracle: latest-batch-per-key over the changelog must equal
     // the copy-on-write merge

@@ -82,6 +82,25 @@ object UpsertIngest {
     latestPerKey(spark.read.parquet(s"$tablePath/log"), keyCol)
   }
 
+  /** TIME TRAVEL: the table as of batch `asOfBatch` — the same per-key
+    * resolve restricted to log rows with `batch_id <= asOfBatch` (the
+    * batch id IS the version, so this is "the state after batch N
+    * landed"). The batch_id partition-prunes the log scan, so an as-of
+    * read lists only the surviving early directories. Retention horizon:
+    * a compaction collapses all history into the highest landed id —
+    * after it, as-of reads older than that id see an EMPTY (not stale)
+    * state, exactly the lakehouse cleaning contract: time travel reaches
+    * back only to the last compaction, and the caller trades read
+    * amplification against history depth by choosing when to compact.
+    */
+  def readAsOf(spark: SparkSession, tablePath: String, keyCol: String,
+      asOfBatch: Long): DataFrame = {
+    recoverCompaction(spark, tablePath)
+    latestPerKey(
+      spark.read.parquet(s"$tablePath/log")
+        .filter(col("batch_id") <= asOfBatch), keyCol)
+  }
+
   /** Latest-batch-per-key resolve — the one window both [[readLatest]]
     * and [[compactLog]] use, so a compaction can never change which row
     * a key resolves to. Within one batch the caller owes one row per key;

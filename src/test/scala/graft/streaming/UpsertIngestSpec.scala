@@ -213,4 +213,35 @@ class UpsertIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tbl2/log").select("k").as[Long]
       .collect().toSet === Set(1L))
   }
+
+  test("readAsOf time-travels to any landed batch; compaction is the " +
+      "retention horizon") {
+    val dir = Files.createTempDirectory("upsertasof").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    UpsertIngest.processBatch(
+      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "n"), 0L, tbl)
+    UpsertIngest.processBatch(
+      Seq((2L, "B2", 1L), (3L, "c", 1L)).toDF("k", "v", "n"), 1L, tbl)
+
+    def asOf(b: Long) = UpsertIngest.readAsOf(spark, tbl, "k", b)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // as-of 0 = the pre-update state; as-of 1 = the latest resolve;
+    // beyond the max landed id = the latest too (ids are monotone)
+    assert(asOf(0L) === Map(1L -> "a", 2L -> "b"))
+    assert(asOf(1L) === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    assert(asOf(99L) === asOf(1L))
+    assert(asOf(1L) === latest(tbl).map { case (k, (v, _)) => k -> v })
+    // before the first batch: no surviving rows, empty state
+    assert(asOf(-1L).isEmpty)
+
+    // compaction collapses history into the highest id: older as-of
+    // reads now see the EMPTY state, not a stale one — the lakehouse
+    // cleaning contract
+    UpsertIngest.compactLog(spark, tbl, "k")
+    assert(asOf(1L) === Map(1L -> "a", 2L -> "B2", 3L -> "c"),
+      "post-compaction as-of at the horizon must equal the resolved view")
+    assert(asOf(0L).isEmpty,
+      "pre-horizon as-of must be empty after compaction, never stale")
+  }
 }
