@@ -3051,6 +3051,26 @@ object SparkEntry {
         .orderBy("cust_id")
     }),
 
+    // INCREMENTAL consumption off the changelog: the per-key delta
+    // between version 0 and version 1 — exactly the update batch
+    // (changed rows with their new attributes + inserted keys), so a
+    // downstream pipeline processes deltas instead of rescanning.
+    // Shares the upsertasof index.
+    "etl_upsert_changes" -> ((s, dir) => {
+      import s.implicits._
+      val (base, updates) = upsertFixture(s, dir)
+      val path = ensureIndex(s, t(s, dir, "customer"), "upsertasof", "built") { p =>
+        graft.streaming.UpsertIngest.processBatch(base, 0L, p)
+        graft.streaming.UpsertIngest.processBatch(updates, 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      graft.streaming.UpsertIngest.readChanges(s, path, "cust_id",
+          fromBatch = 0L, toBatch = 1L)
+        .select("cust_id", "c_acctbal", "c_mktsegment")
+        .orderBy("cust_id")
+    }),
+
     // SCD2 interval versioning: each customer's order-priority history as
     // [valid_from, valid_to) dimension rows, no-op changes collapsed —
     // the warehouse-dimension build the as-of join consumes.
@@ -6137,6 +6157,16 @@ object SparkEntry {
     "etl_upsert_asof" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_acctbal, c_mktsegment
         |FROM customer ORDER BY cust_id""".stripMargin,
+
+    // the version-0 → version-1 delta = exactly the update batch
+    "etl_upsert_changes" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+        |  c_acctbal + 1000.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
+        |FROM customer WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT CAST(c_custkey + 1000000 AS BIGINT), c_acctbal, 'INSERTED'
+        |FROM customer WHERE c_custkey % 100 = 7
+        |ORDER BY cust_id""".stripMargin,
 
     // the SAME oracle: latest-batch-per-key over the changelog must equal
     // the copy-on-write merge

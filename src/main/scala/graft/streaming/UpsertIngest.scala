@@ -101,6 +101,22 @@ object UpsertIngest {
         .filter(col("batch_id") <= asOfBatch), keyCol)
   }
 
+  /** INCREMENTAL consumption: the rows whose resolved state CHANGED
+    * between two versions — `readAsOf(to)` minus `readAsOf(from)` by full
+    * row — so a downstream pipeline processes per-key deltas instead of
+    * rescanning the table (updates surface with their new attributes,
+    * inserts as new keys, CDC soft deletes as their tombstone rows; a key
+    * untouched between the versions never appears). Same retention
+    * horizon as [[readAsOf]]: both endpoints must be at or after the last
+    * compaction.
+    */
+  def readChanges(spark: SparkSession, tablePath: String, keyCol: String,
+      fromBatch: Long, toBatch: Long): DataFrame = {
+    require(fromBatch <= toBatch, "fromBatch must be <= toBatch")
+    readAsOf(spark, tablePath, keyCol, toBatch)
+      .exceptAll(readAsOf(spark, tablePath, keyCol, fromBatch))
+  }
+
   /** Latest-batch-per-key resolve — the one window both [[readLatest]]
     * and [[compactLog]] use, so a compaction can never change which row
     * a key resolves to. Within one batch the caller owes one row per key;

@@ -244,4 +244,31 @@ class UpsertIngestSpec extends SparkSpec {
     assert(asOf(0L).isEmpty,
       "pre-horizon as-of must be empty after compaction, never stale")
   }
+
+  test("readChanges yields exactly the per-key delta between versions") {
+    val dir = Files.createTempDirectory("upsertchanges").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    UpsertIngest.processBatch(
+      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "n"), 0L, tbl)
+    UpsertIngest.processBatch(
+      Seq((2L, "B2", 1L), (3L, "c", 1L)).toDF("k", "v", "n"), 1L, tbl)
+    UpsertIngest.processBatch(
+      Seq((1L, "A3", 2L)).toDF("k", "v", "n"), 2L, tbl)
+
+    def changes(from: Long, to: Long) =
+      UpsertIngest.readChanges(spark, tbl, "k", from, to)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 0→1: key 2 updated, key 3 inserted, key 1 untouched (absent)
+    assert(changes(0L, 1L) === Map(2L -> "B2", 3L -> "c"))
+    // 1→2: only key 1's update
+    assert(changes(1L, 2L) === Map(1L -> "A3"))
+    // 0→2: the transitive delta; intermediate version of key 1 invisible
+    assert(changes(0L, 2L) === Map(1L -> "A3", 2L -> "B2", 3L -> "c"))
+    // identical endpoints: empty
+    assert(changes(2L, 2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      UpsertIngest.readChanges(spark, tbl, "k", 2L, 1L)
+    }
+  }
 }
