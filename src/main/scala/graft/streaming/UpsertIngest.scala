@@ -79,8 +79,19 @@ object UpsertIngest {
     */
   def readLatest(spark: SparkSession, tablePath: String, keyCol: String): DataFrame = {
     recoverCompaction(spark, tablePath)
-    latestPerKey(spark.read.parquet(s"$tablePath/log"), keyCol)
+    latestPerKey(readLog(spark, tablePath), keyCol)
   }
+
+  /** SCHEMA EVOLUTION contract: the log is read with `mergeSchema` — a
+    * later batch may ADD columns (the additive half of evolution every
+    * changelog store supports), and without the merged read Spark infers
+    * the schema from an arbitrary file, silently dropping the new column
+    * for every key depending on file order. With it, pre-evolution rows
+    * surface NULL in the new columns deterministically. (Type changes and
+    * drops remain the caller's migration problem, as everywhere.)
+    */
+  private def readLog(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$tablePath/log")
 
   /** TIME TRAVEL: the table as of batch `asOfBatch` — the same per-key
     * resolve restricted to log rows with `batch_id <= asOfBatch` (the
@@ -97,8 +108,7 @@ object UpsertIngest {
       asOfBatch: Long): DataFrame = {
     recoverCompaction(spark, tablePath)
     latestPerKey(
-      spark.read.parquet(s"$tablePath/log")
-        .filter(col("batch_id") <= asOfBatch), keyCol)
+      readLog(spark, tablePath).filter(col("batch_id") <= asOfBatch), keyCol)
   }
 
   /** INCREMENTAL consumption: the rows whose resolved state CHANGED
@@ -261,7 +271,7 @@ object UpsertIngest {
     // resolve via the shared window (not readLatest: keep this pass free
     // of the recovery re-entrance) and stage under the winning batch id's
     // hive dir name
-    latestPerKey(spark.read.parquet(s"$tablePath/log"), keyCol)
+    latestPerKey(readLog(spark, tablePath), keyCol)
       .coalesce(nOut)
       .write.mode("overwrite")
       .parquet(s"$tablePath/_compact_tmp/batch_id=${st.maxBatchId}")

@@ -245,6 +245,27 @@ class UpsertIngestSpec extends SparkSpec {
       "pre-horizon as-of must be empty after compaction, never stale")
   }
 
+  test("schema evolution: a batch adding a column resolves with NULLs " +
+      "for pre-evolution rows, not a silently dropped column") {
+    val dir = Files.createTempDirectory("upsertevolve").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    UpsertIngest.processBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L, tbl)
+    // batch 1 carries a NEW column
+    UpsertIngest.processBatch(
+      Seq((2L, "B2", "extra")).toDF("k", "v", "tag"), 1L, tbl)
+
+    val rows = UpsertIngest.readLatest(spark, tbl, "k")
+      .select("k", "v", "tag") // throws if the evolved column was dropped
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    assert(rows === Map(1L -> ("a", null), 2L -> ("B2", "extra")))
+    // time travel across the evolution boundary keeps the merged schema
+    val asOf0 = UpsertIngest.readAsOf(spark, tbl, "k", 0L)
+    assert(asOf0.columns.contains("tag"))
+    assert(asOf0.collect().map(_.getAs[Any]("tag")).forall(_ == null))
+  }
+
   test("readChanges yields exactly the per-key delta between versions") {
     val dir = Files.createTempDirectory("upsertchanges").toFile
     dir.deleteOnExit()
