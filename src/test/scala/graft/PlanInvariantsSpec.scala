@@ -211,6 +211,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"vectors scan has no cell partition filter:\n$scanLine")
   }
 
+  test("etl_upsert_asof: the time-travel read carries a batch_id " +
+      "PartitionFilter — only the surviving early log dirs are scanned") {
+    assume(available)
+    val p = plan("etl_upsert_asof")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("/log") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned log scan in the plan:\n$p"))
+    assert(scanLine.contains("batch_id") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"log scan has no batch_id partition filter:\n$scanLine")
+  }
+
   test("ann_ivfpq_pruned: the codes scan carries a cell PartitionFilter — " +
       "ADC reads only the probed cells' code files") {
     assume(available)
