@@ -889,8 +889,13 @@ object Dedup {
     def normed(df: DataFrame) =
       df.select(col("doc_id"), col("hash_hi").cast("long"),
         col("hash_lo").cast("long"))
-    val newSigs = materialized(normed(incoming))
-    val allSigs = materialized(normed(existing).unionByName(newSigs))
+    // eager localCheckpoint, not materialized()/persist: this kernel runs
+    // inside streaming sinks (PhashIngest) where a persist with no owner
+    // to unpersist it would pin executor storage per MICRO-BATCH for the
+    // JVM lifetime — checkpoint blocks are freed with the frames, so the
+    // lifetime is bounded by construction (the DoiNetwork r11 precedent)
+    val newSigs = normed(incoming).localCheckpoint()
+    val allSigs = normed(existing).unionByName(newSigs).localCheckpoint()
     def bandRows(df: DataFrame, idAs: String, hiAs: String, loAs: String) = {
       val bandCols = (0 until bands).map { b =>
         val word = if (b < perWord) col("hash_lo") else col("hash_hi")
