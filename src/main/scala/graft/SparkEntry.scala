@@ -2052,6 +2052,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination — the embedding-space sibling of
+    // dedup_contamination: corpus vectors within 0.35 cosine of ANY eval
+    // vector (every 50th id plays the benchmark) leak it semantically
+    // even with zero shared n-grams. Broadcast-eval map-side pass — the
+    // eval set is small by definition, so O(|corpus| × |eval|) with no
+    // shuffle IS the 100 TB plan, not a bucketed approximation. Exact
+    // and fully oracled.
+    "dedup_contamination_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.crossCosinePairs(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          threshold = 0.35)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // MinHash banded-LSH near-dup pairs (the 100 TB scale path): candidates
     // form only inside (band, band-hash) buckets, then an exact-Jaccard
     // verify pass makes the output equal brute-force Jaccard at the same
@@ -6675,6 +6691,23 @@ object SparkEntry {
     // Same word-3-gram shingles (slice semantics: DuckDB list[a:b] is
     // 1-based inclusive; range(a,b) excludes b), distinct per doc, so the
     // join count per (doc, bench) pair is the intersection size.
+    // normalized cross cosine vs the eval split, thresholded — exact
+    "dedup_contamination_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                       CAST(embedding AS DOUBLE[])))) AS e
+        |  FROM embeddings),
+        |c AS (SELECT * FROM v WHERE vec_id % 50 <> 0),
+        |ev AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT c.vec_id AS doc_id, ev.vec_id AS eval_id,
+        |    round(list_inner_product(c.e, ev.e), 4) AS sim
+        |  FROM c, ev)
+        |SELECT doc_id, eval_id, sim FROM s
+        |WHERE sim >= 0.35 ORDER BY doc_id, eval_id""".stripMargin,
+
     "dedup_contamination" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(

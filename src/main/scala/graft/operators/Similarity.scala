@@ -373,6 +373,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SEMANTIC decontamination pairs — the embedding-space sibling of
+    * [[graft.operators.Dedup.contaminationFlags]]'s n-gram check: corpus
+    * documents whose embedding is within `threshold` cosine of ANY eval
+    * document leak the benchmark semantically even when no n-gram
+    * matches. Scale shape: the eval set is SMALL relative to the corpus
+    * by definition, so the right 100 TB plan is a broadcast of the
+    * normalized eval vectors and a map-side corpus pass — O(|corpus| ×
+    * |eval|) dot products, no shuffle, embarrassingly parallel — not a
+    * bucketed approximation (which would trade recall for a speedup the
+    * broadcast shape doesn't need). The threshold rides inside the join
+    * condition (the [[cosinePairs]] lesson), so non-matching pairs are
+    * rejected before materialization. Exact and oracle-reproducible.
+    */
+  def crossCosinePairs(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    def unit(df: DataFrame, id: String, v: String) = {
+      val raw = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+      val nrm = sqrt(dotProduct(col(v), col(v)))
+      raw.select(col(id), transform(col(v), x => x / nrm).as(v))
+    }
+    val sim = round(dotProduct(col("v_c"), col("v_e")), 4)
+    unit(corpus, "doc_id", "v_c").repartition(col("doc_id"))
+      .join(broadcast(unit(evalSet, "eval_id", "v_e")), sim >= threshold)
+      .select(col("doc_id"), col("eval_id"), sim.as("sim"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): a seeded KMeans coarse clustering partitions the

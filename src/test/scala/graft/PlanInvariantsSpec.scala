@@ -74,6 +74,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // embeds the brute-force image baseline to measure recall against,
     // like ann_ivf_recall
     "ann_image_recall",
+    // broadcast-eval cross pass BY DESIGN: the eval side is small by
+    // definition, so corpus × eval with no shuffle IS the scale plan
+    "dedup_contamination_embedding",
     "dedup_semantic", "dedup_semantic_recall", "text_unigram_lm",
     // 1-row V broadcast, the same scalar cross join as text_unigram_lm
     "text_bigram_lm",

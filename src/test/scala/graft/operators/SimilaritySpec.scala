@@ -255,4 +255,21 @@ class SimilaritySpec extends SparkSpec {
       "stale same-count sibling must be deleted")
     fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_ann_index/$kind"), true)
   }
+
+  test("crossCosinePairs: only cross-frame pairs above threshold emit; " +
+      "intra-corpus near-dups never do") {
+    // corpus holds the near-dup PAIR (0, 1); eval holds a copy of v0's
+    // direction plus an orthogonal vector
+    val corpus = vecs.filter(col("vec_id") < 4)
+    val evalSet = Seq(
+      (100L, Array(2.0f, 0.0f, 0.0f, 0.0f)), // v0 scaled — cosine 1 with v0
+      (101L, Array(0.0f, 0.0f, 0.0f, 1.0f))) // orthogonal to everything
+      .toDF("vec_id", "embedding")
+    val got = Similarity.crossCosinePairs(corpus, evalSet, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // v0 exact hit, v1 near hit (cos ≈ 0.995); the intra-corpus (0,1)
+    // near-dup pair and the orthogonal eval vector emit nothing
+    assert(got.map(t => (t._1, t._2)) === Set((0L, 100L), (1L, 100L)))
+    assert(got.forall(_._3 >= 0.9))
+  }
 }
