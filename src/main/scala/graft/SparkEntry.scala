@@ -228,6 +228,24 @@ object SparkEntry {
     path
   }
 
+  /** Shared WARC fixture for the `warc_*` queries: 16 gzipped archive
+    * files synthesized from the documents ids (ensureIndex-keyed, so
+    * sf0.01/sf0.1 coexist and a regenerated corpus forces a rebuild; the
+    * `built` marker parquet is written LAST, after the raw files), read
+    * back through the Content-Length record walk.
+    */
+  private def warcRecords(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.sources.WarcRecord] = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val path = ensureIndex(s, ids, "warc", "built") { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true) // crash debris
+      val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files", nFiles = 16)
+      s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+    }
+    graft.sources.Warc.readRecords(s, s"$path/files")
+  }
+
   /** Shared derivation of the synth-shaped fillVisitorProject inputs from
     * the TPC-H tables — used by the reference-parity and distributed-id
     * variants, which run under ONE oracle (green row = equivalence proof).
@@ -984,6 +1002,57 @@ object SparkEntry {
           "InstallationFacility_ID", None))
         .unionByName(sheet("Institution", Schemas.xlsxInstitution, "Institution_ID", None))
         .orderBy("sheet")
+    }),
+
+    // --- WARC web-archive family (sources/Warc.scala) — the Common Crawl
+    // ingestion shape. warcRecords synthesizes real gzipped WARC files
+    // (every header/body byte arithmetic in doc_id, fixture cached under
+    // ensureIndex) and reads them back via the Content-Length record walk;
+    // the oracles re-derive the parse results from the same arithmetic
+    // without ever seeing the files, so a green row proves the
+    // write -> gzip -> read -> record/HTTP-parse round-trip byte-for-byte
+    // (payload_md5). Bodies of d%7==0 docs embed a fake record header to
+    // keep the parser honest (WarcSpec pins that a delimiter scan would
+    // split there).
+    "warc_read" -> ((s, dir) => {
+      warcRecords(s, dir).toDF()
+        .select(col("warc_type").as("rec_type"),
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("rec_type", "doc_id")
+    }),
+
+    // Canonical-URL aliasing (functions/Url.canonicalizeUrl): the fixture
+    // plants three alias classes (scheme/host case + :443 + utm_ tracking,
+    // fragment + scrambled param order, and path collapse d≡2 mod 3 →
+    // d-1); canonicalization must erase ALL of it to match the oracle's
+    // arithmetic ideal — URL-level dedup before any page-byte hashing.
+    "warc_urls" -> ((s, dir) => {
+      graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_aliases"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("url")
+    }),
+
+    // The WET stage end-to-end: HTTP split (Warc.httpParsed) -> 200s only
+    // -> real html_text extraction -> whitespace token count + text md5.
+    // The embedded fake-record literal rides through as plain text (no
+    // markup), so the oracle's reconstruction covers it too.
+    "warc_text" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+      graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          graft.functions.HtmlTextColumn.htmlText(col("body")).as("text"))
+        .select(col("doc_id"), col("host"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     }),
 
     "s10_ddl" -> ((s, dir) => {
@@ -4525,6 +4594,65 @@ object SparkEntry {
         |     CAST(NULL AS BIGINT)),
         |  ('Institution', CAST(23 AS BIGINT), CAST(276 AS BIGINT), CAST(NULL AS BIGINT))
         |) AS t(sheet, n_rows, id_sum, days_sum) ORDER BY sheet""".stripMargin,
+
+    // WARC: re-derive every record the synthesizer wrote (uri variants,
+    // status line, HTML body incl. the planted fake-record literal, and
+    // the per-file warcinfo records) purely from doc_id arithmetic —
+    // md5(payload) pins the round-trip byte-for-byte. Mirrors
+    // Warc.responseRecordString / warcinfoRecordString verbatim.
+    "warc_read" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |b AS (SELECT d, d % 4 AS v, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |q AS (SELECT *, array_to_string(list_filter([
+        |    CASE WHEN p % 5 = 0 THEN (CASE WHEN d % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ELSE '' END,
+        |    CASE WHEN v = 1 THEN 'utm_source=news' ELSE '' END], x -> x <> ''), '&') AS qs FROM b),
+        |u AS (SELECT d, v, p,
+        |  (CASE WHEN v = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN v = 1 THEN upper('d' || (p % 7) || '.ex.test') ELSE 'd' || (p % 7) || '.ex.test' END) ||
+        |  (CASE WHEN v = 1 THEN ':443' ELSE '' END) || '/d/' || p ||
+        |  (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) ||
+        |  (CASE WHEN v = 2 THEN '#frag' ELSE '' END) AS uri FROM q),
+        |pay AS (SELECT d, uri,
+        |  (CASE WHEN d % 11 = 0 THEN 'HTTP/1.1 404 Not Found' ELSE 'HTTP/1.1 200 OK' END)
+        |  || chr(13) || chr(10) || 'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  (CASE WHEN d % 11 = 0 THEN 'not found' ELSE '<html><body>' ||
+        |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+        |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
+        |     || '</body></html>' END) AS payload FROM u)
+        |SELECT 'response' AS rec_type, d AS doc_id, uri,
+        |  CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5 FROM pay
+        |UNION ALL
+        |SELECT 'warcinfo', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(length(wi) AS BIGINT), md5(wi)
+        |FROM (SELECT 'software: graft-warc-synth' || chr(13) || chr(10) ||
+        |             'format: WARC File Format 1.0' AS wi), range(16)
+        |ORDER BY rec_type, doc_id""".stripMargin,
+
+    // Canonical-URL aliasing: the oracle states the arithmetic IDEAL
+    // (lowercase https, no port/fragment/tracking, sorted params, path id
+    // p) — Spark must erase every planted messiness class to match.
+    "warc_urls" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |c AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |urls AS (SELECT d, 'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |  (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url FROM c)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_aliases,
+        |  min(d) AS id_min, max(d) AS id_max
+        |FROM urls GROUP BY url ORDER BY url""".stripMargin,
+
+    // WET extraction: 200-status pages only; text = the body's word run
+    // (+ the fake-record literal, which is tagless and rides through
+    // html_text as data); token count replays the same whitespace split.
+    "warc_text" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |tx AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+        |  (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END) AS text
+        | FROM ids)
+        |SELECT d AS doc_id, 'd' || (p % 7) || '.ex.test' AS host,
+        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  md5(text) AS text_md5
+        |FROM tx ORDER BY doc_id""".stripMargin,
 
     // The DDL text is a pure function of the (fixed, declared) schema —
     // the oracle pins it literally.

@@ -1,0 +1,283 @@
+package graft.sources
+
+import java.io.OutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One parsed WARC record. `content_length` is the value the parser read
+  * from the record's own `Content-Length` header (None only on quarantine
+  * rows), `payload` the exactly-that-many bytes that followed it.
+  */
+case class WarcRecord(
+    path: String,
+    warc_type: String,
+    record_id: String,
+    uri: String,
+    content_length: Option[Long],
+    payload: Array[Byte])
+
+/** Web-archive (WARC 1.0) ingestion — the Common Crawl shape (builder
+  * brief: sources a large-scale training-data pipeline needs; the
+  * reference has no web-archive source, its ingestion is DB/XLSX/CSV —
+  * `/root/reference/synth/transform.py` — so this family is
+  * beyond-reference by design).
+  *
+  * A WARC file is a concatenation of records, each
+  * `WARC/1.0\r\n<headers>\r\n\r\n<Content-Length bytes>\r\n\r\n`, usually
+  * gzip-compressed. Two properties drive the design:
+  *
+  *  - '''Parsing must be Content-Length-driven, never delimiter-driven''':
+  *    response payloads are arbitrary bytes and routinely CONTAIN
+  *    `WARC/1.0`-shaped text (archived pages about WARC, nested archives).
+  *    [[parseAll]] walks records by declared length; the synthetic fixture
+  *    plants records whose bodies embed a fake record header to keep that
+  *    honest (a delimiter-scanning parser splits mid-record there).
+  *  - '''gzip makes files non-splittable''', so parallelism is
+  *    file-granular: one task per file, which matches the production
+  *    layout (a Common Crawl snapshot is ~64k files of ~1 GB — far more
+  *    files than executor slots, so file-granular is fully parallel at
+  *    100 TB). Records stream out of a single pass; nothing is held
+  *    beyond one record.
+  *
+  * Failure posture mirrors `Xlsx.readSheetDistributedPermissive`: a
+  * malformed file yields the records parsed up to the corruption plus ONE
+  * `warc_type = "ingest_error"` quarantine row, and never fails the job —
+  * at crawl scale some truncated/corrupt members are a certainty.
+  *
+  * The synthesis half ([[synthesizeFiles]]) is fixture machinery for the
+  * oracle loop, same posture as `Multimodal.synthesizeWavs`: every header
+  * and body byte is arithmetic in `doc_id`, so DuckDB replays the parse
+  * results without ever seeing the files — a green row proves the
+  * write → gzip → read → record-walk → header/HTTP parse round-trip.
+  */
+object Warc {
+
+  private val Crlf = "\r\n"
+
+  /** The planted body decoy: looks exactly like a record boundary +
+    * header block. Content-Length-driven parsing reads straight through
+    * it; anything scanning for `WARC/1.0` derails.
+    */
+  private[graft] val FakeRecordLiteral: String =
+    "\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!"
+
+  /** The synthetic response record for one doc id — messy-URL variants,
+    * HTTP status, and an HTML-ish body, all arithmetic in `d` (mirrored
+    * verbatim by the `warc_read` / `warc_text` / `warc_urls` oracles in
+    * `SparkEntry`):
+    *
+    *  - `v = d % 4` picks URL messiness: v=1 uppercases scheme+host and
+    *    adds `:443` + `utm_source=news`, v=2 appends `#frag` and scrambles
+    *    param order (via `d % 2`); canonicalization must erase all of it.
+    *  - `p` (the path id) collapses `d ≡ 2 (mod 3)` onto `d-1`, planting
+    *    canonical-URL duplicate pairs; host/params derive from `p` so the
+    *    pair's canonical forms collide exactly.
+    *  - `d % 11 == 0` → 404 with a plain-text body; else 200 with an HTML
+    *    body of `1 + d % 9` words `w<(d*7+i) % 13>`.
+    *  - `d % 7 == 0` (status 200) embeds [[FakeRecordLiteral]] in the body.
+    */
+  private[graft] def responseRecordString(d: Long): String = {
+    val v = d % 4
+    val p = if (d % 3 == 2) d - 1 else d
+    val hostL = s"d${p % 7}.ex.test"
+    val scheme = if (v == 1) "HTTPS" else "https"
+    val host = if (v == 1) hostL.toUpperCase else hostL
+    val port = if (v == 1) ":443" else ""
+    val bp = if (p % 5 == 0) { if (d % 2 == 0) "a=1&b=2" else "b=2&a=1" } else ""
+    val tr = if (v == 1) "utm_source=news" else ""
+    val q = Seq(bp, tr).filter(_.nonEmpty).mkString("&")
+    val query = if (q.nonEmpty) "?" + q else ""
+    val frag = if (v == 2) "#frag" else ""
+    val uri = s"$scheme://$host$port/d/$p$query$frag"
+    val (statusLine, body) =
+      if (d % 11 == 0) ("HTTP/1.1 404 Not Found", "not found")
+      else {
+        val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+        val fake = if (d % 7 == 0) FakeRecordLiteral else ""
+        ("HTTP/1.1 200 OK", s"<html><body>$words$fake</body></html>")
+      }
+    val payload = statusLine + Crlf + "Content-Type: text/html" + Crlf + Crlf + body
+    "WARC/1.0" + Crlf +
+      "WARC-Type: response" + Crlf +
+      s"WARC-Record-ID: <urn:uuid:doc-$d>" + Crlf +
+      s"WARC-Target-URI: $uri" + Crlf +
+      s"Content-Length: ${payload.length}" + Crlf + Crlf +
+      payload + Crlf + Crlf
+  }
+
+  /** The file-leading `warcinfo` record real archives carry; readers that
+    * want pages must filter on `WARC-Type` ([[responses]]).
+    */
+  private[graft] val warcinfoRecordString: String = {
+    val payload = "software: graft-warc-synth\r\nformat: WARC File Format 1.0"
+    "WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf +
+      s"Content-Length: ${payload.length}" + Crlf + Crlf + payload + Crlf + Crlf
+  }
+
+  /** Distributed fixture writer: each doc id lands in file `doc_id %
+    * nFiles`, records in id order, a `warcinfo` record first, the whole
+    * file one gzip member (the WET layout; per-record members would read
+    * identically — `GZIPInputStream` walks concatenated members). One
+    * task writes each file: a shuffle of bare ids buys file-granular
+    * parallel encode. Returns the response-record count written.
+    */
+  def synthesizeFiles(spark: SparkSession, ids: DataFrame, idCol: String,
+      dir: String, nFiles: Int = 16, gzip: Boolean = true): Long = {
+    import spark.implicits._
+    val target = dir
+    val doGzip = gzip
+    val written = ids
+      .select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol).cast("long") % nFiles).cast("int").as("file_no"))
+      .repartition(nFiles, col("file_no"))
+      .sortWithinPartitions("file_no", "doc_id")
+      .select("file_no", "doc_id").as[(Int, Long)]
+      .mapPartitions { it =>
+        // file:// here; a fresh Configuration resolves cluster defaults
+        // (core-site on the classpath) for HDFS/S3A targets the same way
+        val conf = new Configuration()
+        val counts = ArrayBuffer[Long]()
+        var cur = -1
+        var out: OutputStream = null
+        var n = 0L
+        def closeFile(): Unit = if (out != null) { out.close(); counts += n }
+        it.foreach { case (f, d) =>
+          if (f != cur) {
+            closeFile(); cur = f; n = 0L
+            val p = new Path(target, f"part-$f%05d.warc" + (if (doGzip) ".gz" else ""))
+            val raw = p.getFileSystem(conf).create(p, true)
+            out = if (doGzip) new GZIPOutputStream(raw) else raw
+            out.write(warcinfoRecordString.getBytes(US_ASCII))
+          }
+          out.write(responseRecordString(d).getBytes(US_ASCII))
+          n += 1L
+        }
+        closeFile()
+        counts.iterator
+      }
+      .collect()
+    written.sum
+  }
+
+  private def gunzip(raw: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def startsWith(b: Array[Byte], at: Int, s: String): Boolean = {
+    if (at + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) { if (b(at + i) != s.charAt(i).toByte) return false; i += 1 }
+    true
+  }
+
+  private def indexOf(b: Array[Byte], s: String, from: Int): Int = {
+    var i = from
+    val last = b.length - s.length
+    while (i <= last) { if (startsWith(b, i, s)) return i; i += 1 }
+    -1
+  }
+
+  /** Parse one file's bytes (gzip sniffed on magic) into records by the
+    * Content-Length walk. On ANY malformation the records parsed so far
+    * survive and one quarantine row (`warc_type = "ingest_error"`) marks
+    * the file — never an exception out of a task.
+    */
+  private[graft] def parseAll(path: String, raw: Array[Byte]): Seq[WarcRecord] = {
+    val out = ArrayBuffer[WarcRecord]()
+    try {
+      val bytes =
+        if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
+        else raw
+      var i = 0
+      var done = false
+      while (!done) {
+        while (i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n') i += 2
+        if (i >= bytes.length) done = true
+        else {
+          require(startsWith(bytes, i, "WARC/"), s"bad record magic at offset $i")
+          val headerEnd = indexOf(bytes, "\r\n\r\n", i)
+          require(headerEnd >= 0, "unterminated header block")
+          val headers = new String(bytes, i, headerEnd - i, US_ASCII)
+            .split("\r\n").iterator.drop(1)
+            .flatMap { ln =>
+              val j = ln.indexOf(": ")
+              if (j < 0) None else Some(ln.substring(0, j) -> ln.substring(j + 2))
+            }
+            .toMap
+          val len = headers.getOrElse("Content-Length",
+            sys.error("record without Content-Length")).trim.toInt
+          require(len >= 0, "negative Content-Length")
+          val payloadStart = headerEnd + 4
+          require(payloadStart + len <= bytes.length, "truncated payload")
+          out += WarcRecord(path,
+            headers.getOrElse("WARC-Type", null),
+            headers.getOrElse("WARC-Record-ID", null),
+            headers.getOrElse("WARC-Target-URI", null),
+            Some(len.toLong),
+            java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len))
+          i = payloadStart + len
+          require(startsWith(bytes, i, "\r\n\r\n"), "missing record terminator")
+          i += 4
+        }
+      }
+      out.toSeq
+    } catch {
+      case NonFatal(_) =>
+        out.toSeq :+ WarcRecord(path, "ingest_error", null, null, None, null)
+    }
+  }
+
+  /** All records under `glob` (a dir or glob of `.warc[.gz]` files), one
+    * file per task via the `binaryFile` source — the right granularity
+    * for non-splittable gzip (see class doc). `binaryFile`'s 2 GB-per-file
+    * ceiling comfortably holds the ~1 GB production shard size.
+    */
+  def readRecords(spark: SparkSession, glob: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => parseAll(p, c) }
+  }
+
+  /** The page-bearing records (drops `warcinfo`/`request`/metadata and
+    * quarantine rows) — what a text pipeline consumes.
+    */
+  def responses(records: Dataset[WarcRecord]): Dataset[WarcRecord] =
+    records.filter(col("warc_type") === "response")
+
+  /** The WET stage: split each response payload into HTTP status /
+    * headers / body with native column functions (stays inside
+    * whole-stage codegen — no UDF). Splits on the FIRST blank line only,
+    * so a body that itself contains `\r\n\r\n` (the planted
+    * [[FakeRecordLiteral]], multipart payloads) survives intact.
+    * A payload with no blank line at all yields NULL status/body — the
+    * quarantine posture, never an exception.
+    *
+    * Output adds to each input row: `http_status` (int), `content_type`
+    * (null when the header is absent), `body` (string).
+    */
+  def httpParsed(responses: DataFrame): DataFrame = {
+    val p = col("payload").cast("string")
+    val at = instr(p, "\r\n\r\n")
+    val head = when(at > 0, p.substr(lit(1), at - 1))
+    val statusLine = substring_index(head, Crlf, 1)
+    responses
+      .withColumn("http_status",
+        element_at(split(statusLine, " ", 3), 2).cast("int"))
+      .withColumn("content_type",
+        nullif(regexp_extract(head, "(?m)^Content-Type: ([^\r\n]*)", 1), lit("")))
+      .withColumn("body", when(at > 0, p.substr(at + 4, length(p))))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.functions.Url
+import org.apache.spark.sql.functions._
+
+/** WARC ingestion (sources/Warc.scala): write -> gzip -> read -> record
+  * walk -> HTTP split round-trip, the planted in-body record-header decoy,
+  * the quarantine posture on corrupt members, and URL canonicalization.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  private def synth(dir: String, n: Int, nFiles: Int = 4, gzip: Boolean = true): Long = {
+    val ids = spark.range(n.toLong).select(col("id").as("doc_id"))
+    Warc.synthesizeFiles(spark, ids, "doc_id", dir, nFiles, gzip)
+  }
+
+  test("round-trip: every synthesized record comes back byte-exact, plus one warcinfo per file") {
+    val dir = tmp("warc_rt")
+    assert(synth(dir, 50) === 50L)
+    val recs = Warc.readRecords(spark, dir).collect()
+    assert(recs.count(_.warc_type == "warcinfo") === 4)
+    assert(!recs.exists(_.warc_type == "ingest_error"))
+    val resp = recs.filter(_.warc_type == "response")
+    assert(resp.length === 50)
+    val byId = resp.map(r => r.record_id.stripPrefix("<urn:uuid:doc-").stripSuffix(">").toLong -> r).toMap
+    assert(byId.keySet === (0L until 50L).toSet)
+    (0L until 50L).foreach { d =>
+      val full = Warc.responseRecordString(d)
+      val r = byId(d)
+      // the synthesized record's payload is everything between the header
+      // blank line and the record terminator
+      val expectedPayload = full.substring(full.indexOf("\r\n\r\n") + 4, full.length - 4)
+      assert(new String(r.payload, US_ASCII) === expectedPayload, s"doc $d")
+      assert(r.content_length === Some(expectedPayload.length.toLong), s"doc $d")
+    }
+  }
+
+  test("content-length walk reads THROUGH the planted record-header decoy") {
+    // d=7: 200-status body embeds FakeRecordLiteral (7%7==0, 7%11!=0).
+    // A delimiter-scanning parser would split the record there.
+    val dir = tmp("warc_decoy")
+    synth(dir, 8, nFiles = 1)
+    val resp = Warc.responses(Warc.readRecords(spark, dir)).collect()
+    assert(resp.length === 8)
+    val d7 = resp.find(_.record_id == "<urn:uuid:doc-7>").get
+    val body = new String(d7.payload, US_ASCII)
+    assert(body.contains("WARC/1.0")) // the decoy IS in the payload bytes...
+    assert(body.contains("gotcha!"))  // ...all the way to its end
+    assert(d7.content_length === Some(body.length.toLong))
+  }
+
+  test("uncompressed files read identically (gzip sniff on magic bytes)") {
+    val gz = tmp("warc_gz"); val plain = tmp("warc_plain")
+    synth(gz, 20); synth(plain, 20, gzip = false)
+    val a = Warc.readRecords(spark, gz).collect().filter(_.warc_type == "response")
+      .map(r => (r.record_id, new String(r.payload, US_ASCII))).sortBy(_._1)
+    val b = Warc.readRecords(spark, plain).collect().filter(_.warc_type == "response")
+      .map(r => (r.record_id, new String(r.payload, US_ASCII))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("corrupt member quarantines: parsed-so-far survive plus ONE ingest_error row, job never fails") {
+    val dir = tmp("warc_corrupt")
+    synth(dir, 12, nFiles = 2, gzip = false)
+    // truncate one file mid-record: keep the warcinfo + first two
+    // responses, then chop the third response 40 bytes into its header
+    val f = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".warc")).findFirst().get()
+    val bytes = Files.readAllBytes(f)
+    val s = new String(bytes, US_ASCII)
+    val secondRec = s.indexOf("WARC/1.0", s.indexOf("WARC-Type: response"))
+    val thirdRec = s.indexOf("WARC/1.0", secondRec + 1)
+    Files.write(f, s.substring(0, thirdRec + 40).getBytes(US_ASCII))
+    // the fixture writer went through Hadoop's checksummed LocalFileSystem;
+    // rewriting the file behind its back stales the .crc sidecar
+    Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
+    val recs = Warc.readRecords(spark, dir).collect()
+    val errs = recs.filter(_.warc_type == "ingest_error")
+    assert(errs.length === 1)
+    assert(errs.head.path.endsWith(f.getFileName.toString))
+    assert(errs.head.content_length === None)
+    // the intact sibling file still contributes all 6 of its records; the
+    // corrupt one its prefix (warcinfo + two responses)
+    assert(recs.count(_.warc_type == "warcinfo") === 2)
+    assert(recs.count(_.warc_type == "response") === 8)
+  }
+
+  test("httpParsed splits on the FIRST blank line only; 404s and missing-header corners covered") {
+    val dir = tmp("warc_http")
+    synth(dir, 12, nFiles = 1)
+    val parsed = Warc.httpParsed(Warc.responses(Warc.readRecords(spark, dir)).toDF())
+      .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("d"),
+        col("http_status"), col("content_type"), col("body"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(parsed(0L).getInt(1) === 404) // 0%11==0
+    assert(parsed(1L).getInt(1) === 200)
+    assert(parsed(0L).getString(2) === "text/html")
+    assert(parsed(0L).getString(3) === "not found")
+    // d=7 embeds the decoy (which contains \r\n\r\n): the body keeps it
+    val b7 = parsed(7L).getString(3)
+    assert(b7.startsWith("<html><body>"))
+    assert(b7.contains("gotcha!"))
+    assert(b7.endsWith("</body></html>"))
+    // payload with no blank line -> null status/body, no exception
+    import spark.implicits._
+    val weird = Seq(("p", "x", "r", "u", Some(3L), "abc".getBytes(US_ASCII)))
+      .toDF("path", "warc_type", "record_id", "uri", "content_length", "payload")
+    val w = Warc.httpParsed(weird).select("http_status", "body").collect().head
+    assert(w.isNullAt(0) && w.isNullAt(1))
+  }
+
+  test("canonicalizeUrl erases case/default-port/fragment/tracking/param-order, keeps real ports") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://D1.EX.TEST:443/d/1?utm_source=news" -> "https://d1.ex.test/d/1",
+      "https://d1.ex.test/d/1#frag" -> "https://d1.ex.test/d/1",
+      "https://d0.ex.test/d/0?b=2&a=1" -> "https://d0.ex.test/d/0?a=1&b=2",
+      "http://h.test:80/x" -> "http://h.test/x",
+      "http://h.test:8080/x" -> "http://h.test:8080/x", // non-default port survives
+      "https://h.test" -> "https://h.test/",            // empty path normalized
+      "https://h.test/p?utm_source=a&utm_medium=b&fbclid=z&gclid=y" -> "https://h.test/p",
+      "https://h.test/p?" -> "https://h.test/p"         // bare trailing ? dropped
+    )
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), Url.canonicalizeUrl(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) => assert(got(u) === want, u) }
+    // unparseable -> null (drops out of URL-keyed groups)
+    val bad = Seq("ht tp://??").toDF("u")
+      .select(Url.canonicalizeUrl(col("u"))).collect().head
+    assert(bad.isNullAt(0))
+  }
+
+  test("fixture plants canonical-duplicate pairs: d=3k+1 and d=3k+2 collide, others are unique") {
+    val dir = tmp("warc_dups")
+    synth(dir, 30, nFiles = 2)
+    val groups = Warc.responses(Warc.readRecords(spark, dir)).toDF()
+      .select(Url.canonicalizeUrl(col("uri")).as("url"))
+      .groupBy("url").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(groups.values.count(_ == 2L) === 10) // k=0..9: (1,2),(4,5),...,(28,29)
+    assert(groups.values.forall(n => n == 1L || n == 2L))
+    assert(groups.values.sum === 30L)
+  }
+}
