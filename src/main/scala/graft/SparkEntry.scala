@@ -1038,6 +1038,39 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // The crawl-curation pipeline END-TO-END in production order:
+    // fetch-status gate -> canonical-URL dedup (one fetch per url — the
+    // slot is consumed even when the survivor then fails quality) ->
+    // quality gate (min tokens) -> exact-text dedup -> kept docs.
+    // Each dedup tier is groupBy(key).agg(min(doc_id)) + join-back on the
+    // unique doc_id (hash aggregates with map-side partials + long-key
+    // joins — no string-valued agg buffers, so no SortAggregate; the
+    // 100 TB shape). 454 pages -> 110 kept at sf0.01.
+    "pipeline_warc" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+      // one archive pass: parse + extract, then checkpoint the 4-column
+      // digest frame (bytes never cross a shuffle) — the two dedup tiers
+      // each reference it twice, so without this the gzip decode + HTML
+      // walk would run 4x
+      val pages = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          graft.functions.HtmlTextColumn.htmlText(col("body")).as("text"))
+        .select(col("doc_id"), col("url"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+          md5(col("text")).as("text_md5"))
+        .localCheckpoint()
+      val urlKept = pages.groupBy("url").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val gated = pages.join(urlKept, "doc_id").filter(col("n_tokens") >= 3)
+      val textKept = gated.groupBy("text_md5").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      gated.join(textKept, "doc_id")
+        .select("doc_id", "url", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // The WET stage end-to-end: HTTP split (Warc.httpParsed) -> 200s only
     // -> real html_text extraction -> whitespace token count + text md5.
     // The embedded fake-record literal rides through as plain text (no
@@ -4639,6 +4672,26 @@ object SparkEntry {
         |SELECT url, CAST(count(*) AS BIGINT) AS n_aliases,
         |  min(d) AS id_min, max(d) AS id_max
         |FROM urls GROUP BY url ORDER BY url""".stripMargin,
+
+    // Replays the four pipeline tiers over the reconstructed pages: url
+    // slots claimed by min doc_id BEFORE the quality gate, then the
+    // min-id text-md5 representative among the gated url survivors.
+    "pipeline_warc" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |tx AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+        |  (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END) AS text
+        | FROM ids),
+        |canon AS (SELECT d, text,
+        |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        | FROM tx),
+        |url_kept AS (SELECT min(d) AS d FROM canon GROUP BY url),
+        |gated AS (SELECT c.* FROM canon c JOIN url_kept k ON c.d = k.d WHERE c.n_tokens >= 3),
+        |text_kept AS (SELECT min(d) AS d FROM gated GROUP BY md5(text))
+        |SELECT g.d AS doc_id, g.url, g.n_tokens
+        |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin,
 
     // WET extraction: 200-status pages only; text = the body's word run
     // (+ the fake-record literal, which is tagless and rides through
