@@ -246,6 +246,44 @@ object SparkEntry {
     graft.sources.Warc.readRecords(s, s"$path/files")
   }
 
+  /** The parsed-page digest shared by `pipeline_warc` and its streamed
+    * twin: 200-status responses reduced to (doc_id, canonical url, token
+    * count, text md5) — one archive pass, bytes never leave the map side.
+    */
+  private def warcPages(resp: DataFrame): DataFrame =
+    graft.sources.Warc.httpParsed(resp)
+      .filter(col("http_status") === 200)
+      .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+        graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+        graft.functions.HtmlTextColumn.htmlText(col("body")).as("text"))
+      .select(col("doc_id"), col("url"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        md5(col("text")).as("text_md5"))
+
+  /** One oracle for `pipeline_warc` AND `warc_ingest_streamed`: replays
+    * the four curation tiers from doc_id arithmetic (url slots claimed by
+    * min doc_id BEFORE the quality gate, then the min-id text-md5
+    * representative among the gated url survivors). Both queries hashing
+    * green against the same literal is the batch ≡ streamed equivalence
+    * proof.
+    */
+  private val warcPipelineOracle: String =
+    """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+      |tx AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+      |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+      |  (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END) AS text
+      | FROM ids),
+      |canon AS (SELECT d, text,
+      |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
+      |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+      |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      | FROM tx),
+      |url_kept AS (SELECT min(d) AS d FROM canon GROUP BY url),
+      |gated AS (SELECT c.* FROM canon c JOIN url_kept k ON c.d = k.d WHERE c.n_tokens >= 3),
+      |text_kept AS (SELECT min(d) AS d FROM gated GROUP BY md5(text))
+      |SELECT g.d AS doc_id, g.url, g.n_tokens
+      |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin
+
   /** Shared derivation of the synth-shaped fillVisitorProject inputs from
     * the TPC-H tables — used by the reference-parity and distributed-id
     * variants, which run under ONE oracle (green row = equivalence proof).
@@ -1047,19 +1085,11 @@ object SparkEntry {
     // joins — no string-valued agg buffers, so no SortAggregate; the
     // 100 TB shape). 454 pages -> 110 kept at sf0.01.
     "pipeline_warc" -> ((s, dir) => {
-      val resp = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
       // one archive pass: parse + extract, then checkpoint the 4-column
       // digest frame (bytes never cross a shuffle) — the two dedup tiers
       // each reference it twice, so without this the gzip decode + HTML
       // walk would run 4x
-      val pages = graft.sources.Warc.httpParsed(resp)
-        .filter(col("http_status") === 200)
-        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
-          graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
-          graft.functions.HtmlTextColumn.htmlText(col("body")).as("text"))
-        .select(col("doc_id"), col("url"),
-          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
-          md5(col("text")).as("text_md5"))
+      val pages = warcPages(graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
         .localCheckpoint()
       val urlKept = pages.groupBy("url").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
@@ -1069,6 +1099,33 @@ object SparkEntry {
       gated.join(textKept, "doc_id")
         .select("doc_id", "url", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // The STREAMED twin (streaming/WarcIngest.scala): the same archives
+    // re-laid as crawl segments (rangePartition — file order follows id
+    // order, each "crawl" carries new ids), consumed 4 files per
+    // micro-batch; every tier runs incrementally against the accumulated
+    // claim log (url first-claim, quality gate, text-md5 first-claim)
+    // under BatchMarker exactly-once. SHARES pipeline_warc's oracle —
+    // a green row proves greedy first-claim over id-ordered arrival
+    // equals the batch pipeline's global min-doc_id resolution.
+    "warc_ingest_streamed" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val path = ensureIndex(s, ids, "warcingest", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true) // crash debris
+        graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
+          nFiles = 16, rangePartition = true)
+        (0 until 4).foreach { b =>
+          val files = (4 * b until 4 * b + 4)
+            .map(f => f"part-$f%05d.warc.gz").mkString("{", ",", "}")
+          val pages = warcPages(graft.sources.Warc.responses(
+            graft.sources.Warc.readRecords(s, s"$p/warc/$files")).toDF())
+          graft.streaming.WarcIngest.processBatch(pages, b.toLong, s"$p/log")
+        }
+        s.range(1).select(lit(4L).as("n_batches")).write.mode("overwrite").parquet(s"$p/built")
+      }
+      graft.streaming.WarcIngest.kept(s, s"$path/log").orderBy("doc_id")
     }),
 
     // The WET stage end-to-end: HTTP split (Warc.httpParsed) -> 200s only
@@ -4676,22 +4733,9 @@ object SparkEntry {
     // Replays the four pipeline tiers over the reconstructed pages: url
     // slots claimed by min doc_id BEFORE the quality gate, then the
     // min-id text-md5 representative among the gated url survivors.
-    "pipeline_warc" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
-        |tx AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
-        |  (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END) AS text
-        | FROM ids),
-        |canon AS (SELECT d, text,
-        |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
-        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
-        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-        | FROM tx),
-        |url_kept AS (SELECT min(d) AS d FROM canon GROUP BY url),
-        |gated AS (SELECT c.* FROM canon c JOIN url_kept k ON c.d = k.d WHERE c.n_tokens >= 3),
-        |text_kept AS (SELECT min(d) AS d FROM gated GROUP BY md5(text))
-        |SELECT g.d AS doc_id, g.url, g.n_tokens
-        |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin,
+    // SHARED with warc_ingest_streamed (equivalence proof).
+    "pipeline_warc" -> warcPipelineOracle,
+    "warc_ingest_streamed" -> warcPipelineOracle,
 
     // WET extraction: 200-status pages only; text = the body's word run
     // (+ the fake-record literal, which is tagless and rides through

@@ -123,20 +123,30 @@ object Warc {
   }
 
   /** Distributed fixture writer: each doc id lands in file `doc_id %
-    * nFiles`, records in id order, a `warcinfo` record first, the whole
-    * file one gzip member (the WET layout; per-record members would read
-    * identically — `GZIPInputStream` walks concatenated members). One
-    * task writes each file: a shuffle of bare ids buys file-granular
-    * parallel encode. Returns the response-record count written.
+    * nFiles` (or, with `rangePartition`, file `doc_id / chunk` — the
+    * crawl-SEGMENT layout where file order follows id order, so a reader
+    * consuming files sequentially sees ids in order), records in id
+    * order, a `warcinfo` record first, the whole file one gzip member
+    * (the WET layout; per-record members would read identically —
+    * `GZIPInputStream` walks concatenated members). One task writes each
+    * file: a shuffle of bare ids buys file-granular parallel encode.
+    * Returns the response-record count written.
     */
   def synthesizeFiles(spark: SparkSession, ids: DataFrame, idCol: String,
-      dir: String, nFiles: Int = 16, gzip: Boolean = true): Long = {
+      dir: String, nFiles: Int = 16, gzip: Boolean = true,
+      rangePartition: Boolean = false): Long = {
     import spark.implicits._
     val target = dir
     val doGzip = gzip
+    val id = col(idCol).cast("long")
+    val fileNo =
+      if (rangePartition) {
+        val maxId = ids.agg(max(id)).first().getLong(0)
+        val chunk = maxId / nFiles + 1 // ceil((max+1)/nFiles)
+        least(floor(id / chunk), lit(nFiles - 1)).cast("int")
+      } else (id % nFiles).cast("int")
     val written = ids
-      .select(col(idCol).cast("long").as("doc_id"),
-        (col(idCol).cast("long") % nFiles).cast("int").as("file_no"))
+      .select(id.as("doc_id"), fileNo.as("file_no"))
       .repartition(nFiles, col("file_no"))
       .sortWithinPartitions("file_no", "doc_id")
       .select("file_no", "doc_id").as[(Int, Long)]

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** WarcIngest (streamed crawl curation): url first-claim across batches
+  * (incl. quality-failed claimers holding their slot), text-md5 dedup
+  * against kept history, within-batch tiers, replay idempotence, and the
+  * append-landed/marker-missing crash window.
+  */
+class WarcIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pages(rows: (Long, String, Long, String)*): DataFrame =
+    rows.toDF("doc_id", "url", "n_tokens", "text_md5")
+
+  private def keptSet(logPath: String): Set[(Long, String, Long)] =
+    WarcIngest.kept(spark, logPath).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private def logRows(logPath: String): Set[(Long, Boolean, Long)] =
+    spark.read.parquet(logPath)
+      .selectExpr("doc_id", "kept", "CAST(batch_id AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+
+  private val batch0 = pages(
+    (1L, "u/a", 2L, "m1"), // claims u/a, fails quality
+    (2L, "u/b", 5L, "m2"), // kept
+    (3L, "u/b", 9L, "m3"), // same-batch alias of u/b -> never logged
+    (4L, "u/c", 4L, "m2")) // new url, passes quality, loses md5 m2 to doc 2
+
+  private val batch1 = pages(
+    (10L, "u/a", 8L, "m4"), // u/a claimed in batch 0 -> never logged
+    (11L, "u/d", 7L, "m2"), // new url, passes quality, md5 m2 kept in batch 0
+    (12L, "u/e", 1L, "m5"), // new claim, fails quality
+    (13L, "u/e", 9L, "m6"), // same-batch alias of u/e -> never logged
+    (14L, "u/f", 6L, "m6")) // kept (m6's only logged bearer)
+
+  private def runBoth(): String = {
+    val log = Files.createTempDirectory("warc_ingest").toString + "/log"
+    WarcIngest.processBatch(batch0, 0L, log)
+    WarcIngest.processBatch(batch1, 1L, log)
+    log
+  }
+
+  test("tiers compose across batches: quality-failed claims hold their url slot, kept md5s block later bearers") {
+    val log = runBoth()
+    assert(keptSet(log) === Set((2L, "u/b", 5L), (14L, "u/f", 6L)))
+    // the log holds exactly the url CLAIMS (first arrival per url, ever);
+    // later aliases and same-batch losers never land at all
+    assert(logRows(log) === Set(
+      (1L, false, 0L), (2L, true, 0L), (4L, false, 0L),
+      (11L, false, 1L), (12L, false, 1L), (14L, true, 1L)))
+  }
+
+  test("replaying a landed batch is a no-op") {
+    val log = runBoth()
+    val before = logRows(log)
+    WarcIngest.processBatch(batch1, 1L, log)
+    assert(logRows(log) === before)
+    assert(keptSet(log) === Set((2L, "u/b", 5L), (14L, "u/f", 6L)))
+  }
+
+  test("crash between append and marker replays as delete + row-identical rewrite") {
+    val log = runBoth()
+    val before = logRows(log)
+    // simulate the crash window: batch 1's data landed, its marker did not
+    val marker = new org.apache.hadoop.fs.Path(s"$log/_batches/log_1")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(marker, false))
+    WarcIngest.processBatch(batch1, 1L, log)
+    assert(logRows(log) === before) // no double-append, same rows
+    assert(fs.exists(marker))
+  }
+
+  test("a quality-failed claim is not revived by a replay that re-reads history") {
+    // regression guard: batch 1's anti-join must see batch 0's claims on
+    // replay exactly as the first run did — doc 10 stays unlogged
+    val log = runBoth()
+    val marker = new org.apache.hadoop.fs.Path(s"$log/_batches/log_1")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(marker, false)
+    WarcIngest.processBatch(batch1, 1L, log)
+    assert(!logRows(log).exists(_._1 == 10L))
+  }
+}
