@@ -37,9 +37,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * posture as [[IngestWithDigest]].
   *
   * At 100 TB the log is ~100 bytes per CLAIMED url (not per record read),
-  * and each batch reads it once for two lookups; the read amplification
-  * compacts away with `sinks/Compaction` like every other BatchMarker
-  * sink.
+  * and each batch reads it once for two lookups; its small-file debt
+  * compacts away with `sinks/Compaction.compactPartitions` + the
+  * BatchMarker replay-state copy (spec-pinned in WarcIngestSpec: kept()
+  * identical, landed batches still short-circuit, ingest continues with
+  * history intact).
   */
 object WarcIngest {
 

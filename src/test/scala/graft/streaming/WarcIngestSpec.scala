@@ -76,6 +76,30 @@ class WarcIngestSpec extends SparkSpec {
     assert(fs.exists(marker))
   }
 
+  test("log compacts via sinks/Compaction with replay state copied: kept() identical, replay short-circuits, ingest continues") {
+    val log = runBoth()
+    val out = Files.createTempDirectory("warc_ingest_compact").toString + "/log"
+    val stats = graft.sinks.Compaction.compactPartitions(spark, log, out, 64L << 20)
+    assert(stats.keySet === Set("batch_id=0", "batch_id=1"))
+    // copy the replay state the BatchMarker header prescribes (covers the
+    // markers AND the has_data sentinel, which lives inside _batches)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(log).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$log/_batches"),
+      fs, new org.apache.hadoop.fs.Path(s"$out/_batches"), false, conf)
+    assert(keptSet(out) === keptSet(log))
+    // a replay of a landed batch short-circuits on the copied marker
+    val before = logRows(out)
+    WarcIngest.processBatch(batch1, 1L, out)
+    assert(logRows(out) === before)
+    // and ingest continues against the compacted log (history intact:
+    // u/a is still claimed, m2 still blocks)
+    WarcIngest.processBatch(pages(
+      (20L, "u/a", 9L, "m9"), (21L, "u/z", 9L, "m2"), (22L, "u/y", 9L, "m9")), 2L, out)
+    assert(keptSet(out) === keptSet(log) + ((22L, "u/y", 9L)))
+  }
+
   test("a quality-failed claim is not revived by a replay that re-reads history") {
     // regression guard: batch 1's anti-join must see batch 0's claims on
     // replay exactly as the first run did — doc 10 stays unlogged
