@@ -284,6 +284,39 @@ object SparkEntry {
       |SELECT g.d AS doc_id, g.url, g.n_tokens
       |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin
 
+  /** `graph_pagerank`'s oracle, generated: one MATERIALIZED CTE per power
+    * iteration, mirroring `Graph.pageRank`'s update rule term for term
+    * (uniform init, per-round dangling mass, damping 0.85).
+    */
+  private val pagerankOracle: String = {
+    def round(t: Int): String =
+      s"""r$t AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1 - 0.85) / (SELECT n FROM nn)
+         |    + 0.85 * (COALESCE(c.contrib, 0)
+         |      + (SELECT COALESCE(sum(r.rank), 0) FROM r${t - 1} r
+         |         LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL)
+         |        / (SELECT n FROM nn)) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / o.deg) AS contrib
+         |    FROM r${t - 1} r JOIN outdeg o ON r.node = o.src
+         |                     JOIN edges e ON e.src = r.node
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    """WITH ids AS MATERIALIZED (SELECT doc_id AS d FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM ids),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT d AS src, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst
+      |  FROM ids, range(3) t(j) WHERE d % 5 <> 0 AND j <= d % 3),
+      |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |outdeg AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+      |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+      |""".stripMargin +
+      (1 to 10).map(round).mkString(",\n") +
+      "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
+  }
+
   /** Shared derivation of the synth-shaped fillVisitorProject inputs from
     * the TPC-H tables — used by the reference-parity and distributed-id
     * variants, which run under ONE oracle (green row = equivalence proof).
@@ -1126,6 +1159,27 @@ object SparkEntry {
         s.range(1).select(lit(4L).as("n_batches")).write.mode("overwrite").parquet(s"$p/built")
       }
       graft.streaming.WarcIngest.kept(s, s"$path/log").orderBy("doc_id")
+    }),
+
+    // Link-graph ranking (operators/Graph.pageRank): 10 power-iteration
+    // rounds with dangling-mass redistribution over an arithmetic link
+    // graph (every non-d%5 doc links to 1 + d%3 targets; d%5==0 docs are
+    // dangling — 100 of them at sf0.01, so the redistribution term is
+    // live). The oracle replays all 10 rounds as MATERIALIZED chained
+    // CTEs (the BPE-fold posture for iterative kernels); ranks rounded to
+    // 6 dp per the float-agg convention, verified against an independent
+    // NumPy replica during development.
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
     }),
 
     // The WET stage end-to-end: HTTP split (Warc.httpParsed) -> 200s only
@@ -4736,6 +4790,12 @@ object SparkEntry {
     // SHARED with warc_ingest_streamed (equivalence proof).
     "pipeline_warc" -> warcPipelineOracle,
     "warc_ingest_streamed" -> warcPipelineOracle,
+
+    // PageRank: the 10 rounds replay as a generated chain of MATERIALIZED
+    // CTEs — each round references its predecessor twice (transpose +
+    // dangling sum), so materialization is what keeps the replay linear
+    // instead of 2^10 scans.
+    "graph_pagerank" -> pagerankOracle,
 
     // WET extraction: 200-status pages only; text = the body's word run
     // (+ the fake-record literal, which is tagless and rides through

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Link-graph analytics for crawl-scale corpora (beyond-reference: the
+  * reference has no graph operators — its closest relative is the DOI
+  * resolution network, `/root/reference/synth/doi.py`, which never ranks.
+  * A web-corpus pipeline ranks hosts/pages for crawl prioritization and
+  * training-data importance weighting — Common Crawl itself publishes
+  * exactly these rankings for its frontier).
+  *
+  * PageRank by power iteration over DataFrames. The canonical
+  * formulation, with dangling-node mass redistributed uniformly each
+  * round:
+  *
+  *   r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  Σ_{dangling u} r(u)/N )
+  *
+  * Scale shape (the one-shuffle-per-iteration layout):
+  *  - `edges` is deduped, hash-partitioned by `src` ONCE and materialized
+  *    — loop-invariant, so every iteration's rank⋈edges join reuses the
+  *    layout without an exchange;
+  *  - `outdeg` aggregates over that same layout (map-side, no shuffle);
+  *  - the only data-bearing exchange per iteration is the contribution
+  *    transpose (`groupBy(dst)`) — the theoretical minimum for a
+  *    distributed power iteration;
+  *  - the dangling mass is a 1-row aggregate broadcast back into the
+  *    update, never a driver-side collect;
+  *  - each new rank vector is an eager `localCheckpoint`: the logical
+  *    plan truncates to a LogicalRDD every round (each round references
+  *    the vector three times, so an un-truncated lineage grows ~3^k) and
+  *    the node hash layout is preserved; predecessors become
+  *    unreferenced and the ContextCleaner reclaims their blocks.
+  *
+  * Iteration count is a fixed parameter (crawl ranking runs a fixed
+  * budget, typically 10-20 rounds — convergence detection would add an
+  * action per round for a stopping rule nobody tunes); determinism across
+  * engines comes from rounding the published ranks, not the arithmetic.
+  */
+object Graph {
+
+  /** Ranks for every node of the graph (union of both edge endpoints),
+    * as (node: long, rank: double — unrounded). Self-loops participate
+    * like any other edge; duplicate edges collapse.
+    */
+  def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges = edgesRaw
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint() // loop-invariant; checkpoint keeps the src layout
+    // rename at the derivation boundary: outdeg's key would otherwise
+    // keep edges' src exprId and make every iteration's join ambiguous
+    val outdeg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .select(col("src").as("deg_src"), col("deg"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(col("node"))
+      .localCheckpoint()
+    val n = nodes.count().toDouble
+
+    // eager localCheckpoint per iteration: truncates the logical plan to
+    // a LogicalRDD (each round references the rank vector three times, so
+    // an un-truncated lineage grows ~3^k and chokes planning/explain long
+    // before data does) and keeps the node hash layout; predecessors are
+    // reclaimed by the ContextCleaner once unreferenced
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      val withDeg = ranks.join(outdeg, col("node") === col("deg_src"), "left")
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val next = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(nodes("node"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"))
+        .repartition(col("node"))
+        .localCheckpoint()
+      ranks = next
+    }
+    ranks
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Graph.pageRank — semantics pinned against an in-test reference
+  * implementation (independent Map-based power iteration with the same
+  * dangling-redistribution formulation).
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def ref(edges: Set[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val contrib = edges.toSeq.groupBy(_._2).view
+        .mapValues(_.toSeq.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    r
+  }
+
+  private def assertClose(got: Map[Long, Double], want: Map[Long, Double]): Unit = {
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
+  }
+
+  test("a cycle stays uniform at 1/N") {
+    val got = pr(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L), iters = 7)
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("star with dangling leaves matches the reference implementation") {
+    val e = Set(1L -> 2L, 1L -> 3L, 1L -> 4L) // 2,3,4 dangle
+    assertClose(pr(e.toSeq, 5), ref(e, 5))
+  }
+
+  test("general graph: ranks match the reference and sum to 1") {
+    val e = Set(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 4L, // self-loop
+      5L -> 1L, 5L -> 3L) // 5 has in-degree 0
+    val got = pr(e.toSeq, 10)
+    assertClose(got, ref(e, 10))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("duplicate edges collapse before ranking") {
+    val e = Set(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L)
+    val dup = e.toSeq ++ Seq(1L -> 2L, 2L -> 3L, 2L -> 3L)
+    assertClose(pr(dup, 6), ref(e, 6))
+  }
+}
