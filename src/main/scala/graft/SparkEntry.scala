@@ -256,6 +256,9 @@ object SparkEntry {
       .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
         graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
         graft.functions.HtmlTextColumn.htmlText(col("body")).as("text"))
+      // an uncanonicalizable url (NULL) cannot claim a fetch slot — drop
+      // it here so the dedup tiers never group the NULLs together
+      .filter(col("url").isNotNull)
       .select(col("doc_id"), col("url"),
         size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
         md5(col("text")).as("text_md5"))

@@ -141,7 +141,8 @@ object Warc {
     val id = col(idCol).cast("long")
     val fileNo =
       if (rangePartition) {
-        val maxId = ids.agg(max(id)).first().getLong(0)
+        val maxRow = ids.agg(max(id)).first()
+        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) // empty ids
         val chunk = maxId / nFiles + 1 // ceil((max+1)/nFiles)
         least(floor(id / chunk), lit(nFiles - 1)).cast("int")
       } else (id % nFiles).cast("int")
@@ -284,10 +285,14 @@ object Warc {
     val head = when(at > 0, p.substr(lit(1), at - 1))
     val statusLine = substring_index(head, Crlf, 1)
     responses
+      // regexp-anchored, not split+element_at: a malformed status line
+      // must yield NULL, and under ANSI both an out-of-bounds element_at
+      // and a non-numeric cast would throw out of the task instead
       .withColumn("http_status",
-        element_at(split(statusLine, " ", 3), 2).cast("int"))
+        nullif(regexp_extract(statusLine, "^HTTP/[0-9.]+ (\\d{3})(?: |$)", 1),
+          lit("")).cast("int"))
       .withColumn("content_type",
-        nullif(regexp_extract(head, "(?m)^Content-Type: ([^\r\n]*)", 1), lit("")))
+        nullif(regexp_extract(head, "(?mi)^content-type: ([^\r\n]*)", 1), lit("")))
       .withColumn("body", when(at > 0, p.substr(at + 4, length(p))))
   }
 }

@@ -113,6 +113,12 @@ class WarcSpec extends SparkSpec {
       .toDF("path", "warc_type", "record_id", "uri", "content_length", "payload")
     val w = Warc.httpParsed(weird).select("http_status", "body").collect().head
     assert(w.isNullAt(0) && w.isNullAt(1))
+    // malformed status line -> null status (ANSI would throw on a
+    // split+element_at+cast form), body still split out
+    val odd = Seq(("p", "x", "r", "u", Some(11L), "hello\r\n\r\nbody".getBytes(US_ASCII)))
+      .toDF("path", "warc_type", "record_id", "uri", "content_length", "payload")
+    val o = Warc.httpParsed(odd).select("http_status", "body").collect().head
+    assert(o.isNullAt(0) && o.getString(1) === "body")
   }
 
   test("canonicalizeUrl erases case/default-port/fragment/tracking/param-order, keeps real ports") {
