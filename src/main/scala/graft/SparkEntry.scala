@@ -287,24 +287,27 @@ object SparkEntry {
       |SELECT g.d AS doc_id, g.url, g.n_tokens
       |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin
 
-  /** `graph_pagerank`'s oracle, generated: one MATERIALIZED CTE per power
-    * iteration, mirroring `Graph.pageRank`'s update rule term for term
-    * (uniform init, per-round dangling mass, damping 0.85).
+  /** The `graph_pagerank[_seeded]` oracle generator: one MATERIALIZED CTE
+    * per power iteration, mirroring `Graph.pageRank`'s teleport-vector
+    * update rule term for term (init = teleport, per-round dangling mass
+    * re-teleported, damping 0.85). `teleCte` defines the `tele(node,
+    * tele)` table — uniform 1/N for the global walk, a seed-membership
+    * CASE for the personalized one.
     */
-  private val pagerankOracle: String = {
+  private def pagerankOracleFor(teleCte: String): String = {
     def round(t: Int): String =
       s"""r$t AS MATERIALIZED (
-         |  SELECT n.node,
-         |    (1 - 0.85) / (SELECT n FROM nn)
+         |  SELECT tl.node,
+         |    (1 - 0.85) * tl.tele
          |    + 0.85 * (COALESCE(c.contrib, 0)
          |      + (SELECT COALESCE(sum(r.rank), 0) FROM r${t - 1} r
          |         LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL)
-         |        / (SELECT n FROM nn)) AS rank
-         |  FROM nodes n LEFT JOIN (
+         |        * tl.tele) AS rank
+         |  FROM tele tl LEFT JOIN (
          |    SELECT e.dst AS node, sum(r.rank / o.deg) AS contrib
          |    FROM r${t - 1} r JOIN outdeg o ON r.node = o.src
          |                     JOIN edges e ON e.src = r.node
-         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+         |    GROUP BY e.dst) c ON tl.node = c.node)""".stripMargin
     """WITH ids AS MATERIALIZED (SELECT doc_id AS d FROM documents),
       |nd AS (SELECT count(*) AS n_docs FROM ids),
       |edges AS MATERIALIZED (
@@ -314,11 +317,25 @@ object SparkEntry {
       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
       |outdeg AS MATERIALIZED (
       |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
-      |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
       |""".stripMargin +
+      teleCte + ",\n" +
+      "r0 AS MATERIALIZED (SELECT node, tele AS rank FROM tele),\n" +
       (1 to 10).map(round).mkString(",\n") +
       "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
   }
+
+  private val pagerankOracle: String = pagerankOracleFor(
+    "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)")
+
+  /** Seeds are every 17th doc id — counted over the ID set (the operator's
+    * convention: out-of-graph seeds still take their 1/|S| teleport share
+    * and are simply unreachable), teleport landing only on seed NODES.
+    */
+  private val pagerankSeededOracle: String = pagerankOracleFor(
+    """sk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ids WHERE d % 17 = 0),
+      |tele AS MATERIALIZED (
+      |  SELECT node, CASE WHEN node % 17 = 0 THEN 1.0 / (SELECT k FROM sk)
+      |               ELSE 0.0 END AS tele FROM nodes)""".stripMargin)
 
   /** Shared derivation of the synth-shaped fillVisitorProject inputs from
     * the TPC-H tables — used by the reference-parity and distributed-id
@@ -1181,6 +1198,27 @@ object SparkEntry {
         .select(col("src"),
           pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
+    // Personalized PageRank: teleport restricted to every-17th doc id —
+    // the domain-focused crawl-prioritization variant (rank pages by
+    // proximity to a trusted seed set). Same operator, same oracle
+    // generator with a seed-membership teleport CTE; mass leaks to
+    // out-of-graph seeds by convention (they hold 1/|S| teleport shares
+    // nobody can land on).
+    "graph_pagerank_seeded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
+      val seeds = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10,
+          seeds = Some(seeds), seedCol = "doc_id")
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     }),
@@ -4799,6 +4837,7 @@ object SparkEntry {
     // dangling sum), so materialization is what keeps the replay linear
     // instead of 2^10 scans.
     "graph_pagerank" -> pagerankOracle,
+    "graph_pagerank_seeded" -> pagerankSeededOracle,
 
     // WET extraction: 200-status pages only; text = the body's word run
     // (+ the fake-record literal, which is tagless and rides through

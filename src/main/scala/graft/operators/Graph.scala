@@ -10,17 +10,21 @@ import org.apache.spark.sql.DataFrame
   * training-data importance weighting — Common Crawl itself publishes
   * exactly these rankings for its frontier).
   *
-  * PageRank by power iteration over DataFrames. The canonical
-  * formulation, with dangling-node mass redistributed uniformly each
-  * round:
+  * PageRank by power iteration over DataFrames, global or personalized.
+  * The canonical formulation with a teleport vector `t` (uniform 1/N for
+  * the global walk; uniform over a seed set for the personalized one —
+  * the domain-focused crawl-prioritization variant) and dangling-node
+  * mass re-teleported through the same vector each round:
   *
-  *   r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  Σ_{dangling u} r(u)/N )
+  *   r'(v) = (1-d)·t(v) + d · ( Σ_{u→v} r(u)/outdeg(u)  +  t(v)·Σ_{dangling u} r(u) )
   *
   * Scale shape (the one-shuffle-per-iteration layout):
   *  - `edges` is deduped, hash-partitioned by `src` ONCE and materialized
   *    — loop-invariant, so every iteration's rank⋈edges join reuses the
   *    layout without an exchange;
   *  - `outdeg` aggregates over that same layout (map-side, no shuffle);
+  *  - the teleport vector is materialized once beside the node set (a
+  *    seed-set membership left-join, not a per-round lookup);
   *  - the only data-bearing exchange per iteration is the contribution
   *    transpose (`groupBy(dst)`) — the theoretical minimum for a
   *    distributed power iteration;
@@ -42,9 +46,16 @@ object Graph {
   /** Ranks for every node of the graph (union of both edge endpoints),
     * as (node: long, rank: double — unrounded). Self-loops participate
     * like any other edge; duplicate edges collapse.
+    *
+    * `seeds` personalizes the walk: teleport mass spreads uniformly over
+    * the seed node set instead of all nodes (seeds outside the graph's
+    * node set still absorb teleport weight in the 1/|S| share — they are
+    * simply unreachable, the standard convention). `None` is the global
+    * walk.
     */
   def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      seeds: Option[DataFrame] = None, seedCol: String = "node"): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val edges = edgesRaw
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -64,12 +75,26 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count().toDouble
 
+    // the teleport vector, node-aligned and loop-invariant
+    val tele = (seeds match {
+      case Some(sd) =>
+        val seedSet = sd.select(col(seedCol).cast("long").as("seed")).distinct()
+          .localCheckpoint()
+        val k = seedSet.count().toDouble
+        require(k > 0, "seeds must be non-empty")
+        nodes.join(broadcast(seedSet), col("node") === col("seed"), "left")
+          .select(col("node"),
+            when(col("seed").isNotNull, lit(1.0 / k)).otherwise(lit(0.0)).as("tele"))
+      case None =>
+        nodes.select(col("node"), lit(1.0 / n).as("tele"))
+    }).repartition(col("node")).localCheckpoint()
+
     // eager localCheckpoint per iteration: truncates the logical plan to
     // a LogicalRDD (each round references the rank vector three times, so
     // an un-truncated lineage grows ~3^k and chokes planning/explain long
     // before data does) and keeps the node hash layout; predecessors are
     // reclaimed by the ContextCleaner once unreferenced
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+    var ranks = tele.select(col("node"), col("tele").as("rank")).localCheckpoint()
     (1 to iterations).foreach { _ =>
       val withDeg = ranks.join(outdeg, col("node") === col("deg_src"), "left")
       val dangling = withDeg.filter(col("deg").isNull)
@@ -78,12 +103,12 @@ object Graph {
         .join(edges, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
-      val next = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
+      val next = tele
+        .join(contribs, tele("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(nodes("node"),
-          (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"))
+        .select(tele("node"),
+          (lit(1 - damping) * col("tele") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("tele"))).as("rank"))
         .repartition(col("node"))
         .localCheckpoint()
       ranks = next

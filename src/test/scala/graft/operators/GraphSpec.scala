@@ -10,22 +10,28 @@ class GraphSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
-    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+  private def pr(edges: Seq[(Long, Long)], iters: Int,
+      seeds: Option[Seq[Long]] = None): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters,
+        seeds = seeds.map(_.toDF("node")))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-  private def ref(edges: Set[(Long, Long)], iters: Int,
-      d: Double = 0.85): Map[Long, Double] = {
+  private def ref(edges: Set[(Long, Long)], iters: Int, d: Double = 0.85,
+      seeds: Option[Set[Long]] = None): Map[Long, Double] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.distinct.sorted
     val n = nodes.size.toDouble
+    val tele: Long => Double = seeds match {
+      case Some(sd) => v => if (sd(v)) 1.0 / sd.size else 0.0
+      case None     => _ => 1.0 / n
+    }
     val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
-    var r = nodes.map(_ -> 1.0 / n).toMap
+    var r = nodes.map(v => v -> tele(v)).toMap
     (1 to iters).foreach { _ =>
       val dang = nodes.filterNot(out.contains).map(r).sum
       val contrib = edges.toSeq.groupBy(_._2).view
         .mapValues(_.toSeq.map { case (s, _) => r(s) / out(s) }.sum).toMap
       r = nodes.map(v =>
-        v -> ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dang / n))).toMap
+        v -> ((1 - d) * tele(v) + d * (contrib.getOrElse(v, 0.0) + dang * tele(v)))).toMap
     }
     r
   }
@@ -57,5 +63,30 @@ class GraphSpec extends SparkSpec {
     val e = Set(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L)
     val dup = e.toSeq ++ Seq(1L -> 2L, 2L -> 3L, 2L -> 3L)
     assertClose(pr(dup, 6), ref(e, 6))
+  }
+
+  test("seeding with every node reproduces the global walk exactly") {
+    val e = Set(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L)
+    val all = Seq(1L, 2L, 3L, 4L, 5L)
+    assert(pr(e.toSeq, 6, seeds = Some(all)) === pr(e.toSeq, 6))
+  }
+
+  test("personalized walk matches the reference; teleport-unreachable components rank zero") {
+    // two components: 1->2 (seeded side) and 3->4 (never teleported to,
+    // never linked from the seed side)
+    val e = Set(1L -> 2L, 2L -> 1L, 3L -> 4L)
+    val got = pr(e.toSeq, 8, seeds = Some(Seq(1L)))
+    assertClose(got, ref(e, 8, seeds = Some(Set(1L))))
+    assert(got(3L) === 0.0)
+    assert(got(4L) === 0.0)
+    assert(got(1L) > got(2L)) // seed holds the teleport mass
+  }
+
+  test("out-of-graph seeds absorb their teleport share (documented convention)") {
+    val e = Set(1L -> 2L, 2L -> 1L)
+    // seed 9 is not a node: half the teleport mass leaks each round
+    val got = pr(e.toSeq, 6, seeds = Some(Seq(1L, 9L)))
+    assertClose(got, ref(e, 6, seeds = Some(Set(1L, 9L))).filter(_._1 != 9L))
+    assert(got.values.sum < 1.0 - 1e-6)
   }
 }
