@@ -1181,6 +1181,36 @@ object SparkEntry {
       graft.streaming.WarcIngest.kept(s, s"$path/log").orderBy("doc_id")
     }),
 
+    // robots.txt policy gating (functions/Robots) — the pre-fetch stage:
+    // per-host policies (synthesized with a decoy bot-specific
+    // `Disallow: /` group, an empty-Disallow host, and a two-prefix
+    // host) parse map-side to `*`-group prefix arrays, broadcast, and
+    // gate every page URL by prefix match. The oracle states the
+    // arithmetic ideal — group scoping, the empty-Disallow idiom and
+    // the second prefix all have to come through the parser for the
+    // blocked set (71/500 at sf0.01) to match.
+    "warc_robots_gate" -> ((s, dir) => {
+      val pages = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          try_parse_url(col("uri"), lit("PATH")).as("path"))
+      val h = col("id")
+      val policies = s.range(7).select(
+        concat(lit("d"), h, lit(".ex.test")).as("host"),
+        concat(
+          lit("User-agent: fetchbot\nDisallow: /\n\nUser-agent: *\n"),
+          when(h === 5, lit("Disallow:\n"))
+            .otherwise(concat(lit("Disallow: /d/"), h, lit("\n"))),
+          when(h === 6, lit("Disallow: /d/16\n")).otherwise(lit("")),
+          lit("Crawl-delay: 2\n")).as("robots_txt"))
+      val rules = policies.select(col("host"),
+        graft.functions.Robots.disallowPrefixes(col("robots_txt")).as("prefixes"))
+      pages.join(broadcast(rules), Seq("host"), "left")
+        .select(col("doc_id"), col("host"),
+          graft.functions.Robots.isBlocked(col("path"), col("prefixes")).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // Link-graph ranking (operators/Graph.pageRank): 10 power-iteration
     // rounds with dangling-mass redistribution over an arithmetic link
     // graph (every non-d%5 doc links to 1 + d%3 targets; d%5==0 docs are
@@ -4836,6 +4866,20 @@ object SparkEntry {
     // CTEs — each round references its predecessor twice (transpose +
     // dangling sum), so materialization is what keeps the replay linear
     // instead of 2^10 scans.
+    // The gate's arithmetic ideal: host h blocks prefix '/d/h' (so
+    // str(p) startswith str(h)), host 5 blocks nothing (empty Disallow),
+    // host 6 also blocks '/d/16'; the decoy fetchbot group must never
+    // leak (it would block everything).
+    "warc_robots_gate" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |pg AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids)
+        |SELECT d AS doc_id, 'd' || (p % 7) || '.ex.test' AS host,
+        |  CASE WHEN p % 7 = 5 THEN FALSE
+        |       ELSE starts_with(CAST(p AS VARCHAR), CAST(p % 7 AS VARCHAR))
+        |            OR (p % 7 = 6 AND starts_with(CAST(p AS VARCHAR), '16'))
+        |  END AS blocked
+        |FROM pg ORDER BY doc_id""".stripMargin,
+
     "graph_pagerank" -> pagerankOracle,
     "graph_pagerank_seeded" -> pagerankSeededOracle,
 
