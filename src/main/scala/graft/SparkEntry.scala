@@ -327,6 +327,38 @@ object SparkEntry {
   private val pagerankOracle: String = pagerankOracleFor(
     "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)")
 
+  /** `graph_hits`' oracle: every half-step (raw transpose, L1-normalize)
+    * of all 8 rounds as generated MATERIALIZED CTEs, mirroring
+    * `Graph.hits` term for term.
+    */
+  private val hitsOracle: String = {
+    def round(t: Int): String =
+      s"""ra$t AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS a
+         |  FROM h${t - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst),
+         |a$t AS MATERIALIZED (SELECT n.node,
+         |  COALESCE(r.a, 0) / (SELECT sum(a) FROM ra$t) AS auth
+         |  FROM nodes n LEFT JOIN ra$t r ON n.node = r.node),
+         |rh$t AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS hh
+         |  FROM a$t a JOIN edges e ON e.dst = a.node GROUP BY e.src),
+         |h$t AS MATERIALIZED (SELECT n.node,
+         |  COALESCE(r.hh, 0) / (SELECT sum(hh) FROM rh$t) AS hub
+         |  FROM nodes n LEFT JOIN rh$t r ON n.node = r.node)""".stripMargin
+    """WITH ids AS MATERIALIZED (SELECT doc_id AS d FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM ids),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT d AS src, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst
+      |  FROM ids, range(3) t(j) WHERE d % 5 <> 0 AND j <= d % 3),
+      |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes),
+      |""".stripMargin +
+      (1 to 8).map(round).mkString(",\n") +
+      """
+        |SELECT n.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS authority
+        |FROM nodes n JOIN h8 h ON n.node = h.node JOIN a8 a ON n.node = a.node
+        |ORDER BY n.node""".stripMargin
+  }
+
   /** Seeds are every 17th doc id — counted over the ID set (the operator's
     * convention: out-of-graph seeds still take their 1/|S| teleport share
     * and are simply unreachable), teleport landing only on seed NODES.
@@ -1229,6 +1261,24 @@ object SparkEntry {
           pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
+    // HITS hubs & authorities (Graph.hits) over the same link graph —
+    // the directory-page/content-page decomposition a crawl uses to find
+    // index pages. 8 L1-normalized rounds; oracle replays every
+    // half-step as generated MATERIALIZED CTEs, NumPy-cross-checked.
+    "graph_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iterations = 8)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
         .orderBy("node")
     }),
 
@@ -4882,6 +4932,7 @@ object SparkEntry {
 
     "graph_pagerank" -> pagerankOracle,
     "graph_pagerank_seeded" -> pagerankSeededOracle,
+    "graph_hits" -> hitsOracle,
 
     // WET extraction: 200-status pages only; text = the body's word run
     // (+ the fake-record literal, which is tagless and rides through

@@ -115,4 +115,60 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS (Kleinberg) hubs & authorities — the other classic link-analysis
+    * kernel, L1-normalized each half-step so scores stay interpretable as
+    * mass shares. Per iteration:
+    *
+    *   a(v) = Σ_{u→v} h(u), normalized;  h(u) = Σ_{u→v} a(v), normalized.
+    *
+    * Same iterative discipline as [[pageRank]]: edges deduped and
+    * checkpointed once, every aggregate two-phase (the two transposes —
+    * one per direction — are the only data exchanges), normalization
+    * totals are broadcast 1-row aggregates, and each half-step vector is
+    * an eager localCheckpoint. Nodes with no in-edges score authority 0;
+    * no out-edges, hub 0 (after the first round).
+    *
+    * Returns (node: long, hub: double, authority: double), unrounded.
+    */
+  def hits(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges = edgesRaw
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(col("node"))
+      .localCheckpoint()
+    val n = nodes.count().toDouble
+
+    var hub = nodes.select(col("node"), lit(1.0 / n).as("hub")).localCheckpoint()
+    var auth: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val rawAuth = hub.join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum("hub").as("a"))
+      val aTot = rawAuth.agg(sum("a").as("atot"))
+      auth = nodes.join(rawAuth, nodes("node") === rawAuth("dst"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(nodes("node"),
+          (coalesce(col("a"), lit(0.0)) / col("atot")).as("auth"))
+        .repartition(col("node"))
+        .localCheckpoint()
+      val rawHub = auth.join(edges, col("node") === col("dst"))
+        .groupBy(col("src")).agg(sum("auth").as("hh"))
+      val hTot = rawHub.agg(sum("hh").as("htot"))
+      hub = nodes.join(rawHub, nodes("node") === rawHub("src"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(nodes("node"),
+          (coalesce(col("hh"), lit(0.0)) / col("htot")).as("hub"))
+        .repartition(col("node"))
+        .localCheckpoint()
+    }
+    hub.join(auth, Seq("node")).select(col("node"), col("hub"),
+      col("auth").as("authority"))
+  }
 }

@@ -82,6 +82,49 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) > got(2L)) // seed holds the teleport mass
   }
 
+  private def hitsGot(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] =
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  private def refHits(edges: Set[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.distinct.sorted
+    val n = nodes.size.toDouble
+    var h = nodes.map(_ -> 1.0 / n).toMap
+    var a = Map.empty[Long, Double]
+    (1 to iters).foreach { _ =>
+      val ra = nodes.map(v => v -> edges.toSeq.collect { case (s, t) if t == v => h(s) }.sum).toMap
+      val at = ra.values.sum
+      a = ra.view.mapValues(_ / at).toMap
+      val rh = nodes.map(v => v -> edges.toSeq.collect { case (s, t) if s == v => a(t) }.sum).toMap
+      val ht = rh.values.sum
+      h = rh.view.mapValues(_ / ht).toMap
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hits: star — the center is the only hub, leaves split authority evenly") {
+    val got = hitsGot(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L), 5)
+    assert(math.abs(got(1L)._1 - 1.0) < 1e-12)       // all hub mass
+    assert(math.abs(got(1L)._2) < 1e-12)             // no in-edges -> authority 0
+    Seq(2L, 3L, 4L).foreach { v =>
+      assert(math.abs(got(v)._1) < 1e-12)            // no out-edges -> hub 0
+      assert(math.abs(got(v)._2 - 1.0 / 3) < 1e-12)
+    }
+  }
+
+  test("hits: general graph matches the reference implementation; both scores sum to 1") {
+    val e = Set(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L, 5L -> 4L)
+    val got = hitsGot(e.toSeq, 8)
+    val want = refHits(e, 8)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (hh, aa)) =>
+      assert(math.abs(hh - want(k)._1) < 1e-12, s"hub $k")
+      assert(math.abs(aa - want(k)._2) < 1e-12, s"auth $k")
+    }
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("out-of-graph seeds absorb their teleport share (documented convention)") {
     val e = Set(1L -> 2L, 2L -> 1L)
     // seed 9 is not a node: half the teleport mass leaks each round
