@@ -294,7 +294,14 @@ object SparkEntry {
     * tele)` table — uniform 1/N for the global walk, a seed-membership
     * CASE for the personalized one.
     */
-  private def pagerankOracleFor(teleCte: String): String = {
+  private def pagerankOracleFor(teleCte: String): String =
+    pagerankChain(teleCte) +
+      "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
+
+  /** The WITH-chain only (ids .. r10), reusable by composite oracles that
+    * consume the converged rank vector (`pipeline_crawl_frontier`).
+    */
+  private def pagerankChain(teleCte: String): String = {
     def round(t: Int): String =
       s"""r$t AS MATERIALIZED (
          |  SELECT tl.node,
@@ -320,9 +327,29 @@ object SparkEntry {
       |""".stripMargin +
       teleCte + ",\n" +
       "r0 AS MATERIALIZED (SELECT node, tele AS rank FROM tele),\n" +
-      (1 to 10).map(round).mkString(",\n") +
-      "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
+      (1 to 10).map(round).mkString(",\n")
   }
+
+  /** `pipeline_crawl_frontier`'s oracle: the converged global rank chain,
+    * then the frontier tiers in arithmetic-ideal form — distinct
+    * canonical candidates, the robots gate, and the rank-prioritized
+    * top-50 (rounded-rank DESC, node tiebreak — deterministic in both
+    * engines).
+    */
+  private val crawlFrontierOracle: String =
+    pagerankChain(
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)") +
+      """,
+        |pg AS (SELECT DISTINCT CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |cand AS (SELECT p, 'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url FROM pg),
+        |allowed AS (SELECT * FROM cand WHERE NOT (
+        |  CASE WHEN p % 7 = 5 THEN FALSE
+        |       ELSE starts_with(CAST(p AS VARCHAR), CAST(p % 7 AS VARCHAR))
+        |            OR (p % 7 = 6 AND starts_with(CAST(p AS VARCHAR), '16')) END))
+        |SELECT a.url, a.p AS node, round(r.rank, 6) AS rank
+        |FROM allowed a JOIN r10 r ON r.node = a.p
+        |ORDER BY rank DESC, node LIMIT 50""".stripMargin
 
   private val pagerankOracle: String = pagerankOracleFor(
     "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)")
@@ -1262,6 +1289,43 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
+    }),
+
+    // The crawl FRONTIER end-to-end — the integration of all four new
+    // families: candidate urls parsed from the archives, canonical-alias
+    // dedup, the robots gate, then PageRank-prioritized top-50 (rounded
+    // rank DESC, node tiebreak). 404s stay in: the frontier is pre-fetch,
+    // status is unknown at scheduling time.
+    "pipeline_crawl_frontier" -> ((s, dir) => {
+      val cand = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          try_parse_url(col("uri"), lit("PATH")).as("path"))
+        .filter(col("url").isNotNull)
+        .distinct() // canonical aliases collapse (host/path agree per url)
+        .withColumn("node", regexp_extract(col("path"), "/d/(\\d+)", 1).cast("long"))
+      val h = col("id")
+      val rules = s.range(7).select(
+        concat(lit("d"), h, lit(".ex.test")).as("host"),
+        graft.functions.Robots.disallowPrefixes(concat(
+          lit("User-agent: fetchbot\nDisallow: /\n\nUser-agent: *\n"),
+          when(h === 5, lit("Disallow:\n"))
+            .otherwise(concat(lit("Disallow: /d/"), h, lit("\n"))),
+          when(h === 6, lit("Disallow: /d/16\n")).otherwise(lit("")),
+          lit("Crawl-delay: 2\n"))).as("prefixes"))
+      val allowed = cand.join(broadcast(rules), Seq("host"), "left")
+        .filter(!graft.functions.Robots.isBlocked(col("path"), col("prefixes")))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
+      val ranks = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+      allowed.join(ranks, Seq("node"))
+        .select(col("url"), col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(desc("rank"), asc("node")).limit(50)
     }),
 
     // HITS hubs & authorities (Graph.hits) over the same link graph —
@@ -4933,6 +4997,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle,
     "graph_pagerank_seeded" -> pagerankSeededOracle,
     "graph_hits" -> hitsOracle,
+    "pipeline_crawl_frontier" -> crawlFrontierOracle,
 
     // WET extraction: 200-status pages only; text = the body's word run
     // (+ the fake-record literal, which is tagless and rides through
