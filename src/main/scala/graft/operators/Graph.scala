@@ -52,10 +52,19 @@ object Graph {
     * node set still absorb teleport weight in the 1/|S| share — they are
     * simply unreachable, the standard convention). `None` is the global
     * walk.
+    *
+    * `init` warm-starts the iteration from a previous rank vector (node,
+    * rank) — the crawl-cadence move: after a segment of new edges lands,
+    * a few warm rounds on the grown graph recover the accuracy of a full
+    * cold run (power iteration is a contraction, so any start converges
+    * to the same fixed point; a near-fixed-point start just needs fewer
+    * rounds). Nodes absent from `init` (the new crawl's new pages) start
+    * at their teleport weight.
     */
   def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      seeds: Option[DataFrame] = None, seedCol: String = "node"): DataFrame = {
+      seeds: Option[DataFrame] = None, seedCol: String = "node",
+      init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val edges = edgesRaw
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -94,7 +103,14 @@ object Graph {
     // an un-truncated lineage grows ~3^k and chokes planning/explain long
     // before data does) and keeps the node hash layout; predecessors are
     // reclaimed by the ContextCleaner once unreferenced
-    var ranks = tele.select(col("node"), col("tele").as("rank")).localCheckpoint()
+    var ranks = (init match {
+      case Some(r0) =>
+        tele.join(r0.select(col("node").cast("long").as("__inode"),
+            col("rank").cast("double").as("__irank")),
+          col("node") === col("__inode"), "left")
+          .select(col("node"), coalesce(col("__irank"), col("tele")).as("rank"))
+      case None => tele.select(col("node"), col("tele").as("rank"))
+    }).repartition(col("node")).localCheckpoint()
     (1 to iterations).foreach { _ =>
       val withDeg = ranks.join(outdeg, col("node") === col("deg_src"), "left")
       val dangling = withDeg.filter(col("deg").isNull)

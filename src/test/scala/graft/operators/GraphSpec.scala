@@ -65,6 +65,36 @@ class GraphSpec extends SparkSpec {
     assertClose(pr(dup, 6), ref(e, 6))
   }
 
+  test("warm-starting from the converged vector is a near-fixed point; new nodes start at teleport") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L)
+    val converged = Graph.pageRank(e.toDF("src", "dst"), "src", "dst", 60)
+    val oneMore = Graph.pageRank(e.toDF("src", "dst"), "src", "dst", 1,
+        init = Some(converged))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fixed = converged.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    fixed.foreach { case (k, v) => assert(math.abs(oneMore(k) - v) < 1e-9, s"node $k") }
+    // a node unknown to the init vector starts at its teleport weight:
+    // warm-started 1 round over a grown graph equals cold 1 round from a
+    // vector that is (converged ranks ++ teleport for the new node)
+    val grown = e ++ Seq(6L -> 1L, 4L -> 6L)
+    val warm1 = Graph.pageRank(grown.toDF("src", "dst"), "src", "dst", 1,
+        init = Some(converged))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(warm1.contains(6L)) // the new node participates immediately
+    val n6 = 6.0
+    val manualInit = fixed + (6L -> 1.0 / n6)
+    // re-derive one reference round over the grown graph from manualInit
+    val out = grown.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes6 = (grown.map(_._1) ++ grown.map(_._2)).distinct.sorted
+    val dang = nodes6.filterNot(out.contains).map(manualInit).sum
+    val contrib = grown.groupBy(_._2).view
+      .mapValues(_.map { case (s, _) => manualInit(s) / out(s) }.sum).toMap
+    nodes6.foreach { v =>
+      val want = (1 - 0.85) / n6 + 0.85 * (contrib.getOrElse(v, 0.0) + dang / n6)
+      assert(math.abs(warm1(v) - want) < 1e-12, s"node $v")
+    }
+  }
+
   test("seeding with every node reproduces the global walk exactly") {
     val e = Set(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L)
     val all = Seq(1L, 2L, 3L, 4L, 5L)
