@@ -354,6 +354,42 @@ object SparkEntry {
   private val pagerankOracle: String = pagerankOracleFor(
     "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)")
 
+  /** `graph_pagerank_hosts`' oracle: the weighted walk over the
+    * host-contracted graph — weighted out-degree, `rank * w / deg`
+    * contributions, same dangling/teleport structure.
+    */
+  private val hostPagerankOracle: String = {
+    def round(t: Int): String =
+      s"""r$t AS MATERIALIZED (
+         |  SELECT tl.node,
+         |    (1 - 0.85) * tl.tele
+         |    + 0.85 * (COALESCE(c.contrib, 0)
+         |      + (SELECT COALESCE(sum(r.rank), 0) FROM r${t - 1} r
+         |         LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL)
+         |        * tl.tele) AS rank
+         |  FROM tele tl LEFT JOIN (
+         |    SELECT e.hdst AS node, sum(r.rank * e.w / o.deg) AS contrib
+         |    FROM r${t - 1} r JOIN outdeg o ON r.node = o.src
+         |                     JOIN hedges e ON e.hsrc = r.node
+         |    GROUP BY e.hdst) c ON tl.node = c.node)""".stripMargin
+    """WITH ids AS MATERIALIZED (SELECT doc_id AS d FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM ids),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT d AS src, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst
+      |  FROM ids, range(3) t(j) WHERE d % 5 <> 0 AND j <= d % 3),
+      |hedges AS MATERIALIZED (
+      |  SELECT src % 7 AS hsrc, dst % 7 AS hdst, CAST(count(*) AS DOUBLE) AS w
+      |  FROM edges WHERE src % 7 <> dst % 7 GROUP BY 1, 2),
+      |nodes AS MATERIALIZED (SELECT hsrc AS node FROM hedges UNION SELECT hdst FROM hedges),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |outdeg AS MATERIALIZED (SELECT hsrc AS src, sum(w) AS deg FROM hedges GROUP BY hsrc),
+      |tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes),
+      |r0 AS MATERIALIZED (SELECT node, tele AS rank FROM tele),
+      |""".stripMargin +
+      (1 to 10).map(round).mkString(",\n") +
+      "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
+  }
+
   /** `graph_hits`' oracle: every half-step (raw transpose, L1-normalize)
     * of all 8 rounds as generated MATERIALIZED CTEs, mirroring
     * `Graph.hits` term for term.
@@ -1326,6 +1362,29 @@ object SparkEntry {
       allowed.join(ranks, Seq("node"))
         .select(col("url"), col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("node")).limit(50)
+    }),
+
+    // Host-graph contraction + WEIGHTED PageRank — what Common Crawl
+    // actually ranks: pages contract to their host (node % 7 here),
+    // intra-host links drop, parallel links become edge WEIGHTS (link
+    // multiplicity), and mass leaves a host proportional to per-link
+    // share. 7 hosts, 42 weighted edges at both SFs.
+    "graph_pagerank_hosts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
+      val hostEdges = edges
+        .select(pmod(col("src"), lit(7)).as("hsrc"), pmod(col("dst"), lit(7)).as("hdst"))
+        .filter(col("hsrc") =!= col("hdst"))
+        .groupBy("hsrc", "hdst").agg(count(lit(1)).cast("double").as("w"))
+      graft.operators.Graph.pageRank(hostEdges, "hsrc", "hdst", iterations = 10,
+          weightCol = Some("w"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
     }),
 
     // INCREMENTAL PageRank — the crawl-cadence claim, gated: rank the
@@ -5029,6 +5088,7 @@ object SparkEntry {
     "graph_pagerank_seeded" -> pagerankSeededOracle,
     "graph_hits" -> hitsOracle,
     "pipeline_crawl_frontier" -> crawlFrontierOracle,
+    "graph_pagerank_hosts" -> hostPagerankOracle,
 
     // Cold ranks replay exactly (same chain); the warm-walk proximity
     // gate is Spark-computed and pinned TRUE (the recall-gate

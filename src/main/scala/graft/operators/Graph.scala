@@ -60,21 +60,31 @@ object Graph {
     * to the same fixed point; a near-fixed-point start just needs fewer
     * rounds). Nodes absent from `init` (the new crawl's new pages) start
     * at their teleport weight.
+    *
+    * `weightCol` makes the walk weighted — mass leaves `u` proportional
+    * to each edge's weight over `u`'s total out-weight (the host-graph
+    * contraction shape, where weight = link multiplicity). Parallel
+    * (src, dst) rows SUM their weights; unweighted edges dedup instead.
     */
   def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
       seeds: Option[DataFrame] = None, seedCol: String = "node",
-      init: Option[DataFrame] = None): DataFrame = {
+      init: Option[DataFrame] = None,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val edges = edgesRaw
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .repartition(col("src"))
+    val src = col(srcCol).cast("long").as("src")
+    val dst = col(dstCol).cast("long").as("dst")
+    val edges = (weightCol match {
+      case Some(wc) => edgesRaw.select(src, dst, col(wc).cast("double").as("w"))
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+      case None => edgesRaw.select(src, dst).distinct()
+        .withColumn("w", lit(1.0)) // sum(1.0) == count: bit-identical path
+    }).repartition(col("src"))
       .localCheckpoint() // loop-invariant; checkpoint keeps the src layout
     // rename at the derivation boundary: outdeg's key would otherwise
     // keep edges' src exprId and make every iteration's join ambiguous
     val outdeg = edges.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("deg"))
+      .agg(sum("w").as("deg"))
       .select(col("src").as("deg_src"), col("deg"))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
@@ -118,7 +128,7 @@ object Graph {
       val contribs = withDeg.filter(col("deg").isNotNull)
         .join(edges, col("node") === col("src"))
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("contrib"))
+        .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
       val next = tele
         .join(contribs, tele("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))

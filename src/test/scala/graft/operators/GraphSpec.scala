@@ -95,6 +95,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weighted walk: all-ones weights reproduce the unweighted walk exactly; weights steer mass") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L)
+    val ones = e.map { case (s, t) => (s, t, 1.0) }.toDF("src", "dst", "w")
+    val weighted = Graph.pageRank(ones, "src", "dst", 6, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(weighted === pr(e, 6))
+    // 1 sends 9x more mass to 2 than to 3; parallel rows sum their weights
+    val w = Seq((1L, 2L, 4.5), (1L, 2L, 4.5), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(w, "src", "dst", 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent hand iteration over the collapsed weighted graph
+    val edges = Map((1L, 2L) -> 9.0, (1L, 3L) -> 1.0, (2L, 1L) -> 1.0, (3L, 1L) -> 1.0)
+    val wout = Map(1L -> 10.0, 2L -> 1.0, 3L -> 1.0)
+    val nodes = Seq(1L, 2L, 3L)
+    var r = nodes.map(_ -> 1.0 / 3).toMap
+    (1 to 4).foreach { _ =>
+      val contrib = nodes.map(v => v ->
+        edges.collect { case ((s, t), ww) if t == v => r(s) * ww / wout(s) }.sum).toMap
+      r = nodes.map(v => v -> (0.15 / 3 + 0.85 * contrib(v))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v"))
+    assert(got(2L) > got(3L))
+  }
+
   test("seeding with every node reproduces the global walk exactly") {
     val e = Set(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L)
     val all = Seq(1L, 2L, 3L, 4L, 5L)
