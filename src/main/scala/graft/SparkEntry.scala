@@ -1224,6 +1224,33 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // WARC SINK round-trip (Warc.writeRecords — the source's symmetric
+    // half): read the archives, keep the 200-status pages, RE-EXPORT
+    // them as standard WARC files, read those back through the same
+    // parser, and hash every record byte-exactly against the arithmetic
+    // oracle. A framing error anywhere in the writer (lengths, header
+    // serialization, gzip) breaks the re-parse and the row goes red.
+    "warc_rewrite" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val path = ensureIndex(s, ids, "warcrw", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        import s.implicits._
+        val pages = graft.sources.Warc.httpParsed(
+            graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
+          .filter(col("http_status") === 200)
+          .select("path", "warc_type", "record_id", "uri", "content_length", "payload")
+          .as[graft.sources.WarcRecord]
+        val n = graft.sources.Warc.writeRecords(pages, s"$p/files", nFiles = 8)
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+      graft.sources.Warc.responses(graft.sources.Warc.readRecords(s, s"$path/files")).toDF()
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
     // The crawl-curation pipeline END-TO-END in production order:
     // fetch-status gate -> canonical-URL dedup (one fetch per url — the
     // slot is consumed even when the survivor then fails quality) ->
@@ -5065,6 +5092,32 @@ object SparkEntry {
     // SHARED with warc_ingest_streamed (equivalence proof).
     "pipeline_warc" -> warcPipelineOracle,
     "warc_ingest_streamed" -> warcPipelineOracle,
+
+    // Sink round-trip: exactly warc_read's response reconstruction,
+    // restricted to the 200-status pages the rewrite kept — the re-read
+    // of the RE-EXPORTED archive must still hash byte-exactly.
+    "warc_rewrite" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |b AS (SELECT d, d % 4 AS v, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |q AS (SELECT *, array_to_string(list_filter([
+        |    CASE WHEN p % 5 = 0 THEN (CASE WHEN d % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ELSE '' END,
+        |    CASE WHEN v = 1 THEN 'utm_source=news' ELSE '' END], x -> x <> ''), '&') AS qs FROM b),
+        |u AS (SELECT d, v, p,
+        |  (CASE WHEN v = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN v = 1 THEN upper('d' || (p % 7) || '.ex.test') ELSE 'd' || (p % 7) || '.ex.test' END) ||
+        |  (CASE WHEN v = 1 THEN ':443' ELSE '' END) || '/d/' || p ||
+        |  (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) ||
+        |  (CASE WHEN v = 2 THEN '#frag' ELSE '' END) AS uri FROM q),
+        |pay AS (SELECT d, uri,
+        |  'HTTP/1.1 200 OK'
+        |  || chr(13) || chr(10) || 'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  '<html><body>' ||
+        |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+        |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
+        |     || '</body></html>' AS payload FROM u)
+        |SELECT d AS doc_id, uri,
+        |  CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5
+        |FROM pay ORDER BY doc_id""".stripMargin,
 
     // PageRank: the 10 rounds replay as a generated chain of MATERIALIZED
     // CTEs — each round references its predecessor twice (transpose +

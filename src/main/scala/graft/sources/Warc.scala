@@ -178,6 +178,68 @@ object Warc {
     written.sum
   }
 
+  /** WARC SINK — the source's symmetric half: re-export records (a
+    * filtered sub-archive, a curated corpus slice) as standard WARC
+    * files that any archive tooling — and [[readRecords]] — reads back.
+    * One gzipped file per partition, each led by a `warcinfo` record;
+    * headers are re-serialized from the record fields (absent
+    * `record_id`/`uri` headers are omitted, exactly how a parse of the
+    * output recovers them as null), `Content-Length` from the payload
+    * itself. Quarantine rows are refused — they have no payload to
+    * serialize and re-exporting them would forge records.
+    *
+    * Returns the record count written. Same task-side streaming shape as
+    * [[synthesizeFiles]]: nothing held beyond one record, parallelism =
+    * `nFiles`.
+    */
+  def writeRecords(records: Dataset[WarcRecord], dir: String,
+      nFiles: Int = 16, gzip: Boolean = true): Long = {
+    import records.sparkSession.implicits._
+    val target = dir
+    val doGzip = gzip
+    val written = records
+      .repartition(nFiles)
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var out: OutputStream = null
+        var n = 0L
+        it.foreach { r =>
+          require(r.warc_type != "ingest_error" && r.payload != null,
+            "quarantine rows cannot be re-exported as WARC records")
+          // header VALUES are line-framed: an embedded CRLF would forge
+          // header boundaries (payloads are Content-Length-framed and may
+          // contain anything)
+          require(Seq(r.warc_type, r.record_id, r.uri)
+              .forall(v => v == null || (!v.contains('\r') && !v.contains('\n'))),
+            "header fields must not contain CR/LF")
+          if (out == null) {
+            val p = new Path(target,
+              f"part-$pid%05d.warc" + (if (doGzip) ".gz" else ""))
+            val raw = p.getFileSystem(conf).create(p, true)
+            out = if (doGzip) new GZIPOutputStream(raw) else raw
+            out.write(warcinfoRecordString.getBytes(US_ASCII))
+          }
+          val headers = new StringBuilder("WARC/1.0").append(Crlf)
+          headers.append("WARC-Type: ").append(r.warc_type).append(Crlf)
+          if (r.record_id != null)
+            headers.append("WARC-Record-ID: ").append(r.record_id).append(Crlf)
+          if (r.uri != null)
+            headers.append("WARC-Target-URI: ").append(r.uri).append(Crlf)
+          headers.append("Content-Length: ").append(r.payload.length).append(Crlf)
+          headers.append(Crlf)
+          out.write(headers.toString.getBytes(US_ASCII))
+          out.write(r.payload)
+          out.write((Crlf + Crlf).getBytes(US_ASCII))
+          n += 1L
+        }
+        if (out != null) out.close()
+        Iterator.single(n)
+      }
+      .collect()
+    written.sum
+  }
+
   private def gunzip(raw: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
     try in.readAllBytes() finally in.close()

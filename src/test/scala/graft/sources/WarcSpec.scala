@@ -121,6 +121,28 @@ class WarcSpec extends SparkSpec {
     assert(o.isNullAt(0) && o.getString(1) === "body")
   }
 
+  test("writeRecords round-trips byte-exactly, refuses quarantine rows and CRLF header values") {
+    val src = tmp("warc_w_src"); val out = tmp("warc_w_out")
+    synth(src, 30)
+    val records = Warc.responses(Warc.readRecords(spark, src))
+    assert(Warc.writeRecords(records, out, nFiles = 3) === 30L)
+    val back = Warc.readRecords(spark, out).collect()
+    assert(back.count(_.warc_type == "warcinfo") === 3) // one per written file
+    val a = records.collect().map(r =>
+      (r.record_id, r.uri, r.content_length, new String(r.payload, US_ASCII))).sortBy(_._1)
+    val b = back.filter(_.warc_type == "response").map(r =>
+      (r.record_id, r.uri, r.content_length, new String(r.payload, US_ASCII))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // incl. the d=7/14/21/28 decoy payloads
+    import spark.implicits._
+    val quarantine = Seq(WarcRecord("p", "ingest_error", null, null, None, null)).toDS()
+    assertThrows[org.apache.spark.SparkException](
+      Warc.writeRecords(quarantine, tmp("warc_w_bad")))
+    val crlf = Seq(WarcRecord("p", "response", "<id>", "u\r\nX: y", Some(1L),
+      "a".getBytes(US_ASCII))).toDS()
+    assertThrows[org.apache.spark.SparkException](
+      Warc.writeRecords(crlf, tmp("warc_w_bad2")))
+  }
+
   test("canonicalizeUrl erases case/default-port/fragment/tracking/param-order, keeps real ports") {
     import spark.implicits._
     val cases = Seq(
