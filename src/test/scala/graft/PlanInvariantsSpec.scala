@@ -291,6 +291,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"forced join-strategy hint in etl_clean_outputs:\n$lp")
   }
 
+  test("warc_robots_gate: the policy table broadcasts; pages shuffle only for the output sort") {
+    assume(available)
+    // the per-host policy table is small-by-definition (one row per host
+    // policy) — at 100 TB the page scan must stay map-side through the
+    // gate: a hash-partitioned exchange of the pages here would be a
+    // full-corpus shuffle for a broadcast-sized right side
+    val p = plan("warc_robots_gate")
+    assert(p.contains("BroadcastHashJoin"), s"policy join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"policy join sort-merged:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"page side shuffled before the gate:\n$p")
+  }
+
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
