@@ -45,6 +45,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object WarcIngest {
 
+  /** Run the stream: each micro-batch of parsed pages goes through
+    * [[processBatch]] transactionally per batchId — the same wrapper
+    * shape as [[IngestWithDigest.start]]. `pages` is a STREAMING frame
+    * of the page-digest shape (in production: a binaryFile stream of
+    * arriving WARC segments, parsed + WET-split + canonicalized
+    * map-side; the record walk and extraction are plain Dataset ops, so
+    * they lift to streaming unchanged). Returns the started query
+    * (caller stops it).
+    */
+  def start(pages: DataFrame, logPath: String, checkpoint: String,
+      minTokens: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, logPath, minTokens)
+      }
+      .start()
+
   /** One micro-batch. `pages` must carry unique `doc_id` plus `url`,
     * `n_tokens`, `text_md5` (the `SparkEntry.warcPages` shape).
     */

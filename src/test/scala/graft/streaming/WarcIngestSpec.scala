@@ -100,6 +100,74 @@ class WarcIngestSpec extends SparkSpec {
     assert(keptSet(out) === keptSet(log) + ((22L, "u/y", 9L)))
   }
 
+  test("start(): a real binaryFile stream of arriving WARC segments drives the claim log, restart is a no-op") {
+    import graft.sources.Warc
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("warc_stream").toString
+    val in = s"$root/in"; val log = s"$root/log"; val cp = s"$root/cp"
+    new java.io.File(in).mkdirs()
+    def ids(a: Long, b: Long) = spark.range(a, b).select($"id".as("doc_id"))
+
+    // segment 0 arrives (one gzipped WARC file)
+    Warc.synthesizeFiles(spark, ids(0, 10), "doc_id", in, nFiles = 1)
+
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    def run(): Unit = {
+      import spark.implicits._
+      val recs = spark.readStream.format("binaryFile")
+        .schema(binSchema).option("pathGlobFilter", "*.warc*").load(in)
+        .select($"path", $"content").as[(String, Array[Byte])]
+        .flatMap { case (p, c) => graft.sources.Warc.parseAll(p, c) }
+      // page digest derived map-side (the spec keeps extraction minimal:
+      // the tiers only need doc_id / url / n_tokens / text_md5)
+      val pgs = recs.filter($"warc_type" === "response").toDF()
+        .select(regexp_extract($"record_id", "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          graft.functions.Url.canonicalizeUrl($"uri").as("url"),
+          lit(5L).as("n_tokens"),
+          md5($"payload").as("text_md5"))
+      val q = WarcIngest.start(pgs, log, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterSeg0 = logRows(log)
+    assert(afterSeg0.nonEmpty && afterSeg0.forall(_._3 == 0L))
+
+    // segment 1 arrives while the stream is down; restart resumes from
+    // the checkpoint and processes ONLY the new file
+    val tmpSeg = Files.createTempDirectory("warc_seg1").toString
+    Warc.synthesizeFiles(spark, ids(10, 20), "doc_id", tmpSeg, nFiles = 1)
+    Files.move(java.nio.file.Paths.get(s"$tmpSeg/part-00000.warc.gz"),
+      java.nio.file.Paths.get(s"$in/part-00001.warc.gz"))
+    run()
+    val afterSeg1 = logRows(log)
+    assert(afterSeg1.exists(_._3 == 1L))
+    assert(afterSeg1.filter(_._3 == 0L) === afterSeg0) // batch 0 untouched
+
+    // the streamed log equals the manual-batch protocol over the same
+    // two page frames (real-stream ≡ manual-processBatch equivalence)
+    val manual = s"$root/log2"
+    def pagesOf(a: Long, b: Long) = {
+      import spark.implicits._
+      graft.sources.Warc.responses(
+          graft.sources.Warc.readRecords(spark,
+            if (a == 0) s"$in/part-00000.warc.gz" else s"$in/part-00001.warc.gz")).toDF()
+        .select(regexp_extract($"record_id", "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          graft.functions.Url.canonicalizeUrl($"uri").as("url"),
+          lit(5L).as("n_tokens"),
+          md5($"payload").as("text_md5"))
+    }
+    WarcIngest.processBatch(pagesOf(0, 10), 0L, manual)
+    WarcIngest.processBatch(pagesOf(10, 20), 1L, manual)
+    assert(keptSet(log) === keptSet(manual))
+
+    // a third restart with nothing new is a no-op
+    run()
+    assert(logRows(log) === afterSeg1)
+  }
+
   test("a quality-failed claim is not revived by a replay that re-reads history") {
     // regression guard: batch 1's anti-join must see batch 0's claims on
     // replay exactly as the first run did — doc 10 stays unlogged
