@@ -1445,6 +1445,52 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Politeness-capped frontier — the per-HOST fetch budget every crawl
+    // scheduler enforces: top-3 urls per host by rank, selected through
+    // the bounded smallest_k HEAP (map-side partial, shuffle carries ≤ k
+    // rows per host per task — never a per-host sort of the frontier);
+    // the oracle replays the same cut in WINDOW form, so the green row
+    // is another heap ≡ window equivalence proof. Selection orders by
+    // the ROUNDED rank + node so the cut is cross-engine deterministic.
+    "pipeline_crawl_polite" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
+        .select(col("src"),
+          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
+      val ranks = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+      val cand = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          try_parse_url(col("uri"), lit("PATH")).as("path"))
+        .filter(col("url").isNotNull)
+        .distinct()
+        .withColumn("node", regexp_extract(col("path"), "/d/(\\d+)", 1).cast("long"))
+      val h = col("id")
+      val rules = s.range(7).select(
+        concat(lit("d"), h, lit(".ex.test")).as("host"),
+        graft.functions.Robots.disallowPrefixes(concat(
+          lit("User-agent: fetchbot\nDisallow: /\n\nUser-agent: *\n"),
+          when(h === 5, lit("Disallow:\n"))
+            .otherwise(concat(lit("Disallow: /d/"), h, lit("\n"))),
+          when(h === 6, lit("Disallow: /d/16\n")).otherwise(lit("")),
+          lit("Crawl-delay: 2\n"))).as("prefixes"))
+      val allowed = cand.join(broadcast(rules), Seq("host"), "left")
+        .filter(!graft.functions.Robots.isBlocked(col("path"), col("prefixes")))
+        .join(ranks, Seq("node"))
+        .withColumn("rank", round(col("rank"), 6))
+      allowed
+        .groupBy("host")
+        .agg(graft.functions.TopK.smallestK(
+          struct((-col("rank")).as("nr"), col("node"), col("url"), col("rank")), 3).as("ks"))
+        .select(col("host"), explode(col("ks")).as("k"))
+        .select(col("host"), col("k.url").as("url"), col("k.node").as("node"),
+          col("k.rank").as("rank"))
+        .orderBy("host", "node")
+    }),
+
     // HITS hubs & authorities (Graph.hits) over the same link graph —
     // the directory-page/content-page decomposition a crawl uses to find
     // index pages. 8 L1-normalized rounds; oracle replays every
@@ -5142,6 +5188,27 @@ object SparkEntry {
     "graph_hits" -> hitsOracle,
     "pipeline_crawl_frontier" -> crawlFrontierOracle,
     "graph_pagerank_hosts" -> hostPagerankOracle,
+
+    // Window-form replay of the heap-selected per-host budget (heap ≡
+    // window equivalence, the o4/curation_cap pattern), over the same
+    // rank chain + frontier tiers.
+    "pipeline_crawl_polite" -> (pagerankChain(
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)") +
+      """,
+        |pg AS (SELECT DISTINCT CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |cand AS (SELECT p, 'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url FROM pg),
+        |allowed AS (SELECT * FROM cand WHERE NOT (
+        |  CASE WHEN p % 7 = 5 THEN FALSE
+        |       ELSE starts_with(CAST(p AS VARCHAR), CAST(p % 7 AS VARCHAR))
+        |            OR (p % 7 = 6 AND starts_with(CAST(p AS VARCHAR), '16')) END)),
+        |scored AS (SELECT 'd' || (a.p % 7) || '.ex.test' AS host, a.url, a.p AS node,
+        |    round(r.rank, 6) AS rank,
+        |    row_number() OVER (PARTITION BY a.p % 7
+        |                       ORDER BY round(r.rank, 6) DESC, a.p) AS rn
+        |  FROM allowed a JOIN r10 r ON r.node = a.p)
+        |SELECT host, url, node, rank FROM scored WHERE rn <= 3
+        |ORDER BY host, node""".stripMargin),
 
     // Cold ranks replay exactly (same chain); the warm-walk proximity
     // gate is Spark-computed and pinned TRUE (the recall-gate
