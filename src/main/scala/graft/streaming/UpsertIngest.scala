@@ -112,19 +112,42 @@ object UpsertIngest {
   }
 
   /** INCREMENTAL consumption: the rows whose resolved state CHANGED
-    * between two versions — `readAsOf(to)` minus `readAsOf(from)` by full
-    * row — so a downstream pipeline processes per-key deltas instead of
-    * rescanning the table (updates surface with their new attributes,
-    * inserts as new keys, CDC soft deletes as their tombstone rows; a key
-    * untouched between the versions never appears). Same retention
-    * horizon as [[readAsOf]]: both endpoints must be at or after the last
-    * compaction.
+    * between two versions — semantically `readAsOf(to)` minus
+    * `readAsOf(from)` by full row — so a downstream pipeline processes
+    * per-key deltas instead of rescanning the table (updates surface with
+    * their new attributes, inserts as new keys, CDC soft deletes as their
+    * tombstone rows; a key untouched between the versions never appears).
+    *
+    * DELTA-SHAPED, not snapshot-diffed: only a key that appears in a
+    * batch in `(from, to]` can differ between the endpoints, so the plan
+    * is (1) a batch_id-partition-pruned scan of JUST the delta batches to
+    * get the touched-key set, (2) a broadcast semi-join narrowing the log
+    * to those keys (the delta key set is small by the
+    * incremental-consumption premise), (3) the shared per-key resolve of
+    * ONLY those keys at both endpoints, diffed. Cost is O(delta keys'
+    * history), not O(2 × table) — the full log is never resolved
+    * (PlanInvariantsSpec pins the partition filter and the semi-join).
+    *
+    * Same retention horizon as [[readAsOf]]: both endpoints must be at or
+    * after the last compaction.
     */
   def readChanges(spark: SparkSession, tablePath: String, keyCol: String,
       fromBatch: Long, toBatch: Long): DataFrame = {
     require(fromBatch <= toBatch, "fromBatch must be <= toBatch")
-    readAsOf(spark, tablePath, keyCol, toBatch)
-      .exceptAll(readAsOf(spark, tablePath, keyCol, fromBatch))
+    recoverCompaction(spark, tablePath)
+    val log = readLog(spark, tablePath)
+    // touched keys: batch_id is the hive partition column, so this scan
+    // lists and reads only the (from, to] directories — O(delta)
+    val touched = log
+      .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch)
+      .select(col(keyCol)).distinct()
+    // resolve ONLY touched keys: the batch_id endpoint filters push
+    // through the semi-join into the scan's partition filter, so the
+    // "from" arm also never lists past its endpoint
+    val scoped = log.filter(col("batch_id") <= toBatch)
+      .join(broadcast(touched), Seq(keyCol), "left_semi")
+    latestPerKey(scoped, keyCol).exceptAll(
+      latestPerKey(scoped.filter(col("batch_id") <= fromBatch), keyCol))
   }
 
   /** Latest-batch-per-key resolve — the one window both [[readLatest]]

@@ -226,6 +226,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"log scan has no batch_id partition filter:\n$scanLine")
   }
 
+  test("etl_upsert_changes: delta-shaped incremental read — every log " +
+      "scan is batch_id-pruned and the log is semi-joined on touched " +
+      "keys, never snapshot-resolved in full") {
+    assume(available)
+    val p = plan("etl_upsert_changes")
+    assert(p.contains("LeftSemi"),
+      s"no touched-key semi-join — full-snapshot diff is back:\n$p")
+    val logScans = p.linesIterator
+      .filter(l => l.contains("/log") && l.contains("PartitionFilters"))
+      .toList
+    assert(logScans.nonEmpty, s"no partitioned log scan in the plan:\n$p")
+    assert(logScans.forall(l =>
+        l.contains("batch_id") && !l.contains("PartitionFilters: []")),
+      s"a log scan lost its batch_id partition filter (full-log " +
+        s"resolve):\n${logScans.mkString("\n")}")
+  }
+
   test("ann_ivfpq_pruned: the codes scan carries a cell PartitionFilter — " +
       "ADC reads only the probed cells' code files") {
     assume(available)

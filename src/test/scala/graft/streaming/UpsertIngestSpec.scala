@@ -292,4 +292,35 @@ class UpsertIngestSpec extends SparkSpec {
       UpsertIngest.readChanges(spark, tbl, "k", 2L, 1L)
     }
   }
+
+  test("readChanges is delta-shaped: a 1-key update among many resolves " +
+      "only the touched key, behind a batch-pruned semi-join") {
+    val dir = Files.createTempDirectory("upsertdelta").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    // 500 keys in the base batch, ONE key touched in the delta batch
+    UpsertIngest.processBatch(
+      spark.range(500).selectExpr("id AS k", "concat('v', id) AS v"), 0L, tbl)
+    UpsertIngest.processBatch(
+      Seq((42L, "UPDATED")).toDF("k", "v"), 1L, tbl)
+
+    val changes = UpsertIngest.readChanges(spark, tbl, "k", 0L, 1L)
+    val rows = changes.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.toSeq === Seq(42L -> "UPDATED"),
+      "delta must be exactly the touched key")
+
+    // plan shape: the log is narrowed by a semi-join on the touched keys
+    // (never fully resolved), and every log scan carries a batch_id
+    // partition filter — the O(2 × table) snapshot diff is gone
+    val p = changes.queryExecution.executedPlan.toString()
+    assert(p.contains("LeftSemi"), s"no touched-key semi-join in plan:\n$p")
+    val logScans = p.linesIterator
+      .filter(l => l.contains("/log") && l.contains("PartitionFilters"))
+      .toList
+    assert(logScans.nonEmpty, s"no partitioned log scan in plan:\n$p")
+    assert(logScans.forall(l =>
+        l.contains("batch_id") && !l.contains("PartitionFilters: []")),
+      s"a log scan is missing its batch_id partition filter:\n" +
+        logScans.mkString("\n"))
+  }
 }
