@@ -1304,13 +1304,17 @@ object SparkEntry {
     }),
 
     // robots.txt policy gating (functions/Robots) — the pre-fetch stage:
-    // per-host policies (synthesized with a decoy bot-specific
-    // `Disallow: /` group, an empty-Disallow host, and a two-prefix
-    // host) parse map-side to `*`-group prefix arrays, broadcast, and
-    // gate every page URL by prefix match. The oracle states the
-    // arithmetic ideal — group scoping, the empty-Disallow idiom and
-    // the second prefix all have to come through the parser for the
-    // blocked set (71/500 at sf0.01) to match.
+    // per-host policies parse map-side to `*`-group RULE arrays
+    // (Disallow + Allow with `*`/`$` patterns), broadcast, and gate every
+    // page URL under RFC 9309 longest-match precedence. The fixture
+    // plants one adversarial case per parser obligation: a decoy
+    // bot-specific `Disallow: /` group AND a `User-agent: *bot` group
+    // (agent token must match `*` exactly), an empty-Disallow host (5),
+    // a two-prefix host (6) with an Allow carve-out that must WIN by
+    // length, a per-host `Allow: /d/h5` carve-out, and host 4's
+    // wildcard-anchored `Disallow: /d/*7$` plus a decoy `Allow: /d/`
+    // that must LOSE by length. The oracle states the arithmetic ideal —
+    // every planted case has to come through the evaluator to match.
     "warc_robots_gate" -> ((s, dir) => {
       val pages = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
         .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
@@ -1320,16 +1324,20 @@ object SparkEntry {
       val policies = s.range(7).select(
         concat(lit("d"), h, lit(".ex.test")).as("host"),
         concat(
-          lit("User-agent: fetchbot\nDisallow: /\n\nUser-agent: *\n"),
+          lit("User-agent: fetchbot\nDisallow: /\n\n"),
+          lit("User-agent: *bot\nDisallow: /\n\n"),
+          lit("User-agent: *\n"),
           when(h === 5, lit("Disallow:\n"))
             .otherwise(concat(lit("Disallow: /d/"), h, lit("\n"))),
           when(h === 6, lit("Disallow: /d/16\n")).otherwise(lit("")),
+          when(h =!= 5, concat(lit("Allow: /d/"), h, lit("5\n"))).otherwise(lit("")),
+          when(h === 4, lit("Disallow: /d/*7$\nAllow: /d/\n")).otherwise(lit("")),
           lit("Crawl-delay: 2\n")).as("robots_txt"))
       val rules = policies.select(col("host"),
-        graft.functions.Robots.disallowPrefixes(col("robots_txt")).as("prefixes"))
+        graft.functions.Robots.rules(col("robots_txt")).as("rules"))
       pages.join(broadcast(rules), Seq("host"), "left")
         .select(col("doc_id"), col("host"),
-          graft.functions.Robots.isBlocked(col("path"), col("prefixes")).as("blocked"))
+          graft.functions.Robots.isBlockedByRules(col("path"), col("rules")).as("blocked"))
         .orderBy("doc_id")
     }),
 
@@ -5117,7 +5125,10 @@ object SparkEntry {
         |SELECT 'warcinfo', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
         |  CAST(length(wi) AS BIGINT), md5(wi)
         |FROM (SELECT 'software: graft-warc-synth' || chr(13) || chr(10) ||
-        |             'format: WARC File Format 1.0' AS wi), range(16)
+        |             'format: WARC File Format 1.0' AS wi),
+        |  -- one warcinfo per FILE, and a file exists only for residue
+        |  -- classes with >= 1 doc (synthesizeFiles writes lazily)
+        |  (SELECT DISTINCT doc_id % 16 FROM documents)
         |ORDER BY rec_type, doc_id""".stripMargin,
 
     // Canonical-URL aliasing: the oracle states the arithmetic IDEAL
@@ -5169,19 +5180,28 @@ object SparkEntry {
     // CTEs — each round references its predecessor twice (transpose +
     // dangling sum), so materialization is what keeps the replay linear
     // instead of 2^10 scans.
-    // The gate's arithmetic ideal: host h blocks prefix '/d/h' (so
-    // str(p) startswith str(h)), host 5 blocks nothing (empty Disallow),
-    // host 6 also blocks '/d/16'; the decoy fetchbot group must never
-    // leak (it would block everything).
+    // The gate's arithmetic ideal under longest-match precedence:
+    // host h blocks prefix '/d/h' EXCEPT the longer 'Allow: /d/h5'
+    // carve-out; host 5 blocks nothing (empty Disallow); host 6 also
+    // blocks '/d/16' (its '65' carve-out wins by length over '/d/6');
+    // host 4 additionally blocks any path matching '/d/*7$' — the len-7
+    // wildcard rule outranks both Allows, while its decoy 'Allow: /d/'
+    // must lose every contest; the fetchbot and '*bot' decoy groups must
+    // never leak (either would block everything).
     "warc_robots_gate" ->
       """WITH ids AS (SELECT doc_id AS d FROM documents),
-        |pg AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids)
-        |SELECT d AS doc_id, 'd' || (p % 7) || '.ex.test' AS host,
-        |  CASE WHEN p % 7 = 5 THEN FALSE
-        |       ELSE starts_with(CAST(p AS VARCHAR), CAST(p % 7 AS VARCHAR))
-        |            OR (p % 7 = 6 AND starts_with(CAST(p AS VARCHAR), '16'))
+        |pg AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |m AS (SELECT d, p, p % 7 AS h, CAST(p AS VARCHAR) AS s FROM pg)
+        |SELECT d AS doc_id, 'd' || h || '.ex.test' AS host,
+        |  CASE WHEN h = 5 THEN FALSE
+        |       WHEN h = 4 THEN s LIKE '%7'
+        |            OR (starts_with(s, '4') AND NOT starts_with(s, '45'))
+        |       WHEN h = 6 THEN (starts_with(s, '6') AND NOT starts_with(s, '65'))
+        |            OR starts_with(s, '16')
+        |       ELSE starts_with(s, CAST(h AS VARCHAR))
+        |            AND NOT starts_with(s, CAST(h AS VARCHAR) || '5')
         |  END AS blocked
-        |FROM pg ORDER BY doc_id""".stripMargin,
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,
     "graph_pagerank_seeded" -> pagerankSeededOracle,

@@ -7,38 +7,57 @@ import org.apache.spark.sql.functions._
   * the reference fetches API endpoints, never crawls; a web pipeline must
   * gate fetches per host policy before any URL reaches the frontier).
   *
-  * Scope is the bulk-processing subset: the `User-agent: *` group's
-  * `Disallow` path prefixes. Deliberately out of scope — per-bot group
-  * matching, `Allow` precedence, `$`/`*` wildcards — documented here so
-  * the gate is never mistaken for an RFC 9309 evaluator; the prefix
-  * subset is what blanket corpus jobs actually enforce.
+  * Two tiers, both over the `User-agent: *` group only:
+  *  - [[disallowPrefixes]] + [[isBlocked]]: the bulk-processing PREFIX
+  *    subset — what blanket corpus jobs enforce when policies are known
+  *    to be plain prefix lists. Fastest: `startswith` per (path, prefix).
+  *  - [[rules]] + [[isBlockedByRules]]: RFC 9309 rule evaluation —
+  *    `Allow` carve-outs, `*` wildcards, trailing-`$` anchors, and
+  *    longest-match precedence with Allow winning length ties.
+  *
+  * Deliberately out of scope even in the rules tier — per-bot group
+  * matching (only `*` groups contribute; a specific crawler evaluating
+  * its own token would pick its group FIRST and fall back to `*`),
+  * `Crawl-delay`/`Sitemap` semantics, and percent-encoding
+  * normalization of patterns vs paths (both sides are assumed already
+  * canonicalized, [[Url.canonicalizeUrl]]'s job) — documented so the
+  * gate is never mistaken for a complete RFC 9309 evaluator.
   *
   * Pure `Column` composition (split / filter / transform / flatten with
   * regexp inside the lambdas — all codegen'd, no UDF), so the parse runs
   * map-side over a (host, robots_txt) policy table and the result
-  * broadcasts into the page gate.
+  * broadcasts into the page gate. The rules tier compiles its pattern
+  * regexes per evaluation (non-foldable `rlike`) — fine for a
+  * policy-table-sized broadcast gate, which is why the prefix tier stays
+  * the default for blanket jobs.
   */
 object Robots {
 
-  /** The `*` group's Disallow prefixes as a deduped array. Parsing notes:
+  /** The `*`-group segments of a robots.txt. Parsing notes:
     *  - groups split on case-insensitive `User-agent:`; only segments
-    *    whose agent token is `*` contribute (a bot-specific `Disallow: /`
-    *    must not leak into the bulk policy);
+    *    whose agent token is EXACTLY `*` contribute — `*` followed by
+    *    end-of-text or whitespace, so a bot-specific group like
+    *    `User-agent: *bot` never leaks its rules into the bulk policy
+    *    (and neither does the classic decoy `User-agent: fetchbot` /
+    *    `Disallow: /`);
+    *  - CRLF files work unchanged (`\r` is whitespace to `\\s`).
+    */
+  private def starGroups(robotsTxt: Column): Column =
+    filter(split(robotsTxt, "(?i)user-agent:"),
+      g => ltrim(g).rlike("^\\*(\\s|$)"))
+
+  /** The `*` group's Disallow prefixes as a deduped array — the PREFIX
+    * subset. Parsing notes:
     *  - `Disallow:` matched per line, case-insensitively, with HORIZONTAL
     *    whitespace only after the colon — an empty `Disallow:` line (the
     *    allow-everything idiom) must not swallow the next line across the
     *    newline;
-    *  - CRLF files work unchanged (`\r` is neither matched by `[ \t]*`
-    *    after the colon nor captured by `\S+`);
-    *  - non-directive lines (`Crawl-delay`, comments) fall out naturally.
+    *  - non-directive lines (`Allow`, `Crawl-delay`, comments) fall out
+    *    naturally.
     */
-  def disallowPrefixes(robotsTxt: Column): Column = {
-    val groups = split(robotsTxt, "(?i)user-agent:")
-    val starGroups = filter(groups, g => ltrim(g).startsWith("*"))
-    val prefixLists = transform(starGroups,
-      g => regexp_extract_all(g, lit("(?mi)^disallow:[ \\t]*(\\S+)"), lit(1)))
-    array_distinct(flatten(prefixLists))
-  }
+  def disallowPrefixes(robotsTxt: Column): Column =
+    array_distinct(flatten(transform(starGroups(robotsTxt),
+      g => regexp_extract_all(g, lit("(?mi)^disallow:[ \\t]*(\\S+)"), lit(1)))))
 
   /** TRUE when `path` is blocked by any of `prefixes` (prefix match, the
     * subset contract above). NULL-safe: a host with no policy row (null
@@ -48,4 +67,55 @@ object Robots {
     */
   def isBlocked(path: Column, prefixes: Column): Column =
     coalesce(exists(prefixes, p => startswith(path, p)), lit(false))
+
+  /** The `*` group's FULL rule set as a deduped
+    * `array<struct<pattern, allow>>` — both `Disallow` and `Allow` lines,
+    * for longest-match evaluation by [[isBlockedByRules]]. Empty-valued
+    * directives drop out (an empty `Disallow:` is the allow-everything
+    * idiom; an empty `Allow:` matches nothing a longer rule wouldn't
+    * already decide).
+    */
+  def rules(robotsTxt: Column): Column = {
+    def lines(directive: String, allow: Boolean) =
+      (g: Column) => transform(
+        regexp_extract_all(g, lit(s"(?mi)^$directive:[ \\t]*(\\S+)"), lit(1)),
+        p => struct(p.as("pattern"), lit(allow).as("allow")))
+    val gs = starGroups(robotsTxt)
+    array_distinct(concat(
+      flatten(transform(gs, lines("disallow", allow = false))),
+      flatten(transform(gs, lines("allow", allow = true)))))
+  }
+
+  /** One robots path pattern as an equivalent Java regex: `*` matches any
+    * run of characters, a TRAILING `$` anchors the match at path end, and
+    * every other character is literal (non-trailing `$` included). The
+    * implied prefix anchor is `^`; an unanchored pattern matches any
+    * continuation, which is exactly the prefix semantics of the plain
+    * tier.
+    */
+  private def patternRegex(p: Column): Column = {
+    val anchored = endswith(p, lit("$"))
+    val core = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    // escape regex metacharacters EXCEPT `*` (rewritten below); `$` here
+    // is a non-trailing literal
+    val esc = regexp_replace(core, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** TRUE when `path` is blocked under RFC 9309 precedence: among the
+    * rules whose pattern matches, the LONGEST pattern wins, and a length
+    * tie goes to `Allow`. No matching rule — or no policy row, or a null
+    * path — gates to false (the same allow-on-missing convention as
+    * [[isBlocked]]).
+    */
+  def isBlockedByRules(path: Column, rules: Column): Column = {
+    val matching = filter(rules,
+      r => regexp_like(path, patternRegex(r.getField("pattern"))))
+    // max over (len, allow) structs = longest match, Allow winning ties
+    val top = array_max(transform(matching,
+      r => struct(length(r.getField("pattern")).as("len"),
+        r.getField("allow").cast("int").as("a"))))
+    coalesce(top.getField("a") === 0, lit(false))
+  }
 }

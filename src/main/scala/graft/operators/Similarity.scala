@@ -390,11 +390,12 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorOps.dotProduct
-    def unit(df: DataFrame, id: String, v: String) = {
-      val raw = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
-      val nrm = sqrt(dotProduct(col(v), col(v)))
-      raw.select(col(id), transform(col(v), x => x / nrm).as(v))
-    }
+    // normalize (not a bare divide): a zero embedding would yield NaN
+    // components, and NaN >= threshold is TRUE under Spark's NaN
+    // ordering — the shared guard keeps the zero vector, whose dot
+    // product is 0 and never crosses a positive threshold
+    def unit(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), normalize(asDouble(col(vecCol))).as(v))
     val sim = round(dotProduct(col("v_c"), col("v_e")), 4)
     unit(corpus, "doc_id", "v_c").repartition(col("doc_id"))
       .join(broadcast(unit(evalSet, "eval_id", "v_e")), sim >= threshold)

@@ -126,11 +126,18 @@ object WarcIngest {
   }
 
   /** The curated corpus: rows that survived every tier, across all landed
-    * batches.
+    * batches. Gated on the `_batches/has_data` sentinel (the
+    * [[PhashIngest]] convention): before any data-bearing batch lands the
+    * log has no files and no inferable schema, so the read returns an
+    * empty typed frame instead of throwing.
     */
-  def kept(spark: SparkSession, logPath: String): DataFrame =
-    spark.read.parquet(logPath).filter(col("kept"))
-      .select("doc_id", "url", "n_tokens")
+  def kept(spark: SparkSession, logPath: String): DataFrame = {
+    import spark.implicits._
+    if (exists(spark, s"$logPath/_batches/has_data"))
+      spark.read.parquet(logPath).filter(col("kept"))
+        .select("doc_id", "url", "n_tokens")
+    else Seq.empty[(Long, String, Long)].toDF("doc_id", "url", "n_tokens")
+  }
 
   private def stampHasData(spark: SparkSession, logPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$logPath/_batches/has_data")

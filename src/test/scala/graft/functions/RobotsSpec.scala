@@ -54,4 +54,56 @@ class RobotsSpec extends SparkSpec {
       .collect().head.getBoolean(0)
     assert(!nullPath)
   }
+
+  test("agent token must be EXACTLY '*': a '*bot' group never leaks") {
+    val txt = "User-agent: *bot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private\n"
+    assert(prefixes(txt) === Seq("/private"))
+    // and '*' at end-of-text still counts as the bulk group
+    assert(prefixes("User-agent: *") === Seq.empty)
+    assert(prefixes("User-agent: *\nDisallow: /x") === Seq("/x"))
+  }
+
+  private def blocked(txt: String, path: String): Boolean =
+    Seq((txt, path)).toDF("t", "path")
+      .select(Robots.isBlockedByRules(col("path"), Robots.rules(col("t"))).as("b"))
+      .collect().head.getBoolean(0)
+
+  test("rules: Allow carve-out wins over a shorter Disallow (longest match)") {
+    val txt = "User-agent: *\nDisallow: /shop\nAllow: /shop/sale\n"
+    assert(blocked(txt, "/shop/cart"))
+    assert(!blocked(txt, "/shop/sale/item1")) // carve-out, longer Allow
+    assert(!blocked(txt, "/blog"))            // no matching rule
+  }
+
+  test("rules: length tie between Allow and Disallow goes to Allow") {
+    val txt = "User-agent: *\nDisallow: /p/ab\nAllow: /p/cd\nAllow: /p/ab\n"
+    assert(!blocked(txt, "/p/ab/x"))
+  }
+
+  test("rules: '*' wildcard and trailing-'$' anchor") {
+    val txt = "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*/x\n"
+    assert(blocked(txt, "/docs/a.pdf"))
+    assert(!blocked(txt, "/docs/a.pdf.html")) // $ anchors the match
+    assert(blocked(txt, "/tmp123/x"))
+    assert(blocked(txt, "/tmp/x")) // '*' matches the empty run
+    assert(!blocked(txt, "/tmp123/y"))
+    // regex metacharacters in patterns stay literal
+    val meta = "User-agent: *\nDisallow: /a+b(c)\n"
+    assert(blocked(meta, "/a+b(c)/d"))
+    assert(!blocked(meta, "/aab_c_")) // would match if + ( ) leaked as regex
+  }
+
+  test("rules: a longer wildcard Disallow outranks a shorter Allow; " +
+      "'*bot' group rules never contribute; null-safe") {
+    val txt = "User-agent: *bot\nDisallow: /\n\n" +
+      "User-agent: *\nAllow: /d/\nDisallow: /d/*7$\n"
+    assert(blocked(txt, "/d/17"))   // len-7 Disallow beats len-3 Allow
+    assert(!blocked(txt, "/d/18"))  // only the decoy-loser Allow matches
+    val nullPath = Seq("User-agent: *\nDisallow: /a\n").toDF("t")
+      .select(Robots.isBlockedByRules(lit(null).cast("string"),
+        Robots.rules(col("t"))).as("b"))
+      .collect().head.getBoolean(0)
+    assert(!nullPath)
+  }
 }

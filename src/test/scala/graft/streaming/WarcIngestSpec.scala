@@ -168,6 +168,15 @@ class WarcIngestSpec extends SparkSpec {
     assert(logRows(log) === afterSeg1)
   }
 
+  test("kept() before any data-bearing batch returns an empty typed frame") {
+    val dir = java.nio.file.Files.createTempDirectory("warckept").toFile
+    dir.deleteOnExit()
+    val log = dir.getAbsolutePath + "/log"
+    val empty = WarcIngest.kept(spark, log) // no sentinel yet: no throw
+    assert(empty.columns.toSeq === Seq("doc_id", "url", "n_tokens"))
+    assert(empty.isEmpty)
+  }
+
   test("a quality-failed claim is not revived by a replay that re-reads history") {
     // regression guard: batch 1's anti-join must see batch 0's claims on
     // replay exactly as the first run did — doc 10 stays unlogged
