@@ -237,13 +237,49 @@ object SparkEntry {
   private def warcRecords(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[graft.sources.WarcRecord] = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
-    val path = ensureIndex(s, ids, "warc", "built") { p =>
+    // kind "warcl" (not the r12 "warc"): payloads now carry the planted
+    // link anchors, so the pre-anchor cache key must never be reused
+    val path = ensureIndex(s, ids, "warcl", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true) // crash debris
-      val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files", nFiles = 16)
+      val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
+        nFiles = 16, linkSpace = ids.count())
       s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
     }
     graft.sources.Warc.readRecords(s, s"$path/files")
+  }
+
+  /** The crawl link graph extracted from the archived pages THEMSELVES
+    * (not synthesized arithmetic): anchor hrefs from every 200-status
+    * body (`HtmlTextColumn.hrefs`, one codegen'd regexp pass),
+    * canonicalized, then RESOLVED against the canonical-URL table of all
+    * fetched pages — so aliases fold on BOTH ends and a link written
+    * as `HTTPS://D1.EX.TEST:443/d/43#frag` lands on the same node as
+    * `https://d1.ex.test/d/43`. Nodes are canonical path ids; edges
+    * dedup after the fold. Scale shape: href extraction is map-side over
+    * the archive scan; resolution is one shuffle join on the canonical
+    * url (the discovered-URL table is corpus-sized — NOT broadcast);
+    * dedup is one hash aggregate. Shared by `warc_links` (the oracled
+    * edge table) and the frontier pipelines that rank over it.
+    */
+  private def warcLinkEdges(s: SparkSession, dir: String): DataFrame = {
+    val parsed = graft.sources.Warc.httpParsed(
+      graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
+    // resolution table: every fetched page (404s included — a link to a
+    // dead page is still a link) as canonical url -> node id
+    val urls = parsed
+      .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("dst_url"))
+      .filter(col("dst_url").isNotNull).distinct()
+      .withColumn("dst", regexp_extract(col("dst_url"), "/d/(\\d+)", 1).cast("long"))
+    val links = parsed.filter(col("http_status") === 200)
+      .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("src_url"),
+        explode(graft.functions.HtmlTextColumn.hrefs(col("body"))).as("href"))
+      .filter(col("src_url").isNotNull)
+      .select(regexp_extract(col("src_url"), "/d/(\\d+)", 1).cast("long").as("src"),
+        graft.functions.Url.canonicalizeUrl(col("href")).as("dst_url"))
+      .filter(col("dst_url").isNotNull)
+    links.join(urls, Seq("dst_url"))
+      .select("src", "dst").distinct()
   }
 
   /** The parsed-page digest shared by `pipeline_warc` and its streamed
@@ -287,6 +323,26 @@ object SparkEntry {
       |SELECT g.d AS doc_id, g.url, g.n_tokens
       |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin
 
+  /** The planted-anchor run of a 200-status page (`Warc
+    * .responseRecordString` linkSpace arm) — appended to the replayed
+    * body in every PAYLOAD-level WARC oracle. Row scope must provide `d`
+    * (doc id) and `n` (full corpus count — the linkSpace modulus).
+    * Nested list_transforms bind the intermediate names a SQL lambda
+    * can't (dst, then the canonical target path pt).
+    */
+  private val warcAnchorSql: String =
+    """(CASE WHEN d % 5 <> 0 THEN array_to_string(list_transform(list_transform(list_transform(
+      |    range(0, d % 3 + 1),
+      |    j -> {'par': (d + j) % 2, 'dst0': (d*13 + j*17 + 1) % n}),
+      |    x -> {'par': x.par, 'pt': CASE WHEN x.dst0 % 3 = 2 THEN x.dst0 - 1 ELSE x.dst0 END}),
+      |    x -> '<a href="' ||
+      |      (CASE WHEN x.par = 1
+      |        THEN 'HTTPS://' || upper('d' || (x.pt % 7) || '.ex.test') || ':443/d/' || x.pt ||
+      |          (CASE WHEN x.pt % 5 = 0 THEN '?b=2&a=1' ELSE '' END) || '#frag'
+      |        ELSE 'https://d' || (x.pt % 7) || '.ex.test/d/' || x.pt ||
+      |          (CASE WHEN x.pt % 5 = 0 THEN '?a=1&b=2' ELSE '' END) END) ||
+      |      '"></a>'), '') ELSE '' END)""".stripMargin
+
   /** The `graph_pagerank[_seeded]` oracle generator: one MATERIALIZED CTE
     * per power iteration, mirroring `Graph.pageRank`'s teleport-vector
     * update rule term for term (init = teleport, per-round dangling mass
@@ -298,10 +354,34 @@ object SparkEntry {
     pagerankChain(teleCte) +
       "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
 
-  /** The WITH-chain only (ids .. r10), reusable by composite oracles that
-    * consume the converged rank vector (`pipeline_crawl_frontier`).
+  /** The synthetic doc-space edge rule the `graph_*` operator oracles walk
+    * (every non-d%5 doc links to `1 + d%3` arithmetic targets).
     */
-  private def pagerankChain(teleCte: String): String = {
+  private val syntheticEdgesCte: String =
+    """edges AS MATERIALIZED (
+      |  SELECT DISTINCT d AS src, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst
+      |  FROM ids, range(3) t(j) WHERE d % 5 <> 0 AND j <= d % 3),""".stripMargin
+
+  /** The EXTRACTED link graph's replay (`warcLinkEdges`): the same
+    * arithmetic targets as planted into the archived HTML by
+    * `Warc.responseRecordString(linkSpace = n)`, in CANONICAL space —
+    * 404 sources drop (no HTML body), both endpoints fold `d ≡ 2 (mod 3)`
+    * onto `d-1`, and the fold dedups.
+    */
+  private val extractedEdgesCte: String =
+    """edges AS MATERIALIZED (
+      |  SELECT DISTINCT CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS src,
+      |    CASE WHEN dst0 % 3 = 2 THEN dst0 - 1 ELSE dst0 END AS dst
+      |  FROM (SELECT d, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst0
+      |        FROM ids CROSS JOIN range(3) t(j)
+      |        WHERE d % 11 <> 0 AND d % 5 <> 0 AND j <= d % 3)),""".stripMargin
+
+  /** The WITH-chain only (ids .. r10), reusable by composite oracles that
+    * consume the converged rank vector (`pipeline_crawl_frontier`), over
+    * either edge fixture.
+    */
+  private def pagerankChain(teleCte: String,
+      edgesCte: String = syntheticEdgesCte): String = {
     def round(t: Int): String =
       s"""r$t AS MATERIALIZED (
          |  SELECT tl.node,
@@ -317,10 +397,8 @@ object SparkEntry {
          |    GROUP BY e.dst) c ON tl.node = c.node)""".stripMargin
     """WITH ids AS MATERIALIZED (SELECT doc_id AS d FROM documents),
       |nd AS (SELECT count(*) AS n_docs FROM ids),
-      |edges AS MATERIALIZED (
-      |  SELECT DISTINCT d AS src, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst
-      |  FROM ids, range(3) t(j) WHERE d % 5 <> 0 AND j <= d % 3),
-      |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |""".stripMargin + edgesCte + "\n" +
+    """nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
       |outdeg AS MATERIALIZED (
       |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
@@ -338,7 +416,8 @@ object SparkEntry {
     */
   private val crawlFrontierOracle: String =
     pagerankChain(
-      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)") +
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)",
+      edgesCte = extractedEdgesCte) +
       """,
         |pg AS (SELECT DISTINCT CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
         |cand AS (SELECT p, 'https://d' || (p % 7) || '.ex.test/d/' || p ||
@@ -1224,6 +1303,15 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Link-graph EXTRACTION from the archived pages themselves
+    // (warcLinkEdges): anchor hrefs out of the HTML bodies, planted with
+    // the same URL-messiness classes as the page URIs — the oracle's
+    // arithmetic ideal only matches if extraction canonicalizes and
+    // alias-folds BOTH endpoints and resolves targets through the
+    // discovered-URL table. This edge table is what the frontier
+    // pipelines rank over (shared CTE in their oracles).
+    "warc_links" -> ((s, dir) => warcLinkEdges(s, dir).orderBy("src", "dst")),
+
     // WARC SINK round-trip (Warc.writeRecords — the source's symmetric
     // half): read the archives, keep the 200-status pages, RE-EXPORT
     // them as standard WARC files, read those back through the same
@@ -1232,7 +1320,9 @@ object SparkEntry {
     // serialization, gzip) breaks the re-parse and the row goes red.
     "warc_rewrite" -> ((s, dir) => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      val path = ensureIndex(s, ids, "warcrw", "built") { p =>
+      // "warclrw", not r12's "warcrw": the re-export embeds the source
+      // fixture's payload bytes, which now carry the planted link anchors
+      val path = ensureIndex(s, ids, "warclrw", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         import s.implicits._
@@ -1386,14 +1476,11 @@ object SparkEntry {
           lit("Crawl-delay: 2\n"))).as("prefixes"))
       val allowed = cand.join(broadcast(rules), Seq("host"), "left")
         .filter(!graft.functions.Robots.isBlocked(col("path"), col("prefixes")))
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val nDocs = docs.count()
-      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
-        .select(col("src"),
-          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
-      val ranks = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+      // the rank signal comes from the link graph EXTRACTED out of the
+      // archived HTML itself (warcLinkEdges) — the crawl tier closes
+      // source → graph → rank → schedule on real content
+      val ranks = graft.operators.Graph.pageRank(
+        warcLinkEdges(s, dir), "src", "dst", iterations = 10)
       allowed.join(ranks, Seq("node"))
         .select(col("url"), col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("node")).limit(50)
@@ -1461,14 +1548,11 @@ object SparkEntry {
     // is another heap ≡ window equivalence proof. Selection orders by
     // the ROUNDED rank + node so the cut is cross-engine deterministic.
     "pipeline_crawl_polite" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val nDocs = docs.count()
-      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
-        .select(col("src"),
-          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
-      val ranks = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+      // ranks over the link graph EXTRACTED from the archived pages
+      // (warcLinkEdges), not a synthetic edge rule — source → graph →
+      // rank → schedule closes on real content
+      val ranks = graft.operators.Graph.pageRank(
+        warcLinkEdges(s, dir), "src", "dst", iterations = 10)
       val cand = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
         .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
           lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
@@ -5101,7 +5185,8 @@ object SparkEntry {
     // md5(payload) pins the round-trip byte-for-byte. Mirrors
     // Warc.responseRecordString / warcinfoRecordString verbatim.
     "warc_read" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents),
+      ("""WITH ids AS (SELECT doc_id AS d FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
         |b AS (SELECT d, d % 4 AS v, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
         |q AS (SELECT *, array_to_string(list_filter([
         |    CASE WHEN p % 5 = 0 THEN (CASE WHEN d % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ELSE '' END,
@@ -5118,8 +5203,9 @@ object SparkEntry {
         |  (CASE WHEN d % 11 = 0 THEN 'not found' ELSE '<html><body>' ||
         |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
         |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
-        |     || '</body></html>' END) AS payload FROM u)
-        |SELECT 'response' AS rec_type, d AS doc_id, uri,
+        |     || """.stripMargin + warcAnchorSql +
+        " || '</body></html>' END) AS payload FROM u, nn)\n" +
+        """SELECT 'response' AS rec_type, d AS doc_id, uri,""" + """
         |  CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5 FROM pay
         |UNION ALL
         |SELECT 'warcinfo', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
@@ -5129,7 +5215,7 @@ object SparkEntry {
         |  -- one warcinfo per FILE, and a file exists only for residue
         |  -- classes with >= 1 doc (synthesizeFiles writes lazily)
         |  (SELECT DISTINCT doc_id % 16 FROM documents)
-        |ORDER BY rec_type, doc_id""".stripMargin,
+        |ORDER BY rec_type, doc_id""".stripMargin),
 
     // Canonical-URL aliasing: the oracle states the arithmetic IDEAL
     // (lowercase https, no port/fragment/tracking, sorted params, path id
@@ -5143,6 +5229,15 @@ object SparkEntry {
         |  min(d) AS id_min, max(d) AS id_max
         |FROM urls GROUP BY url ORDER BY url""".stripMargin,
 
+    // The extracted edge table IS the frontier oracles' edges CTE —
+    // one definition, consumed by warc_links directly and by the
+    // rank chains of pipeline_crawl_frontier / pipeline_crawl_polite.
+    "warc_links" ->
+      ("""WITH ids AS (SELECT doc_id AS d FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM ids),
+        |""".stripMargin + extractedEdgesCte.stripSuffix(",") +
+        "\nSELECT src, dst FROM edges ORDER BY src, dst"),
+
     // Replays the four pipeline tiers over the reconstructed pages: url
     // slots claimed by min doc_id BEFORE the quality gate, then the
     // min-id text-md5 representative among the gated url survivors.
@@ -5154,7 +5249,8 @@ object SparkEntry {
     // restricted to the 200-status pages the rewrite kept — the re-read
     // of the RE-EXPORTED archive must still hash byte-exactly.
     "warc_rewrite" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+      ("""WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |nn AS (SELECT count(*) AS n FROM documents),
         |b AS (SELECT d, d % 4 AS v, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
         |q AS (SELECT *, array_to_string(list_filter([
         |    CASE WHEN p % 5 = 0 THEN (CASE WHEN d % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ELSE '' END,
@@ -5171,10 +5267,11 @@ object SparkEntry {
         |  '<html><body>' ||
         |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
         |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
-        |     || '</body></html>' AS payload FROM u)
-        |SELECT d AS doc_id, uri,
+        |     || """.stripMargin + warcAnchorSql +
+        " || '</body></html>' AS payload FROM u, nn)\n" +
+        """SELECT d AS doc_id, uri,
         |  CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5
-        |FROM pay ORDER BY doc_id""".stripMargin,
+        |FROM pay ORDER BY doc_id""".stripMargin),
 
     // PageRank: the 10 rounds replay as a generated chain of MATERIALIZED
     // CTEs — each round references its predecessor twice (transpose +
@@ -5213,7 +5310,8 @@ object SparkEntry {
     // window equivalence, the o4/curation_cap pattern), over the same
     // rank chain + frontier tiers.
     "pipeline_crawl_polite" -> (pagerankChain(
-      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)") +
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)",
+      edgesCte = extractedEdgesCte) +
       """,
         |pg AS (SELECT DISTINCT CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
         |cand AS (SELECT p, 'https://d' || (p % 7) || '.ex.test/d/' || p ||

@@ -83,8 +83,17 @@ object Warc {
     *  - `d % 11 == 0` → 404 with a plain-text body; else 200 with an HTML
     *    body of `1 + d % 9` words `w<(d*7+i) % 13>`.
     *  - `d % 7 == 0` (status 200) embeds [[FakeRecordLiteral]] in the body.
+    *  - with `linkSpace > 0`, a 200 page with `d % 5 != 0` carries
+    *    `1 + d % 3` EMPTY-TEXT anchors `<a href="…"></a>` to docs
+    *    `(d*13 + j*17 + 1) % linkSpace` — the corpus link graph, planted
+    *    with the same URL-messiness classes as the page URIs (odd `d+j`
+    *    uppercases scheme+host, adds `:443` + `#frag` and scrambles the
+    *    param order) so canonicalization is load-bearing for edge
+    *    extraction. Empty anchor text keeps `html_text` output
+    *    byte-identical to the linkless fixture (data chunks concatenate
+    *    with no separators), so only payload-level oracles see the links.
     */
-  private[graft] def responseRecordString(d: Long): String = {
+  private[graft] def responseRecordString(d: Long, linkSpace: Long = 0L): String = {
     val v = d % 4
     val p = if (d % 3 == 2) d - 1 else d
     val hostL = s"d${p % 7}.ex.test"
@@ -102,7 +111,22 @@ object Warc {
       else {
         val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
         val fake = if (d % 7 == 0) FakeRecordLiteral else ""
-        ("HTTP/1.1 200 OK", s"<html><body>$words$fake</body></html>")
+        val links =
+          if (linkSpace > 0 && d % 5 != 0)
+            (0L to d % 3).map { j =>
+              val dst = (d * 13 + j * 17 + 1) % linkSpace
+              val pt = if (dst % 3 == 2) dst - 1 else dst
+              val qsT =
+                if (pt % 5 == 0) { if ((d + j) % 2 == 1) "?b=2&a=1" else "?a=1&b=2" }
+                else ""
+              val hostT = s"d${pt % 7}.ex.test"
+              val href =
+                if ((d + j) % 2 == 1) s"HTTPS://${hostT.toUpperCase}:443/d/$pt$qsT#frag"
+                else s"https://$hostT/d/$pt$qsT"
+              s"""<a href="$href"></a>"""
+            }.mkString("")
+          else ""
+        ("HTTP/1.1 200 OK", s"<html><body>$words$fake$links</body></html>")
       }
     val payload = statusLine + Crlf + "Content-Type: text/html" + Crlf + Crlf + body
     "WARC/1.0" + Crlf +
@@ -134,10 +158,11 @@ object Warc {
     */
   def synthesizeFiles(spark: SparkSession, ids: DataFrame, idCol: String,
       dir: String, nFiles: Int = 16, gzip: Boolean = true,
-      rangePartition: Boolean = false): Long = {
+      rangePartition: Boolean = false, linkSpace: Long = 0L): Long = {
     import spark.implicits._
     val target = dir
     val doGzip = gzip
+    val links = linkSpace
     val id = col(idCol).cast("long")
     val fileNo =
       if (rangePartition) {
@@ -168,7 +193,7 @@ object Warc {
             out = if (doGzip) new GZIPOutputStream(raw) else raw
             out.write(warcinfoRecordString.getBytes(US_ASCII))
           }
-          out.write(responseRecordString(d).getBytes(US_ASCII))
+          out.write(responseRecordString(d, links).getBytes(US_ASCII))
           n += 1L
         }
         closeFile()

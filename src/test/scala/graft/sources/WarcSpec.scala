@@ -42,6 +42,31 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("planted link anchors: empty text keeps html_text byte-identical; " +
+      "hrefs() recovers exactly the planted targets") {
+    import graft.functions.HtmlTextColumn
+    import spark.implicits._
+    // every 200-status linked doc: anchors change the BYTES but not the
+    // extracted text (data chunks concatenate with no separators)
+    (0L until 50L).filter(d => d % 11 != 0).foreach { d =>
+      def body(s: String) =
+        s.substring(s.indexOf("<html>"), s.lastIndexOf("</html>") + 7)
+      val plain  = body(Warc.responseRecordString(d))
+      val linked = body(Warc.responseRecordString(d, linkSpace = 50L))
+      val row = Seq((plain, linked)).toDF("a", "b")
+        .select(HtmlTextColumn.htmlText(col("a")),
+          HtmlTextColumn.htmlText(col("b")),
+          HtmlTextColumn.hrefs(col("b")))
+        .collect().head
+      assert(row.getString(0) === row.getString(1),
+        s"doc $d: anchors perturbed the text")
+      val hrefs = row.getSeq[String](2)
+      val expected = if (d % 5 == 0) 0 else (d % 3 + 1).toInt
+      assert(hrefs.size === expected, s"doc $d")
+      assert(hrefs.forall(_.contains("/d/")), s"doc $d")
+    }
+  }
+
   test("content-length walk reads THROUGH the planted record-header decoy") {
     // d=7: 200-status body embeds FakeRecordLiteral (7%7==0, 7%11!=0).
     // A delimiter-scanning parser would split the record there.
