@@ -282,6 +282,27 @@ object SparkEntry {
       .select("src", "dst").distinct()
   }
 
+  /** PERSISTED converged ranks over the extracted crawl graph — the ANN
+    * `ensureIndex` posture applied to PageRank: ranking is the offline,
+    * amortized half (10 power-iteration rounds, built once per graph),
+    * scheduling reads the rank TABLE. The index key is the edge table's
+    * count + content fingerprint (the BPE-cache pattern), so a
+    * re-extracted graph — new segments, changed pages — rebuilds
+    * automatically while an unchanged graph costs the frontier queries
+    * only the scheduling join. At 100 TB this is the only sane shape:
+    * the rank job runs at crawl-refresh cadence, not per scheduling
+    * decision. Oracles are UNCHANGED — they replay the full chain, so a
+    * stale or drifted index shows up as a red row, not a silent skew.
+    */
+  private def crawlRanks(s: SparkSession, dir: String): DataFrame = {
+    val edges = warcLinkEdges(s, dir)
+    val path = ensureIndex(s, edges, "crawlrank", "ranks") { p =>
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+        .write.mode("overwrite").parquet(s"$p/ranks")
+    }
+    s.read.parquet(s"$path/ranks")
+  }
+
   /** The parsed-page digest shared by `pipeline_warc` and its streamed
     * twin: 200-status responses reduced to (doc_id, canonical url, token
     * count, text md5) — one archive pass, bytes never leave the map side.
@@ -1477,11 +1498,9 @@ object SparkEntry {
       val allowed = cand.join(broadcast(rules), Seq("host"), "left")
         .filter(!graft.functions.Robots.isBlocked(col("path"), col("prefixes")))
       // the rank signal comes from the link graph EXTRACTED out of the
-      // archived HTML itself (warcLinkEdges) — the crawl tier closes
-      // source → graph → rank → schedule on real content
-      val ranks = graft.operators.Graph.pageRank(
-        warcLinkEdges(s, dir), "src", "dst", iterations = 10)
-      allowed.join(ranks, Seq("node"))
+      // archived HTML itself, via the PERSISTED rank index (crawlRanks) —
+      // the query pays the scheduling join, not the 10-round walk
+      allowed.join(crawlRanks(s, dir), Seq("node"))
         .select(col("url"), col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("node")).limit(50)
     }),
@@ -1548,11 +1567,10 @@ object SparkEntry {
     // is another heap ≡ window equivalence proof. Selection orders by
     // the ROUNDED rank + node so the cut is cross-engine deterministic.
     "pipeline_crawl_polite" -> ((s, dir) => {
-      // ranks over the link graph EXTRACTED from the archived pages
-      // (warcLinkEdges), not a synthetic edge rule — source → graph →
-      // rank → schedule closes on real content
-      val ranks = graft.operators.Graph.pageRank(
-        warcLinkEdges(s, dir), "src", "dst", iterations = 10)
+      // ranks over the link graph EXTRACTED from the archived pages, via
+      // the PERSISTED rank index (crawlRanks) — the scheduling query
+      // never re-walks the graph
+      val ranks = crawlRanks(s, dir)
       val cand = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
         .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
           lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
