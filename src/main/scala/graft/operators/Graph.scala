@@ -59,7 +59,15 @@ object Graph {
     * cold run (power iteration is a contraction, so any start converges
     * to the same fixed point; a near-fixed-point start just needs fewer
     * rounds). Nodes absent from `init` (the new crawl's new pages) start
-    * at their teleport weight.
+    * at their teleport weight. PRODUCTION CONTRACT at crawl cadence:
+    * warm-only — persist the converged vector, feed it back as `init`
+    * with a small round budget when the graph grows. The
+    * `graph_pagerank_incremental` query ALSO recomputes the cold
+    * 10-round walk inline, but only as its oracle's proximity GATE
+    * (pinned-TRUE convention: a drifting warm start flips the row red);
+    * that demo gate is test harness, never the API to ship — at 100×
+    * scale the cold walk is exactly the cost the warm start exists to
+    * avoid.
     *
     * `weightCol` makes the walk weighted — mass leaves `u` proportional
     * to each edge's weight over `u`'s total out-weight (the host-graph
