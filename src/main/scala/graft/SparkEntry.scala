@@ -2183,6 +2183,43 @@ object SparkEntry {
         .orderBy("day_us")
     }),
 
+    // SLIDING RETENTION off the SKETCH tier — the intersection estimate
+    // the union-only HLL algebra doesn't give directly: retained(w) =
+    // |active(w) ∩ active(w+1)| via INCLUSION–EXCLUSION on the same
+    // per-day sketches (est(w) + est(w+1) − est(w ∪ w+1), the w∪w+1
+    // sketch being one more pairwise merge). O(weeks) sketch rows,
+    // constant in users — closing the last distinct-user statistic still
+    // priced exact at window scale. Estimate error compounds across the
+    // three terms, so the gate is the same 5% recall-gate convention:
+    // the oracle replays the EXACT retained count; the pinned-TRUE bound
+    // turns estimator drift into a hash mismatch.
+    "events_retention_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // the estimate reads the SAME per-day sketch table the DAU/WAU
+      // estimates read (mergeability: one table, every stat)
+      val est = graft.streaming.EventIngest.retainedEstimateFromSketches(
+        s, sketchPath(s, dir))
+      // exact retained per consecutive observed week pair (left join: a
+      // pair with zero retention still reports)
+      val pairs = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("w")).distinct()
+      val pairsB = pairs.select(col("user_id").as("uid_b"), col("w").as("w_b"))
+      val exact = pairs.join(pairsB,
+          col("uid_b") === col("user_id") &&
+            col("w_b") === col("w") + expr("interval 7 days"))
+        .groupBy(col("w")).agg(count(lit(1)).as("retained"))
+      val wks = pairs.select("w").distinct()
+      val obs = wks.join(
+          wks.select((col("w") - expr("interval 7 days")).as("w")), Seq("w"), "left_semi")
+      obs.join(exact, Seq("w"), "left")
+        .select(col("w"), coalesce(col("retained"), lit(0L)).as("retained"))
+        .join(est, Seq("w"))
+        .select(unix_micros(col("w")).as("week_us"), col("retained"),
+          (abs(col("retained_est") - col("retained")) <= col("retained") * 0.05)
+            .as("est_ok"))
+        .orderBy("week_us")
+    }),
+
     // SECOND serving view off the SAME accumulated activity table as
     // events_dau_streamed — the point of set-union accumulation: one
     // streamed (user, day) set serves every distinct-user statistic.
@@ -7746,6 +7783,21 @@ object SparkEntry {
         |  count(DISTINCT s.user_id) AS wau, TRUE AS est_ok
         |FROM s JOIN o ON s.report_day = o.report_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact week-over-week retained users per consecutive observed week
+    // pair; the inclusion–exclusion sketch estimate is Spark-side and
+    // gated by the pinned-TRUE bound
+    "events_retention_sketch" ->
+      """WITH pairs AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |wks AS (SELECT DISTINCT w FROM pairs),
+        |nxt AS (SELECT a.w FROM wks a JOIN wks b ON b.w = a.w + INTERVAL 7 DAY),
+        |r AS (SELECT a.w, count(*) AS retained
+        |      FROM pairs a JOIN pairs b ON a.user_id = b.user_id
+        |                               AND b.w = a.w + INTERVAL 7 DAY
+        |      GROUP BY a.w)
+        |SELECT epoch_us(n.w) AS week_us,
+        |  CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained, TRUE AS est_ok
+        |FROM nxt n LEFT JOIN r ON r.w = n.w ORDER BY week_us""".stripMargin,
 
     // recall-gate convention: exact DAU replayed, sketch-accuracy bound
     // pinned TRUE — a sketch regression becomes a hash mismatch

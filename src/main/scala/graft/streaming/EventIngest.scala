@@ -147,6 +147,34 @@ object EventIngest {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("wau_est"))
   }
 
+  /** Estimated week-over-week RETAINED users off the SAME accumulated
+    * sketches — the INTERSECTION estimate union-only HLL algebra doesn't
+    * give directly: |A ∩ B| = est(A) + est(B) − est(A ∪ B)
+    * (inclusion–exclusion), where A and B are consecutive weeks' union
+    * sketches (per-day sketches merged per week, then one more pairwise
+    * merge for A ∪ B). O(weeks) sketch rows, constant in users — the
+    * sliding-retention stat at the scale tier where even the distinct
+    * activity set is too big to keep. The error compounds across the
+    * THREE estimates (and grows as the intersection shrinks relative to
+    * the union — inclusion–exclusion's known weakness), so consumers
+    * gate it against the exact count (the recall-gate convention, as
+    * `events_retention_sketch` does).
+    */
+  def retainedEstimateFromSketches(spark: SparkSession,
+      aggPath: String): DataFrame = {
+    val wk = spark.read.parquet(s"$aggPath/sketches")
+      .groupBy(date_trunc("week", col("day")).as("w"))
+      .agg(hll_union_agg(col("sketch")).as("sk"))
+    val nxt = wk.select((col("w") - expr("interval 7 days")).as("w"),
+      col("sk").as("sk_next"))
+    wk.join(nxt, Seq("w"))
+      .select(col("w"),
+        (hll_sketch_estimate(col("sk")) +
+          hll_sketch_estimate(col("sk_next")) -
+          hll_sketch_estimate(hll_union(col("sk"), col("sk_next"))))
+          .as("retained_est"))
+  }
+
   /** The accumulated distinct (user_id, day) pairs — the exact input any
     * batch DAU/retention derivation expects.
     *

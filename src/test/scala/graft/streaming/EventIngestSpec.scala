@@ -175,6 +175,28 @@ class EventIngestSpec extends SparkSpec {
     assert(math.abs(wau("2024-03-03") - 40L) <= 2, s"day3 ${wau("2024-03-03")}")
   }
 
+  test("sketch retention: inclusion-exclusion on weekly unions tracks the " +
+      "exact week-over-week intersection") {
+    val dir = Files.createTempDirectory("evretsketch").toFile
+    dir.deleteOnExit()
+    val agg = dir.getAbsolutePath + "/idx"
+    // week of Mar 4 (Mon): users 0-59; week of Mar 11: users 40-99 —
+    // exact retained = |{40..59}| = 20; weeks split across two batches
+    // and two days each so the day→week union is load-bearing
+    def ts(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 12:00:00")
+    val wk1 = (0L until 60L).map(u => (u, ts(if (u % 2 == 0) 4 else 6)))
+    val wk2 = (40L until 100L).map(u => (u, ts(if (u % 2 == 0) 11 else 13)))
+    EventIngest.processSketchBatch(
+      (wk1 ++ wk2).filter(_._1 % 3 != 0).toDF("user_id", "ts"), 0L, agg)
+    EventIngest.processSketchBatch(
+      (wk1 ++ wk2).filter(_._1 % 3 == 0).toDF("user_id", "ts"), 1L, agg)
+    val got = EventIngest.retainedEstimateFromSketches(spark, agg).collect()
+    assert(got.length === 1) // only the (Mar 4, Mar 11) consecutive pair
+    assert(got.head.getTimestamp(0).toString.startsWith("2024-03-04"))
+    val est = got.head.getLong(1)
+    assert(math.abs(est - 20L) <= 2, s"retained estimate $est vs exact 20")
+  }
+
   test("per-batch partial files compact per batch_id=; replay state travels") {
     val dir = Files.createTempDirectory("evcompact").toFile
     dir.deleteOnExit()
