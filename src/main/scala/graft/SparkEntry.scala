@@ -2466,14 +2466,24 @@ object SparkEntry {
     // (Gopher rules : text :: contrast/entropy : image :: RMS/clip :
     // audio :: motion : video), every gate over real decodes with an
     // exact arithmetic oracle.
+    // Threshold is DERIVED FROM THE DATA, not a planted constant: the
+    // motion floor is the 10th-percentile cut over the decoded corpus
+    // (exact interpolated percentile — DuckDB replays it as
+    // quantile_cont), broadcast back as a one-row frame. The planted
+    // static class (20% of docs, motion exactly 0) pins the cut at 0
+    // deterministically in both engines, so the gate transfers to a real
+    // corpus without retuning while staying hash-exact here.
     "multimodal_video_quality" -> ((s, dir) => {
       val media = Multimodal.synthesizeQualityGifs(
         t(s, dir, "documents").select("doc_id")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
-      Multimodal.videoQuality(media).toDF()
+      val st = Multimodal.videoQuality(media).toDF()
         .filter(col("decoded"))
-        .select(col("media_id").as("doc_id"), col("n_frames"),
-          col("motion"), col("quality_ok"))
+        .select(col("media_id").as("doc_id"), col("n_frames"), col("motion"))
+      val thr = st.agg(expr("percentile(motion, 0.10)").as("thr_m"))
+      st.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_frames"), col("motion"),
+          (col("n_frames") >= 2 && col("motion") > col("thr_m")).as("quality_ok"))
         .orderBy("doc_id")
     }),
 
@@ -2482,20 +2492,33 @@ object SparkEntry {
     // Mixed-class fixture by doc_id % 5: 0 → dead air, 1 → full-scale
     // alternation, else integer-mixer noise; every class's samples are
     // integer arithmetic, so DuckDB replays peak/RMS/ratio exactly.
+    // Both cuts percentile-derived like the video gate: RMS floor at the
+    // 10th percentile (dead air — 20% of docs at exactly 0 — pins it at
+    // 0), clip-ratio cap at the 90th (full-scale alternation — 20% at
+    // exactly 1 — pins it at 1); strict comparisons drop the pinned
+    // classes in both engines.
     "multimodal_audio_quality" -> ((s, dir) => {
       val media = Multimodal.synthesizeQualityWavs(
         t(s, dir, "documents").select("doc_id")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
-      Multimodal.audioQuality(media).toDF()
+      val st = Multimodal.audioQuality(media).toDF()
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_samples"), col("peak"),
-          col("rms"), col("clip_ratio"), col("quality_ok"))
+          col("rms"), col("clip_ratio"))
+      val thr = st.agg(expr("percentile(rms, 0.10)").as("thr_r"),
+        expr("percentile(clip_ratio, 0.90)").as("thr_c"))
+      st.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_samples"), col("peak"), col("rms"),
+          col("clip_ratio"),
+          (col("rms") > col("thr_r") && col("clip_ratio") < col("thr_c"))
+            .as("quality_ok"))
         .orderBy("doc_id")
     }),
 
     // Image QUALITY curation gate over REAL decoded pixels — the image
     // modality's Gopher rules: mean / contrast (population stddev) /
-    // histogram entropy per image, gate = contrast ≥ 8 AND entropy ≥ 1.5.
+    // histogram entropy per image, gated at percentile cuts derived from
+    // the decoded corpus itself.
     // Fixture plants both classes: md5-noise frames (pass) and flat
     // placeholder frames (doc_id % 5 = 0 — contrast 0, entropy 0, fail).
     // All stats are exact functions of integer pixel sums, so DuckDB
@@ -2507,10 +2530,20 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 =!= 0))
         .unionByName(Multimodal.synthesizeFlatImages(
           docs.filter(col("doc_id") % 5 === 0)))
-      Multimodal.imageQuality(media, bins = 16).toDF()
+      // contrast/entropy floors at the 10th percentile over the decoded
+      // corpus (the flat class — 20% at exactly 0/0 — pins both cuts at
+      // 0), same data-derived posture as the audio/video gates
+      val st = Multimodal.imageQuality(media, bins = 16).toDF()
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_px"), col("mean_px"),
-          col("contrast"), col("entropy"), col("quality_ok"))
+          col("contrast"), col("entropy"))
+      val thr = st.agg(expr("percentile(contrast, 0.10)").as("thr_c"),
+        expr("percentile(entropy, 0.10)").as("thr_e"))
+      st.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_px"), col("mean_px"), col("contrast"),
+          col("entropy"),
+          (col("contrast") > col("thr_c") && col("entropy") > col("thr_e"))
+            .as("quality_ok"))
         .orderBy("doc_id")
     }),
 
@@ -6359,11 +6392,15 @@ object SparkEntry {
         |  JOIN generate_series(1, 6) fs(f) ON fs.f < d.nf),
         |st AS (
         |  SELECT doc_id, max(nf) AS nf, sum(ad) AS diff, count(*) AS npx
-        |  FROM px GROUP BY doc_id)
-        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
-        |  round(diff * 1.0 / npx, 4) AS motion,
-        |  (nf >= 2 AND round(diff * 1.0 / npx, 4) >= 1.0) AS quality_ok
-        |FROM st ORDER BY doc_id""".stripMargin,
+        |  FROM px GROUP BY doc_id),
+        |q AS (
+        |  SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |    round(diff * 1.0 / npx, 4) AS motion
+        |  FROM st)
+        |SELECT doc_id, n_frames, motion,
+        |  (n_frames >= 2 AND motion > (SELECT quantile_cont(motion, 0.10) FROM q))
+        |    AS quality_ok
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // peak / RMS / clip-ratio replayed from the per-class sample
     // arithmetic (bounded series + inequality join for the per-doc
@@ -6388,7 +6425,9 @@ object SparkEntry {
         |    round(clipped * 1.0 / n, 4) AS clip_ratio
         |  FROM st)
         |SELECT doc_id, n_samples, peak, rms, clip_ratio,
-        |  (rms >= 10.0 AND clip_ratio <= 0.1) AS quality_ok
+        |  (rms > (SELECT quantile_cont(rms, 0.10) FROM q)
+        |   AND clip_ratio < (SELECT quantile_cont(clip_ratio, 0.90) FROM q))
+        |    AS quality_ok
         |FROM q ORDER BY doc_id""".stripMargin,
 
     // mean / contrast / entropy replayed from the md5 pixel arithmetic
@@ -6417,7 +6456,10 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 5 = 0),
         |q AS (SELECT * FROM noise UNION ALL SELECT * FROM flat)
         |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px, mean_px, contrast,
-        |  entropy, (contrast >= 8.0 AND entropy >= 1.5) AS quality_ok
+        |  entropy,
+        |  (contrast > (SELECT quantile_cont(contrast, 0.10) FROM q)
+        |   AND entropy > (SELECT quantile_cont(entropy, 0.10) FROM q))
+        |    AS quality_ok
         |FROM q ORDER BY doc_id""".stripMargin),
 
     "multimodal_features" -> (phashPxSql +

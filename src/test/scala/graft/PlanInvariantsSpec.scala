@@ -94,6 +94,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "text_heavy_hitters",
     // 1-row × 1-row scalar cross (before/after token totals)
     "bpe_gate",
+    // 1-row percentile-threshold frame broadcast back over the decoded
+    // stats — the data-derived quality cuts, same scalar shape as
+    // w4_zscore
+    "multimodal_quality", "multimodal_audio_quality",
+    "multimodal_video_quality",
     // embeds the same two brute-force baselines as ann_quantized_recall
     "ann_truncated_recall",
     // the PQ ADC pass is a DELIBERATE q×N linear scan — over m-byte codes,
