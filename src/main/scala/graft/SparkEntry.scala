@@ -3828,6 +3828,69 @@ object SparkEntry {
         .orderBy("cust_id")
     }),
 
+    // The CHANGE FEED (Delta-CDF convention): every changed key's
+    // post-image tagged insert / update_postimage, plus the
+    // update_preimage rows an incremental consumer retracts with. Same
+    // delta-shaped plan as etl_upsert_changes; shares the upsertasof
+    // index.
+    "etl_upsert_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val (base, updates) = upsertFixture(s, dir)
+      val path = ensureIndex(s, t(s, dir, "customer"), "upsertasof", "built") { p =>
+        graft.streaming.UpsertIngest.processBatch(base, 0L, p)
+        graft.streaming.UpsertIngest.processBatch(updates, 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      graft.streaming.UpsertIngest.readChangeFeed(s, path, "cust_id",
+          fromBatch = 0L, toBatch = 1L)
+        .select(col("cust_id"), col("c_acctbal"), col("c_mktsegment"),
+          col("_change_type").as("change_type"))
+        .orderBy("cust_id", "change_type")
+    }),
+
+    // INCREMENTAL aggregate maintenance off the change feed — the CDC
+    // payoff made concrete: the per-segment balance/count aggregate is
+    // maintained by RETRACTION (post-images add, pre-images subtract,
+    // in exact decimal) on top of the version-0 aggregate, instead of
+    // rescanning the table. The oracle computes the version-1 aggregate
+    // FROM SCRATCH, so a green row is the maintenance ≡ recompute
+    // equivalence proof. At 100 TB this is the only sane consumption
+    // shape: O(delta) rows move per refresh, never O(table).
+    "etl_upsert_incr_agg" -> ((s, dir) => {
+      import s.implicits._
+      val (base, updates) = upsertFixture(s, dir)
+      val path = ensureIndex(s, t(s, dir, "customer"), "upsertasof", "built") { p =>
+        graft.streaming.UpsertIngest.processBatch(base, 0L, p)
+        graft.streaming.UpsertIngest.processBatch(updates, 1L, p)
+        Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      val dec = col("c_acctbal").cast("decimal(18,2)")
+      val v0 = graft.streaming.UpsertIngest.readAsOf(s, path, "cust_id", 0L)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(dec).as("t0"), count(lit(1)).as("n0"))
+      val deltas = graft.streaming.UpsertIngest
+        .readChangeFeed(s, path, "cust_id", 0L, 1L)
+        .select(col("c_mktsegment"),
+          when(col("_change_type") === "update_preimage", -dec)
+            .otherwise(dec).as("dt"),
+          when(col("_change_type") === "update_preimage", lit(-1L))
+            .otherwise(lit(1L)).as("dn"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("dt")).as("dt"), sum(col("dn")).as("dn"))
+      v0.join(deltas, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          (coalesce(col("t0"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("dt"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("total_acctbal"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_customers"))
+        .filter(col("n_customers") > 0) // a fully-vacated segment has no
+                                        // row in a from-scratch recompute
+        .orderBy("c_mktsegment")
+    }),
+
     // SCD2 interval versioning: each customer's order-priority history as
     // [valid_from, valid_to) dimension rows, no-op changes collapsed —
     // the warehouse-dimension build the as-of join consumes.
@@ -7103,6 +7166,40 @@ object SparkEntry {
         |SELECT CAST(c_custkey + 1000000 AS BIGINT), c_acctbal, 'INSERTED'
         |FROM customer WHERE c_custkey % 100 = 7
         |ORDER BY cust_id""".stripMargin,
+
+    // the Delta-CDF row convention: updated keys emit BOTH images,
+    // inserted keys one insert row; the identical-re-upsert case is
+    // covered by the spec (no such rows in this fixture)
+    "etl_upsert_cdc" ->
+      """WITH upd AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 3)
+        |SELECT cust_id, c_acctbal + 1000.0 AS c_acctbal,
+        |  'UPSERTED' AS c_mktsegment, 'update_postimage' AS change_type
+        |FROM upd
+        |UNION ALL
+        |SELECT cust_id, c_acctbal, c_mktsegment, 'update_preimage' FROM upd
+        |UNION ALL
+        |SELECT CAST(c_custkey + 1000000 AS BIGINT), c_acctbal, 'INSERTED',
+        |  'insert'
+        |FROM customer WHERE c_custkey % 100 = 7
+        |ORDER BY cust_id, change_type""".stripMargin,
+
+    // the from-scratch version-1 aggregate — a green row proves the
+    // retraction-maintained aggregate equals the full recompute
+    "etl_upsert_incr_agg" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN c_custkey % 10 = 3 THEN 'UPSERTED'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 1000.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'INSERTED', c_acctbal FROM customer WHERE c_custkey % 100 = 7)
+        |SELECT c_mktsegment,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+        |  count(*) AS n_customers
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the SAME oracle: latest-batch-per-key over the changelog must equal
     // the copy-on-write merge

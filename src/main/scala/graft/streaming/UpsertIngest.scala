@@ -150,6 +150,49 @@ object UpsertIngest {
       latestPerKey(scoped.filter(col("batch_id") <= fromBatch), keyCol))
   }
 
+  /** CHANGE FEED between two versions — [[readChanges]] upgraded to the
+    * Delta-CDF row convention: each changed key yields its post-image
+    * tagged `insert` (no row at `from`) or `update_postimage`, and
+    * updates ALSO yield the prior row tagged `update_preimage` — exactly
+    * what a downstream INCREMENTAL consumer needs to maintain an
+    * aggregate by retraction (subtract the pre-image, add the
+    * post-image) instead of rescanning the table. Tombstone rows flow
+    * like any update (soft-delete semantics ride in the payload, as
+    * everywhere in this changelog).
+    *
+    * Same delta shape as [[readChanges]]: batch-pruned touched keys,
+    * semi-joined resolve of ONLY those keys at both endpoints —
+    * O(delta keys' history). Same retention horizon. The `_change_type`
+    * column is appended last so the payload schema stays positionally
+    * stable for consumers of either reader.
+    */
+  def readChangeFeed(spark: SparkSession, tablePath: String, keyCol: String,
+      fromBatch: Long, toBatch: Long): DataFrame = {
+    require(fromBatch <= toBatch, "fromBatch must be <= toBatch")
+    recoverCompaction(spark, tablePath)
+    val log = readLog(spark, tablePath)
+    val touched = log
+      .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch)
+      .select(col(keyCol)).distinct()
+    val scoped = log.filter(col("batch_id") <= toBatch)
+      .join(broadcast(touched), Seq(keyCol), "left_semi")
+    val pre = latestPerKey(scoped.filter(col("batch_id") <= fromBatch), keyCol)
+    val post = latestPerKey(scoped, keyCol)
+    // post-images whose full row differs from their pre-image (a key
+    // re-upserted to identical values is NOT a change, matching
+    // readChanges); split insert vs update on pre-key existence
+    val changedPost = post.exceptAll(pre)
+    val preKeys = pre.select(col(keyCol))
+    val inserts = changedPost.join(broadcast(preKeys), Seq(keyCol), "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    val updPost = changedPost.join(broadcast(preKeys), Seq(keyCol), "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+    val updPre = pre.join(
+        broadcast(changedPost.select(col(keyCol))), Seq(keyCol), "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+    inserts.unionByName(updPost).unionByName(updPre)
+  }
+
   /** Latest-batch-per-key resolve — the one window both [[readLatest]]
     * and [[compactLog]] use, so a compaction can never change which row
     * a key resolves to. Within one batch the caller owes one row per key;

@@ -293,6 +293,35 @@ class UpsertIngestSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed: insert / update pre+post images per changed key; " +
+      "identical re-upserts are silent") {
+    val dir = Files.createTempDirectory("upsertcdc").toFile
+    dir.deleteOnExit()
+    val tbl = dir.getAbsolutePath + "/tbl"
+    UpsertIngest.processBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L, tbl)
+    // key 2 updated, key 3 inserted, key 1 re-upserted to IDENTICAL values
+    UpsertIngest.processBatch(
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")).toDF("k", "v"), 1L, tbl)
+    val feed = UpsertIngest.readChangeFeed(spark, tbl, "k", 0L, 1L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set(
+      ("insert", 3L, "c"),
+      ("update_postimage", 2L, "B2"),
+      ("update_preimage", 2L, "b"))) // key 1: no change rows at all
+    // the feed supports aggregate maintenance by retraction: applying it
+    // to the as-of(0) state reproduces as-of(1) exactly
+    val asOf1 = UpsertIngest.readAsOf(spark, tbl, "k", 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val maintained = UpsertIngest.readAsOf(spark, tbl, "k", 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (pres, posts) = feed.partition(_._1 == "update_preimage")
+    val applied = posts.foldLeft(maintained -- pres.map(_._2)) {
+      case (m, (_, k, v)) => m + (k -> v)
+    }
+    assert(applied === asOf1)
+  }
+
   test("readChanges is delta-shaped: a 1-key update among many resolves " +
       "only the touched key, behind a batch-pruned semi-join") {
     val dir = Files.createTempDirectory("upsertdelta").toFile
