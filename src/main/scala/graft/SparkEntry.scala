@@ -282,6 +282,37 @@ object SparkEntry {
       .select("src", "dst").distinct()
   }
 
+  /** The streamed-ingest segment fixture shared by `warc_ingest_streamed`
+    * and `warc_links_streamed`: 16 range-partitioned archive segments
+    * (anchors planted, linkSpace = corpus) consumed as 4 micro-batches of
+    * 4 files each, driving BOTH the curation claim log
+    * ([[graft.streaming.WarcIngest]]) and the link-graph accumulation
+    * ([[graft.streaming.LinkIngest]]) — one fixture build, the
+    * `activityPath` no-drift pattern. Kind "warcingestl" (not r12's
+    * "warcingest"): the segment payloads now carry anchors.
+    */
+  private def warcIngestPath(s: SparkSession, dir: String): String = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    ensureIndex(s, ids, "warcingestl", "built") { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true) // crash debris
+      graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
+        nFiles = 16, rangePartition = true, linkSpace = ids.count())
+      (0 until 4).foreach { b =>
+        val files = (4 * b until 4 * b + 4)
+          .map(f => f"part-$f%05d.warc.gz").mkString("{", ",", "}")
+        val resp = graft.sources.Warc.httpParsed(graft.sources.Warc.responses(
+          graft.sources.Warc.readRecords(s, s"$p/warc/$files")).toDF())
+        graft.streaming.WarcIngest.processBatch(warcPagesFromParsed(resp),
+          b.toLong, s"$p/log")
+        graft.streaming.LinkIngest.processBatch(resp, b.toLong, s"$p/links")
+      }
+      import s.implicits._
+      Seq(4).toDF("n_batches").coalesce(1).write.mode("overwrite")
+        .parquet(s"$p/built")
+    }
+  }
+
   /** PERSISTED converged ranks over the extracted crawl graph — the ANN
     * `ensureIndex` posture applied to PageRank: ranking is the offline,
     * amortized half (10 power-iteration rounds, built once per graph),
@@ -308,7 +339,13 @@ object SparkEntry {
     * count, text md5) — one archive pass, bytes never leave the map side.
     */
   private def warcPages(resp: DataFrame): DataFrame =
-    graft.sources.Warc.httpParsed(resp)
+    warcPagesFromParsed(graft.sources.Warc.httpParsed(resp))
+
+  /** As [[warcPages]], over an already-HTTP-parsed frame (shared with the
+    * segment fixture, where the parse also feeds the link ingest).
+    */
+  private def warcPagesFromParsed(parsed: DataFrame): DataFrame =
+    parsed
       .filter(col("http_status") === 200)
       .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
         graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
@@ -374,6 +411,15 @@ object SparkEntry {
   private def pagerankOracleFor(teleCte: String): String =
     pagerankChain(teleCte) +
       "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
+
+  /** Shared by `warc_links` and `warc_links_streamed` — the extracted
+    * edge table's arithmetic ideal (also the frontier chains' edges CTE).
+    */
+  private lazy val warcLinksOracle: String =
+    """WITH ids AS (SELECT doc_id AS d FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM ids),
+      |""".stripMargin + extractedEdgesCte.stripSuffix(",") +
+      "\nSELECT src, dst FROM edges ORDER BY src, dst"
 
   /** The synthetic doc-space edge rule the `graph_*` operator oracles walk
     * (every non-d%5 doc links to `1 + d%3` arithmetic targets).
@@ -1333,6 +1379,17 @@ object SparkEntry {
     // pipelines rank over (shared CTE in their oracles).
     "warc_links" -> ((s, dir) => warcLinkEdges(s, dir).orderBy("src", "dst")),
 
+    // STREAMED accumulation of the same edge table (streaming/LinkIngest):
+    // per-segment map-side appends of canonical (src_url, dst_url) pairs
+    // and discovered URLs, resolution deferred to read time — a link
+    // captured before its target is discovered resolves when a later
+    // segment lands it. SHARES warc_links' oracle verbatim: the
+    // accumulated end state must equal batch extraction over the whole
+    // archive (equivalence twin).
+    "warc_links_streamed" -> ((s, dir) =>
+      graft.streaming.LinkIngest.edges(s, s"${warcIngestPath(s, dir)}/links")
+        .orderBy("src", "dst")),
+
     // WARC SINK round-trip (Warc.writeRecords — the source's symmetric
     // half): read the archives, keep the 200-status pages, RE-EXPORT
     // them as standard WARC files, read those back through the same
@@ -1396,21 +1453,7 @@ object SparkEntry {
     // a green row proves greedy first-claim over id-ordered arrival
     // equals the batch pipeline's global min-doc_id resolution.
     "warc_ingest_streamed" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").select(col("doc_id"))
-      val path = ensureIndex(s, ids, "warcingest", "built") { p =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true) // crash debris
-        graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
-          nFiles = 16, rangePartition = true)
-        (0 until 4).foreach { b =>
-          val files = (4 * b until 4 * b + 4)
-            .map(f => f"part-$f%05d.warc.gz").mkString("{", ",", "}")
-          val pages = warcPages(graft.sources.Warc.responses(
-            graft.sources.Warc.readRecords(s, s"$p/warc/$files")).toDF())
-          graft.streaming.WarcIngest.processBatch(pages, b.toLong, s"$p/log")
-        }
-        s.range(1).select(lit(4L).as("n_batches")).write.mode("overwrite").parquet(s"$p/built")
-      }
+      val path = warcIngestPath(s, dir)
       graft.streaming.WarcIngest.kept(s, s"$path/log").orderBy("doc_id")
     }),
 
@@ -5383,11 +5426,11 @@ object SparkEntry {
     // The extracted edge table IS the frontier oracles' edges CTE —
     // one definition, consumed by warc_links directly and by the
     // rank chains of pipeline_crawl_frontier / pipeline_crawl_polite.
-    "warc_links" ->
-      ("""WITH ids AS (SELECT doc_id AS d FROM documents),
-        |nd AS (SELECT count(*) AS n_docs FROM ids),
-        |""".stripMargin + extractedEdgesCte.stripSuffix(",") +
-        "\nSELECT src, dst FROM edges ORDER BY src, dst"),
+    "warc_links" -> warcLinksOracle,
+
+    // the SAME oracle: streamed accumulation + deferred resolution must
+    // equal batch extraction (equivalence proof)
+    "warc_links_streamed" -> warcLinksOracle,
 
     // Replays the four pipeline tiers over the reconstructed pages: url
     // slots claimed by min doc_id BEFORE the quality gate, then the

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LinkIngest: map-side pair/URL accumulation with read-time resolution —
+  * late targets resolve retroactively, landed batches replay as no-ops,
+  * crashed appends rewrite row-identically, and the pre-data read is an
+  * empty typed frame.
+  */
+class LinkIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A parsed-page frame (the Warc.httpParsed shape) with one 200 page
+    * per (uri, hrefs) pair.
+    */
+  private def pages(rows: Seq[(String, Seq[String])]): DataFrame =
+    rows.map { case (uri, hs) =>
+      val body = s"<html><body>${hs.map(h => s"""<a href="$h"></a>""").mkString}</body></html>"
+      (uri, 200, body.getBytes("US-ASCII"))
+    }.toDF("uri", "http_status", "body")
+
+  private def edgeSet(path: String): Set[(Long, Long)] =
+    LinkIngest.edges(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+
+  test("read-time resolution: a link captured before its target is " +
+      "discovered resolves only once a later segment lands it") {
+    val dir = Files.createTempDirectory("linkingest").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/links"
+    // batch 0: page /d/1 links to /d/2 (undiscovered) and /d/1 (self)
+    LinkIngest.processBatch(pages(Seq(
+      "https://h0.ex.test/d/1" -> Seq(
+        "HTTPS://H0.EX.TEST:443/d/2#frag", // messy: must canonicalize
+        "https://h0.ex.test/d/1"))), 0L, idx)
+    assert(edgeSet(idx) === Set(1L -> 1L), "undiscovered target must stay unresolved")
+    // batch 1: /d/2 is fetched (a 404 — dead pages still resolve links)
+    LinkIngest.processBatch(
+      Seq(("https://h0.ex.test/d/2", 404, Array.empty[Byte]))
+        .toDF("uri", "http_status", "body"), 1L, idx)
+    assert(edgeSet(idx) === Set(1L -> 1L, 1L -> 2L),
+      "the batch-0 pair must resolve retroactively")
+  }
+
+  test("replay of a landed batch is a no-op; a crashed append rewrites " +
+      "row-identically") {
+    val dir = Files.createTempDirectory("linkreplay").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/links"
+    val b0 = pages(Seq("https://h0.ex.test/d/1" -> Seq("https://h0.ex.test/d/3")))
+    val b1 = pages(Seq("https://h0.ex.test/d/3" -> Seq("https://h0.ex.test/d/1")))
+    LinkIngest.processBatch(b0, 0L, idx)
+    LinkIngest.processBatch(b1, 1L, idx)
+    val before = edgeSet(idx)
+    assert(before === Set(1L -> 3L, 3L -> 1L))
+    // full replay: no duplicate rows land (pairs table row count stable)
+    val nPairs = spark.read.parquet(s"$idx/pairs").count()
+    LinkIngest.processBatch(b1, 1L, idx)
+    assert(spark.read.parquet(s"$idx/pairs").count() === nPairs)
+    assert(edgeSet(idx) === before)
+    // crash between append and marker: delete batch 1's PAIRS marker —
+    // replay must clear the partial dir and rewrite identically
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_batches/pairs_1"), false)
+    LinkIngest.processBatch(b1, 1L, idx)
+    assert(edgeSet(idx) === before)
+    assert(spark.read.parquet(s"$idx/pairs").count() === nPairs)
+  }
+
+  test("edges() before any data-bearing batch is an empty typed frame") {
+    val dir = Files.createTempDirectory("linkempty").toFile
+    dir.deleteOnExit()
+    val e = LinkIngest.edges(spark, dir.getAbsolutePath + "/links")
+    assert(e.columns.toSeq === Seq("src", "dst"))
+    assert(e.isEmpty)
+  }
+}
