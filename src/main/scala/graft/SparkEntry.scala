@@ -291,6 +291,10 @@ object SparkEntry {
     * `activityPath` no-drift pattern. Kind "warcingestl" (not r12's
     * "warcingest"): the segment payloads now carry anchors.
     */
+  /** Probe-tool access to the segment fixture (tools/GraphProbe). */
+  private[graft] def warcIngestPathForProbe(s: SparkSession, dir: String): String =
+    warcIngestPath(s, dir)
+
   private def warcIngestPath(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
     ensureIndex(s, ids, "warcingestl", "built") { p =>
@@ -1378,6 +1382,44 @@ object SparkEntry {
     // discovered-URL table. This edge table is what the frontier
     // pipelines rank over (shared CTE in their oracles).
     "warc_links" -> ((s, dir) => warcLinkEdges(s, dir).orderBy("src", "dst")),
+
+    // The CRAWL-CADENCE REFRESH end-to-end on the streamed graph: ranks
+    // from the first three segment batches (LinkIngest.edges' batch-
+    // pruned time-travel read) warm-start 8 rounds on the full
+    // accumulated graph, gated within 2e-3 max-abs of the cold 10-round
+    // walk. The last segment changes ~40% of the EDGE set (new sources
+    // PLUS previously-unresolvable targets becoming live — real ingest
+    // deltas are bigger than node-count splits suggest), so the honest
+    // budget/tolerance came from tools/GraphProbe: warm-8 lands 6.3e-4
+    // from cold at 500 docs (3.2× margin) and 8.7e-5 at sf0.1 (23×),
+    // while cold-10's own residual vs cold-15 is 1.4e-5 — the reference
+    // is converged. Published output = the cold ranks (replaying the
+    // shared extracted-edges chain) + the pinned-TRUE proximity bool —
+    // the graph_pagerank_incremental gate convention, now over the REAL
+    // ingest accumulation instead of an arithmetic split. The three
+    // inline walks are the ORACLE GATE, priced by design (see
+    // COVERAGE.md note); production ships warm-only + crawlRanks.
+    "pipeline_crawl_refresh" -> ((s, dir) => {
+      val idx = s"${warcIngestPath(s, dir)}/links"
+      // materialize each extraction once: the resolution join would
+      // otherwise recompute per walk (cold + warm share `full`)
+      val oldRanks = graft.operators.Graph.pageRank(
+        graft.streaming.LinkIngest.edges(s, idx, upToBatch = Some(2L))
+          .localCheckpoint(),
+        "src", "dst", iterations = 10)
+      val full = graft.streaming.LinkIngest.edges(s, idx).localCheckpoint()
+      val warm = graft.operators.Graph.pageRank(full, "src", "dst",
+        iterations = 8, init = Some(oldRanks))
+      val cold = graft.operators.Graph.pageRank(full, "src", "dst",
+        iterations = 10)
+      val gate = cold.join(warm.withColumnRenamed("rank", "wrank"), Seq("node"))
+        .agg(max(abs(col("rank") - col("wrank"))).as("m"))
+        .select((col("m") <= 2e-3).as("ok"))
+      cold.crossJoin(broadcast(gate))
+        .select(col("node"), round(col("rank"), 6).as("rank"),
+          col("ok").as("warm_within_tol"))
+        .orderBy("node")
+    }),
 
     // STREAMED accumulation of the same edge table (streaming/LinkIngest):
     // per-segment map-side appends of canonical (src_url, dst_url) pairs
@@ -5431,6 +5473,14 @@ object SparkEntry {
     // the SAME oracle: streamed accumulation + deferred resolution must
     // equal batch extraction (equivalence proof)
     "warc_links_streamed" -> warcLinksOracle,
+
+    // cold ranks over the extracted graph replay the shared chain; the
+    // warm-refresh proximity gate is Spark-computed and pinned TRUE
+    "pipeline_crawl_refresh" -> (pagerankChain(
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)",
+      edgesCte = extractedEdgesCte) +
+      "\nSELECT node, round(rank, 6) AS rank, TRUE AS warm_within_tol " +
+      "FROM r10 ORDER BY node"),
 
     // Replays the four pipeline tiers over the reconstructed pages: url
     // slots claimed by min doc_id BEFORE the quality gate, then the

@@ -106,15 +106,22 @@ object LinkIngest {
     * segment lands the target URL. Empty typed frame before any
     * data-bearing batch.
     */
-  def edges(spark: SparkSession, indexPath: String): DataFrame = {
+  def edges(spark: SparkSession, indexPath: String,
+      upToBatch: Option[Long] = None): DataFrame = {
     import spark.implicits._
     if (!exists(spark, s"$indexPath/pairs/_batches_has_data") ||
         !exists(spark, s"$indexPath/urls/_batches_has_data"))
       return Seq.empty[(Long, Long)].toDF("src", "dst")
-    val urls = spark.read.parquet(s"$indexPath/urls")
+    // `upToBatch` is the TIME-TRAVEL read: the edge table as of segment
+    // N — batch_id is the hive partition column on both tables, so the
+    // bound prunes to the surviving early directories (the readAsOf
+    // posture), which is what a crawl-cadence refresh diffs against
+    def asOf(df: DataFrame) =
+      upToBatch.fold(df)(b => df.filter(col("batch_id") <= b))
+    val urls = asOf(spark.read.parquet(s"$indexPath/urls"))
       .select(col("url").as("dst_url")).distinct()
       .withColumn("dst", regexp_extract(col("dst_url"), "/d/(\\d+)", 1).cast("long"))
-    spark.read.parquet(s"$indexPath/pairs")
+    asOf(spark.read.parquet(s"$indexPath/pairs"))
       .select(col("src_url"), col("dst_url")).distinct()
       .join(urls, Seq("dst_url"))
       .select(regexp_extract(col("src_url"), "/d/(\\d+)", 1).cast("long").as("src"),
