@@ -99,6 +99,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // w4_zscore
     "multimodal_quality", "multimodal_audio_quality",
     "multimodal_video_quality",
+    // 1-row warm-vs-cold proximity gate broadcast onto the published
+    // ranks — the pinned-TRUE recall-gate cross, scalar by construction
+    "pipeline_crawl_refresh",
     // embeds the same two brute-force baselines as ann_quantized_recall
     "ann_truncated_recall",
     // the PQ ADC pass is a DELIBERATE q×N linear scan — over m-byte codes,
