@@ -524,10 +524,8 @@ object SparkEntry {
          |    GROUP BY e.hdst) c ON tl.node = c.node)""".stripMargin
     """WITH ids AS MATERIALIZED (SELECT doc_id AS d FROM documents),
       |nd AS (SELECT count(*) AS n_docs FROM ids),
-      |edges AS MATERIALIZED (
-      |  SELECT DISTINCT d AS src, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst
-      |  FROM ids, range(3) t(j) WHERE d % 5 <> 0 AND j <= d % 3),
-      |hedges AS MATERIALIZED (
+      |""".stripMargin + extractedEdgesCte + "\n" +
+    """hedges AS MATERIALIZED (
       |  SELECT src % 7 AS hsrc, dst % 7 AS hdst, CAST(count(*) AS DOUBLE) AS w
       |  FROM edges WHERE src % 7 <> dst % 7 GROUP BY 1, 2),
       |nodes AS MATERIALIZED (SELECT hsrc AS node FROM hedges UNION SELECT hdst FROM hedges),
@@ -1596,14 +1594,12 @@ object SparkEntry {
     // multiplicity), and mass leaves a host proportional to per-link
     // share. 7 hosts, 42 weighted edges at both SFs.
     "graph_pagerank_hosts" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val nDocs = docs.count()
-      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
-        .select(col("src"),
-          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
-      val hostEdges = edges
+      // contraction over the EXTRACTED link graph: node % 7 IS the
+      // fixture's actual host (canonical path ids carry their host in
+      // the residue), so this ranks the hosts of real archived content —
+      // intra-host links drop, parallel page-level links become edge
+      // weights, mass leaves a host by per-link share
+      val hostEdges = warcLinkEdges(s, dir)
         .select(pmod(col("src"), lit(7)).as("hsrc"), pmod(col("dst"), lit(7)).as("hdst"))
         .filter(col("hsrc") =!= col("hdst"))
         .groupBy("hsrc", "hdst").agg(count(lit(1)).cast("double").as("w"))
