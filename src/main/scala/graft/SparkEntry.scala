@@ -262,6 +262,13 @@ object SparkEntry {
     * dedup is one hash aggregate. Shared by `warc_links` (the oracled
     * edge table) and the frontier pipelines that rank over it.
     */
+  /** Node id of a canonical fixture URL — the path id the oracles'
+    * arithmetic is stated in (a real corpus would use LinkIngest's
+    * default url-hash nodes instead).
+    */
+  private val pathIdNode: Column => Column =
+    u => regexp_extract(u, "/d/(\\d+)", 1).cast("long")
+
   private def warcLinkEdges(s: SparkSession, dir: String): DataFrame = {
     val parsed = graft.sources.Warc.httpParsed(
       graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
@@ -1402,10 +1409,12 @@ object SparkEntry {
       // materialize each extraction once: the resolution join would
       // otherwise recompute per walk (cold + warm share `full`)
       val oldRanks = graft.operators.Graph.pageRank(
-        graft.streaming.LinkIngest.edges(s, idx, upToBatch = Some(2L))
+        graft.streaming.LinkIngest.edges(s, idx, upToBatch = Some(2L),
+          nodeOf = pathIdNode)
           .localCheckpoint(),
         "src", "dst", iterations = 10)
-      val full = graft.streaming.LinkIngest.edges(s, idx).localCheckpoint()
+      val full = graft.streaming.LinkIngest.edges(s, idx, nodeOf = pathIdNode)
+        .localCheckpoint()
       val warm = graft.operators.Graph.pageRank(full, "src", "dst",
         iterations = 8, init = Some(oldRanks))
       val cold = graft.operators.Graph.pageRank(full, "src", "dst",
@@ -1427,7 +1436,8 @@ object SparkEntry {
     // accumulated end state must equal batch extraction over the whole
     // archive (equivalence twin).
     "warc_links_streamed" -> ((s, dir) =>
-      graft.streaming.LinkIngest.edges(s, s"${warcIngestPath(s, dir)}/links")
+      graft.streaming.LinkIngest.edges(s, s"${warcIngestPath(s, dir)}/links",
+          nodeOf = pathIdNode)
         .orderBy("src", "dst")),
 
     // WARC SINK round-trip (Warc.writeRecords — the source's symmetric

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -100,14 +100,19 @@ object LinkIngest {
   }
 
   /** The resolved edge table over everything accumulated so far: distinct
-    * pairs joined against the distinct discovered-URL table (node ids =
-    * canonical path ids, as in `warcLinkEdges`). Pairs whose target is
-    * still undiscovered stay out — they resolve the moment a later
-    * segment lands the target URL. Empty typed frame before any
+    * pairs joined against the distinct discovered-URL table. Pairs whose
+    * target is still undiscovered stay out — they resolve the moment a
+    * later segment lands the target URL. Empty typed frame before any
     * data-bearing batch.
+    *
+    * `nodeOf` maps a canonical URL to its node id; the default hashes the
+    * URL (`xxhash64` — collision odds negligible against web-graph
+    * sizes), and a caller whose URL scheme carries a natural id (the test
+    * fixture's path ids) passes its own extractor.
     */
   def edges(spark: SparkSession, indexPath: String,
-      upToBatch: Option[Long] = None): DataFrame = {
+      upToBatch: Option[Long] = None,
+      nodeOf: Column => Column = xxhash64(_)): DataFrame = {
     import spark.implicits._
     if (!exists(spark, s"$indexPath/pairs/_batches_has_data") ||
         !exists(spark, s"$indexPath/urls/_batches_has_data"))
@@ -120,12 +125,11 @@ object LinkIngest {
       upToBatch.fold(df)(b => df.filter(col("batch_id") <= b))
     val urls = asOf(spark.read.parquet(s"$indexPath/urls"))
       .select(col("url").as("dst_url")).distinct()
-      .withColumn("dst", regexp_extract(col("dst_url"), "/d/(\\d+)", 1).cast("long"))
+      .withColumn("dst", nodeOf(col("dst_url")))
     asOf(spark.read.parquet(s"$indexPath/pairs"))
       .select(col("src_url"), col("dst_url")).distinct()
       .join(urls, Seq("dst_url"))
-      .select(regexp_extract(col("src_url"), "/d/(\\d+)", 1).cast("long").as("src"),
-        col("dst"))
+      .select(nodeOf(col("src_url")).as("src"), col("dst"))
       .distinct()
   }
 

@@ -129,7 +129,10 @@ object UpsertIngest {
     * (PlanInvariantsSpec pins the partition filter and the semi-join).
     *
     * Same retention horizon as [[readAsOf]]: both endpoints must be at or
-    * after the last compaction.
+    * after the last compaction. The broadcast rides on that premise — a
+    * consumer bootstrapping from the table's beginning should use
+    * [[readAsOf]] (the full snapshot IS its answer), not a change read
+    * whose "delta" is every key ever written.
     */
   def readChanges(spark: SparkSession, tablePath: String, keyCol: String,
       fromBatch: Long, toBatch: Long): DataFrame = {

@@ -14,8 +14,11 @@ object GraphProbe {
     val maxRounds = if (args.length > 1) args(1).toInt else 10
     val spark = GraftSession.get("local[32]", shufflePartitions = 32)
     val idx = s"${SparkEntry.warcIngestPathForProbe(spark, sfDir)}/links"
-    val oldEdges = graft.streaming.LinkIngest.edges(spark, idx, upToBatch = Some(2L))
-    val full = graft.streaming.LinkIngest.edges(spark, idx)
+    val node = (u: org.apache.spark.sql.Column) =>
+      regexp_extract(u, "/d/(\\d+)", 1).cast("long")
+    val oldEdges = graft.streaming.LinkIngest.edges(spark, idx,
+      upToBatch = Some(2L), nodeOf = node)
+    val full = graft.streaming.LinkIngest.edges(spark, idx, nodeOf = node)
     println(s"[probe] old edges=${oldEdges.count()} full=${full.count()}")
     val oldRanks = graft.operators.Graph.pageRank(oldEdges, "src", "dst", 10)
       .localCheckpoint()

@@ -25,7 +25,9 @@ class LinkIngestSpec extends SparkSpec {
     }.toDF("uri", "http_status", "body")
 
   private def edgeSet(path: String): Set[(Long, Long)] =
-    LinkIngest.edges(spark, path).collect()
+    LinkIngest.edges(spark, path,
+        nodeOf = u => regexp_extract(u, "/d/(\\d+)", 1).cast("long"))
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSet
 
   test("read-time resolution: a link captured before its target is " +
