@@ -249,6 +249,13 @@ object SparkEntry {
     graft.sources.Warc.readRecords(s, s"$path/files")
   }
 
+  /** Node id of a canonical fixture URL — the path id the oracles'
+    * arithmetic is stated in (a real corpus would use LinkIngest's
+    * default url-hash nodes instead).
+    */
+  private val pathIdNode: Column => Column =
+    u => regexp_extract(u, "/d/(\\d+)", 1).cast("long")
+
   /** The crawl link graph extracted from the archived pages THEMSELVES
     * (not synthesized arithmetic): anchor hrefs from every 200-status
     * body (`HtmlTextColumn.hrefs`, one codegen'd regexp pass),
@@ -262,13 +269,6 @@ object SparkEntry {
     * dedup is one hash aggregate. Shared by `warc_links` (the oracled
     * edge table) and the frontier pipelines that rank over it.
     */
-  /** Node id of a canonical fixture URL — the path id the oracles'
-    * arithmetic is stated in (a real corpus would use LinkIngest's
-    * default url-hash nodes instead).
-    */
-  private val pathIdNode: Column => Column =
-    u => regexp_extract(u, "/d/(\\d+)", 1).cast("long")
-
   private def warcLinkEdges(s: SparkSession, dir: String): DataFrame = {
     val parsed = graft.sources.Warc.httpParsed(
       graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
@@ -277,17 +277,21 @@ object SparkEntry {
     val urls = parsed
       .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("dst_url"))
       .filter(col("dst_url").isNotNull).distinct()
-      .withColumn("dst", regexp_extract(col("dst_url"), "/d/(\\d+)", 1).cast("long"))
+      .withColumn("dst", pathIdNode(col("dst_url")))
     val links = parsed.filter(col("http_status") === 200)
       .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("src_url"),
         explode(graft.functions.HtmlTextColumn.hrefs(col("body"))).as("href"))
       .filter(col("src_url").isNotNull)
-      .select(regexp_extract(col("src_url"), "/d/(\\d+)", 1).cast("long").as("src"),
+      .select(pathIdNode(col("src_url")).as("src"),
         graft.functions.Url.canonicalizeUrl(col("href")).as("dst_url"))
       .filter(col("dst_url").isNotNull)
     links.join(urls, Seq("dst_url"))
       .select("src", "dst").distinct()
   }
+
+  /** Probe-tool access to the segment fixture (tools/GraphProbe). */
+  private[graft] def warcIngestPathForProbe(s: SparkSession, dir: String): String =
+    warcIngestPath(s, dir)
 
   /** The streamed-ingest segment fixture shared by `warc_ingest_streamed`
     * and `warc_links_streamed`: 16 range-partitioned archive segments
@@ -298,10 +302,6 @@ object SparkEntry {
     * `activityPath` no-drift pattern. Kind "warcingestl" (not r12's
     * "warcingest"): the segment payloads now carry anchors.
     */
-  /** Probe-tool access to the segment fixture (tools/GraphProbe). */
-  private[graft] def warcIngestPathForProbe(s: SparkSession, dir: String): String =
-    warcIngestPath(s, dir)
-
   private def warcIngestPath(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
     ensureIndex(s, ids, "warcingestl", "built") { p =>
@@ -1602,7 +1602,7 @@ object SparkEntry {
     // actually ranks: pages contract to their host (node % 7 here),
     // intra-host links drop, parallel links become edge WEIGHTS (link
     // multiplicity), and mass leaves a host proportional to per-link
-    // share. 7 hosts, 42 weighted edges at both SFs.
+    // share. 7 hosts either way; weights follow the extracted graph.
     "graph_pagerank_hosts" -> ((s, dir) => {
       // contraction over the EXTRACTED link graph: node % 7 IS the
       // fixture's actual host (canonical path ids carry their host in
