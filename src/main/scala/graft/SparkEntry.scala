@@ -1388,6 +1388,18 @@ object SparkEntry {
     // pipelines rank over (shared CTE in their oracles).
     "warc_links" -> ((s, dir) => warcLinkEdges(s, dir).orderBy("src", "dst")),
 
+    // In-link counts off the extracted graph — the cheap quality prior
+    // crawl schedulers use before any rank converges: per page, distinct
+    // referring pages (edges are deduped pairs) and distinct referring
+    // HOSTS (cross-host endorsement weighs more than intra-site nav).
+    // One hash aggregate over the edge table.
+    "warc_inlinks" -> ((s, dir) =>
+      warcLinkEdges(s, dir)
+        .groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_degree"),
+          countDistinct(pmod(col("src"), lit(7))).as("n_src_hosts"))
+        .orderBy("node")),
+
     // The CRAWL-CADENCE REFRESH end-to-end on the streamed graph: ranks
     // from the first three segment batches (LinkIngest.edges' batch-
     // pruned time-travel read) warm-start 8 rounds on the full
@@ -5479,6 +5491,15 @@ object SparkEntry {
     // the SAME oracle: streamed accumulation + deferred resolution must
     // equal batch extraction (equivalence proof)
     "warc_links_streamed" -> warcLinksOracle,
+
+    // in-degree + distinct referring hosts over the same edges CTE
+    "warc_inlinks" ->
+      ("""WITH ids AS (SELECT doc_id AS d FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM ids),
+        |""".stripMargin + extractedEdgesCte.stripSuffix(",") + """
+        |SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree,
+        |  CAST(count(DISTINCT src % 7) AS BIGINT) AS n_src_hosts
+        |FROM edges GROUP BY dst ORDER BY node""".stripMargin),
 
     // cold ranks over the extracted graph replay the shared chain; the
     // warm-refresh proximity gate is Spark-computed and pinned TRUE
