@@ -299,12 +299,17 @@ object SparkEntry {
     * 4 files each, driving BOTH the curation claim log
     * ([[graft.streaming.WarcIngest]]) and the link-graph accumulation
     * ([[graft.streaming.LinkIngest]]) — one fixture build, the
-    * `activityPath` no-drift pattern. Kind "warcingestl" (not r12's
-    * "warcingest"): the segment payloads now carry anchors.
+    * `activityPath` no-drift pattern, plus a SECOND link index
+    * (`links_compact`) fed the same batches and then COMPACTED — the
+    * `warc_links_compacted` equivalence twin reads it while
+    * `pipeline_crawl_refresh` keeps its time-travel history on the
+    * uncompacted one. Kind "warcingestl2" (not r12's "warcingest"): the
+    * segment payloads now carry anchors and the builder grew the
+    * compacted index.
     */
   private def warcIngestPath(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
-    ensureIndex(s, ids, "warcingestl", "built") { p =>
+    ensureIndex(s, ids, "warcingestl2", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true) // crash debris
       graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
@@ -317,7 +322,9 @@ object SparkEntry {
         graft.streaming.WarcIngest.processBatch(warcPagesFromParsed(resp),
           b.toLong, s"$p/log")
         graft.streaming.LinkIngest.processBatch(resp, b.toLong, s"$p/links")
+        graft.streaming.LinkIngest.processBatch(resp, b.toLong, s"$p/links_compact")
       }
+      graft.streaming.LinkIngest.compact(s, s"$p/links_compact")
       import s.implicits._
       Seq(4).toDF("n_batches").coalesce(1).write.mode("overwrite")
         .parquet(s"$p/built")
@@ -1450,6 +1457,16 @@ object SparkEntry {
     "warc_links_streamed" -> ((s, dir) =>
       graft.streaming.LinkIngest.edges(s, s"${warcIngestPath(s, dir)}/links",
           nodeOf = pathIdNode)
+        .orderBy("src", "dst")),
+
+    // The COMPACTED index under the SAME oracle: collapsing each table's
+    // batch dirs to one distinct-rows dir (LinkIngest.compact — the
+    // read-amplification bound at crawl cadence) must leave the resolved
+    // edge table bit-identical. Third member of the warc_links
+    // equivalence family.
+    "warc_links_compacted" -> ((s, dir) =>
+      graft.streaming.LinkIngest.edges(s,
+          s"${warcIngestPath(s, dir)}/links_compact", nodeOf = pathIdNode)
         .orderBy("src", "dst")),
 
     // WARC SINK round-trip (Warc.writeRecords — the source's symmetric
@@ -5491,6 +5508,9 @@ object SparkEntry {
     // the SAME oracle: streamed accumulation + deferred resolution must
     // equal batch extraction (equivalence proof)
     "warc_links_streamed" -> warcLinksOracle,
+
+    // and again: the compacted index must resolve identically
+    "warc_links_compacted" -> warcLinksOracle,
 
     // in-degree + distinct referring hosts over the same edges CTE
     "warc_inlinks" ->

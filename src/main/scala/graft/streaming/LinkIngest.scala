@@ -33,20 +33,30 @@ import graft.functions.{HtmlTextColumn, Url}
 object LinkIngest {
 
   /** Run the stream over parsed pages (the `Warc.httpParsed` shape:
-    * `uri`, `http_status`, `body`). Returns the started query.
+    * `uri`, `http_status`, `body`). `compactAfterBatches` folds the
+    * [[maybeCompact]] policy into the ingest loop, checked while the
+    * writer is quiescent (foreachBatch is serial per query). Returns the
+    * started query.
     */
-  def start(pages: DataFrame, indexPath: String,
-      checkpoint: String): StreamingQuery =
+  def start(pages: DataFrame, indexPath: String, checkpoint: String,
+      compactAfterBatches: Option[Int] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexPath)
+        compactAfterBatches.foreach(m =>
+          maybeCompact(batch.sparkSession, indexPath, m))
       }
       .start()
 
   /** One micro-batch, callable from tests and backfills directly. */
   def processBatch(pages: DataFrame, batchId: Long, indexPath: String): Unit = {
     val spark = pages.sparkSession
+    // roll forward any interrupted compaction BEFORE appending: a
+    // recovery that ran after this append would delete the new batch dir
+    // along with the pre-compaction ones (its marker would then
+    // short-circuit the replay — silent loss)
+    recoverCompaction(spark, indexPath)
     val urlsPath = s"$indexPath/urls"
     val pairsPath = s"$indexPath/pairs"
     BatchMarker.assertMarkeredSink(spark, indexPath, s"$urlsPath/batch_id=*")
@@ -114,6 +124,7 @@ object LinkIngest {
       upToBatch: Option[Long] = None,
       nodeOf: Column => Column = xxhash64(_)): DataFrame = {
     import spark.implicits._
+    recoverCompaction(spark, indexPath)
     if (!exists(spark, s"$indexPath/pairs/_batches_has_data") ||
         !exists(spark, s"$indexPath/urls/_batches_has_data"))
       return Seq.empty[(Long, Long)].toDF("src", "dst")
@@ -132,6 +143,133 @@ object LinkIngest {
       .select(nodeOf(col("src_url")).as("src"), col("dst"))
       .distinct()
   }
+
+  /** Index health: batch-dir depth per table — the read-amplification
+    * axis a segment-per-batch crawl grows without bound. O(listing).
+    */
+  def nBatches(spark: SparkSession, indexPath: String, table: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0
+    fs.listStatus(dir).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** Compaction POLICY: collapse each table whose batch-dir depth exceeds
+    * `maxBatches` (called between batches — foreachBatch is serial per
+    * query, so the writer is quiesced exactly then). Returns whether any
+    * table compacted. At crawl cadence this bounds [[edges]]'s listing
+    * and small-file amplification to O(maxBatches) instead of O(all
+    * segments ever).
+    */
+  def maybeCompact(spark: SparkSession, indexPath: String,
+      maxBatches: Int = 16): Boolean =
+    indexLock(indexPath).synchronized {
+      recoverCompaction(spark, indexPath)
+      Seq("pairs", "urls").map { t =>
+        val due = nBatches(spark, indexPath, t) > maxBatches
+        if (due) compactTable(spark, indexPath, t)
+        due
+      }.exists(identity)
+    }
+
+  /** Collapse BOTH tables' batch dirs into one distinct-rows dir each —
+    * semantics-preserving because [[edges]] distincts anyway, and
+    * exactly-once-preserving because every existing `_batches` marker
+    * survives (a replayed pre-compaction batch short-circuits on its
+    * marker; its rows are inside the collapsed dir). RETENTION: like
+    * `UpsertIngest.compactLog`, history collapses into the highest landed
+    * id — `edges(upToBatch = N)` for N older than the horizon sees an
+    * empty state, never a stale one.
+    *
+    * Crash safety (the compactLog discipline — no multi-dir rename is
+    * atomic): distinct rows stage under `_compact_tmp/<table>` first, an
+    * INTENT marker `_batches/compact<table>_<id>` commits the decision,
+    * then old dirs delete and the staged dir renames in;
+    * [[recoverCompaction]] rolls an interrupted pass forward from the
+    * intent. Tables compact independently — a half-done pass (one table
+    * collapsed, the other not) reads correctly throughout.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit =
+    indexLock(indexPath).synchronized {
+      recoverCompaction(spark, indexPath)
+      Seq("pairs", "urls").foreach(t => compactTable(spark, indexPath, t))
+    }
+
+  private def compactTable(spark: SparkSession, indexPath: String,
+      table: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return
+    // unmarkered dirs are crashed partials of never-committed batches:
+    // clear them (their batch replays in full) so the collapsed dir can
+    // never absorb rows a replay would then duplicate
+    val dirs = fs.listStatus(dir).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val (marked, debris) = dirs.partition(s =>
+      BatchMarker.landed(spark, indexPath, table,
+        s.getPath.getName.stripPrefix("batch_id=").toLong))
+    debris.foreach(s => fs.delete(s.getPath, true))
+    if (marked.size <= 1) return
+    val maxId = marked.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/_compact_tmp/$table")
+    fs.delete(tmp, true) // pre-intent leftovers of a dead pass
+    spark.read.parquet(s"$indexPath/$table")
+      .drop("batch_id").distinct()
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/_compact_tmp/$table/batch_id=$maxId")
+    // COMMIT POINT: from here the staged dir is the table's truth
+    BatchMarker.commit(spark, indexPath, s"compact$table", maxId)
+    finishCompaction(spark, indexPath, table, maxId)
+  }
+
+  /** Roll forward interrupted table compactions from their intent
+    * markers. No-op in O(1) listing when none exist.
+    */
+  def recoverCompaction(spark: SparkSession, indexPath: String): Unit =
+    indexLock(indexPath).synchronized { // reentrant under compact's hold
+      val batches = new org.apache.hadoop.fs.Path(s"$indexPath/_batches")
+      val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(batches)) return
+      fs.listStatus(batches).toIndexedSeq.map(_.getPath.getName).foreach { n =>
+        Seq("pairs", "urls").foreach { t =>
+          if (n.startsWith(s"compact${t}_"))
+            finishCompaction(spark, indexPath, t,
+              n.stripPrefix(s"compact${t}_").toLong)
+        }
+      }
+    }
+
+  private def finishCompaction(spark: SparkSession, indexPath: String,
+      table: String, maxId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_compact_tmp/$table/batch_id=$maxId")
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+    if (fs.exists(staged)) {
+      fs.listStatus(dir).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .foreach(s => fs.delete(s.getPath, true))
+      if (!fs.rename(staged,
+          new org.apache.hadoop.fs.Path(dir, s"batch_id=$maxId")))
+        throw new IllegalStateException(
+          s"link-index compaction rename failed for $table/batch_id=$maxId")
+    } // else: a previous attempt already swapped — only debris remains
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_compact_tmp/$table"), true)
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_compact_tmp")
+    if (fs.exists(tmpRoot) && fs.listStatus(tmpRoot).isEmpty)
+      fs.delete(tmpRoot, false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexPath/_batches/compact${table}_$maxId"), false)
+  }
+
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def indexLock(indexPath: String): Object =
+    indexLocks.computeIfAbsent(indexPath, _ => new Object)
 
   private def stamp(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -75,6 +75,67 @@ class LinkIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/pairs").count() === nPairs)
   }
 
+  test("compaction collapses each table to one distinct-rows dir; edges " +
+      "identical; pre-compaction replays stay no-ops; horizon honored") {
+    val dir = Files.createTempDirectory("linkcompact").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/links"
+    val b0 = pages(Seq("https://h0.ex.test/d/1" -> Seq("https://h0.ex.test/d/3")))
+    val b1 = pages(Seq("https://h0.ex.test/d/3" -> Seq("https://h0.ex.test/d/1")))
+    val b2 = pages(Seq("https://h0.ex.test/d/5" -> Seq(
+      "https://h0.ex.test/d/1", "https://h0.ex.test/d/3")))
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      LinkIngest.processBatch(b, i.toLong, idx)
+    }
+    val before = edgeSet(idx)
+    assert(LinkIngest.nBatches(spark, idx, "pairs") === 3)
+    // under the threshold: no-op
+    assert(!LinkIngest.maybeCompact(spark, idx, maxBatches = 16))
+    // over it: both tables collapse, edges unchanged
+    assert(LinkIngest.maybeCompact(spark, idx, maxBatches = 2))
+    assert(LinkIngest.nBatches(spark, idx, "pairs") === 1)
+    assert(LinkIngest.nBatches(spark, idx, "urls") === 1)
+    assert(edgeSet(idx) === before)
+    // a pre-compaction batch replays as a no-op (marker survives)
+    LinkIngest.processBatch(b0, 0L, idx)
+    assert(LinkIngest.nBatches(spark, idx, "pairs") === 1)
+    assert(edgeSet(idx) === before)
+    // history collapsed into the highest id: an older as-of read sees
+    // the EMPTY state, never a stale one (the compactLog horizon)
+    assert(LinkIngest.edges(spark, idx, upToBatch = Some(1L)).isEmpty)
+    // ingest continues on top of the collapsed index
+    LinkIngest.processBatch(
+      pages(Seq("https://h0.ex.test/d/7" -> Seq("https://h0.ex.test/d/5"))),
+      3L, idx)
+    assert(edgeSet(idx) === before + (7L -> 5L))
+  }
+
+  test("a crash between the compaction intent and the swap rolls forward " +
+      "on the next entry (no lost appends, no double rows)") {
+    val dir = Files.createTempDirectory("linkcrash").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/links"
+    (0 to 2).foreach { i =>
+      LinkIngest.processBatch(pages(Seq(
+        s"https://h0.ex.test/d/$i" -> Seq("https://h0.ex.test/d/0"))), i.toLong, idx)
+    }
+    val before = edgeSet(idx)
+    // simulate the crash window: stage + intent exist, swap never ran —
+    // reproduce compactTable's steps by hand
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(s"$idx/pairs").drop("batch_id").distinct().coalesce(1)
+      .write.parquet(s"$idx/_compact_tmp/pairs/batch_id=2")
+    fs.create(new org.apache.hadoop.fs.Path(s"$idx/_batches/compactpairs_2"),
+      true).close()
+    // the next APPEND must roll the swap forward before landing batch 3
+    LinkIngest.processBatch(pages(Seq(
+      "https://h0.ex.test/d/9" -> Seq("https://h0.ex.test/d/0"))), 3L, idx)
+    assert(LinkIngest.nBatches(spark, idx, "pairs") === 2) // collapsed + b3
+    assert(edgeSet(idx) === before + (9L -> 0L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_compact_tmp")))
+  }
+
   test("edges() before any data-bearing batch is an empty typed frame") {
     val dir = Files.createTempDirectory("linkempty").toFile
     dir.deleteOnExit()
