@@ -2600,6 +2600,7 @@ object SparkEntry {
       val st = Multimodal.videoQuality(media).toDF()
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_frames"), col("motion"))
+        .persist() // threshold agg + output pass: decode once, not twice
       val thr = st.agg(expr("percentile(motion, 0.10)").as("thr_m"))
       st.crossJoin(broadcast(thr))
         .select(col("doc_id"), col("n_frames"), col("motion"),
@@ -2625,6 +2626,7 @@ object SparkEntry {
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_samples"), col("peak"),
           col("rms"), col("clip_ratio"))
+        .persist() // decode once across the threshold agg + output pass
       val thr = st.agg(expr("percentile(rms, 0.10)").as("thr_r"),
         expr("percentile(clip_ratio, 0.90)").as("thr_c"))
       st.crossJoin(broadcast(thr))
@@ -2657,6 +2659,7 @@ object SparkEntry {
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_px"), col("mean_px"),
           col("contrast"), col("entropy"))
+        .persist() // decode once across the threshold agg + output pass
       val thr = st.agg(expr("percentile(contrast, 0.10)").as("thr_c"),
         expr("percentile(entropy, 0.10)").as("thr_e"))
       st.crossJoin(broadcast(thr))
