@@ -570,10 +570,8 @@ object SparkEntry {
          |  FROM nodes n LEFT JOIN rh$t r ON n.node = r.node)""".stripMargin
     """WITH ids AS MATERIALIZED (SELECT doc_id AS d FROM documents),
       |nd AS (SELECT count(*) AS n_docs FROM ids),
-      |edges AS MATERIALIZED (
-      |  SELECT DISTINCT d AS src, (d*13 + j*17 + 1) % (SELECT n_docs FROM nd) AS dst
-      |  FROM ids, range(3) t(j) WHERE d % 5 <> 0 AND j <= d % 3),
-      |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |""".stripMargin + extractedEdgesCte + "\n" +
+    """nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
       |h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes),
       |""".stripMargin +
@@ -1726,14 +1724,11 @@ object SparkEntry {
     // index pages. 8 L1-normalized rounds; oracle replays every
     // half-step as generated MATERIALIZED CTEs, NumPy-cross-checked.
     "graph_hits" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val nDocs = docs.count()
-      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("j"))
-        .select(col("src"),
-          pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
-      graft.operators.Graph.hits(edges, "src", "dst", iterations = 8)
+      // hubs/authorities of the EXTRACTED link graph — the directory-
+      // page/content-page decomposition over real archived content,
+      // like the host contraction
+      graft.operators.Graph.hits(warcLinkEdges(s, dir), "src", "dst",
+          iterations = 8)
         .select(col("node"), round(col("hub"), 6).as("hub"),
           round(col("authority"), 6).as("authority"))
         .orderBy("node")

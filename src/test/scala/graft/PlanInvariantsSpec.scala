@@ -251,6 +251,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"resolve):\n${logScans.mkString("\n")}")
   }
 
+  test("etl_upsert_cdc: the change feed keeps the delta shape — " +
+      "batch_id-pruned scans, semi-joined narrowing, no full-log resolve") {
+    assume(available)
+    val p = plan("etl_upsert_cdc")
+    assert(p.contains("LeftSemi"),
+      s"no touched-key semi-join in the feed plan:\n$p")
+    val logScans = p.linesIterator
+      .filter(l => l.contains("/log") && l.contains("PartitionFilters"))
+      .toList
+    assert(logScans.nonEmpty, s"no partitioned log scan in the plan:\n$p")
+    assert(logScans.forall(l =>
+        l.contains("batch_id") && !l.contains("PartitionFilters: []")),
+      s"a log scan lost its batch_id partition filter:\n" +
+        logScans.mkString("\n"))
+  }
+
   test("ann_ivfpq_pruned: the codes scan carries a cell PartitionFilter — " +
       "ADC reads only the probed cells' code files") {
     assume(available)

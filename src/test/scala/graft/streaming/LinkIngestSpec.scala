@@ -136,6 +136,56 @@ class LinkIngestSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_compact_tmp")))
   }
 
+  test("start(): a real binaryFile stream of arriving segments drives the " +
+      "accumulation; restart resumes and new targets resolve old pairs") {
+    import graft.sources.Warc
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("link_stream").toString
+    val in = s"$root/in"; val idx = s"$root/links"; val cp = s"$root/cp"
+    new java.io.File(in).mkdirs()
+    def ids(a: Long, b: Long) = spark.range(a, b).select($"id".as("doc_id"))
+
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    def run(): Unit = {
+      val recs = spark.readStream.format("binaryFile")
+        .schema(binSchema).option("pathGlobFilter", "*.warc*").load(in)
+        .select($"path", $"content").as[(String, Array[Byte])]
+        .flatMap { case (p, c) => Warc.parseAll(p, c) }
+      val pages = Warc.httpParsed(recs.filter($"warc_type" === "response").toDF())
+        .select("uri", "http_status", "body")
+      val q = LinkIngest.start(pages, idx, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // segment 0: docs 0-9 with planted anchors into the FULL 0-19 space —
+    // forward links to the undiscovered second segment stay unresolved
+    Warc.synthesizeFiles(spark, ids(0, 10), "doc_id", in, nFiles = 1,
+      linkSpace = 20L)
+    run()
+    val e0 = edgeSet(idx)
+    assert(e0.nonEmpty)
+    assert(e0.forall { case (s0, d0) => s0 < 10 && d0 < 10 },
+      s"a link to the undiscovered segment resolved early: $e0")
+
+    // segment 1 arrives while the stream is down; restart resumes from
+    // the checkpoint, and the new URLs retroactively resolve segment-0
+    // pairs that pointed into it
+    val tmpSeg = Files.createTempDirectory("link_seg1").toString
+    Warc.synthesizeFiles(spark, ids(10, 20), "doc_id", tmpSeg, nFiles = 1,
+      linkSpace = 20L)
+    Files.move(java.nio.file.Paths.get(s"$tmpSeg/part-00000.warc.gz"),
+      java.nio.file.Paths.get(s"$in/part-00001.warc.gz"))
+    run()
+    val e1 = edgeSet(idx)
+    assert(e0.subsetOf(e1))
+    assert(e1.exists { case (s0, d0) => s0 < 10 && d0 >= 10 },
+      s"segment-0 pairs into segment 1 did not resolve retroactively: $e1")
+    // a third restart with nothing new is a pure no-op
+    run()
+    assert(edgeSet(idx) === e1)
+  }
+
   test("edges() before any data-bearing batch is an empty typed frame") {
     val dir = Files.createTempDirectory("linkempty").toFile
     dir.deleteOnExit()
