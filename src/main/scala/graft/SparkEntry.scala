@@ -256,6 +256,32 @@ object SparkEntry {
   private val pathIdNode: Column => Column =
     u => regexp_extract(u, "/d/(\\d+)", 1).cast("long")
 
+  /** The per-host robots.txt policy fixture shared by the robots-family
+    * queries — one adversarial case per parser obligation (documented at
+    * `warc_robots_gate`). The `Sitemap:` line rides INSIDE the fetchbot
+    * decoy group on purpose: sitemap discovery is group-INDEPENDENT
+    * (RFC 9309 §2.3), so it must surface even from a group whose rules
+    * never apply — while the group's `Disallow: /` keeps not leaking.
+    */
+  private def robotsPolicies(s: SparkSession): DataFrame = {
+    val h = col("id")
+    s.range(7).select(
+      concat(lit("d"), h, lit(".ex.test")).as("host"),
+      concat(
+        lit("User-agent: fetchbot\nDisallow: /\n"),
+        concat(lit("Sitemap: https://d"), h, lit(".ex.test/sitemap-"), h,
+          lit(".xml\n")),
+        lit("\n"),
+        lit("User-agent: *bot\nDisallow: /\n\n"),
+        lit("User-agent: *\n"),
+        when(h === 5, lit("Disallow:\n"))
+          .otherwise(concat(lit("Disallow: /d/"), h, lit("\n"))),
+        when(h === 6, lit("Disallow: /d/16\n")).otherwise(lit("")),
+        when(h =!= 5, concat(lit("Allow: /d/"), h, lit("5\n"))).otherwise(lit("")),
+        when(h === 4, lit("Disallow: /d/*7$\nAllow: /d/\n")).otherwise(lit("")),
+        lit("Crawl-delay: 2\n")).as("robots_txt"))
+  }
+
   /** The crawl link graph extracted from the archived pages THEMSELVES
     * (not synthesized arithmetic): anchor hrefs from every 200-status
     * body (`HtmlTextColumn.hrefs`, one codegen'd regexp pass),
@@ -1551,26 +1577,24 @@ object SparkEntry {
         .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
           lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
           try_parse_url(col("uri"), lit("PATH")).as("path"))
-      val h = col("id")
-      val policies = s.range(7).select(
-        concat(lit("d"), h, lit(".ex.test")).as("host"),
-        concat(
-          lit("User-agent: fetchbot\nDisallow: /\n\n"),
-          lit("User-agent: *bot\nDisallow: /\n\n"),
-          lit("User-agent: *\n"),
-          when(h === 5, lit("Disallow:\n"))
-            .otherwise(concat(lit("Disallow: /d/"), h, lit("\n"))),
-          when(h === 6, lit("Disallow: /d/16\n")).otherwise(lit("")),
-          when(h =!= 5, concat(lit("Allow: /d/"), h, lit("5\n"))).otherwise(lit("")),
-          when(h === 4, lit("Disallow: /d/*7$\nAllow: /d/\n")).otherwise(lit("")),
-          lit("Crawl-delay: 2\n")).as("robots_txt"))
-      val rules = policies.select(col("host"),
+      val rules = robotsPolicies(s).select(col("host"),
         graft.functions.Robots.rules(col("robots_txt")).as("rules"))
       pages.join(broadcast(rules), Seq("host"), "left")
         .select(col("doc_id"), col("host"),
           graft.functions.Robots.isBlockedByRules(col("path"), col("rules")).as("blocked"))
         .orderBy("doc_id")
     }),
+
+    // Sitemap discovery (Robots.sitemaps) — the crawl's seed-URL source:
+    // sitemap lines are GROUP-INDEPENDENT per RFC 9309 §2.3, and the
+    // fixture plants each host's line INSIDE the fetchbot decoy group to
+    // prove it — the URL must surface while the group's Disallow: /
+    // keeps not leaking into the gate.
+    "warc_sitemaps" -> ((s, dir) =>
+      robotsPolicies(s).select(col("host"),
+          explode(graft.functions.Robots.sitemaps(col("robots_txt")))
+            .as("sitemap"))
+        .orderBy("host")),
 
     // Link-graph ranking (operators/Graph.pageRank): 10 power-iteration
     // rounds with dangling-mass redistribution over an arithmetic link
@@ -5588,6 +5612,13 @@ object SparkEntry {
         |            AND NOT starts_with(s, CAST(h AS VARCHAR) || '5')
         |  END AS blocked
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the parse is the load-bearing half: the URL comes out of the DECOY
+    // group (group-independence) while that group's rules never leak
+    "warc_sitemaps" ->
+      """SELECT 'd' || i || '.ex.test' AS host,
+        |  'https://d' || i || '.ex.test/sitemap-' || i || '.xml' AS sitemap
+        |FROM range(7) t(i) ORDER BY host""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,
     "graph_pagerank_seeded" -> pagerankSeededOracle,

@@ -86,6 +86,16 @@ object Robots {
       flatten(transform(gs, lines("allow", allow = true)))))
   }
 
+  /** `Sitemap:` URLs as a deduped array. Unlike the rule directives,
+    * sitemap lines are GROUP-INDEPENDENT (RFC 9309 §2.3: "not part of
+    * any group") — a sitemap declared inside some bot-specific group
+    * still counts, so this scans the whole file, not [[starGroups]].
+    * Values are full URLs (`\S+`, no path-pattern semantics).
+    */
+  def sitemaps(robotsTxt: Column): Column =
+    array_distinct(regexp_extract_all(robotsTxt,
+      lit("(?mi)^sitemap:[ \\t]*(\\S+)"), lit(1)))
+
   /** One robots path pattern as an equivalent Java regex: `*` matches any
     * run of characters, a TRAILING `$` anchors the match at path end, and
     * every other character is literal (non-trailing `$` included). The

@@ -94,6 +94,20 @@ class RobotsSpec extends SparkSpec {
     assert(!blocked(meta, "/aab_c_")) // would match if + ( ) leaked as regex
   }
 
+  test("sitemaps: group-independent (surface from inside a bot group), " +
+      "deduped, never confused with rules") {
+    val txt = "User-agent: fetchbot\nDisallow: /\n" +
+      "Sitemap: https://a.test/sm1.xml\n\n" +
+      "User-agent: *\nDisallow: /x\n" +
+      "SITEMAP: https://a.test/sm2.xml\nSitemap: https://a.test/sm1.xml\n"
+    val got = Seq(txt).toDF("t")
+      .select(Robots.sitemaps(col("t")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got.sorted === Seq("https://a.test/sm1.xml", "https://a.test/sm2.xml"))
+    // and the decoy group's rules still don't leak
+    assert(prefixes(txt) === Seq("/x"))
+  }
+
   test("rules: a longer wildcard Disallow outranks a shorter Allow; " +
       "'*bot' group rules never contribute; null-safe") {
     val txt = "User-agent: *bot\nDisallow: /\n\n" +
