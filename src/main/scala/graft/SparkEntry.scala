@@ -268,7 +268,7 @@ object SparkEntry {
     s.range(7).select(
       concat(lit("d"), h, lit(".ex.test")).as("host"),
       concat(
-        lit("User-agent: fetchbot\nDisallow: /\n"),
+        lit("User-agent: fetchbot\nDisallow: /\nCrawl-delay: 99\n"),
         concat(lit("Sitemap: https://d"), h, lit(".ex.test/sitemap-"), h,
           lit(".xml\n")),
         lit("\n"),
@@ -1594,6 +1594,20 @@ object SparkEntry {
       robotsPolicies(s).select(col("host"),
           explode(graft.functions.Robots.sitemaps(col("robots_txt")))
             .as("sitemap"))
+        .orderBy("host")),
+
+    // The whole policy digest a scheduler keeps per host: rule count
+    // (both tiers' input), the `*` group's crawl delay (the fetchbot
+    // decoy's `Crawl-delay: 99` must NOT leak — delays are group-scoped,
+    // unlike sitemaps), and the sitemap count. One map-side parse.
+    "warc_policy_summary" -> ((s, dir) =>
+      robotsPolicies(s).select(col("host"),
+          size(graft.functions.Robots.rules(col("robots_txt")))
+            .cast("bigint").as("n_rules"),
+          graft.functions.Robots.crawlDelaySeconds(col("robots_txt"))
+            .as("crawl_delay"),
+          size(graft.functions.Robots.sitemaps(col("robots_txt")))
+            .cast("bigint").as("n_sitemaps"))
         .orderBy("host")),
 
     // Link-graph ranking (operators/Graph.pageRank): 10 power-iteration
@@ -5618,6 +5632,17 @@ object SparkEntry {
     "warc_sitemaps" ->
       """SELECT 'd' || i || '.ex.test' AS host,
         |  'https://d' || i || '.ex.test/sitemap-' || i || '.xml' AS sitemap
+        |FROM range(7) t(i) ORDER BY host""".stripMargin,
+
+    // rule counts replay the fixture arithmetic (h5's empty Disallow
+    // contributes nothing; h4 adds the wildcard + decoy-Allow pair; h6
+    // the /d/16 extra); delay is the *-group's 2.0, never the decoy's 99
+    "warc_policy_summary" ->
+      """SELECT 'd' || i || '.ex.test' AS host,
+        |  CAST(CASE WHEN i = 4 THEN 4 WHEN i = 5 THEN 0
+        |            WHEN i = 6 THEN 3 ELSE 2 END AS BIGINT) AS n_rules,
+        |  2.0 AS crawl_delay,
+        |  CAST(1 AS BIGINT) AS n_sitemaps
         |FROM range(7) t(i) ORDER BY host""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,

@@ -86,6 +86,20 @@ object Robots {
       flatten(transform(gs, lines("allow", allow = true)))))
   }
 
+  /** The `*` group's `Crawl-delay` in seconds (null when absent) — the
+    * per-host pacing input a politeness scheduler divides its budget by.
+    * GROUP-SCOPED like the rules (a bot-specific group's delay must not
+    * leak), and when multiple `*` groups declare one, the MAXIMUM wins —
+    * the conservative reading a polite crawler takes of a contradictory
+    * file.
+    */
+  def crawlDelaySeconds(robotsTxt: Column): Column =
+    array_max(transform(
+      flatten(transform(starGroups(robotsTxt),
+        g => regexp_extract_all(g,
+          lit("(?mi)^crawl-delay:[ \\t]*([0-9.]+)"), lit(1)))),
+      v => v.cast("double")))
+
   /** `Sitemap:` URLs as a deduped array. Unlike the rule directives,
     * sitemap lines are GROUP-INDEPENDENT (RFC 9309 §2.3: "not part of
     * any group") — a sitemap declared inside some bot-specific group

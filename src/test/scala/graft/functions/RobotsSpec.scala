@@ -108,6 +108,21 @@ class RobotsSpec extends SparkSpec {
     assert(prefixes(txt) === Seq("/x"))
   }
 
+  test("crawl delay: group-scoped (a bot group's delay never leaks), " +
+      "max of contradictory * groups, null when absent") {
+    def delay(txt: String): Option[Double] = {
+      val r = Seq(txt).toDF("t")
+        .select(Robots.crawlDelaySeconds(col("t")).as("d")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(delay("User-agent: fetchbot\nCrawl-delay: 99\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n") === Some(2.0))
+    assert(delay("User-agent: *\nCrawl-delay: 1.5\n\n" +
+      "User-agent: *\nCrawl-delay: 3\n") === Some(3.0))
+    assert(delay("User-agent: *\nDisallow: /x\n") === None)
+    assert(delay("User-agent: fetchbot\nCrawl-delay: 99\n") === None)
+  }
+
   test("rules: a longer wildcard Disallow outranks a shorter Allow; " +
       "'*bot' group rules never contribute; null-safe") {
     val txt = "User-agent: *bot\nDisallow: /\n\n" +
