@@ -1585,6 +1585,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The PACED fetch schedule — the last stage of the crawl loop, where
+    // every policy signal lands at once: candidates from the archives,
+    // the RULES-tier robots gate (Allow carve-outs and the wildcard rule
+    // decide real rows here), rank from the persisted index, a top-3
+    // per-host budget, and each slot offset by the host's Crawl-delay
+    // ((rn−1) × delay — the pacing a polite fetcher enforces between
+    // hits on one host). Map-side policy parse broadcast into the gate;
+    // one per-host window over the budgeted rows.
+    "pipeline_crawl_schedule" -> ((s, dir) => {
+      val cand = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          try_parse_url(col("uri"), lit("PATH")).as("path"))
+        .filter(col("url").isNotNull).distinct()
+        .withColumn("node", regexp_extract(col("path"), "/d/(\\d+)", 1).cast("long"))
+      val pol = robotsPolicies(s).select(col("host"),
+        graft.functions.Robots.rules(col("robots_txt")).as("rules"),
+        graft.functions.Robots.crawlDelaySeconds(col("robots_txt")).as("delay"))
+      val allowed = cand.join(broadcast(pol), Seq("host"), "left")
+        .filter(!graft.functions.Robots.isBlockedByRules(col("path"), col("rules")))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(desc("rank"), asc("node"))
+      allowed.join(crawlRanks(s, dir), Seq("node"))
+        .withColumn("rank", round(col("rank"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("host"), col("url"), col("node"), col("rank"),
+          ((col("rn") - 1) * coalesce(col("delay"), lit(0.0)))
+            .as("scheduled_offset_s"))
+        .orderBy("host", "node")
+    }),
+
     // Sitemap discovery (Robots.sitemaps) — the crawl's seed-URL source:
     // sitemap lines are GROUP-INDEPENDENT per RFC 9309 §2.3, and the
     // fixture plants each host's line INSIDE the fetchbot decoy group to
@@ -5633,6 +5665,34 @@ object SparkEntry {
       """SELECT 'd' || i || '.ex.test' AS host,
         |  'https://d' || i || '.ex.test/sitemap-' || i || '.xml' AS sitemap
         |FROM range(7) t(i) ORDER BY host""".stripMargin,
+
+    // the schedule replays the full composition: extracted-edges rank
+    // chain, the RULES-tier gate arithmetic (same CASE as
+    // warc_robots_gate), the windowed per-host budget, and the
+    // (rn−1) × 2.0 pacing from the *-group's Crawl-delay
+    "pipeline_crawl_schedule" -> (pagerankChain(
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)",
+      edgesCte = extractedEdgesCte) +
+      """,
+        |pg AS (SELECT DISTINCT CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |cand AS (SELECT p, p % 7 AS h, CAST(p AS VARCHAR) AS ps,
+        |    'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url FROM pg),
+        |allowed AS (SELECT * FROM cand WHERE NOT (
+        |  CASE WHEN h = 5 THEN FALSE
+        |       WHEN h = 4 THEN ps LIKE '%7'
+        |            OR (starts_with(ps, '4') AND NOT starts_with(ps, '45'))
+        |       WHEN h = 6 THEN (starts_with(ps, '6') AND NOT starts_with(ps, '65'))
+        |            OR starts_with(ps, '16')
+        |       ELSE starts_with(ps, CAST(h AS VARCHAR))
+        |            AND NOT starts_with(ps, CAST(h AS VARCHAR) || '5') END)),
+        |scored AS (SELECT 'd' || a.h || '.ex.test' AS host, a.url, a.p AS node,
+        |    round(r.rank, 6) AS rank,
+        |    row_number() OVER (PARTITION BY a.h
+        |                       ORDER BY round(r.rank, 6) DESC, a.p) AS rn
+        |  FROM allowed a JOIN r10 r ON r.node = a.p)
+        |SELECT host, url, node, rank, (rn - 1) * 2.0 AS scheduled_offset_s
+        |FROM scored WHERE rn <= 3 ORDER BY host, node""".stripMargin),
 
     // rule counts replay the fixture arithmetic (h5's empty Disallow
     // contributes nothing; h4 adds the wildcard + decoy-Allow pair; h6
