@@ -369,8 +369,14 @@ object SparkEntry {
     * decision. Oracles are UNCHANGED — they replay the full chain, so a
     * stale or drifted index shows up as a red row, not a silent skew.
     */
-  private def crawlRanks(s: SparkSession, dir: String): DataFrame = {
-    val edges = warcLinkEdges(s, dir)
+  private def crawlRanks(s: SparkSession, dir: String): DataFrame =
+    ranksFor(s, warcLinkEdges(s, dir))
+
+  /** The rank index for ANY edge table, fingerprint-keyed — so the full
+    * graph's ranks and a PRIOR crawl state's ranks (the refresh
+    * pipeline's warm-start input) each persist once and coexist.
+    */
+  private def ranksFor(s: SparkSession, edges: DataFrame): DataFrame = {
     val path = ensureIndex(s, edges, "crawlrank", "ranks") { p =>
       graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
         .write.mode("overwrite").parquet(s"$p/ranks")
@@ -1449,13 +1455,13 @@ object SparkEntry {
     // COVERAGE.md note); production ships warm-only + crawlRanks.
     "pipeline_crawl_refresh" -> ((s, dir) => {
       val idx = s"${warcIngestPath(s, dir)}/links"
-      // materialize each extraction once: the resolution join would
-      // otherwise recompute per walk (cold + warm share `full`)
-      val oldRanks = graft.operators.Graph.pageRank(
+      // the warm-start input IS persisted state: the prior crawl's ranks
+      // come from the fingerprint-keyed index (ranksFor), exactly what a
+      // real refresh holds — never recomputed per scheduling query
+      val oldRanks = ranksFor(s,
         graft.streaming.LinkIngest.edges(s, idx, upToBatch = Some(2L),
-          nodeOf = pathIdNode)
-          .localCheckpoint(),
-        "src", "dst", iterations = 10)
+          nodeOf = pathIdNode))
+      // materialize the full extraction once: warm + cold share it
       val full = graft.streaming.LinkIngest.edges(s, idx, nodeOf = pathIdNode)
         .localCheckpoint()
       val warm = graft.operators.Graph.pageRank(full, "src", "dst",
