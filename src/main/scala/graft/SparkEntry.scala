@@ -1740,7 +1740,9 @@ object SparkEntry {
           pmod(col("src") * 13 + col("j") * 17 + 1, lit(nDocs)).as("dst"))
       val edges = edgesFrom(docs)
       val oldEdges = edgesFrom(docs.filter(col("doc_id") < lit(nDocs * 4 / 5)))
-      val oldRanks = graft.operators.Graph.pageRank(oldEdges, "src", "dst", 10)
+      // the previous crawl's ranks are PERSISTED state (ranksFor,
+      // fingerprint-keyed) — the warm start reads them, never re-walks
+      val oldRanks = ranksFor(s, oldEdges)
       val warm = graft.operators.Graph.pageRank(edges, "src", "dst", 5,
           init = Some(oldRanks))
         .select(col("node"), col("rank").as("wrank"))
