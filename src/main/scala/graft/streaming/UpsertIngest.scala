@@ -136,21 +136,29 @@ object UpsertIngest {
     */
   def readChanges(spark: SparkSession, tablePath: String, keyCol: String,
       fromBatch: Long, toBatch: Long): DataFrame = {
+    val (pre, post) = deltaEndpoints(spark, tablePath, keyCol, fromBatch, toBatch)
+    post.exceptAll(pre)
+  }
+
+  /** The two bounded endpoint resolves every change read shares: the
+    * touched-key set from a batch_id-partition-pruned scan of JUST the
+    * `(from, to]` batches, semi-joined against the log (the batch_id
+    * endpoint filters push through into the scans' partition filters),
+    * then the shared per-key window at each endpoint. Lazy — callers
+    * that consume an endpoint more than once materialize it themselves.
+    */
+  private[streaming] def deltaEndpoints(spark: SparkSession, tablePath: String,
+      keyCol: String, fromBatch: Long, toBatch: Long): (DataFrame, DataFrame) = {
     require(fromBatch <= toBatch, "fromBatch must be <= toBatch")
     recoverCompaction(spark, tablePath)
     val log = readLog(spark, tablePath)
-    // touched keys: batch_id is the hive partition column, so this scan
-    // lists and reads only the (from, to] directories — O(delta)
     val touched = log
       .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch)
       .select(col(keyCol)).distinct()
-    // resolve ONLY touched keys: the batch_id endpoint filters push
-    // through the semi-join into the scan's partition filter, so the
-    // "from" arm also never lists past its endpoint
     val scoped = log.filter(col("batch_id") <= toBatch)
       .join(broadcast(touched), Seq(keyCol), "left_semi")
-    latestPerKey(scoped, keyCol).exceptAll(
-      latestPerKey(scoped.filter(col("batch_id") <= fromBatch), keyCol))
+    (latestPerKey(scoped.filter(col("batch_id") <= fromBatch), keyCol),
+      latestPerKey(scoped, keyCol))
   }
 
   /** CHANGE FEED between two versions — [[readChanges]] upgraded to the
@@ -171,20 +179,22 @@ object UpsertIngest {
     */
   def readChangeFeed(spark: SparkSession, tablePath: String, keyCol: String,
       fromBatch: Long, toBatch: Long): DataFrame = {
-    require(fromBatch <= toBatch, "fromBatch must be <= toBatch")
-    recoverCompaction(spark, tablePath)
-    val log = readLog(spark, tablePath)
-    val touched = log
-      .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch)
-      .select(col(keyCol)).distinct()
-    val scoped = log.filter(col("batch_id") <= toBatch)
-      .join(broadcast(touched), Seq(keyCol), "left_semi")
-    val pre = latestPerKey(scoped.filter(col("batch_id") <= fromBatch), keyCol)
-    val post = latestPerKey(scoped, keyCol)
+    // the three image legs below consume each endpoint several times, and
+    // Spark does not reuse the resolve subtree across them — so the feed
+    // MATERIALIZES the two bounded endpoint frames (and the diff) once,
+    // eagerly: O(delta) rows each by the incremental-consumption premise.
+    // The delta plan shape itself stays pinned via readChanges
+    // (etl_upsert_changes in PlanInvariantsSpec) and the deltaEndpoints
+    // assertions in UpsertIngestSpec; the published feed plan carries NO
+    // log scans at all — the proof the endpoints resolved exactly once.
+    val (pre0, post0) =
+      deltaEndpoints(spark, tablePath, keyCol, fromBatch, toBatch)
+    val pre = pre0.localCheckpoint()
+    val post = post0.localCheckpoint()
     // post-images whose full row differs from their pre-image (a key
     // re-upserted to identical values is NOT a change, matching
     // readChanges); split insert vs update on pre-key existence
-    val changedPost = post.exceptAll(pre)
+    val changedPost = post.exceptAll(pre).localCheckpoint()
     val preKeys = pre.select(col(keyCol))
     val inserts = changedPost.join(broadcast(preKeys), Seq(keyCol), "left_anti")
       .withColumn("_change_type", lit("insert"))

@@ -251,20 +251,20 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"resolve):\n${logScans.mkString("\n")}")
   }
 
-  test("etl_upsert_cdc: the change feed keeps the delta shape — " +
-      "batch_id-pruned scans, semi-joined narrowing, no full-log resolve") {
+  test("etl_upsert_cdc: the published feed plan carries NO log scans — " +
+      "each endpoint resolved exactly once into a materialized frame") {
     assume(available)
     val p = plan("etl_upsert_cdc")
-    assert(p.contains("LeftSemi"),
-      s"no touched-key semi-join in the feed plan:\n$p")
-    val logScans = p.linesIterator
-      .filter(l => l.contains("/log") && l.contains("PartitionFilters"))
-      .toList
-    assert(logScans.nonEmpty, s"no partitioned log scan in the plan:\n$p")
-    assert(logScans.forall(l =>
-        l.contains("batch_id") && !l.contains("PartitionFilters: []")),
-      s"a log scan lost its batch_id partition filter:\n" +
-        logScans.mkString("\n"))
+    // the three image legs join the checkpointed endpoints (LogicalRDDs),
+    // never re-resolving the changelog; the delta shape of the resolve
+    // itself is pinned via etl_upsert_changes above and the
+    // deltaEndpoints assertions in UpsertIngestSpec
+    assert(!p.contains("/log"),
+      s"the feed plan re-resolves the changelog:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"no materialized endpoint frames in the feed plan:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"the image-split legs are missing:\n$p")
   }
 
   test("ann_ivfpq_pruned: the codes scan carries a cell PartitionFilter — " +

@@ -320,6 +320,18 @@ class UpsertIngestSpec extends SparkSpec {
       case (m, (_, k, v)) => m + (k -> v)
     }
     assert(applied === asOf1)
+
+    // the endpoint resolve the feed materializes keeps the delta shape:
+    // batch-pruned log scans behind a touched-key semi-join
+    val (_, post) = UpsertIngest.deltaEndpoints(spark, tbl, "k", 0L, 1L)
+    val ep = post.queryExecution.executedPlan.toString()
+    assert(ep.contains("LeftSemi"), s"endpoint lost the semi-join:\n$ep")
+    val logScans = ep.linesIterator
+      .filter(l => l.contains("/log") && l.contains("PartitionFilters"))
+      .toList
+    assert(logScans.nonEmpty && logScans.forall(l =>
+        l.contains("batch_id") && !l.contains("PartitionFilters: []")),
+      s"endpoint log scan lost its batch_id filter:\n${logScans.mkString("\n")}")
   }
 
   test("readChanges is delta-shaped: a 1-key update among many resolves " +
