@@ -212,8 +212,20 @@ object SparkEntry {
     // bit_xor over zero rows is NULL — an empty corpus fingerprints as 0
     // instead of NPEing (the count-only predecessor handled empty fine)
     val (n, fp) = (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+    ensureIndexNamed(s, kind, f"n${n}_x$fp%016x", marker)(write)
+  }
+
+  /** [[ensureIndex]] with a caller-supplied key name — the entry point for
+    * indexes whose freshness key is INGEST METADATA (a file listing, a
+    * landed-batch roster) rather than a corpus-content fingerprint, so an
+    * unchanged-state check costs O(listing) instead of a corpus scan.
+    * Same layout, same stale-sibling cleanup, same crash posture (marker
+    * table's `_SUCCESS` judges completeness).
+    */
+  private[graft] def ensureIndexNamed(s: SparkSession, kind: String,
+      name: String, marker: String)(write: String => Unit): String = {
+    val n = name.stripPrefix("n").takeWhile(_.isDigit)
     val base = s"/tmp/graft_ann_index/$kind"
-    val name = f"n${n}_x$fp%016x"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val basePath = new org.apache.hadoop.fs.Path(base)
     if (fs.exists(basePath))
@@ -228,6 +240,32 @@ object SparkEntry {
     path
   }
 
+  /** O(listing) content key for a directory of landed files: count plus an
+    * md5 over the sorted (relative name, size) roster. This is the cache
+    * key an index derived from an INGESTED state should use — segment
+    * listings and hive batch dirs change whenever their content does (new
+    * files, rewritten sizes), so freshness never costs a byte of data
+    * read. `depth = 2` also walks one directory level (a hive-partitioned
+    * table's `batch_id=N/part-*.parquet` files).
+    */
+  private def listingKey(s: SparkSession, dirPath: String,
+      depth: Int = 1): String = {
+    val root = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path, d: Int): Seq[(String, Long)] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toIndexedSeq.flatMap { st =>
+        if (st.isFile) Seq((st.getPath.getName, st.getLen))
+        else if (d > 1) walk(st.getPath, d - 1)
+          .map { case (nm, len) => (s"${st.getPath.getName}/$nm", len) }
+        else Seq.empty
+      }
+    val roster = walk(root, depth).map { case (nm, len) => s"$nm:$len" }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(roster.mkString("\n").getBytes("UTF-8"))
+    f"n${roster.size}_x${java.nio.ByteBuffer.wrap(md).getLong}%016x"
+  }
+
   /** Shared WARC fixture for the `warc_*` queries: 16 gzipped archive
     * files synthesized from the documents ids (ensureIndex-keyed, so
     * sf0.01/sf0.1 coexist and a regenerated corpus forces a rebuild; the
@@ -235,18 +273,25 @@ object SparkEntry {
     * back through the Content-Length record walk.
     */
   private def warcRecords(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[graft.sources.WarcRecord] = {
+      : org.apache.spark.sql.Dataset[graft.sources.WarcRecord] =
+    graft.sources.Warc.readRecords(s, s"${warcFixturePath(s, dir)}/files")
+
+  /** The archive fixture's index dir — exposed separately from
+    * [[warcRecords]] so the crawl scheduling index can key itself off the
+    * fixture's SEGMENT LISTING (`$path/files` names+sizes) instead of
+    * parsed content.
+    */
+  private def warcFixturePath(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
     // kind "warcl" (not the r12 "warc"): payloads now carry the planted
     // link anchors, so the pre-anchor cache key must never be reused
-    val path = ensureIndex(s, ids, "warcl", "built") { p =>
+    ensureIndex(s, ids, "warcl", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true) // crash debris
       val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
         nFiles = 16, linkSpace = ids.count())
       s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
     }
-    graft.sources.Warc.readRecords(s, s"$path/files")
   }
 
   /** Node id of a canonical fixture URL — the path id the oracles'
@@ -357,28 +402,98 @@ object SparkEntry {
     }
   }
 
-  /** PERSISTED converged ranks over the extracted crawl graph — the ANN
-    * `ensureIndex` posture applied to PageRank: ranking is the offline,
-    * amortized half (10 power-iteration rounds, built once per graph),
-    * scheduling reads the rank TABLE. The index key is the edge table's
-    * count + content fingerprint (the BPE-cache pattern), so a
-    * re-extracted graph — new segments, changed pages — rebuilds
-    * automatically while an unchanged graph costs the frontier queries
-    * only the scheduling join. At 100 TB this is the only sane shape:
-    * the rank job runs at crawl-refresh cadence, not per scheduling
-    * decision. Oracles are UNCHANGED — they replay the full chain, so a
-    * stale or drifted index shows up as a red row, not a silent skew.
+  /** PERSISTED crawl scheduling state — converged ranks AND the
+    * discovered-URL candidate table — keyed by the archive's SEGMENT
+    * LISTING (names+sizes, [[listingKey]]), never by extracted content:
+    * an unchanged archive must cost a scheduling query an O(listing)
+    * freshness check, not the WARC parse + href extraction + resolution
+    * join the r13 content fingerprint re-ran per decision. New or
+    * rewritten segments change the listing and rebuild both tables
+    * (ranking is the offline, amortized half: 10 power-iteration rounds
+    * at crawl-refresh cadence); scheduling queries read two parquet
+    * tables and pay only their own joins. Oracles are UNCHANGED — they
+    * replay the full chain, so a stale or drifted index shows up as a
+    * red row, not a silent skew. Marker = "ranks", the LAST table the
+    * build writes.
     */
+  private def crawlIndexPath(s: SparkSession, dir: String): String = {
+    val fixture = warcFixturePath(s, dir)
+    ensureIndexNamed(s, "crawlsched",
+        listingKey(s, s"$fixture/files"), "ranks") { p =>
+      val resp = graft.sources.Warc.responses(
+        graft.sources.Warc.readRecords(s, s"$fixture/files")).toDF()
+      // the discovered-URL table: one row per canonical url with its
+      // host/path/node — exactly what the frontier gates and budgets over
+      // (host/path agree per canonical url, so distinct-on-url is exact)
+      resp.select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          try_parse_url(col("uri"), lit("PATH")).as("path"))
+        .filter(col("url").isNotNull).distinct()
+        .withColumn("node", regexp_extract(col("path"), "/d/(\\d+)", 1).cast("long"))
+        .write.mode("overwrite").parquet(s"$p/urls")
+      graft.operators.Graph.pageRank(warcLinkEdges(s, dir), "src", "dst",
+          iterations = 10)
+        .write.mode("overwrite").parquet(s"$p/ranks")
+    }
+  }
+
   private def crawlRanks(s: SparkSession, dir: String): DataFrame =
-    ranksFor(s, warcLinkEdges(s, dir))
+    s.read.parquet(s"${crawlIndexPath(s, dir)}/ranks")
+
+  /** The persisted discovered-URL table — the scheduling queries'
+    * candidate source (r13 re-parsed the archive per query for this
+    * frame; at 100 TB candidates come from crawl state, not a corpus
+    * re-read).
+    */
+  private def crawlUrls(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlIndexPath(s, dir)}/urls")
 
   /** The rank index for ANY edge table, fingerprint-keyed — so the full
     * graph's ranks and a PRIOR crawl state's ranks (the refresh
-    * pipeline's warm-start input) each persist once and coexist.
+    * pipeline's warm-start input) each persist once and coexist. Content
+    * keying here is for edges that are CHEAP to evaluate (the arithmetic
+    * graphs); edges extracted from ingested state key off their ingest
+    * metadata instead ([[ranksForLinkIndex]], [[crawlIndexPath]]).
     */
   private def ranksFor(s: SparkSession, edges: DataFrame): DataFrame = {
     val path = ensureIndex(s, edges, "crawlrank", "ranks") { p =>
       graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+        .write.mode("overwrite").parquet(s"$p/ranks")
+    }
+    s.read.parquet(s"$path/ranks")
+  }
+
+  /** Converged ranks over a [[graft.streaming.LinkIngest]] index's edge
+    * table (optionally as of a batch bound), keyed by the index's LANDED
+    * DATA LISTING — batch-dir file names+sizes under `pairs/` and
+    * `urls/`, filtered to the bound — so a freshness check costs
+    * O(listing), never the resolution join the edge read itself pays.
+    * (A compaction collapses the listing and forces one rebuild of the
+    * same ranks — the cheap, correct side of that trade.)
+    */
+  private def ranksForLinkIndex(s: SparkSession, idx: String,
+      upToBatch: Option[Long], nodeOf: Column => Column): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val roster = Seq("pairs", "urls").flatMap { tbl =>
+      val root = new org.apache.hadoop.fs.Path(s"$idx/$tbl")
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toIndexedSeq
+        .filter { st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+            upToBatch.forall(
+              st.getPath.getName.stripPrefix("batch_id=").toLong <= _)
+        }
+        .flatMap(d => fs.listStatus(d.getPath).toIndexedSeq.filter(_.isFile)
+          .map(f => s"$tbl/${d.getPath.getName}/${f.getPath.getName}:${f.getLen}"))
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((roster :+ s"b${upToBatch.getOrElse(-1L)}")
+        .mkString("\n").getBytes("UTF-8"))
+    val name = f"n${roster.size}_x${java.nio.ByteBuffer.wrap(md).getLong}%016x"
+    val path = ensureIndexNamed(s, "crawlrankm", name, "ranks") { p =>
+      graft.operators.Graph.pageRank(
+          graft.streaming.LinkIngest.edges(s, idx, upToBatch, nodeOf),
+          "src", "dst", iterations = 10)
         .write.mode("overwrite").parquet(s"$p/ranks")
     }
     s.read.parquet(s"$path/ranks")
@@ -1456,11 +1571,11 @@ object SparkEntry {
     "pipeline_crawl_refresh" -> ((s, dir) => {
       val idx = s"${warcIngestPath(s, dir)}/links"
       // the warm-start input IS persisted state: the prior crawl's ranks
-      // come from the fingerprint-keyed index (ranksFor), exactly what a
-      // real refresh holds — never recomputed per scheduling query
-      val oldRanks = ranksFor(s,
-        graft.streaming.LinkIngest.edges(s, idx, upToBatch = Some(2L),
-          nodeOf = pathIdNode))
+      // come from the index keyed on the link index's LANDED-DATA listing
+      // (ranksForLinkIndex) — a freshness check costs O(listing), never
+      // the as-of resolution join
+      val oldRanks = ranksForLinkIndex(s, idx, upToBatch = Some(2L),
+        nodeOf = pathIdNode)
       // materialize the full extraction once: warm + cold share it
       val full = graft.streaming.LinkIngest.edges(s, idx, nodeOf = pathIdNode)
         .localCheckpoint()
@@ -1600,12 +1715,9 @@ object SparkEntry {
     // hits on one host). Map-side policy parse broadcast into the gate;
     // one per-host window over the budgeted rows.
     "pipeline_crawl_schedule" -> ((s, dir) => {
-      val cand = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
-        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
-          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
-          try_parse_url(col("uri"), lit("PATH")).as("path"))
-        .filter(col("url").isNotNull).distinct()
-        .withColumn("node", regexp_extract(col("path"), "/d/(\\d+)", 1).cast("long"))
+      // candidates come from the PERSISTED discovered-URL table (one
+      // parquet read), not an archive re-parse — the crawl-state shape
+      val cand = crawlUrls(s, dir)
       val pol = robotsPolicies(s).select(col("host"),
         graft.functions.Robots.rules(col("robots_txt")).as("rules"),
         graft.functions.Robots.crawlDelaySeconds(col("robots_txt")).as("delay"))
@@ -1763,17 +1875,11 @@ object SparkEntry {
     // is another heap ≡ window equivalence proof. Selection orders by
     // the ROUNDED rank + node so the cut is cross-engine deterministic.
     "pipeline_crawl_polite" -> ((s, dir) => {
-      // ranks over the link graph EXTRACTED from the archived pages, via
-      // the PERSISTED rank index (crawlRanks) — the scheduling query
-      // never re-walks the graph
+      // ranks AND candidates come from the persisted crawl index (two
+      // parquet reads, listing-keyed) — the scheduling query never
+      // re-walks the graph and never re-parses the archive
       val ranks = crawlRanks(s, dir)
-      val cand = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
-        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
-          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
-          try_parse_url(col("uri"), lit("PATH")).as("path"))
-        .filter(col("url").isNotNull)
-        .distinct()
-        .withColumn("node", regexp_extract(col("path"), "/d/(\\d+)", 1).cast("long"))
+      val cand = crawlUrls(s, dir)
       val h = col("id")
       val rules = s.range(7).select(
         concat(lit("d"), h, lit(".ex.test")).as("host"),

@@ -345,6 +345,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"page side shuffled before the gate:\n$p")
   }
 
+  test("pipeline_crawl_polite / pipeline_crawl_schedule: NO archive scan — " +
+      "candidates and ranks both come from the persisted crawl index " +
+      "(listing-keyed), so a scheduling decision never re-parses the corpus") {
+    assume(available)
+    Seq("pipeline_crawl_polite", "pipeline_crawl_schedule").foreach { name =>
+      val p = plan(name)
+      // the WARC fixture reads through the binaryFile source; its absence
+      // is exactly "no corpus pass in the scheduling plan" — the cache
+      // key is a file listing, computed before the plan is built
+      assert(!p.contains("binaryFile"),
+        s"$name re-parses the archive (binaryFile scan in the plan):\n$p")
+      assert(p.contains("Scan parquet"),
+        s"$name reads no persisted crawl-index table:\n$p")
+    }
+  }
+
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
