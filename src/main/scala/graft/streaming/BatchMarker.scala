@@ -71,6 +71,65 @@ object BatchMarker {
     fs.create(p, true).close()
   }
 
+  /** Marker GC under a compaction: advance the sink's horizon to `id` and
+    * delete every per-batch marker at or below it — the roster would
+    * otherwise grow one file per micro-batch FOREVER (recovery and
+    * compaction listings scale with it at crawl cadence). Safe ONLY after
+    * a compaction has collapsed those batches' data under one surviving
+    * dir: from then on [[landedOrCollapsed]] answers "landed" for the
+    * whole range from the single `<sink>_horizon_<id>` file, so a
+    * pre-horizon replay still short-circuits while live markers stay
+    * O(batches since last compaction). Ordering makes a crash anywhere
+    * harmless: the new horizon file lands FIRST, so every marker it
+    * covers is deletable debris from that point on (an older horizon
+    * file is itself covered and removed the same way).
+    */
+  def advanceHorizon(spark: SparkSession, indexPath: String, sink: String,
+      id: Long): Unit = {
+    val batches = new Path(s"$indexPath/_batches")
+    val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(batches)
+    fs.create(new Path(batches, s"${sink}_horizon_$id"), true).close()
+    val bare = s"${sink}_"
+    fs.listStatus(batches).foreach { st =>
+      val nm = st.getPath.getName
+      val old = nm.stripPrefix(s"${sink}_horizon_")
+      if (nm.startsWith(s"${sink}_horizon_") && old != id.toString &&
+          old.forall(_.isDigit) && old.toLong < id)
+        fs.delete(st.getPath, false)
+      else if (nm.startsWith(bare) && !nm.startsWith(s"${sink}_horizon_")) {
+        val tail = nm.stripPrefix(bare)
+        if (tail.forall(_.isDigit) && tail.toLong <= id)
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
+  /** The sink's marker-GC horizon, -1 when none has ever been set.
+    * O(listing of the live marker roster).
+    */
+  def horizon(spark: SparkSession, indexPath: String, sink: String): Long = {
+    val batches = new Path(s"$indexPath/_batches")
+    val fs = batches.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(batches)) return -1L
+    fs.listStatus(batches).foldLeft(-1L) { (acc, st) =>
+      val tail = st.getPath.getName.stripPrefix(s"${sink}_horizon_")
+      if (st.getPath.getName.startsWith(s"${sink}_horizon_") &&
+          tail.nonEmpty && tail.forall(_.isDigit)) math.max(acc, tail.toLong)
+      else acc
+    }
+  }
+
+  /** [[landed]] extended across marker GC: a batch at or below the sink's
+    * compaction horizon counts as landed (its rows live in the collapsed
+    * dir; its marker was GC'd). Marker first — the O(1) steady-state —
+    * then the horizon listing only on a miss.
+    */
+  def landedOrCollapsed(spark: SparkSession, indexPath: String, sink: String,
+      batchId: Long): Boolean =
+    landed(spark, indexPath, sink, batchId) ||
+      batchId <= horizon(spark, indexPath, sink)
+
   /** Refuse to resume a sink written before the marker protocol: batches
     * that landed under the old dir-existence guard carry no markers, so
     * every one of them would replay as "never landed" and re-append

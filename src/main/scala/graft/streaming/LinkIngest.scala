@@ -62,8 +62,11 @@ object LinkIngest {
     BatchMarker.assertMarkeredSink(spark, indexPath, s"$urlsPath/batch_id=*")
     BatchMarker.assertMarkeredSink(spark, indexPath, s"$pairsPath/batch_id=*")
     BatchMarker.ensureProtocol(spark, indexPath)
-    val pairsHas = BatchMarker.landed(spark, indexPath, "pairs", batchId)
-    val urlsHas = BatchMarker.landed(spark, indexPath, "urls", batchId)
+    // landedOrCollapsed, not landed: a compaction GCs the markers below
+    // its horizon, and a replay of one of those batches must still
+    // short-circuit (its rows live inside the collapsed dir)
+    val pairsHas = BatchMarker.landedOrCollapsed(spark, indexPath, "pairs", batchId)
+    val urlsHas = BatchMarker.landedOrCollapsed(spark, indexPath, "urls", batchId)
     if (pairsHas && !exists(spark, s"$pairsPath/_batches_has_data") &&
         exists(spark, s"$pairsPath/batch_id=$batchId"))
       stamp(spark, s"$pairsPath/_batches_has_data")
@@ -163,24 +166,28 @@ object LinkIngest {
     * segments ever).
     */
   def maybeCompact(spark: SparkSession, indexPath: String,
-      maxBatches: Int = 16): Boolean =
+      maxBatches: Int = 16, targetBytes: Long = 128L << 20): Boolean =
     indexLock(indexPath).synchronized {
       recoverCompaction(spark, indexPath)
       Seq("pairs", "urls").map { t =>
         val due = nBatches(spark, indexPath, t) > maxBatches
-        if (due) compactTable(spark, indexPath, t)
+        if (due) compactTable(spark, indexPath, t, targetBytes)
         due
       }.exists(identity)
     }
 
-  /** Collapse BOTH tables' batch dirs into one distinct-rows dir each —
-    * semantics-preserving because [[edges]] distincts anyway, and
-    * exactly-once-preserving because every existing `_batches` marker
-    * survives (a replayed pre-compaction batch short-circuits on its
-    * marker; its rows are inside the collapsed dir). RETENTION: like
-    * `UpsertIngest.compactLog`, history collapses into the highest landed
-    * id — `edges(upToBatch = N)` for N older than the horizon sees an
-    * empty state, never a stale one.
+  /** Collapse BOTH tables' batch dirs into one resolved dir each (file
+    * count sized from on-disk bytes over `targetBytes`, never a single
+    * funnel task) — semantics-preserving because [[edges]] distincts
+    * anyway, and exactly-once-preserving through the MARKER HORIZON:
+    * per-batch markers at or below the collapsed id are GC'd (the roster
+    * would otherwise grow per micro-batch forever) and replaced by one
+    * `<table>_horizon_<id>` file, which [[BatchMarker.landedOrCollapsed]]
+    * answers replays from — a replayed pre-compaction batch still
+    * short-circuits; its rows are inside the collapsed dir. RETENTION:
+    * like `UpsertIngest.compactLog`, history collapses into the highest
+    * landed id — `edges(upToBatch = N)` for N older than the horizon sees
+    * an empty state, never a stale one.
     *
     * Crash safety (the compactLog discipline — no multi-dir rename is
     * atomic): distinct rows stage under `_compact_tmp/<table>` first, an
@@ -190,34 +197,48 @@ object LinkIngest {
     * intent. Tables compact independently — a half-done pass (one table
     * collapsed, the other not) reads correctly throughout.
     */
-  def compact(spark: SparkSession, indexPath: String): Unit =
+  def compact(spark: SparkSession, indexPath: String,
+      targetBytes: Long = 128L << 20): Unit =
     indexLock(indexPath).synchronized {
       recoverCompaction(spark, indexPath)
-      Seq("pairs", "urls").foreach(t => compactTable(spark, indexPath, t))
+      Seq("pairs", "urls").foreach(t =>
+        compactTable(spark, indexPath, t, targetBytes))
     }
 
   private def compactTable(spark: SparkSession, indexPath: String,
-      table: String): Unit = {
+      table: String, targetBytes: Long): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return
     // unmarkered dirs are crashed partials of never-committed batches:
     // clear them (their batch replays in full) so the collapsed dir can
-    // never absorb rows a replay would then duplicate
+    // never absorb rows a replay would then duplicate. (landedOrCollapsed:
+    // the previous compaction's collapsed dir has no marker of its own —
+    // the horizon covers it — and must never be classed as debris.)
     val dirs = fs.listStatus(dir).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     val (marked, debris) = dirs.partition(s =>
-      BatchMarker.landed(spark, indexPath, table,
+      BatchMarker.landedOrCollapsed(spark, indexPath, table,
         s.getPath.getName.stripPrefix("batch_id=").toLong))
     debris.foreach(s => fs.delete(s.getPath, true))
     if (marked.size <= 1) return
     val maxId = marked.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
     val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/_compact_tmp/$table")
     fs.delete(tmp, true) // pre-intent leftovers of a dead pass
+    // output files sized from the log's ON-DISK bytes (an upper bound on
+    // the distinct size), the UpsertIngest.compactLog pattern — a
+    // corpus-sized edge table must never funnel through one task
+    val nBytes = marked.flatMap(d => fs.listStatus(d.getPath).toIndexedSeq)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(nBytes.toDouble / targetBytes).toInt)
+    // repartition, not coalesce: AQE may have coalesced the distinct to
+    // fewer partitions than nOut, and coalesce can only reduce — the one
+    // extra exchange buys a guaranteed-parallel write at the sized count
     spark.read.parquet(s"$indexPath/$table")
       .drop("batch_id").distinct()
-      .coalesce(1)
+      .repartition(nOut)
       .write.mode("overwrite")
       .parquet(s"$indexPath/_compact_tmp/$table/batch_id=$maxId")
     // COMMIT POINT: from here the staged dir is the table's truth
@@ -262,6 +283,10 @@ object LinkIngest {
     val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_compact_tmp")
     if (fs.exists(tmpRoot) && fs.listStatus(tmpRoot).isEmpty)
       fs.delete(tmpRoot, false)
+    // marker GC below the horizon BEFORE the intent clears: a crash
+    // between the two re-runs this roll-forward (advanceHorizon is
+    // idempotent), so the roster can never be left half-GC'd for good
+    BatchMarker.advanceHorizon(spark, indexPath, table, maxId)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$indexPath/_batches/compact${table}_$maxId"), false)
   }

@@ -49,7 +49,9 @@ object UpsertIngest {
     BatchMarker.assertMarkeredSink(spark, tablePath, s"$log/batch_id=*")
     BatchMarker.ensureProtocol(spark, tablePath)
     recoverCompaction(spark, tablePath)
-    if (BatchMarker.landed(spark, tablePath, "log", batchId)) return
+    // landedOrCollapsed: compaction GCs markers below its horizon; a
+    // replay of a collapsed batch must still short-circuit
+    if (BatchMarker.landedOrCollapsed(spark, tablePath, "log", batchId)) return
     BatchMarker.clearPartial(spark, s"$log/batch_id=$batchId")
     if (batch.isEmpty) {
       BatchMarker.commit(spark, tablePath, "log", batchId)
@@ -339,7 +341,7 @@ object UpsertIngest {
     if (fs.exists(log))
       fs.listStatus(log).toIndexedSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .filterNot(s => BatchMarker.landed(spark, tablePath, "log",
+        .filterNot(s => BatchMarker.landedOrCollapsed(spark, tablePath, "log",
           s.getPath.getName.stripPrefix("batch_id=").toLong))
         .foreach(s => fs.delete(s.getPath, true))
     val st = logStats(spark, tablePath) // marker-covered dirs only, now
@@ -410,6 +412,9 @@ object UpsertIngest {
     // else: rename already happened in a previous attempt — only the
     // intent (and tmp debris) are left to clear
     fs.delete(new Path(s"$tablePath/_compact_tmp"), true)
+    // marker GC below the horizon BEFORE the intent clears (idempotent —
+    // a crash between the two just re-runs this roll-forward)
+    BatchMarker.advanceHorizon(spark, tablePath, "log", maxBatchId)
     fs.delete(new Path(s"$tablePath/_batches/compactlog_$maxBatchId"), false)
   }
 }

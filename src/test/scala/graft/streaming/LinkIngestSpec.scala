@@ -96,7 +96,19 @@ class LinkIngestSpec extends SparkSpec {
     assert(LinkIngest.nBatches(spark, idx, "pairs") === 1)
     assert(LinkIngest.nBatches(spark, idx, "urls") === 1)
     assert(edgeSet(idx) === before)
-    // a pre-compaction batch replays as a no-op (marker survives)
+    // marker GC: the per-batch markers below the horizon are gone,
+    // replaced by one horizon file per table
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("pairs", "urls").foreach { t =>
+      (0 to 2).foreach { i =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_batches/${t}_$i")),
+          s"marker ${t}_$i survived the GC")
+      }
+      assert(BatchMarker.horizon(spark, idx, t) === 2L)
+    }
+    // a pre-compaction batch STILL replays as a no-op — answered by the
+    // horizon now that its marker is GC'd
     LinkIngest.processBatch(b0, 0L, idx)
     assert(LinkIngest.nBatches(spark, idx, "pairs") === 1)
     assert(edgeSet(idx) === before)
@@ -108,6 +120,32 @@ class LinkIngestSpec extends SparkSpec {
       pages(Seq("https://h0.ex.test/d/7" -> Seq("https://h0.ex.test/d/5"))),
       3L, idx)
     assert(edgeSet(idx) === before + (7L -> 5L))
+  }
+
+  test("compaction output is sized from on-disk bytes — a large log " +
+      "collapses into MULTIPLE files, never one funnel task") {
+    val dir = Files.createTempDirectory("linksize").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath + "/links"
+    // 3 batches × 40 pages × 8 links — enough parquet bytes that a tiny
+    // targetBytes forces nOut > 1
+    (0 to 2).foreach { b =>
+      LinkIngest.processBatch(pages((0 until 40).map { i =>
+        val d = b * 40 + i
+        s"https://h0.ex.test/d/$d" ->
+          (0 until 8).map(j => s"https://h0.ex.test/d/${(d * 7 + j) % 120}")
+      }), b.toLong, idx)
+    }
+    val before = edgeSet(idx)
+    LinkIngest.compact(spark, idx, targetBytes = 2048L)
+    assert(LinkIngest.nBatches(spark, idx, "pairs") === 1)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val collapsed = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$idx/pairs/batch_id=*/part-*.parquet"))
+    assert(collapsed.length > 1,
+      s"compaction funneled ${collapsed.length} file(s) — coalesce(1) is back")
+    assert(edgeSet(idx) === before)
   }
 
   test("a crash between the compaction intent and the swap rolls forward " +

@@ -60,7 +60,7 @@ class UpsertIngestSpec extends SparkSpec {
     assert(latest(tbl2) === latest(tbl))
   }
 
-  test("compactLog collapses depth, preserves markers, replays short-circuit") {
+  test("compactLog collapses depth, GCs markers below the horizon, replays short-circuit") {
     val dir = Files.createTempDirectory("upsertcompact").toFile
     dir.deleteOnExit()
     val tbl = dir.getAbsolutePath + "/tbl"
@@ -76,11 +76,18 @@ class UpsertIngestSpec extends SparkSpec {
     val st = UpsertIngest.logStats(spark, tbl)
     assert(st.nBatches === 1 && st.maxBatchId === 2L) // depth collapsed
     assert(latest(tbl) === before) // resolve unchanged row-for-row
-    // replay contract survives: every pre-compaction marker is intact and
-    // a replayed old batch short-circuits instead of re-appending
-    (0L to 2L).foreach(id => assert(BatchMarker.landed(spark, tbl, "log", id)))
+    // marker GC: the per-batch markers collapse into one horizon file —
+    // the roster must not grow per micro-batch forever — and a replayed
+    // old batch STILL short-circuits, answered by the horizon
+    (0L to 2L).foreach(id => assert(!BatchMarker.landed(spark, tbl, "log", id),
+      s"marker log_$id survived the GC"))
+    assert(BatchMarker.horizon(spark, tbl, "log") === 2L)
+    (0L to 2L).foreach(id =>
+      assert(BatchMarker.landedOrCollapsed(spark, tbl, "log", id)))
     UpsertIngest.processBatch(b1, 1L, tbl)
     assert(latest(tbl) === before)
+    assert(UpsertIngest.logStats(spark, tbl).nBatches === 1,
+      "a pre-horizon replay re-appended into the collapsed log")
     // post-compaction batches keep winning on their higher ids
     UpsertIngest.processBatch(Seq((4L, "D4", 4L)).toDF("k", "v", "n"), 3L, tbl)
     assert(latest(tbl) === before + (4L -> ("D4", 4L)))
