@@ -307,6 +307,11 @@ object SparkEntry {
     * decoy group on purpose: sitemap discovery is group-INDEPENDENT
     * (RFC 9309 §2.3), so it must surface even from a group whose rules
     * never apply — while the group's `Disallow: /` keeps not leaking.
+    * Every host but 3 also declares a STACKED named-bot group
+    * (`User-agent: graftbot` + `User-agent: newsbot` sharing one rule
+    * block — the graftbot line is directive-less and must inherit, RFC
+    * 9309 §2.1) whose rules gate `warc_robots_gate_bot` and must never
+    * leak into the `*` tier; host 3 has none, proving the `*` fallback.
     */
   private def robotsPolicies(s: SparkSession): DataFrame = {
     val h = col("id")
@@ -318,6 +323,10 @@ object SparkEntry {
           lit(".xml\n")),
         lit("\n"),
         lit("User-agent: *bot\nDisallow: /\n\n"),
+        when(h =!= 3, concat(
+          lit("User-agent: graftbot\nUser-agent: newsbot\nDisallow: /d/\n"),
+          lit("Allow: /d/"), h, lit("5\nCrawl-delay: 7\n\n")))
+          .otherwise(lit("")),
         lit("User-agent: *\n"),
         when(h === 5, lit("Disallow:\n"))
           .otherwise(concat(lit("Disallow: /d/"), h, lit("\n"))),
@@ -1735,6 +1744,32 @@ object SparkEntry {
         .orderBy("host", "node")
     }),
 
+    // The PER-BOT gate (Robots.rulesFor/crawlDelaySecondsFor): a crawler
+    // evaluating its OWN product token picks the groups that name it —
+    // here via the STACKED `User-agent: graftbot` line, which is
+    // directive-less and must inherit the shared rule block (RFC 9309
+    // §2.1 group merging) — and falls back to `*` only on host 3, which
+    // declares no graftbot group. The named rules invert the bulk
+    // verdicts (Disallow /d/ + a host-digit Allow carve-out), so a leak
+    // in either direction flips rows.
+    "warc_robots_gate_bot" -> ((s, dir) => {
+      val pages = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          try_parse_url(col("uri"), lit("PATH")).as("path"))
+      val bot = lit("graftbot")
+      val pol = robotsPolicies(s).select(col("host"),
+        graft.functions.Robots.rulesFor(col("robots_txt"), bot).as("rules"),
+        graft.functions.Robots.crawlDelaySecondsFor(col("robots_txt"), bot)
+          .as("crawl_delay"))
+      pages.join(broadcast(pol), Seq("host"), "left")
+        .select(col("doc_id"), col("host"),
+          graft.functions.Robots.isBlockedByRules(col("path"), col("rules"))
+            .as("blocked"),
+          col("crawl_delay"))
+        .orderBy("doc_id")
+    }),
+
     // Sitemap discovery (Robots.sitemaps) — the crawl's seed-URL source:
     // sitemap lines are GROUP-INDEPENDENT per RFC 9309 §2.3, and the
     // fixture plants each host's line INSIDE the fetchbot decoy group to
@@ -2513,8 +2548,13 @@ object SparkEntry {
       obs.join(exact, Seq("w"), "left")
         .select(col("w"), coalesce(col("retained"), lit(0L)).as("retained"))
         .join(est, Seq("w"))
+        // the bound needs an ABSOLUTE floor scaled by the union estimate:
+        // inclusion–exclusion error grows with the union, so a week pair
+        // with small retention would otherwise demand near-zero estimator
+        // error and turn benign sketch noise into a red row
         .select(unix_micros(col("w")).as("week_us"), col("retained"),
-          (abs(col("retained_est") - col("retained")) <= col("retained") * 0.05)
+          (abs(col("retained_est") - col("retained")) <=
+            greatest(col("retained") * 0.05, col("union_est") * 0.05))
             .as("est_ok"))
         .orderBy("week_us")
     }),
@@ -2741,7 +2781,7 @@ object SparkEntry {
       val quality = Multimodal.imageQuality(media).toDF()
         .select(col("media_id").as("doc_id"),
           (col("decoded") && col("quality_ok")).as("quality_ok"))
-        .persist()
+        .localCheckpoint() // decode once; blocks reclaim on reference drop
       val passing = quality.filter(col("quality_ok")).select("doc_id")
       val sigs = Multimodal.imageDHash(media).toDF()
         .filter(col("decoded"))
@@ -2779,7 +2819,11 @@ object SparkEntry {
       val st = Multimodal.videoQuality(media).toDF()
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_frames"), col("motion"))
-        .persist() // threshold agg + output pass: decode once, not twice
+        // localCheckpoint, not persist: threshold agg + output pass share
+        // one decode, and the blocks reclaim when the frame's reference
+        // drops (a persist here leaked cached decode blocks across the
+        // bench run unless the caller clearCache'd)
+        .localCheckpoint()
       val thr = st.agg(expr("percentile(motion, 0.10)").as("thr_m"))
       st.crossJoin(broadcast(thr))
         .select(col("doc_id"), col("n_frames"), col("motion"),
@@ -2805,7 +2849,7 @@ object SparkEntry {
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_samples"), col("peak"),
           col("rms"), col("clip_ratio"))
-        .persist() // decode once across the threshold agg + output pass
+        .localCheckpoint() // decode once; blocks reclaim on reference drop
       val thr = st.agg(expr("percentile(rms, 0.10)").as("thr_r"),
         expr("percentile(clip_ratio, 0.90)").as("thr_c"))
       st.crossJoin(broadcast(thr))
@@ -2838,7 +2882,7 @@ object SparkEntry {
         .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("n_px"), col("mean_px"),
           col("contrast"), col("entropy"))
-        .persist() // decode once across the threshold agg + output pass
+        .localCheckpoint() // decode once; blocks reclaim on reference drop
       val thr = st.agg(expr("percentile(contrast, 0.10)").as("thr_c"),
         expr("percentile(entropy, 0.10)").as("thr_e"))
       st.crossJoin(broadcast(thr))
@@ -5771,6 +5815,20 @@ object SparkEntry {
         |       ELSE starts_with(s, CAST(h AS VARCHAR))
         |            AND NOT starts_with(s, CAST(h AS VARCHAR) || '5')
         |  END AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // graftbot's groups invert the bulk arithmetic: Disallow /d/ blocks
+    // everything except the longer host-digit Allow carve-out (h||'5'),
+    // delay 7 from the named group — host 3 alone falls back to the `*`
+    // tier's verdicts and its 2.0 delay
+    "warc_robots_gate_bot" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |pg AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |m AS (SELECT d, p, p % 7 AS h, CAST(p AS VARCHAR) AS s FROM pg)
+        |SELECT d AS doc_id, 'd' || h || '.ex.test' AS host,
+        |  CASE WHEN h = 3 THEN starts_with(s, '3') AND NOT starts_with(s, '35')
+        |       ELSE NOT starts_with(s, CAST(h AS VARCHAR) || '5') END AS blocked,
+        |  CASE WHEN h = 3 THEN 2.0 ELSE 7.0 END AS crawl_delay
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // the parse is the load-bearing half: the URL comes out of the DECOY

@@ -7,21 +7,26 @@ import org.apache.spark.sql.functions._
   * the reference fetches API endpoints, never crawls; a web pipeline must
   * gate fetches per host policy before any URL reaches the frontier).
   *
-  * Two tiers, both over the `User-agent: *` group only:
+  * Two tiers:
   *  - [[disallowPrefixes]] + [[isBlocked]]: the bulk-processing PREFIX
   *    subset — what blanket corpus jobs enforce when policies are known
   *    to be plain prefix lists. Fastest: `startswith` per (path, prefix).
-  *  - [[rules]] + [[isBlockedByRules]]: RFC 9309 rule evaluation —
-  *    `Allow` carve-outs, `*` wildcards, trailing-`$` anchors, and
-  *    longest-match precedence with Allow winning length ties.
+  *  - [[rules]] / [[rulesFor]] + [[isBlockedByRules]]: RFC 9309 rule
+  *    evaluation — `Allow` carve-outs, `*` wildcards, trailing-`$`
+  *    anchors, longest-match precedence with Allow winning length ties,
+  *    GROUP MERGING for stacked `User-agent` lines (§2.1: adjacent
+  *    start-group lines share the following rule block), and per-bot
+  *    group selection with fall-back-to-`*` (§2.2.1: a crawler picks the
+  *    groups matching its own product token; only when none match do the
+  *    `*` groups apply).
   *
-  * Deliberately out of scope even in the rules tier — per-bot group
-  * matching (only `*` groups contribute; a specific crawler evaluating
-  * its own token would pick its group FIRST and fall back to `*`),
-  * `Crawl-delay`/`Sitemap` semantics, and percent-encoding
-  * normalization of patterns vs paths (both sides are assumed already
-  * canonicalized, [[Url.canonicalizeUrl]]'s job) — documented so the
-  * gate is never mistaken for a complete RFC 9309 evaluator.
+  * Deliberately out of scope — percent-encoding normalization of
+  * patterns vs paths (both sides are assumed already canonicalized,
+  * [[Url.canonicalizeUrl]]'s job) and prefix-matching of agent tokens
+  * (RFC 9309 token matching is exact; the Google-style
+  * `googlebot-images` ⊃ `googlebot` longest-prefix extension is not
+  * implemented) — documented so the gate is never mistaken for a
+  * complete RFC 9309 evaluator.
   *
   * Pure `Column` composition (split / filter / transform / flatten with
   * regexp inside the lambdas — all codegen'd, no UDF), so the parse runs
@@ -33,18 +38,59 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** The `*`-group segments of a robots.txt. Parsing notes:
-    *  - groups split on case-insensitive `User-agent:`; only segments
-    *    whose agent token is EXACTLY `*` contribute — `*` followed by
-    *    end-of-text or whitespace, so a bot-specific group like
-    *    `User-agent: *bot` never leaks its rules into the bulk policy
-    *    (and neither does the classic decoy `User-agent: fetchbot` /
-    *    `Disallow: /`);
+  /** All agent segments of a robots.txt as
+    * `array<struct<token, body>>`, with RFC 9309 §2.1 group merging
+    * applied: a segment carrying NO group directives (no
+    * Disallow/Allow/Crawl-delay lines of its own — stacked `User-agent`
+    * lines, or adjacent start-group lines separated only by blanks,
+    * comments, or non-group fields like `Sitemap:`) shares the next
+    * directive-bearing segment's body, so `User-agent: *` followed by
+    * `User-agent: somebot` and a rule block assigns the block to BOTH
+    * agents instead of silently dropping the `*` group's rules.
+    * Parsing notes:
+    *  - split on case-insensitive `User-agent:`; the pre-split preamble
+    *    (index 0) carries no agent and is dropped;
+    *  - tokens lowercase for the case-insensitive match of [[groupsFor]];
     *  - CRLF files work unchanged (`\r` is whitespace to `\\s`).
     */
+  private def agentSegments(robotsTxt: Column): Column = {
+    val tagged = transform(
+      split(robotsTxt, "(?i)user-agent:"),
+      (g, i) => struct(
+        lower(regexp_extract(ltrim(g), "^(\\S+)", 1)).as("token"),
+        g.as("body"),
+        g.rlike("(?mi)^[ \\t]*(disallow|allow|crawl-delay):").as("own"),
+        i.as("idx")))
+    val segs = filter(tagged, s => s.getField("idx") > 0)
+    transform(segs, s => struct(
+      s.getField("token").as("token"),
+      when(s.getField("own"), s.getField("body"))
+        .otherwise(coalesce(
+          get(filter(segs, t =>
+            t.getField("idx") > s.getField("idx") && t.getField("own")), lit(0))
+            .getField("body"),
+          lit(""))).as("body")))
+  }
+
+  /** The group bodies a crawler with product token `agent` must obey
+    * (RFC 9309 §2.2.1): the segments whose token matches the agent
+    * case-insensitively and EXACTLY when any exist, otherwise the `*`
+    * segments — so a bot-specific group like `User-agent: *bot` never
+    * leaks into the bulk (`*`) policy, and a named bot only falls back
+    * to `*` on hosts that declare no group for it. Multiple matching
+    * groups combine, per the RFC.
+    */
+  private def groupsFor(robotsTxt: Column, agent: Column): Column = {
+    val all = agentSegments(robotsTxt)
+    val tok = lower(agent)
+    val exact = filter(all, s => s.getField("token") === tok)
+    transform(when(size(exact) > 0, exact)
+        .otherwise(filter(all, s => s.getField("token") === lit("*"))),
+      s => s.getField("body"))
+  }
+
   private def starGroups(robotsTxt: Column): Column =
-    filter(split(robotsTxt, "(?i)user-agent:"),
-      g => ltrim(g).rlike("^\\*(\\s|$)"))
+    groupsFor(robotsTxt, lit("*"))
 
   /** The `*` group's Disallow prefixes as a deduped array — the PREFIX
     * subset. Parsing notes:
@@ -75,12 +121,22 @@ object Robots {
     * idiom; an empty `Allow:` matches nothing a longer rule wouldn't
     * already decide).
     */
-  def rules(robotsTxt: Column): Column = {
+  def rules(robotsTxt: Column): Column =
+    rulesOver(starGroups(robotsTxt))
+
+  /** [[rules]] for a crawler evaluating its OWN product token: the rule
+    * set of the groups [[groupsFor]] selects (exact token match when any
+    * group names the agent, the `*` groups otherwise). Same struct
+    * shape, same [[isBlockedByRules]] evaluation.
+    */
+  def rulesFor(robotsTxt: Column, agent: Column): Column =
+    rulesOver(groupsFor(robotsTxt, agent))
+
+  private def rulesOver(gs: Column): Column = {
     def lines(directive: String, allow: Boolean) =
       (g: Column) => transform(
         regexp_extract_all(g, lit(s"(?mi)^$directive:[ \\t]*(\\S+)"), lit(1)),
         p => struct(p.as("pattern"), lit(allow).as("allow")))
-    val gs = starGroups(robotsTxt)
     array_distinct(concat(
       flatten(transform(gs, lines("disallow", allow = false))),
       flatten(transform(gs, lines("allow", allow = true)))))
@@ -94,8 +150,18 @@ object Robots {
     * file.
     */
   def crawlDelaySeconds(robotsTxt: Column): Column =
+    delayOver(starGroups(robotsTxt))
+
+  /** [[crawlDelaySeconds]] under the same per-bot group selection as
+    * [[rulesFor]] — a named bot paces by ITS group's delay, falling back
+    * to the `*` groups' only where no group names it.
+    */
+  def crawlDelaySecondsFor(robotsTxt: Column, agent: Column): Column =
+    delayOver(groupsFor(robotsTxt, agent))
+
+  private def delayOver(gs: Column): Column =
     array_max(transform(
-      flatten(transform(starGroups(robotsTxt),
+      flatten(transform(gs,
         g => regexp_extract_all(g,
           lit("(?mi)^crawl-delay:[ \\t]*([0-9.]+)"), lit(1)))),
       v => v.cast("double")))

@@ -168,11 +168,16 @@ object EventIngest {
     val nxt = wk.select((col("w") - expr("interval 7 days")).as("w"),
       col("sk").as("sk_next"))
     wk.join(nxt, Seq("w"))
+      // union_est rides along because inclusion–exclusion ERROR scales
+      // with the union size, not the retained count — the accuracy gate
+      // needs it as an absolute floor (a week pair with near-zero overlap
+      // would otherwise demand exactly-0 estimator error)
+      .select(col("w"), hll_sketch_estimate(col("sk")).as("e_w"),
+        hll_sketch_estimate(col("sk_next")).as("e_n"),
+        hll_sketch_estimate(hll_union(col("sk"), col("sk_next"))).as("union_est"))
       .select(col("w"),
-        (hll_sketch_estimate(col("sk")) +
-          hll_sketch_estimate(col("sk_next")) -
-          hll_sketch_estimate(hll_union(col("sk"), col("sk_next"))))
-          .as("retained_est"))
+        (col("e_w") + col("e_n") - col("union_est")).as("retained_est"),
+        col("union_est"))
   }
 
   /** The accumulated distinct (user_id, day) pairs — the exact input any

@@ -123,6 +123,75 @@ class RobotsSpec extends SparkSpec {
     assert(delay("User-agent: fetchbot\nCrawl-delay: 99\n") === None)
   }
 
+  test("stacked User-agent lines share the following rule block " +
+      "(RFC 9309 §2.1) — the '*' group's rules must not vanish") {
+    // the r13 failure mode: '*' first, a named agent second, one block
+    val txt = "User-agent: *\nUser-agent: somebot\nDisallow: /x\n"
+    assert(prefixes(txt) === Seq("/x"))
+    assert(blocked(txt, "/x/page"))
+    // named agent first, '*' second — same block both ways
+    assert(prefixes("User-agent: somebot\nUser-agent: *\nDisallow: /y\n")
+      === Seq("/y"))
+    // a three-deep stack, blanks between the start-group lines
+    assert(prefixes("User-agent: a\n\nUser-agent: *\n\nUser-agent: b\n" +
+      "Disallow: /z\n") === Seq("/z"))
+    // a stacked '*' line must NOT inherit PAST a directive-bearing group
+    // into a later unrelated one
+    assert(prefixes("User-agent: *\nUser-agent: somebot\nDisallow: /x\n\n" +
+      "User-agent: other\nDisallow: /other\n") === Seq("/x"))
+    // trailing agent line with no rules at all -> nothing
+    assert(prefixes("User-agent: somebot\nDisallow: /s\n\nUser-agent: *\n")
+      === Seq.empty)
+  }
+
+  private def blockedFor(txt: String, agent: String, path: String): Boolean =
+    Seq((txt, path)).toDF("t", "path")
+      .select(Robots.isBlockedByRules(col("path"),
+        Robots.rulesFor(col("t"), lit(agent))).as("b"))
+      .collect().head.getBoolean(0)
+
+  test("rulesFor: a named bot obeys ITS group (case-insensitive exact " +
+      "token), falls back to '*' only when no group names it, and its " +
+      "rules never leak to the bulk policy") {
+    val txt = "User-agent: GraftBot\nDisallow: /g\n\n" +
+      "User-agent: *\nDisallow: /p\n"
+    assert(blockedFor(txt, "graftbot", "/g/x"))   // its own group, ci match
+    assert(!blockedFor(txt, "graftbot", "/p/x"))  // '*' does NOT also apply
+    assert(blockedFor(txt, "otherbot", "/p/x"))   // no group -> '*' fallback
+    assert(!blockedFor(txt, "otherbot", "/g/x"))
+    assert(blocked(txt, "/p/x") && !blocked(txt, "/g/x")) // bulk unchanged
+    // exact-token contract: 'graft' must not prefix-match 'graftbot'
+    assert(!blockedFor(txt, "graft", "/g/x"))
+    assert(blockedFor(txt, "graft", "/p/x"))
+    // multiple groups naming the same bot combine
+    val multi = "User-agent: bot\nDisallow: /a\n\nUser-agent: bot\n" +
+      "Disallow: /b\n\nUser-agent: *\nDisallow: /c\n"
+    assert(blockedFor(multi, "bot", "/a/x") && blockedFor(multi, "bot", "/b/x"))
+    assert(!blockedFor(multi, "bot", "/c/x"))
+    // a stacked line names the bot: it inherits the block that follows
+    val stacked = "User-agent: graftbot\nUser-agent: newsbot\n" +
+      "Disallow: /n\n\nUser-agent: *\nDisallow: /p\n"
+    assert(blockedFor(stacked, "graftbot", "/n/x"))
+    assert(!blockedFor(stacked, "graftbot", "/p/x"))
+  }
+
+  test("crawlDelaySecondsFor: per-bot delay with '*' fallback") {
+    def delayFor(txt: String, agent: String): Option[Double] = {
+      val r = Seq(txt).toDF("t")
+        .select(Robots.crawlDelaySecondsFor(col("t"), lit(agent)).as("d"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val txt = "User-agent: graftbot\nCrawl-delay: 7\nDisallow: /g\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n"
+    assert(delayFor(txt, "graftbot") === Some(7.0))
+    assert(delayFor(txt, "otherbot") === Some(2.0))
+    // a named group WITHOUT a delay does not fall through to '*' — the
+    // bot's policy is its group, delay absent means unthrottled
+    assert(delayFor("User-agent: graftbot\nDisallow: /g\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n", "graftbot") === None)
+  }
+
   test("rules: a longer wildcard Disallow outranks a shorter Allow; " +
       "'*bot' group rules never contribute; null-safe") {
     val txt = "User-agent: *bot\nDisallow: /\n\n" +
