@@ -336,6 +336,39 @@ object SparkEntry {
         lit("Crawl-delay: 2\n")).as("robots_txt"))
   }
 
+  /** Per-host sitemap DOCUMENTS — the XML the `Sitemap:` lines of
+    * [[robotsPolicies]] point at, synthesized from host/position
+    * arithmetic so the parse replays exactly. Each host's `<urlset>`
+    * lists 43 `<loc>` entries (p = h + 7k for k < 40, then three
+    * beyond-corpus pages at n + h + 7(k−40) — the genuinely-unseen seeds
+    * a sitemap exists to surface), with two messiness classes the parser
+    * and canonicalizer must erase: k%4==1 locs in shouting-caps-with-
+    * port form, k%4==2 locs whitespace/newline-padded inside the
+    * element. `lastmod`/`priority` siblings are decoys the extraction
+    * must ignore.
+    */
+  private def sitemapDocs(s: SparkSession, nDocs: Long): DataFrame = {
+    val h = col("id")
+    val entries = transform(sequence(lit(0), lit(42)), k => {
+      val p = when(k < 40, h + k * 7)
+        .otherwise(lit(nDocs) + h + (k - 40) * 7)
+      val plain = concat(lit("https://d"), h, lit(".ex.test/d/"), p)
+      val loud = concat(lit("HTTPS://D"), h, lit(".EX.TEST:443/d/"), p)
+      val loc = when(pmod(k, lit(4)) === 1, loud)
+        .when(pmod(k, lit(4)) === 2, concat(lit("\n      "), plain, lit("  \n    ")))
+        .otherwise(plain)
+      concat(lit("  <url><loc>"), loc,
+        lit("</loc><lastmod>2026-01-01</lastmod><priority>0.5</priority></url>\n"))
+    })
+    s.range(7).select(
+      concat(lit("d"), h, lit(".ex.test")).as("host"),
+      concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        concat_ws("", entries),
+        lit("</urlset>\n")).as("sitemap_xml"))
+  }
+
   /** The crawl link graph extracted from the archived pages THEMSELVES
     * (not synthesized arithmetic): anchor hrefs from every 200-status
     * body (`HtmlTextColumn.hrefs`, one codegen'd regexp pass),
@@ -1780,6 +1813,40 @@ object SparkEntry {
           explode(graft.functions.Robots.sitemaps(col("robots_txt")))
             .as("sitemap"))
         .orderBy("host")),
+
+    // Sitemap CONSUMPTION (Robots.sitemapLocs) — the leg after discovery:
+    // the per-host sitemap XML parses to <loc> seed URLs, canonicalized
+    // (the shouting-caps-with-port and whitespace-padded classes must
+    // fold onto the plain form; lastmod/priority decoys must not
+    // surface). One map-side regexp pass per document.
+    "warc_sitemap_urls" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      sitemapDocs(s, n).select(col("host"),
+          explode(graft.functions.Robots.sitemapLocs(col("sitemap_xml"))).as("loc"))
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("loc")).as("url"))
+        .distinct()
+        .orderBy("host", "url")
+    }),
+
+    // The FRONTIER-SEED diff that closes the crawl loop: sitemap locs
+    // minus the already-discovered URL table (one anti-join against the
+    // persisted crawl index) = the pages to enqueue. Three seed classes
+    // must survive: beyond-corpus pages (never fetched), alias-shadow
+    // positions (p%3==2 — no page canonicalizes there), and p%5==0 pages
+    // whose DISCOVERED canonical form carries a query string the bare
+    // sitemap loc doesn't — while every plainly-known page drops.
+    "pipeline_crawl_seeds" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val locs = sitemapDocs(s, n).select(col("host"),
+          explode(graft.functions.Robots.sitemapLocs(col("sitemap_xml"))).as("loc"))
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("loc")).as("url"))
+        .distinct()
+      locs.join(crawlUrls(s, dir).select(col("url")), Seq("url"), "left_anti")
+        .select(col("host"), col("url"))
+        .orderBy("host", "url")
+    }),
 
     // The whole policy digest a scheduler keeps per host: rule count
     // (both tiers' input), the `*` group's crawl delay (the fetchbot
@@ -5830,6 +5897,33 @@ object SparkEntry {
         |       ELSE NOT starts_with(s, CAST(h AS VARCHAR) || '5') END AS blocked,
         |  CASE WHEN h = 3 THEN 2.0 ELSE 7.0 END AS crawl_delay
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // every variant (plain, shouting-caps-with-port, whitespace-padded)
+    // canonicalizes to the one arithmetic form; decoy siblings never
+    // surface — the replay states the ideal directly
+    "warc_sitemap_urls" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
+        |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
+        |  FROM range(7) t(h), range(43) t2(k))
+        |SELECT 'd' || h || '.ex.test' AS host,
+        |  'https://d' || h || '.ex.test/d/' || p AS url
+        |FROM ks ORDER BY host, url""".stripMargin,
+
+    // a sitemap loc is already-discovered ONLY when its page truly
+    // canonicalizes to the bare form: in-corpus (p < n), not an
+    // alias-shadow position (p%3<>2), and not a query-carrying canonical
+    // (p%5<>0). Everything else is a frontier seed.
+    "pipeline_crawl_seeds" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
+        |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
+        |  FROM range(7) t(h), range(43) t2(k))
+        |SELECT 'd' || h || '.ex.test' AS host,
+        |  'https://d' || h || '.ex.test/d/' || p AS url
+        |FROM ks
+        |WHERE NOT (p < (SELECT n FROM nn) AND p % 3 <> 2 AND p % 5 <> 0)
+        |ORDER BY host, url""".stripMargin,
 
     // the parse is the load-bearing half: the URL comes out of the DECOY
     // group (group-independence) while that group's rules never leak

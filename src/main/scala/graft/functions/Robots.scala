@@ -176,6 +176,20 @@ object Robots {
     array_distinct(regexp_extract_all(robotsTxt,
       lit("(?mi)^sitemap:[ \\t]*(\\S+)"), lit(1)))
 
+  /** `<loc>` values of a fetched sitemap document — the CONSUMPTION leg
+    * of sitemap discovery ([[sitemaps]] finds the sitemap URLs; this
+    * turns the XML they point at into frontier seed URLs). Works for
+    * both `<urlset>` page lists and `<sitemapindex>` nesting (a `<loc>`
+    * is a URL either way — the caller decides whether to enqueue or
+    * re-fetch), tolerates whitespace/newline padding inside the element,
+    * dedupes, and ignores every sibling element (`lastmod`, `priority`,
+    * ...). Same pure-regexp map-side posture as the policy parse: no XML
+    * library, one codegen'd `regexp_extract_all` per document.
+    */
+  def sitemapLocs(xml: Column): Column =
+    array_distinct(regexp_extract_all(xml,
+      lit("(?is)<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)))
+
   /** One robots path pattern as an equivalent Java regex: `*` matches any
     * run of characters, a TRAILING `$` anchors the match at path end, and
     * every other character is literal (non-trailing `$` included). The

@@ -175,6 +175,27 @@ class RobotsSpec extends SparkSpec {
     assert(!blockedFor(stacked, "graftbot", "/p/x"))
   }
 
+  test("sitemapLocs: urlset and sitemapindex <loc> extraction, padding " +
+      "trimmed, siblings ignored, deduped") {
+    def locs(xml: String): Seq[String] =
+      Seq(xml).toDF("x")
+        .select(Robots.sitemapLocs(col("x")).as("l"))
+        .collect().head.getSeq[String](0)
+    val urlset = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc>https://a.test/p1</loc><lastmod>2026-01-01</lastmod></url>
+      |  <url><loc>
+      |      https://a.test/p2  </loc><priority>0.5</priority></url>
+      |  <url><loc>https://a.test/p1</loc></url>
+      |</urlset>""".stripMargin
+    assert(locs(urlset) === Seq("https://a.test/p1", "https://a.test/p2"))
+    // a sitemapindex's locs surface the same way (caller re-fetches)
+    val index = "<sitemapindex><sitemap><LOC>https://a.test/sm1.xml</LOC>" +
+      "</sitemap></sitemapindex>"
+    assert(locs(index) === Seq("https://a.test/sm1.xml"))
+    assert(locs("<urlset></urlset>") === Seq.empty)
+  }
+
   test("crawlDelaySecondsFor: per-bot delay with '*' fallback") {
     def delayFor(txt: String, agent: String): Option[Double] = {
       val r = Seq(txt).toDF("t")
