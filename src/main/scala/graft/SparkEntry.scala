@@ -2898,6 +2898,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MP4/ISO-BMFF CONTAINER metadata without a codec
+    // (Multimodal.decodeMp4Meta): a pure byte-walk of the box structure —
+    // ftyp brand, mvhd timescale/duration (the id%7==3 class writes the
+    // 64-bit v1 layout and must parse to the same values), trak count
+    // split by mdia/hdlr handler — in the same mapPartitions decode shape
+    // as every modality, gated on duration + having a video track. The
+    // id%11==0 poison class declares a box size overrunning the payload
+    // and must land decoded=false with zeroed stats, never a crash.
+    "multimodal_video_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMp4s(
+        t(s, dir, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      Multimodal.decodeMp4Meta(media).toDF()
+        .select(col("media_id").as("doc_id"), col("major_brand"),
+          col("timescale"), col("duration_units"), col("duration_s"),
+          col("n_tracks").cast("long").as("n_tracks"),
+          col("n_video_tracks").cast("long").as("n_video_tracks"),
+          col("n_audio_tracks").cast("long").as("n_audio_tracks"),
+          col("decoded"),
+          (col("decoded") && col("n_video_tracks") >= 1 &&
+            col("duration_s") >= 1.0).as("quality_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Audio QUALITY curation gate over REAL decoded PCM — silence (RMS
     // floor) and saturation (clip-ratio cap) drop, healthy takes pass.
     // Mixed-class fixture by doc_id % 5: 0 → dead air, 1 → full-scale
@@ -6954,6 +6978,28 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.doc_id = d.doc_id
         |LEFT JOIN csizes ON csizes.cluster_id = lab.cluster_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    // the container arithmetic ideal: every box value is a function of
+    // doc_id, so the replay states brand/timescale/duration/track-split
+    // directly — the byte-walk must erase the v1-layout and poison
+    // classes to match. Durations are k×500/1000 = exact binary halves.
+    "multimodal_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'isom' END AS major_brand,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1000 END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+        |       ELSE (doc_id % 9 + 1) * 500 END AS BIGINT) AS duration_units,
+        |  CASE WHEN doc_id % 11 = 0 THEN 0.0
+        |       ELSE (doc_id % 9 + 1) * 0.5 END AS duration_s,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+        |       ELSE 1 + doc_id % 3 END AS BIGINT) AS n_tracks,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+        |       WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_video_tracks,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+        |       WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_audio_tracks,
+        |  doc_id % 11 <> 0 AS decoded,
+        |  (doc_id % 11 <> 0 AND doc_id % 9 >= 1) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // motion replayed from the per-class frame arithmetic: the absolute
     // inter-frame difference of the synthesis formula, summed exactly

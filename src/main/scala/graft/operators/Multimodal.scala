@@ -16,11 +16,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
   * [[synthesizeGifs]] / [[decodeVideoMeta]] / [[sampleVideoFrames]] do
   * actual animated-GIF container walks and per-frame pixel decode —
   * the frame-extraction shape a codec binding slots into unchanged.
-  * MP4/H.264-class codecs remain out of scope (no codec libraries in
-  * this container): for those formats [[DecodeStub]]/[[sampleFrames]]
-  * stay as the clearly-marked byte-chunk stubs; swapping in a real
-  * codec changes no plan shape — decode stays a `mapPartitions` over
-  * binary payloads, metadata stays columnar.
+  * For MP4/ISO-BMFF the CONTAINER level is real too:
+  * [[decodeMp4Meta]] byte-walks the box structure (ftyp brand, mvhd
+  * timescale/duration in both the v0 and v1 layouts, trak/hdlr track
+  * split) with no codec; only the H.264-class FRAME decode remains out
+  * of scope (no codec libraries in this container) — for that,
+  * [[DecodeStub]]/[[sampleFrames]] stay as the clearly-marked
+  * byte-chunk stubs; swapping in a real codec changes no plan shape —
+  * decode stays a `mapPartitions` over binary payloads, metadata stays
+  * columnar.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is
   * map-side; downstream joins should carry only (id, features/meta) with the
@@ -934,6 +938,181 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** MP4/ISO-BMFF CONTAINER metadata (ISO/IEC 14496-12 §4.2 box
+    * structure): major brand from `ftyp`, movie timescale + duration
+    * from `moov`/`mvhd` (both the 32-bit v0 and 64-bit v1 layouts),
+    * track count and per-handler split from `moov`/`trak`/`mdia`/`hdlr`.
+    */
+  case class Mp4Meta(media_id: Long, major_brand: String, timescale: Long,
+                     duration_units: Long, duration_s: Double, n_tracks: Int,
+                     n_video_tracks: Int, n_audio_tracks: Int,
+                     decoded: Boolean)
+
+  /** The child boxes of `b[from, to)` as (type, payloadStart, payloadEnd)
+    * — one pass of the ISO-BMFF size/type walk. Handles the three size
+    * encodings (plain 32-bit, `size==1` + 64-bit largesize, `size==0` =
+    * extends to the parent's end) and throws on any malformed size
+    * (truncated header, overrun, size < 8) — the caller's poison-file
+    * boundary.
+    */
+  private def mp4Children(b: Array[Byte], from: Int, to: Int)
+      : List[(String, Int, Int)] = {
+    def beU32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def beU64(i: Int): Long =
+      (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (b(i + k) & 0xffL))
+    val out = List.newBuilder[(String, Int, Int)]
+    var i = from
+    while (i < to) {
+      if (i + 8 > to) throw new IllegalArgumentException("truncated box header")
+      val sz = beU32(i)
+      val tp = new String(b, i + 4, 4, "US-ASCII")
+      val (payloadStart, end: Long) =
+        if (sz == 1L) {
+          if (i + 16 > to) throw new IllegalArgumentException("truncated largesize")
+          (i + 16, i + beU64(i + 8))
+        } else if (sz == 0L) (i + 8, to.toLong)
+        else (i + 8, i + sz)
+      if (end > to || end < payloadStart)
+        throw new IllegalArgumentException(s"bad box size $sz at offset $i")
+      out += ((tp, payloadStart, end.toInt))
+      i = end.toInt
+    }
+    out.result()
+  }
+
+  /** MP4 container-metadata decode WITHOUT a codec — a pure byte-walk of
+    * the box structure in the same `mapPartitions` decode shape as every
+    * other modality, so the (separate, documented) H.264 frame-decode
+    * stub is the only thing a codec binding would replace. Requires
+    * `ftyp`, `moov`/`mvhd` (v0 or v1), and counts `trak` boxes by their
+    * `mdia`/`hdlr` handler (`vide`/`soun`). Corrupt, truncated, or
+    * non-BMFF payloads → `decoded=false`, zeroed stats — the
+    * poison-file posture of [[decodeVideoMeta]].
+    */
+  def decodeMp4Meta(media: DataFrame): Dataset[Mp4Meta] = {
+    implicit val enc = Encoders.product[Mp4Meta]
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"),
+        col("media_type").cast("string"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { it: Iterator[MediaRow] =>
+        it.map { r =>
+          try {
+            val b = r.payload
+            if (b == null || b.length < 8)
+              throw new IllegalArgumentException("no box header")
+            def beU32(i: Int): Long =
+              ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+                ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+            def beU64(i: Int): Long =
+              (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (b(i + k) & 0xffL))
+            val top = mp4Children(b, 0, b.length)
+            val brand = top.collectFirst {
+              case ("ftyp", s, e) if e - s >= 4 => new String(b, s, 4, "US-ASCII")
+            }.getOrElse(throw new IllegalArgumentException("no ftyp"))
+            val (moovS, moovE) = top.collectFirst { case ("moov", s, e) => (s, e) }
+              .getOrElse(throw new IllegalArgumentException("no moov"))
+            val kids = mp4Children(b, moovS, moovE)
+            val (ts, du) = kids.collectFirst { case ("mvhd", s, e) =>
+              val v = b(s) & 0xff
+              if (v == 1) {
+                if (s + 32 > e) throw new IllegalArgumentException("short mvhd v1")
+                (beU32(s + 20), beU64(s + 24))
+              } else {
+                if (s + 20 > e) throw new IllegalArgumentException("short mvhd")
+                (beU32(s + 12), beU32(s + 16))
+              }
+            }.getOrElse(throw new IllegalArgumentException("no mvhd"))
+            if (ts <= 0) throw new IllegalArgumentException("zero timescale")
+            val traks = kids.filter(_._1 == "trak")
+            var nVideo = 0
+            var nAudio = 0
+            traks.foreach { case (_, s, e) =>
+              for {
+                (_, ms, me) <- mp4Children(b, s, e).find(_._1 == "mdia")
+                (_, hs, he) <- mp4Children(b, ms, me).find(_._1 == "hdlr")
+                if he - hs >= 12
+              } new String(b, hs + 8, 4, "US-ASCII") match {
+                case "vide" => nVideo += 1
+                case "soun" => nAudio += 1
+                case _ => ()
+              }
+            }
+            Mp4Meta(r.media_id, brand, ts, du, du.toDouble / ts,
+              traks.size, nVideo, nAudio, decoded = true)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Mp4Meta(r.media_id, "", 0L, 0L, 0.0, 0, 0, 0, decoded = false)
+          }
+        }
+      }
+  }
+
+  /** Minimal-but-real ISO-BMFF fixtures from id arithmetic: `ftyp(isom)`
+    * + a `free` decoy + `moov(mvhd + trak* + udta decoy)` + `mdat`.
+    * Movie duration = (id%9+1)×500 units at timescale 1000; 1 + id%3
+    * tracks with handlers [vide, soun, vide]; id%7==3 writes the 64-bit
+    * mvhd v1 layout (same values — the parse must agree); id%11==0 is
+    * the poison class (a box whose declared size overruns the payload).
+    */
+  def synthesizeMp4s(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it: Iterator[Long] =>
+        def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+          bb.array()
+        }
+        it.map { id =>
+          if (id % 11 == 0) {
+            // declared size 4096 over a 16-byte payload: the walk overruns
+            val bb = java.nio.ByteBuffer.allocate(16)
+            bb.putInt(4096).put("moov".getBytes("US-ASCII")).putLong(id)
+            MediaRow(id, bb.array(), "video/mp4")
+          } else {
+            val timescale = 1000
+            val dur = ((id % 9) + 1) * 500
+            val mvhd =
+              if (id % 7 == 3) {
+                val bb = java.nio.ByteBuffer.allocate(112)
+                bb.putInt(0x01000000)            // version 1, flags 0
+                  .putLong(0L).putLong(0L)       // creation, modification
+                  .putInt(timescale).putLong(dur)
+                box("mvhd", bb.array())          // trailing 80 bytes zeroed
+              } else {
+                val bb = java.nio.ByteBuffer.allocate(100)
+                bb.putInt(0).putInt(0).putInt(0) // v0, creation, modification
+                  .putInt(timescale).putInt(dur.toInt)
+                box("mvhd", bb.array())
+              }
+            def trak(handler: String): Array[Byte] = {
+              val bb = java.nio.ByteBuffer.allocate(25)
+              bb.putInt(0).putInt(0)             // version/flags, pre_defined
+                .put(handler.getBytes("US-ASCII")) // then 12+1 zeroed bytes
+              box("trak", box("mdia", box("hdlr", bb.array())))
+            }
+            val handlers = Seq("vide", "soun", "vide").take(1 + (id % 3).toInt)
+            val moov = box("moov",
+              mvhd ++ handlers.flatMap(trak).toArray ++
+                box("udta", Array[Byte](1, 2, 3, 4)))
+            val ftypBody = java.nio.ByteBuffer.allocate(12)
+            ftypBody.put("isom".getBytes("US-ASCII")).putInt(512)
+              .put("mp41".getBytes("US-ASCII"))
+            val bytes =
+              box("ftyp", ftypBody.array()) ++
+                box("free", Array[Byte](9, 9, 9, 9)) ++ moov ++
+                box("mdat", Array.fill((id % 5).toInt)(0x55.toByte))
+            MediaRow(id, bytes, "video/mp4")
+          }
+        }
+      }
+      .toDF()
   }
 
   /** REAL frame sampling: every `every`-th frame of the container is

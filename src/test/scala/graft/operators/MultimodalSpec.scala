@@ -529,4 +529,72 @@ class MultimodalSpec extends SparkSpec {
     assert(ivf === brute,
       "exhaustive-probe IVF over image features diverged from brute force")
   }
+
+  test("synthesizeMp4s -> decodeMp4Meta round-trips the box arithmetic; " +
+      "v0 and v1 mvhd layouts agree; poison reports") {
+    val ids = spark.range(0, 50).select($"id".as("doc_id"))
+    val got = Multimodal.decodeMp4Meta(Multimodal.synthesizeMp4s(ids))
+      .collect().map(m => m.media_id -> m).toMap
+    (0L until 50L).foreach { id =>
+      val m = got(id)
+      if (id % 11 == 0) {
+        assert(!m.decoded && m.major_brand == "" && m.n_tracks == 0, s"id $id")
+      } else {
+        assert(m.decoded, s"id $id")
+        assert(m.major_brand == "isom" && m.timescale == 1000L, s"id $id")
+        assert(m.duration_units == (id % 9 + 1) * 500, s"id $id")
+        assert(m.duration_s == (id % 9 + 1) * 0.5, s"id $id")
+        assert(m.n_tracks == 1 + (id % 3).toInt, s"id $id")
+        assert(m.n_video_tracks == (if (id % 3 == 2) 2 else 1), s"id $id")
+        assert(m.n_audio_tracks == (if (id % 3 >= 1) 1 else 0), s"id $id")
+      }
+    }
+    // id 3 (3 % 7 == 3) wrote the 64-bit v1 mvhd; id 10 the v0 — the two
+    // layouts must already have agreed above; pin it explicitly
+    assert(got(3L).decoded && got(3L).duration_units == (3 % 9 + 1) * 500)
+  }
+
+  test("decodeMp4Meta: largesize (size==1) and to-end (size==0) box " +
+      "encodings parse; truncated headers and overruns report") {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftypBody = java.nio.ByteBuffer.allocate(12)
+    ftypBody.put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("mp41".getBytes("US-ASCII"))
+    val mvhdBody = java.nio.ByteBuffer.allocate(100)
+    mvhdBody.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1200)
+    val hdlrBody = java.nio.ByteBuffer.allocate(25)
+    hdlrBody.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+    val trak = box("trak", box("mdia", box("hdlr", hdlrBody.array())))
+    // moov written with the LARGESIZE encoding: size==1 + 64-bit length
+    val moovPayload = box("mvhd", mvhdBody.array()) ++ trak
+    val moovLarge = {
+      val bb = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+      bb.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + moovPayload.length).put(moovPayload)
+      bb.array()
+    }
+    // trailing mdat with size==0: extends to end of payload
+    val mdatToEnd = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0).put("mdat".getBytes("US-ASCII")).putInt(7)
+      bb.array()
+    }
+    val good = box("ftyp", ftypBody.array()) ++ moovLarge ++ mdatToEnd
+    val rows = Seq(
+      (1L, good, "video/mp4"),
+      (2L, good.take(20), "video/mp4"),            // truncated mid-header
+      (3L, Array.emptyByteArray, "video/mp4"),
+      (4L, null.asInstanceOf[Array[Byte]], "video/mp4"))
+      .toDF("media_id", "payload", "media_type")
+    val got = Multimodal.decodeMp4Meta(rows).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).decoded && got(1L).timescale == 600L &&
+      got(1L).duration_units == 1200L && got(1L).duration_s == 2.0 &&
+      got(1L).n_tracks == 1 && got(1L).n_video_tracks == 1)
+    assert(!got(2L).decoded && !got(3L).decoded && !got(4L).decoded)
+  }
 }
