@@ -260,10 +260,15 @@ object SparkEntry {
           .map { case (nm, len) => (s"${st.getPath.getName}/$nm", len) }
         else Seq.empty
       }
-    val roster = walk(root, depth).map { case (nm, len) => s"$nm:$len" }.sorted
+    val entries = walk(root, depth)
+    val roster = entries.map { case (nm, len) => s"$nm:$len" }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(roster.mkString("\n").getBytes("UTF-8"))
-    f"n${roster.size}_x${java.nio.ByteBuffer.wrap(md).getLong}%016x"
+    // n = TOTAL BYTES, not file count: the sibling cleanup in
+    // ensureIndexNamed keys on n, and two scale factors produce the same
+    // FILE count (16 segments each) — byte totals differ, so sf0.01 and
+    // sf0.1 entries coexist instead of clobbering each other per switch
+    f"n${entries.map(_._2).sum}_x${java.nio.ByteBuffer.wrap(md).getLong}%016x"
   }
 
   /** Shared WARC fixture for the `warc_*` queries: 16 gzipped archive
@@ -281,7 +286,21 @@ object SparkEntry {
     * fixture's SEGMENT LISTING (`$path/files` names+sizes) instead of
     * parsed content.
     */
-  private def warcFixturePath(s: SparkSession, dir: String): String = {
+  /** Session-scoped memo for fixture index paths: the ensureIndex
+    * fingerprint (count+xor over the documents ids) is a corpus-column
+    * scan, and every warc/crawl query re-derived it per CALL — including
+    * three times per query under Bench's median-of-3. Within one JVM the
+    * testdata doesn't change, so the first resolution per (kind, sf dir)
+    * is authoritative.
+    */
+  private val fixturePathMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def warcFixturePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warcl", dir), _ =>
+      warcFixturePathUncached(s, dir))
+
+  private def warcFixturePathUncached(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
     // kind "warcl" (not the r12 "warc"): payloads now carry the planted
     // link anchors, so the pre-anchor cache key must never be reused
@@ -420,7 +439,11 @@ object SparkEntry {
     * segment payloads now carry anchors and the builder grew the
     * compacted index.
     */
-  private def warcIngestPath(s: SparkSession, dir: String): String = {
+  private def warcIngestPath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warcingestl2", dir), _ =>
+      warcIngestPathUncached(s, dir))
+
+  private def warcIngestPathUncached(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
     ensureIndex(s, ids, "warcingestl2", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -531,7 +554,10 @@ object SparkEntry {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest((roster :+ s"b${upToBatch.getOrElse(-1L)}")
         .mkString("\n").getBytes("UTF-8"))
-    val name = f"n${roster.size}_x${java.nio.ByteBuffer.wrap(md).getLong}%016x"
+    // n from the roster TEXT bytes (names+sizes), not the file count —
+    // same cross-SF coexistence rationale as listingKey
+    val name = f"n${roster.map(_.length + 1L).sum}" +
+      f"_x${java.nio.ByteBuffer.wrap(md).getLong}%016x"
     val path = ensureIndexNamed(s, "crawlrankm", name, "ranks") { p =>
       graft.operators.Graph.pageRank(
           graft.streaming.LinkIngest.edges(s, idx, upToBatch, nodeOf),
@@ -5930,7 +5956,7 @@ object SparkEntry {
         |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
         |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
         |  FROM range(7) t(h), range(43) t2(k))
-        |SELECT 'd' || h || '.ex.test' AS host,
+        |SELECT DISTINCT 'd' || h || '.ex.test' AS host,
         |  'https://d' || h || '.ex.test/d/' || p AS url
         |FROM ks ORDER BY host, url""".stripMargin,
 
@@ -5943,7 +5969,7 @@ object SparkEntry {
         |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
         |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
         |  FROM range(7) t(h), range(43) t2(k))
-        |SELECT 'd' || h || '.ex.test' AS host,
+        |SELECT DISTINCT 'd' || h || '.ex.test' AS host,
         |  'https://d' || h || '.ex.test/d/' || p AS url
         |FROM ks
         |WHERE NOT (p < (SELECT n FROM nn) AND p % 3 <> 2 AND p % 5 <> 0)

@@ -94,12 +94,14 @@ object BatchMarker {
     fs.listStatus(batches).foreach { st =>
       val nm = st.getPath.getName
       val old = nm.stripPrefix(s"${sink}_horizon_")
+      // nonEmpty guards: a malformed marker name (bare prefix, no id)
+      // must never crash the GC — compaction would then fail forever
       if (nm.startsWith(s"${sink}_horizon_") && old != id.toString &&
-          old.forall(_.isDigit) && old.toLong < id)
+          old.nonEmpty && old.forall(_.isDigit) && old.toLong < id)
         fs.delete(st.getPath, false)
       else if (nm.startsWith(bare) && !nm.startsWith(s"${sink}_horizon_")) {
         val tail = nm.stripPrefix(bare)
-        if (tail.forall(_.isDigit) && tail.toLong <= id)
+        if (tail.nonEmpty && tail.forall(_.isDigit) && tail.toLong <= id)
           fs.delete(st.getPath, false)
       }
     }
