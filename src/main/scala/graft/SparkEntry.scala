@@ -1874,6 +1874,42 @@ object SparkEntry {
         .orderBy("host", "url")
     }),
 
+    // The DISCOVERY-TO-FETCH leg composed end-to-end: frontier seeds
+    // (sitemap locs minus the discovered-URL table) gated and paced AS A
+    // NAMED BOT — rulesFor/crawlDelaySecondsFor pick graftbot's stacked
+    // group where one exists (Disallow /d/ with the host-digit Allow
+    // carve-out; delay 7) and fall back to the `*` tier on host 3
+    // (prefix rules; delay 2) — then a top-3 per-host enqueue budget
+    // ordered by url (seeds are pre-rank by definition), each slot
+    // offset by the bot's delay. Integrates the r14 sitemap + per-bot
+    // tiers into one scheduling decision.
+    "pipeline_crawl_enqueue" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val seeds = sitemapDocs(s, n).select(col("host"),
+          explode(graft.functions.Robots.sitemapLocs(col("sitemap_xml"))).as("loc"))
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("loc")).as("url"))
+        .distinct()
+        .join(crawlUrls(s, dir).select(col("url")), Seq("url"), "left_anti")
+      val bot = lit("graftbot")
+      val pol = robotsPolicies(s).select(col("host"),
+        graft.functions.Robots.rulesFor(col("robots_txt"), bot).as("rules"),
+        // the per-bot delay already falls back to the `*` groups' on a
+        // host with no graftbot group (groupsFor's selection)
+        graft.functions.Robots.crawlDelaySecondsFor(col("robots_txt"), bot)
+          .as("delay"))
+      val w = Window.partitionBy(col("host")).orderBy(asc("url"))
+      seeds.join(broadcast(pol), Seq("host"), "left")
+        .filter(!graft.functions.Robots.isBlockedByRules(
+          try_parse_url(col("url"), lit("PATH")), col("rules")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("host"), col("url"),
+          ((col("rn") - 1) * coalesce(col("delay"), lit(0.0)))
+            .as("scheduled_offset_s"))
+        .orderBy("host", "url")
+    }),
+
     // The whole policy digest a scheduler keeps per host: rule count
     // (both tiers' input), the `*` group's crawl delay (the fetchbot
     // decoy's `Crawl-delay: 99` must NOT leak — delays are group-scoped,
@@ -5959,6 +5995,30 @@ object SparkEntry {
         |SELECT DISTINCT 'd' || h || '.ex.test' AS host,
         |  'https://d' || h || '.ex.test/d/' || p AS url
         |FROM ks ORDER BY host, url""".stripMargin,
+
+    // seeds (the pipeline_crawl_seeds set) gated per GRAFTBOT's groups —
+    // hosts with the stacked group block everything but the host-digit
+    // Allow carve-out and pace at 7 s; host 3 falls back to the `*`
+    // prefix rules and the 2 s delay — then the top-3-by-url enqueue
+    // budget with (rn−1)×delay offsets
+    "pipeline_crawl_enqueue" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
+        |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
+        |  FROM range(7) t(h), range(43) t2(k)),
+        |seeds AS (SELECT DISTINCT h, CAST(p AS VARCHAR) AS s,
+        |    'https://d' || h || '.ex.test/d/' || p AS url
+        |  FROM ks
+        |  WHERE NOT (p < (SELECT n FROM nn) AND p % 3 <> 2 AND p % 5 <> 0)),
+        |allowed AS (SELECT * FROM seeds WHERE NOT (
+        |  CASE WHEN h = 3 THEN starts_with(s, '3') AND NOT starts_with(s, '35')
+        |       ELSE NOT starts_with(s, CAST(h AS VARCHAR) || '5') END)),
+        |q AS (SELECT 'd' || h || '.ex.test' AS host, url,
+        |    row_number() OVER (PARTITION BY h ORDER BY url) AS rn,
+        |    CASE WHEN h = 3 THEN 2.0 ELSE 7.0 END AS delay
+        |  FROM allowed)
+        |SELECT host, url, (rn - 1) * delay AS scheduled_offset_s
+        |FROM q WHERE rn <= 3 ORDER BY host, url""".stripMargin,
 
     // a sitemap loc is already-discovered ONLY when its page truly
     // canonicalizes to the bare form: in-corpus (p < n), not an
