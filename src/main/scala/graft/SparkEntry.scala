@@ -422,6 +422,10 @@ object SparkEntry {
   }
 
   /** Probe-tool access to the segment fixture (tools/GraphProbe). */
+  /** Probe-tool access to the HLL sketch index (tools/RetentionProbe). */
+  private[graft] def sketchPathForProbe(s: SparkSession, dir: String): String =
+    sketchPath(s, dir)
+
   private[graft] def warcIngestPathForProbe(s: SparkSession, dir: String): String =
     warcIngestPath(s, dir)
 
