@@ -202,6 +202,18 @@ object SparkEntry {
     * "stats"): completeness is judged by that table's _SUCCESS, so a
     * crash mid-build leaves the marker absent and the next run rebuilds,
     * instead of a half-built index being treated as complete forever.
+    *
+    * SCALE NOTE on the key itself: this content fingerprint is ONE
+    * pushed-down column scan of the raw corpus — acceptable for the ANN
+    * family because the oracle contract pins the `n<rows>` naming (the
+    * replay globs filter on it) and the cost amortizes per session. It
+    * is NOT acceptable when the "corpus" is itself an expensive derived
+    * computation — fingerprinting the extracted link graph cost a WARC
+    * parse + resolution join per scheduling query (the r13 defect) —
+    * which is what [[ensureIndexNamed]] + [[listingKey]] exist for:
+    * key such indexes off their INGEST METADATA. At production scale
+    * the listing key generalizes to the table's snapshot/commit id
+    * (the changelog family's landed-batch convention).
     */
   private[graft] def ensureIndex(s: SparkSession, corpus: DataFrame, kind: String,
       marker: String)(write: String => Unit): String = {
