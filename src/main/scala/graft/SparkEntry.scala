@@ -613,6 +613,20 @@ object SparkEntry {
     * green against the same literal is the batch ≡ streamed equivalence
     * proof.
     */
+  /** One oracle for `warc_sitemap_urls` AND `warc_sitemap_index`: every
+    * loc variant canonicalizes to the one arithmetic form, and the
+    * two-level sitemapindex walk must land the identical seed set —
+    * nesting ≡ flat (the equivalence-twin convention).
+    */
+  private val sitemapUrlsOracle: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
+      |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
+      |  FROM range(7) t(h), range(43) t2(k))
+      |SELECT DISTINCT 'd' || h || '.ex.test' AS host,
+      |  'https://d' || h || '.ex.test/d/' || p AS url
+      |FROM ks ORDER BY host, url""".stripMargin
+
   private val warcPipelineOracle: String =
     """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
       |tx AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
@@ -1864,6 +1878,35 @@ object SparkEntry {
     "warc_sitemap_urls" -> ((s, dir) => {
       val n = t(s, dir, "documents").count()
       sitemapDocs(s, n).select(col("host"),
+          explode(graft.functions.Robots.sitemapLocs(col("sitemap_xml"))).as("loc"))
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("loc")).as("url"))
+        .distinct()
+        .orderBy("host", "url")
+    }),
+
+    // TWO-LEVEL sitemap discovery under the SAME oracle: a per-host
+    // <sitemapindex> (whitespace-padded <loc>, lastmod decoy) parses to
+    // the sitemap URL the robots fixture declares, joins to that fetched
+    // document, and the second-level parse must land the identical seed
+    // set — nesting ≡ flat, the equivalence-twin convention applied to
+    // sitemapLocs' sitemapindex claim.
+    "warc_sitemap_index" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val hid = col("id")
+      val index = s.range(7).select(
+        concat(lit("d"), hid, lit(".ex.test")).as("host"),
+        concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n  <sitemap><loc>\n    "),
+          lit("https://d"), hid, lit(".ex.test/sitemap-"), hid, lit(".xml  \n  "),
+          lit("</loc><lastmod>2026-02-02</lastmod></sitemap>\n</sitemapindex>\n"))
+          .as("xml"))
+      val level1 = index.select(col("host"),
+        explode(graft.functions.Robots.sitemapLocs(col("xml"))).as("sm_url"))
+      val fetched = sitemapDocs(s, n).withColumn("sm_url",
+        concat(lit("https://"), col("host"), lit("/sitemap-"),
+          regexp_extract(col("host"), "d(\\d+)", 1), lit(".xml")))
+      level1.join(fetched, Seq("host", "sm_url"))
+        .select(col("host"),
           explode(graft.functions.Robots.sitemapLocs(col("sitemap_xml"))).as("loc"))
         .select(col("host"),
           graft.functions.Url.canonicalizeUrl(col("loc")).as("url"))
@@ -6003,14 +6046,11 @@ object SparkEntry {
     // every variant (plain, shouting-caps-with-port, whitespace-padded)
     // canonicalizes to the one arithmetic form; decoy siblings never
     // surface — the replay states the ideal directly
-    "warc_sitemap_urls" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-        |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
-        |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
-        |  FROM range(7) t(h), range(43) t2(k))
-        |SELECT DISTINCT 'd' || h || '.ex.test' AS host,
-        |  'https://d' || h || '.ex.test/d/' || p AS url
-        |FROM ks ORDER BY host, url""".stripMargin,
+    "warc_sitemap_urls" -> sitemapUrlsOracle,
+
+    // nesting ≡ flat: the two-level index walk must land the identical
+    // seed set — shares warc_sitemap_urls' oracle verbatim
+    "warc_sitemap_index" -> sitemapUrlsOracle,
 
     // seeds (the pipeline_crawl_seeds set) gated per GRAFTBOT's groups —
     // hosts with the stacked group block everything but the host-digit
