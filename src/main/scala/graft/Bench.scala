@@ -74,7 +74,11 @@ object Bench {
     // with failed queries (the -1.0 convention), so a consumer checking the
     // exit code alone must still see partial-suite failure in the JSON.
     val nFailed = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"n_failed":$nFailed,"load_avg":$load}"""
+    // provenance stamp: the r14 driver artifact overwrote the working
+    // tree's bench_last.json and readers mistook whose run it was — the
+    // producer travels IN the JSON (driver leaves the env unset)
+    val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"n_failed":$nFailed,"load_avg":$load,"producer":"$producer"}"""
     println(json)
     // The stdout line travels through sbt's [info] prefix and the driver's
     // tail capture, which has truncated it two rounds running — the file

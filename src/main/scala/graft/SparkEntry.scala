@@ -3027,6 +3027,12 @@ object SparkEntry {
     // as every modality, gated on duration + having a video track. The
     // id%11==0 poison class declares a box size overrunning the payload
     // and must land decoded=false with zeroed stats, never a crash.
+    // The id%13==6 class is FRAGMENTED (mvhd.duration 0, moof/traf/trun
+    // fragments — the streaming-era layout where a movie-level read
+    // reports 0 s and wrongly fails the gate): the walk must sum the
+    // fragment runs under §8.8 precedence (per-sample trun durations over
+    // a decoy tfhd default; tfhd defaults; the mvex/trex default for the
+    // default-less traf) to report the true duration and PASS the gate.
     "multimodal_video_meta" -> ((s, dir) => {
       val media = Multimodal.synthesizeMp4s(
         t(s, dir, "documents").select("doc_id")
@@ -7123,15 +7129,22 @@ object SparkEntry {
 
     // the container arithmetic ideal: every box value is a function of
     // doc_id, so the replay states brand/timescale/duration/track-split
-    // directly — the byte-walk must erase the v1-layout and poison
-    // classes to match. Durations are k×500/1000 = exact binary halves.
+    // directly — the byte-walk must erase the v1-layout, poison, AND
+    // fragmented classes to match. Non-frag durations are k×500/1000 =
+    // exact binary halves; frag durations replay the moof sum
+    // 450 + (id%2)·600 + (3+id%3)·200·(1+id%3), divided by 1000.0 in
+    // both engines (same IEEE operands ⇒ same double).
     "multimodal_video_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'isom' END AS major_brand,
         |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1000 END AS BIGINT) AS timescale,
         |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+        |       WHEN doc_id % 13 = 6 THEN
+        |         450 + (doc_id % 2) * 600 + (3 + doc_id % 3) * 200 * (1 + doc_id % 3)
         |       ELSE (doc_id % 9 + 1) * 500 END AS BIGINT) AS duration_units,
         |  CASE WHEN doc_id % 11 = 0 THEN 0.0
+        |       WHEN doc_id % 13 = 6 THEN
+        |         (450 + (doc_id % 2) * 600 + (3 + doc_id % 3) * 200 * (1 + doc_id % 3)) / 1000.0
         |       ELSE (doc_id % 9 + 1) * 0.5 END AS duration_s,
         |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
         |       ELSE 1 + doc_id % 3 END AS BIGINT) AS n_tracks,
@@ -7140,7 +7153,7 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 11 = 0 THEN 0
         |       WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_audio_tracks,
         |  doc_id % 11 <> 0 AS decoded,
-        |  (doc_id % 11 <> 0 AND doc_id % 9 >= 1) AS quality_ok
+        |  (doc_id % 11 <> 0 AND (doc_id % 9 >= 1 OR doc_id % 13 = 6)) AS quality_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // motion replayed from the per-class frame arithmetic: the absolute

@@ -992,6 +992,20 @@ object Multimodal {
     * `mdia`/`hdlr` handler (`vide`/`soun`). Corrupt, truncated, or
     * non-BMFF payloads → `decoded=false`, zeroed stats — the
     * poison-file posture of [[decodeVideoMeta]].
+    *
+    * FRAGMENTED MP4 (streaming-era files, ISO/IEC 14496-12 §8.8): when
+    * `mvhd.duration == 0` the true duration lives in the fragments, so
+    * the walk sums every `moof`/`traf` run — per-sample `trun` durations
+    * when flag 0x100 is set (stepping the full per-sample stride), else
+    * `sample_count × tfhd.default_sample_duration`, else the
+    * `moov`/`mvex`/`trex` default for the traf's track_ID (§8.8.3
+    * precedence, trun > tfhd > trex). Codec-free approximation,
+    * documented: fragment durations are in the TRACK's media timescale
+    * (`mdhd`), which the synthesized fixtures and the common
+    * single-video-track case keep equal to the movie timescale; a
+    * multi-timescale file would need the `trak`-level walk extended to
+    * `mdia`/`mdhd`. A traf with no duration source anywhere is malformed
+    * → the poison posture.
     */
   def decodeMp4Meta(media: DataFrame): Dataset[Mp4Meta] = {
     implicit val enc = Encoders.product[Mp4Meta]
@@ -1028,6 +1042,60 @@ object Multimodal {
               }
             }.getOrElse(throw new IllegalArgumentException("no mvhd"))
             if (ts <= 0) throw new IllegalArgumentException("zero timescale")
+            // trex defaults per track_ID (moov/mvex/trex) — consulted only
+            // when a fragment's tfhd carries no default_sample_duration
+            val trexDefaults: Map[Long, Long] = kids.collect {
+              case ("mvex", ms, me) => mp4Children(b, ms, me).collect {
+                case ("trex", xs, xe) if xe - xs >= 24 =>
+                  beU32(xs + 4) -> beU32(xs + 12)
+              }
+            }.flatten.toMap
+            // fMP4: an empty movie-level duration defers to the fragments
+            val effDu = if (du != 0L) du else top.collect {
+              case ("moof", ms, me) => mp4Children(b, ms, me).collect {
+                case ("traf", fs, fe) =>
+                  val traf = mp4Children(b, fs, fe)
+                  val (trackId, tfhdDefault) = traf.collectFirst {
+                    case ("tfhd", hs, he) =>
+                      if (hs + 8 > he)
+                        throw new IllegalArgumentException("short tfhd")
+                      val flags = beU32(hs) & 0xffffffL
+                      val tid = beU32(hs + 4)
+                      var o = hs + 8
+                      if ((flags & 0x1) != 0) o += 8  // base_data_offset
+                      if ((flags & 0x2) != 0) o += 4  // sample_descr_index
+                      val d =
+                        if ((flags & 0x8) == 0) None
+                        else if (o + 4 > he)
+                          throw new IllegalArgumentException("short tfhd fields")
+                        else Some(beU32(o))
+                      (tid, d)
+                  }.getOrElse(
+                    throw new IllegalArgumentException("traf without tfhd"))
+                  val default = tfhdDefault.orElse(trexDefaults.get(trackId))
+                  traf.collect { case ("trun", rs, re) =>
+                    if (rs + 8 > re)
+                      throw new IllegalArgumentException("short trun")
+                    val flags = beU32(rs) & 0xffffffL
+                    val n = beU32(rs + 4)
+                    var o = rs + 8
+                    if ((flags & 0x1) != 0) o += 4    // data_offset
+                    if ((flags & 0x4) != 0) o += 4    // first_sample_flags
+                    if ((flags & 0x100) != 0) {
+                      // per-sample durations: step the FULL per-sample
+                      // stride (duration + any size/flags/cts fields)
+                      val stride = 4 +
+                        (if ((flags & 0x200) != 0) 4 else 0) +
+                        (if ((flags & 0x400) != 0) 4 else 0) +
+                        (if ((flags & 0x800) != 0) 4 else 0)
+                      if (o + n * stride > re)
+                        throw new IllegalArgumentException("short trun samples")
+                      (0L until n).map(k => beU32(o + (k * stride).toInt)).sum
+                    } else n * default.getOrElse(throw
+                      new IllegalArgumentException("trun without any duration"))
+                  }.sum
+              }.sum
+            }.sum
             val traks = kids.filter(_._1 == "trak")
             var nVideo = 0
             var nAudio = 0
@@ -1042,7 +1110,7 @@ object Multimodal {
                 case _ => ()
               }
             }
-            Mp4Meta(r.media_id, brand, ts, du, du.toDouble / ts,
+            Mp4Meta(r.media_id, brand, ts, effDu, effDu.toDouble / ts,
               traks.size, nVideo, nAudio, decoded = true)
           } catch {
             case scala.util.control.NonFatal(_) =>
@@ -1058,6 +1126,16 @@ object Multimodal {
     * tracks with handlers [vide, soun, vide]; id%7==3 writes the 64-bit
     * mvhd v1 layout (same values — the parse must agree); id%11==0 is
     * the poison class (a box whose declared size overruns the payload).
+    *
+    * id%13==6 (non-poison) is the FRAGMENTED class: `mvhd.duration = 0`,
+    * `moov` gains `mvex/trex` (track 1, default duration 150), and 2–3
+    * `moof`+`mdat` pairs follow, exercising every §8.8 duration source:
+    * moof 1's trun carries PER-SAMPLE durations 200+50k (with sizes, so
+    * the stride is 8) under a DECOY tfhd default of 999 that must lose to
+    * them; moof 2 uses `sample_count × tfhd default` (200×(1+id%3) units,
+    * 3+id%3 samples); moof 3 (id%2==1 only) has a default-less tfhd so
+    * the trex 150 must apply. duration_units =
+    * 450 + (id%2)·600 + (3+id%3)·200·(1+id%3) — every term replayable.
     */
   def synthesizeMp4s(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     implicit val enc = Encoders.product[MediaRow]
@@ -1077,7 +1155,8 @@ object Multimodal {
             MediaRow(id, bb.array(), "video/mp4")
           } else {
             val timescale = 1000
-            val dur = ((id % 9) + 1) * 500
+            val frag = id % 13 == 6
+            val dur = if (frag) 0L else ((id % 9) + 1) * 500
             val mvhd =
               if (id % 7 == 3) {
                 val bb = java.nio.ByteBuffer.allocate(112)
@@ -1098,16 +1177,68 @@ object Multimodal {
               box("trak", box("mdia", box("hdlr", bb.array())))
             }
             val handlers = Seq("vide", "soun", "vide").take(1 + (id % 3).toInt)
+            val mvex = if (!frag) Array.emptyByteArray else {
+              val bb = java.nio.ByteBuffer.allocate(24)
+              bb.putInt(0)           // version/flags
+                .putInt(1)           // track_ID
+                .putInt(1)           // default_sample_description_index
+                .putInt(150)         // default_sample_duration (moof 3's)
+                .putInt(0).putInt(0) // default size, flags
+              box("mvex", box("trex", bb.array()))
+            }
             val moov = box("moov",
-              mvhd ++ handlers.flatMap(trak).toArray ++
+              mvhd ++ handlers.flatMap(trak).toArray ++ mvex ++
                 box("udta", Array[Byte](1, 2, 3, 4)))
             val ftypBody = java.nio.ByteBuffer.allocate(12)
             ftypBody.put("isom".getBytes("US-ASCII")).putInt(512)
               .put("mp41".getBytes("US-ASCII"))
+            val fragTail = if (!frag) Array.emptyByteArray else {
+              def tfhd(flags: Int, defaultDur: Option[Int]): Array[Byte] = {
+                val bb = java.nio.ByteBuffer
+                  .allocate(8 + (if (defaultDur.isDefined) 4 else 0))
+                bb.putInt(flags).putInt(1) // version 0 + flags, track_ID 1
+                defaultDur.foreach(bb.putInt)
+                box("tfhd", bb.array())
+              }
+              // flags 0x301: data-offset + per-sample duration AND size —
+              // the decode must step the 8-byte stride, not assume 4
+              def trunPerSample(durs: Seq[Int]): Array[Byte] = {
+                val bb = java.nio.ByteBuffer.allocate(12 + 8 * durs.length)
+                bb.putInt(0x000301).putInt(durs.length).putInt(0)
+                durs.zipWithIndex.foreach { case (d, k) =>
+                  bb.putInt(d).putInt(1000 + k) }
+                box("trun", bb.array())
+              }
+              def trunCount(n: Int): Array[Byte] = {
+                val bb = java.nio.ByteBuffer.allocate(12)
+                bb.putInt(0x000001).putInt(n).putInt(0)
+                box("trun", bb.array())
+              }
+              def moof(seq: Int, traf: Array[Byte]): Array[Byte] = {
+                val bb = java.nio.ByteBuffer.allocate(8)
+                bb.putInt(0).putInt(seq)
+                box("moof", box("mfhd", bb.array()) ++ traf)
+              }
+              val n0 = 2 + (id % 2).toInt
+              val ds = 200 * (1 + (id % 3).toInt)
+              val n1 = 3 + (id % 3).toInt
+              val m1 = moof(1, box("traf",
+                tfhd(0x000008, Some(999)) ++ // decoy: per-sample durs win
+                  trunPerSample((0 until n0).map(k => 200 + 50 * k))))
+              val m2 = moof(2, box("traf",
+                tfhd(0x000008, Some(ds)) ++ trunCount(n1)))
+              val m3 =
+                if (id % 2 == 1)
+                  moof(3, box("traf", tfhd(0, None) ++ trunCount(2)))
+                else Array.emptyByteArray
+              m1 ++ box("mdat", Array.fill(4)(0x66.toByte)) ++
+                m2 ++ box("mdat", Array.fill(4)(0x66.toByte)) ++ m3
+            }
             val bytes =
               box("ftyp", ftypBody.array()) ++
                 box("free", Array[Byte](9, 9, 9, 9)) ++ moov ++
-                box("mdat", Array.fill((id % 5).toInt)(0x55.toByte))
+                box("mdat", Array.fill((id % 5).toInt)(0x55.toByte)) ++
+                fragTail
             MediaRow(id, bytes, "video/mp4")
           }
         }

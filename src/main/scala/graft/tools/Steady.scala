@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Machine-readable steady-state bands for the expensive queries — the
+  * adjudication artifact the per-round prose table in PLANS.md used to
+  * be. Selects every query whose median in a given bench artifact
+  * exceeds a threshold, re-times each in ONE warm JVM (run 1 dropped as
+  * JIT/codegen warmup), and writes `STEADY.json`:
+  *
+  * {{{
+  * {"sf":"...","runs":8,"producer":"builder","canary":[...],
+  *  "load_avg_end":0.4,
+  *  "queries":{"name":{"median":2.5,"min":2.1,"max":2.8,"runs":[...]}}}
+  * }}}
+  *
+  * A future judge (or the driver) diffs `BENCH_r{N}.json` per-query
+  * against these bands mechanically: artifact value within ~1.5× of
+  * `max` ⇒ in band; beyond ⇒ investigate the code, not the box. The
+  * canary (`s1_scan_project`, a bare pushed-down scan) travels in the
+  * file because a quiet canary does NOT certify a cool box for the
+  * heavy shuffle queries (r14 finding) — band consumers should weigh
+  * `load_avg_end` and the spread of the heavy runs themselves.
+  *
+  * usage: Steady <sfDir> <benchJson> [thresholdSec=1.5] [runs=8]
+  */
+object Steady {
+  def main(args: Array[String]): Unit = {
+    val sfDir     = args(0)
+    val benchJson = args(1)
+    val threshold = if (args.length > 2) args(2).toDouble else 1.5
+    val runs      = if (args.length > 3) args(3).toInt else 8
+    val cpus      = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // the bench artifact's "queries" map, via the Jackson that ships with
+    // Spark — no extra dependency
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(benchJson)))
+    val qNode = root.get("queries")
+    val heavy = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val v = qNode.get(name)
+      v != null && v.asDouble(-1.0) >= threshold
+    }
+
+    val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
+    def timeQuery(name: String): Seq[Double] =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        sec
+      }
+
+    // canary FIRST: its run-1 JIT absorbs session warmup off the heavy
+    // queries' clocks, same as Bench's alphabetical order does in practice
+    val canary = timeQuery("s1_scan_project")
+    val rows = heavy.map { name =>
+      val ts = timeQuery(name)
+      System.gc()
+      val steady = ts.drop(1).sorted // run 1 = JIT/codegen warmup, dropped
+      val median =
+        if (steady.length % 2 == 1) steady(steady.length / 2)
+        else (steady(steady.length / 2 - 1) + steady(steady.length / 2)) / 2.0
+      System.err.println(f"[steady] $name%-40s median $median%.2f " +
+        f"band ${steady.head}%.2f-${steady.last}%.2f (run1 ${ts.head}%.2f)")
+      val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      s""""$name":{"median":${f"$median%.3f"},"min":${f"${steady.head}%.3f"},"max":${f"${steady.last}%.3f"},"runs":$runsJson}"""
+    }
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "builder")
+    val json =
+      s"""{"sf":"$sfDir","runs":$runs,"threshold_sec":$threshold,""" +
+        s""""producer":"$producer","load_avg_end":$load,""" +
+        s""""canary":${canary.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        s""""queries":{${rows.mkString(",")}}}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("STEADY.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -531,7 +531,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("synthesizeMp4s -> decodeMp4Meta round-trips the box arithmetic; " +
-      "v0 and v1 mvhd layouts agree; poison reports") {
+      "v0 and v1 mvhd layouts agree; fragments sum; poison reports") {
     val ids = spark.range(0, 50).select($"id".as("doc_id"))
     val got = Multimodal.decodeMp4Meta(Multimodal.synthesizeMp4s(ids))
       .collect().map(m => m.media_id -> m).toMap
@@ -542,8 +542,12 @@ class MultimodalSpec extends SparkSpec {
       } else {
         assert(m.decoded, s"id $id")
         assert(m.major_brand == "isom" && m.timescale == 1000L, s"id $id")
-        assert(m.duration_units == (id % 9 + 1) * 500, s"id $id")
-        assert(m.duration_s == (id % 9 + 1) * 0.5, s"id $id")
+        val wantUnits =
+          if (id % 13 == 6)
+            450 + (id % 2) * 600 + (3 + id % 3) * 200 * (1 + id % 3)
+          else (id % 9 + 1) * 500
+        assert(m.duration_units == wantUnits, s"id $id")
+        assert(m.duration_s == wantUnits / 1000.0, s"id $id")
         assert(m.n_tracks == 1 + (id % 3).toInt, s"id $id")
         assert(m.n_video_tracks == (if (id % 3 == 2) 2 else 1), s"id $id")
         assert(m.n_audio_tracks == (if (id % 3 >= 1) 1 else 0), s"id $id")
@@ -552,6 +556,60 @@ class MultimodalSpec extends SparkSpec {
     // id 3 (3 % 7 == 3) wrote the 64-bit v1 mvhd; id 10 the v0 — the two
     // layouts must already have agreed above; pin it explicitly
     assert(got(3L).decoded && got(3L).duration_units == (3 % 9 + 1) * 500)
+    // the fragmented class (id%13==6) landed all three §8.8 duration
+    // sources: id 6 (even — no trex moof) and id 19 (odd — trex moof,
+    // AND 19%7... not v1), id 45 (frag AND v1 mvhd: 45%7==3) — the
+    // decoy tfhd 999 never appears in any sum
+    assert(got(6L).duration_units == 450 + 3 * 200) // %2=0, %3=0
+    assert(got(19L).duration_units == 450 + 600 + 4 * 400) // %2=1, %3=1
+    assert(got(45L).duration_units == 450 + 600 + 3 * 200) // v1 + frag
+    assert(got(6L).duration_s >= 1.0 && got(45L).duration_s >= 1.0,
+      "frag rows must pass the duration gate")
+  }
+
+  test("decodeMp4Meta fMP4: truncated trun sample run and a default-less " +
+      "traf with no trex are poison, not crashes or zero-duration rows") {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftypBody = java.nio.ByteBuffer.allocate(12)
+    ftypBody.put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("mp41".getBytes("US-ASCII"))
+    val mvhdBody = java.nio.ByteBuffer.allocate(100)
+    mvhdBody.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(0) // dur 0
+    val hdlrBody = java.nio.ByteBuffer.allocate(25)
+    hdlrBody.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+    val moov = box("moov", box("mvhd", mvhdBody.array()) ++
+      box("trak", box("mdia", box("hdlr", hdlrBody.array()))))
+    def tfhd(flags: Int, dflt: Option[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + (if (dflt.isDefined) 4 else 0))
+      bb.putInt(flags).putInt(1)
+      dflt.foreach(bb.putInt)
+      box("tfhd", bb.array())
+    }
+    // trun DECLARES 5 per-sample durations but carries only 2
+    val shortTrun = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 8)
+      bb.putInt(0x000100).putInt(5).putInt(100).putInt(100)
+      box("trun", bb.array())
+    }
+    val truncated = box("ftyp", ftypBody.array()) ++ moov ++
+      box("moof", box("traf", tfhd(8, Some(100)) ++ shortTrun))
+    // count-only trun, tfhd has no default, and there is no mvex/trex
+    val countTrun = {
+      val bb = java.nio.ByteBuffer.allocate(8)
+      bb.putInt(0).putInt(3)
+      box("trun", bb.array())
+    }
+    val sourceless = box("ftyp", ftypBody.array()) ++ moov ++
+      box("moof", box("traf", tfhd(0, None) ++ countTrun))
+    val rows = Seq((1L, truncated, "video/mp4"), (2L, sourceless, "video/mp4"))
+      .toDF("media_id", "payload", "media_type")
+    val got = Multimodal.decodeMp4Meta(rows).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(!got(1L).decoded && !got(2L).decoded)
   }
 
   test("decodeMp4Meta: largesize (size==1) and to-end (size==0) box " +
