@@ -372,11 +372,18 @@ object SparkEntry {
     * arithmetic so the parse replays exactly. Each host's `<urlset>`
     * lists 43 `<loc>` entries (p = h + 7k for k < 40, then three
     * beyond-corpus pages at n + h + 7(k−40) — the genuinely-unseen seeds
-    * a sitemap exists to surface), with two messiness classes the parser
-    * and canonicalizer must erase: k%4==1 locs in shouting-caps-with-
-    * port form, k%4==2 locs whitespace/newline-padded inside the
-    * element. `lastmod`/`priority` siblings are decoys the extraction
-    * must ignore.
+    * a sitemap exists to surface), with three messiness classes the
+    * parser and canonicalizer must erase: k%4==1 locs in shouting-caps-
+    * with-port form, k%4==2 locs whitespace/newline-padded inside the
+    * element, and k%4==3 locs of pages whose discovered canonical form
+    * carries a query string (p%5==0, non-alias, in-corpus) written WITH
+    * that query string XML-ESCAPED (`?a=1&amp;b=2`) — entity decoding
+    * must fold these onto the discovered url or they surface as
+    * spurious frontier seeds (the real-world `&amp;` defect). `lastmod`
+    * is ARITHMETIC per entry — 2026-01-01 + (p % 60) days — so the
+    * staleness tier replays exactly (entries past the 2026-02-01 fetch
+    * snapshot, i.e. p%60 ≥ 32, are the stale class); `priority` stays a
+    * decoy the extraction must ignore.
     */
   private def sitemapDocs(s: SparkSession, nDocs: Long): DataFrame = {
     val h = col("id")
@@ -385,11 +392,18 @@ object SparkEntry {
         .otherwise(lit(nDocs) + h + (k - 40) * 7)
       val plain = concat(lit("https://d"), h, lit(".ex.test/d/"), p)
       val loud = concat(lit("HTTPS://D"), h, lit(".EX.TEST:443/d/"), p)
+      val escapedQuery = concat(plain, lit("?a=1&amp;b=2"))
       val loc = when(pmod(k, lit(4)) === 1, loud)
         .when(pmod(k, lit(4)) === 2, concat(lit("\n      "), plain, lit("  \n    ")))
+        .when(pmod(k, lit(4)) === 3 && k < 40 &&
+          pmod(p, lit(5)) === 0 && pmod(p, lit(3)) =!= 2, escapedQuery)
         .otherwise(plain)
+      val lastmod = date_format(
+        date_add(to_date(lit("2026-01-01")), pmod(p, lit(60)).cast("int")),
+        "yyyy-MM-dd")
       concat(lit("  <url><loc>"), loc,
-        lit("</loc><lastmod>2026-01-01</lastmod><priority>0.5</priority></url>\n"))
+        lit("</loc><lastmod>"), lastmod,
+        lit("</lastmod><priority>0.5</priority></url>\n"))
     })
     s.range(7).select(
       concat(lit("d"), h, lit(".ex.test")).as("host"),
@@ -398,6 +412,45 @@ object SparkEntry {
           "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
         concat_ws("", entries),
         lit("</urlset>\n")).as("sitemap_xml"))
+  }
+
+  /** RECURSIVE sitemap discovery — the iterative fetch-parse loop a real
+    * crawler runs over index-of-index nesting (seen in the wild for
+    * >50k-URL sites), with the two guards that make it safe on hostile
+    * input: a DEPTH BUDGET (the loop is driver-bounded, each level one
+    * join + parse — crawl-cadence work, never data-scaled rounds) and a
+    * CYCLE GUARD (a visited anti-join per level, so an index that lists
+    * itself — or any loop through the nesting — terminates instead of
+    * re-fetching forever). Locs split by suffix: `.xml` → re-fetch next
+    * level, anything else → page seed. `fetched` models the fetch cache
+    * (host, sm_url, xml); production swaps it for the HTTP leg.
+    */
+  private def sitemapWalk(fetched: DataFrame, roots: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val isXml = (c: Column) => lower(c).endsWith(".xml")
+    var visited = roots.select(col("host"), col("sm_url")).distinct()
+      .localCheckpoint()
+    var frontier = visited
+    var seeds: DataFrame = null
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val locs = frontier.join(fetched, Seq("host", "sm_url"))
+        .select(col("host"),
+          explode(graft.functions.Robots.sitemapLocs(col("xml"))).as("loc"))
+      val pages = locs.filter(!isXml(col("loc")))
+      seeds = if (seeds == null) pages else seeds.unionByName(pages)
+      val next = locs.filter(isXml(col("loc")))
+        .select(col("host"), col("loc").as("sm_url")).distinct()
+        .join(visited, Seq("host", "sm_url"), "left_anti")
+        .localCheckpoint() // truncate lineage per level; one action
+      done = next.isEmpty
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      depth += 1
+    }
+    if (seeds == null) fetched.select(col("host"), lit("").as("loc")).limit(0)
+    else seeds
   }
 
   /** The crawl link graph extracted from the archived pages THEMSELVES
@@ -613,18 +666,22 @@ object SparkEntry {
     * green against the same literal is the batch ≡ streamed equivalence
     * proof.
     */
-  /** One oracle for `warc_sitemap_urls` AND `warc_sitemap_index`: every
-    * loc variant canonicalizes to the one arithmetic form, and the
-    * two-level sitemapindex walk must land the identical seed set —
-    * nesting ≡ flat (the equivalence-twin convention).
+  /** One oracle for `warc_sitemap_urls`, `warc_sitemap_index`, AND
+    * `warc_sitemap_walk`: every loc variant canonicalizes to the one
+    * arithmetic form (the k%4==3 escaped-query class decodes `&amp;` and
+    * surfaces WITH its query string), and both the two-level index walk
+    * and the recursive cycle-guarded walk must land the identical seed
+    * set — nesting ≡ flat (the equivalence-twin convention).
     */
   private val sitemapUrlsOracle: String =
     """WITH nn AS (SELECT count(*) AS n FROM documents),
-      |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
+      |ks AS (SELECT h, k, CASE WHEN k < 40 THEN h + 7*k
       |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
       |  FROM range(7) t(h), range(43) t2(k))
       |SELECT DISTINCT 'd' || h || '.ex.test' AS host,
-      |  'https://d' || h || '.ex.test/d/' || p AS url
+      |  'https://d' || h || '.ex.test/d/' || p ||
+      |    (CASE WHEN k % 4 = 3 AND k < 40 AND p % 5 = 0 AND p % 3 <> 2
+      |          THEN '?a=1&b=2' ELSE '' END) AS url
       |FROM ks ORDER BY host, url""".stripMargin
 
   private val warcPipelineOracle: String =
@@ -1914,13 +1971,55 @@ object SparkEntry {
         .orderBy("host", "url")
     }),
 
+    // RECURSIVE sitemap discovery (sitemapWalk): a 3-level fixture —
+    // robots-declared root <sitemapindex> → sub-index → the flat urlset —
+    // with TWO planted cycles (the root lists itself; the sub-index lists
+    // the root back) that the visited anti-join must terminate, under a
+    // depth budget of 5. The walked seed set must equal the flat parse's
+    // EXACTLY: it shares sitemapUrlsOracle VERBATIM with
+    // warc_sitemap_urls and warc_sitemap_index — the third member of the
+    // nesting ≡ flat equivalence family.
+    "warc_sitemap_walk" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val hid = col("id")
+      def smUrl(suffix: String) = concat(lit("https://d"), hid,
+        lit(".ex.test/sitemap-"), hid, lit(suffix))
+      val hosts = s.range(7).select(
+        concat(lit("d"), hid, lit(".ex.test")).as("host"),
+        smUrl(".xml").as("root"), smUrl("-sub.xml").as("sub"),
+        smUrl("-leaf.xml").as("leaf"))
+      val rootDocs = hosts.select(col("host"), col("root").as("sm_url"),
+        concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n  <sitemap><loc>"),
+          col("sub"),
+          lit("</loc><lastmod>2026-03-01</lastmod></sitemap>\n  <sitemap><loc>  "),
+          col("root"), lit("\n  </loc></sitemap>\n</sitemapindex>\n")).as("xml"))
+      val subDocs = hosts.select(col("host"), col("sub").as("sm_url"),
+        concat(lit("<sitemapindex><sitemap><loc>"), col("leaf"),
+          lit("</loc></sitemap><sitemap><loc>"), col("root"),
+          lit("</loc></sitemap></sitemapindex>")).as("xml"))
+      val leafDocs = sitemapDocs(s, n).join(hosts, "host")
+        .select(col("host"), col("leaf").as("sm_url"),
+          col("sitemap_xml").as("xml"))
+      val fetched = rootDocs.unionByName(subDocs).unionByName(leafDocs)
+      val roots = robotsPolicies(s).select(col("host"),
+        explode(graft.functions.Robots.sitemaps(col("robots_txt"))).as("sm_url"))
+      sitemapWalk(fetched, roots, maxDepth = 5)
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("loc")).as("url"))
+        .distinct()
+        .orderBy("host", "url")
+    }),
+
     // The FRONTIER-SEED diff that closes the crawl loop: sitemap locs
     // minus the already-discovered URL table (one anti-join against the
     // persisted crawl index) = the pages to enqueue. Three seed classes
     // must survive: beyond-corpus pages (never fetched), alias-shadow
     // positions (p%3==2 — no page canonicalizes there), and p%5==0 pages
     // whose DISCOVERED canonical form carries a query string the bare
-    // sitemap loc doesn't — while every plainly-known page drops.
+    // sitemap loc doesn't — while every plainly-known page drops,
+    // INCLUDING the k%4==3 entity class whose decoded query form folds
+    // onto the discovered canonical (the &amp; defect made those
+    // spurious seeds).
     "pipeline_crawl_seeds" -> ((s, dir) => {
       val n = t(s, dir, "documents").count()
       val locs = sitemapDocs(s, n).select(col("host"),
@@ -1967,6 +2066,44 @@ object SparkEntry {
           ((col("rn") - 1) * coalesce(col("delay"), lit(0.0)))
             .as("scheduled_offset_s"))
         .orderBy("host", "url")
+    }),
+
+    // LASTMOD-DRIVEN refresh prioritization (Robots.sitemapEntries) —
+    // consuming the one freshness signal the sitemap protocol exists to
+    // provide: per discovered url, the sitemap's lastmod joins the crawl
+    // state (the persisted url table for identity, the rank index for
+    // priority) against the last-crawl snapshot date, and the re-fetch
+    // queue orders STALENESS FIRST (lastmod after the fetch snapshot),
+    // rank second — so a stale low-rank page outranks a fresh high-rank
+    // one, which is the entire point of the signal. Top-5 per host.
+    // Only KNOWN urls qualify (refresh is for fetched pages; unseen locs
+    // are pipeline_crawl_seeds' business): the inner join against the
+    // url table also re-proves the entity-class fold (a query-form loc
+    // matches only because &amp; decoded). Oracle replays the rank chain
+    // + the lastmod arithmetic + the two-key window verbatim.
+    "pipeline_crawl_refresh_lastmod" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val entries = sitemapDocs(s, n).select(col("host"),
+          explode(graft.functions.Robots.sitemapEntries(col("sitemap_xml")))
+            .as("e"))
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("e.loc")).as("url"),
+          to_date(col("e.lastmod")).as("lastmod"))
+      // the crawl log's fetch clock: one snapshot date for the whole
+      // archive fixture (a real deployment joins per-url fetch times)
+      val fetchDate = to_date(lit("2026-02-01"))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(desc("is_stale"), desc("rank"), asc("node"))
+      entries.join(crawlUrls(s, dir).select(col("url"), col("node")), Seq("url"))
+        .join(crawlRanks(s, dir), Seq("node"))
+        .withColumn("rank", round(col("rank"), 6))
+        .withColumn("is_stale", col("lastmod") > fetchDate)
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select(col("host"), col("url"), col("node"),
+          date_format(col("lastmod"), "yyyy-MM-dd").as("lastmod"),
+          col("is_stale"), col("rank"), col("rn"))
+        .orderBy("host", "rn")
     }),
 
     // The whole policy digest a scheduler keeps per host: rule count
@@ -6058,6 +6195,13 @@ object SparkEntry {
     // seed set — shares warc_sitemap_urls' oracle verbatim
     "warc_sitemap_index" -> sitemapUrlsOracle,
 
+    // recursion ≡ flat: the cycle-guarded depth-budgeted walk over the
+    // 3-level fixture must land the identical seed set — the same oracle
+    // VERBATIM is the termination-and-completeness proof (a cycle that
+    // re-fetched would not change the set, but a walk that died early or
+    // followed the planted loops forever would never produce it)
+    "warc_sitemap_walk" -> sitemapUrlsOracle,
+
     // seeds (the pipeline_crawl_seeds set) gated per GRAFTBOT's groups —
     // hosts with the stacked group block everything but the host-digit
     // Allow carve-out and pace at 7 s; host 3 falls back to the `*`
@@ -6065,13 +6209,14 @@ object SparkEntry {
     // budget with (rn−1)×delay offsets
     "pipeline_crawl_enqueue" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
-        |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
+        |ks AS (SELECT h, k, CASE WHEN k < 40 THEN h + 7*k
         |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
         |  FROM range(7) t(h), range(43) t2(k)),
         |seeds AS (SELECT DISTINCT h, CAST(p AS VARCHAR) AS s,
         |    'https://d' || h || '.ex.test/d/' || p AS url
         |  FROM ks
-        |  WHERE NOT (p < (SELECT n FROM nn) AND p % 3 <> 2 AND p % 5 <> 0)),
+        |  WHERE NOT (p < (SELECT n FROM nn) AND p % 3 <> 2
+        |             AND (p % 5 <> 0 OR (k % 4 = 3 AND k < 40)))),
         |allowed AS (SELECT * FROM seeds WHERE NOT (
         |  CASE WHEN h = 3 THEN starts_with(s, '3') AND NOT starts_with(s, '35')
         |       ELSE NOT starts_with(s, CAST(h AS VARCHAR) || '5') END)),
@@ -6082,19 +6227,22 @@ object SparkEntry {
         |SELECT host, url, (rn - 1) * delay AS scheduled_offset_s
         |FROM q WHERE rn <= 3 ORDER BY host, url""".stripMargin,
 
-    // a sitemap loc is already-discovered ONLY when its page truly
-    // canonicalizes to the bare form: in-corpus (p < n), not an
-    // alias-shadow position (p%3<>2), and not a query-carrying canonical
-    // (p%5<>0). Everything else is a frontier seed.
+    // a sitemap loc is already-discovered ONLY when its canonical form
+    // truly matches a discovered url: the bare form for in-corpus (p<n),
+    // non-alias (p%3<>2), non-query (p%5<>0) pages — and, new with the
+    // entity class, the DECODED query form (k%4==3, p%5==0, p%3<>2, k<40)
+    // which folds onto the discovered '?a=1&b=2' canonical and must DROP
+    // from the seed set. Everything else is a frontier seed.
     "pipeline_crawl_seeds" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
-        |ks AS (SELECT h, CASE WHEN k < 40 THEN h + 7*k
+        |ks AS (SELECT h, k, CASE WHEN k < 40 THEN h + 7*k
         |              ELSE (SELECT n FROM nn) + h + 7*(k-40) END AS p
         |  FROM range(7) t(h), range(43) t2(k))
         |SELECT DISTINCT 'd' || h || '.ex.test' AS host,
         |  'https://d' || h || '.ex.test/d/' || p AS url
         |FROM ks
-        |WHERE NOT (p < (SELECT n FROM nn) AND p % 3 <> 2 AND p % 5 <> 0)
+        |WHERE NOT (p < (SELECT n FROM nn) AND p % 3 <> 2
+        |           AND (p % 5 <> 0 OR (k % 4 = 3 AND k < 40)))
         |ORDER BY host, url""".stripMargin,
 
     // the parse is the load-bearing half: the URL comes out of the DECOY
@@ -6131,6 +6279,38 @@ object SparkEntry {
         |  FROM allowed a JOIN r10 r ON r.node = a.p)
         |SELECT host, url, node, rank, (rn - 1) * 2.0 AS scheduled_offset_s
         |FROM scored WHERE rn <= 3 ORDER BY host, node""".stripMargin),
+
+    // lastmod refresh: the rank chain + the fixture's lastmod arithmetic
+    // (2026-01-01 + p%60 days vs the 2026-02-01 snapshot ⇒ stale iff
+    // p%60 ≥ 32) + the known-url condition (bare form discovered for
+    // p%5<>0; the k%4==3 decoded query form for p%5==0) + the two-key
+    // staleness-first window, top-5 per host
+    "pipeline_crawl_refresh_lastmod" -> (pagerankChain(
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)",
+      edgesCte = extractedEdgesCte) +
+      """,
+        |ks2 AS (SELECT h, k, h + 7*k AS p FROM range(7) t(h), range(40) t2(k)),
+        |loc2 AS (SELECT h, k, p,
+        |    'https://d' || h || '.ex.test/d/' || p ||
+        |      (CASE WHEN k % 4 = 3 AND p % 5 = 0 AND p % 3 <> 2
+        |            THEN '?a=1&b=2' ELSE '' END) AS url,
+        |    DATE '2026-01-01' + CAST(p % 60 AS INTEGER) AS lastmod
+        |  FROM ks2),
+        |pg2 AS (SELECT DISTINCT CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |known AS (SELECT l.h, l.p, l.url, l.lastmod
+        |  FROM loc2 l JOIN pg2 ON pg2.p = l.p
+        |  WHERE l.p % 5 <> 0 OR l.k % 4 = 3),
+        |scored AS (SELECT 'd' || kn.h || '.ex.test' AS host, kn.url,
+        |    kn.p AS node, strftime(kn.lastmod, '%Y-%m-%d') AS lastmod,
+        |    kn.lastmod > DATE '2026-02-01' AS is_stale,
+        |    round(r.rank, 6) AS rank,
+        |    row_number() OVER (PARTITION BY kn.h
+        |      ORDER BY (kn.lastmod > DATE '2026-02-01') DESC,
+        |               round(r.rank, 6) DESC, kn.p) AS rn
+        |  FROM known kn JOIN r10 r ON r.node = kn.p)
+        |SELECT host, url, node, lastmod, is_stale, rank,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM scored WHERE rn <= 5 ORDER BY host, rn""".stripMargin),
 
     // rule counts replay the fixture arithmetic (h5's empty Disallow
     // contributes nothing; h4 adds the wildcard + decoy-Allow pair; h6

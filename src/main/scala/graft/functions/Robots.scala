@@ -98,12 +98,17 @@ object Robots {
     *    whitespace only after the colon — an empty `Disallow:` line (the
     *    allow-everything idiom) must not swallow the next line across the
     *    newline;
+    *  - leading horizontal whitespace before the directive is tolerated
+    *    (RFC 9309's ABNF allows `*WS` before a line's identifier), and
+    *    MUST stay in lockstep with [[agentSegments]]' own-directive check
+    *    — an indented group classed directive-bearing there but yielding
+    *    zero rules here would silently suppress §2.1 inheritance;
     *  - non-directive lines (`Allow`, `Crawl-delay`, comments) fall out
     *    naturally.
     */
   def disallowPrefixes(robotsTxt: Column): Column =
     array_distinct(flatten(transform(starGroups(robotsTxt),
-      g => regexp_extract_all(g, lit("(?mi)^disallow:[ \\t]*(\\S+)"), lit(1)))))
+      g => regexp_extract_all(g, lit("(?mi)^[ \\t]*disallow:[ \\t]*(\\S+)"), lit(1)))))
 
   /** TRUE when `path` is blocked by any of `prefixes` (prefix match, the
     * subset contract above). NULL-safe: a host with no policy row (null
@@ -133,9 +138,11 @@ object Robots {
     rulesOver(groupsFor(robotsTxt, agent))
 
   private def rulesOver(gs: Column): Column = {
+    // leading-whitespace tolerance matches agentSegments' own-directive
+    // check — the two classifications must agree (see disallowPrefixes)
     def lines(directive: String, allow: Boolean) =
       (g: Column) => transform(
-        regexp_extract_all(g, lit(s"(?mi)^$directive:[ \\t]*(\\S+)"), lit(1)),
+        regexp_extract_all(g, lit(s"(?mi)^[ \\t]*$directive:[ \\t]*(\\S+)"), lit(1)),
         p => struct(p.as("pattern"), lit(allow).as("allow")))
     array_distinct(concat(
       flatten(transform(gs, lines("disallow", allow = false))),
@@ -163,7 +170,7 @@ object Robots {
     array_max(transform(
       flatten(transform(gs,
         g => regexp_extract_all(g,
-          lit("(?mi)^crawl-delay:[ \\t]*([0-9.]+)"), lit(1)))),
+          lit("(?mi)^[ \\t]*crawl-delay:[ \\t]*([0-9.]+)"), lit(1)))),
       v => v.cast("double")))
 
   /** `Sitemap:` URLs as a deduped array. Unlike the rule directives,
@@ -174,7 +181,26 @@ object Robots {
     */
   def sitemaps(robotsTxt: Column): Column =
     array_distinct(regexp_extract_all(robotsTxt,
-      lit("(?mi)^sitemap:[ \\t]*(\\S+)"), lit(1)))
+      lit("(?mi)^[ \\t]*sitemap:[ \\t]*(\\S+)"), lit(1)))
+
+  /** The five predefined XML entities decoded (sitemaps.org requires
+    * escaping them in `<loc>`/`<lastmod>` text — a real-world loc with a
+    * query string arrives as `...?a=1&amp;b=2` and must fold onto its
+    * canonical discovered form, or every such page becomes a spurious
+    * frontier seed). `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal `&lt;`, not `<`. Numeric character references are out of
+    * scope with the rest of the no-XML-library posture.
+    */
+  private def xmlUnescape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&apos;", "'"),
+      "&amp;", "&")
 
   /** `<loc>` values of a fetched sitemap document — the CONSUMPTION leg
     * of sitemap discovery ([[sitemaps]] finds the sitemap URLs; this
@@ -187,8 +213,32 @@ object Robots {
     * library, one codegen'd `regexp_extract_all` per document.
     */
   def sitemapLocs(xml: Column): Column =
-    array_distinct(regexp_extract_all(xml,
-      lit("(?is)<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)))
+    array_distinct(transform(
+      regexp_extract_all(xml,
+        lit("(?is)<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)),
+      l => xmlUnescape(l)))
+
+  /** `<loc>` + `<lastmod>` pairs of a fetched sitemap as
+    * `array<struct<loc, lastmod>>` — [[sitemapLocs]] plus the ONE
+    * freshness signal the sitemap protocol exists to provide, feeding
+    * staleness-weighted refresh scheduling (lastmod after the last fetch
+    * ⇒ the page needs a re-crawl). Pairing is per `<url>`/`<sitemap>`
+    * element block so a lastmod can never attach to a neighboring loc;
+    * a block without lastmod carries null; whitespace padding and XML
+    * entities fold the same as [[sitemapLocs]]. Deduped on the pair.
+    */
+  def sitemapEntries(xml: Column): Column =
+    array_distinct(transform(
+      filter(
+        regexp_extract_all(xml,
+          lit("(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1)),
+        b => regexp_like(b, lit("(?is)<loc>"))),
+      b => struct(
+        xmlUnescape(regexp_extract(b, "(?is)<loc>\\s*([^<]*?)\\s*</loc>", 1))
+          .as("loc"),
+        nullif(xmlUnescape(regexp_extract(b,
+          "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1)), lit(""))
+          .as("lastmod"))))
 
   /** One robots path pattern as an equivalent Java regex: `*` matches any
     * run of characters, a TRAILING `$` anchors the match at path end, and

@@ -196,6 +196,74 @@ class RobotsSpec extends SparkSpec {
     assert(locs("<urlset></urlset>") === Seq.empty)
   }
 
+  test("sitemapLocs decodes the predefined XML entities (&amp; last, so " +
+      "&amp;lt; stays literal)") {
+    def locs(xml: String): Seq[String] =
+      Seq(xml).toDF("x")
+        .select(Robots.sitemapLocs(col("x")).as("l"))
+        .collect().head.getSeq[String](0)
+    assert(locs("<urlset><url><loc>https://a.test/p?a=1&amp;b=2</loc></url>" +
+      "</urlset>") === Seq("https://a.test/p?a=1&b=2"))
+    assert(locs("<url><loc>https://a.test/&quot;q&apos;&lt;&gt;</loc></url>")
+      === Seq("https://a.test/\"q'<>"))
+    // double-escaped: &amp;lt; is the TEXT '&lt;', never '<'
+    assert(locs("<url><loc>https://a.test/x&amp;lt;y</loc></url>")
+      === Seq("https://a.test/x&lt;y"))
+  }
+
+  test("sitemapEntries pairs loc with ITS block's lastmod, null when " +
+      "absent, padding trimmed, entities decoded, deduped") {
+    def entries(xml: String): Seq[(String, Option[String])] =
+      Seq(xml).toDF("x")
+        .select(Robots.sitemapEntries(col("x")).as("e"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), Option(r.getString(1))))
+    val xml = """<urlset>
+      |  <url><loc>https://a.test/p1</loc><lastmod>2026-01-05</lastmod></url>
+      |  <url><loc>
+      |     https://a.test/p2 </loc><priority>0.5</priority></url>
+      |  <url><lastmod>2026-09-09</lastmod><loc>https://a.test/p3?x=1&amp;y=2</loc></url>
+      |  <url><loc>https://a.test/p1</loc><lastmod>2026-01-05</lastmod></url>
+      |</urlset>""".stripMargin
+    assert(entries(xml) === Seq(
+      ("https://a.test/p1", Some("2026-01-05")),
+      ("https://a.test/p2", None),
+      ("https://a.test/p3?x=1&y=2", Some("2026-09-09"))))
+    // a sitemapindex's <sitemap> blocks pair the same way — and a
+    // loc-less block contributes nothing (no null-loc struct)
+    assert(entries("<sitemapindex><sitemap><loc>https://a.test/s.xml</loc>" +
+      "<lastmod>2026-02-02</lastmod></sitemap><sitemap>" +
+      "<lastmod>2026-03-03</lastmod></sitemap></sitemapindex>")
+      === Seq(("https://a.test/s.xml", Some("2026-02-02"))))
+  }
+
+  test("indented directives: extraction tolerates leading whitespace in " +
+      "lockstep with the own-directive group-merge check") {
+    // the ADVICE case: an indented rule block made the group classed
+    // directive-BEARING (suppressing §2.1 inheritance for a stacked
+    // User-agent line above) while contributing zero rules/delay
+    val txt = "User-agent: *\n  Disallow: /a\n\tAllow: /a/b\n  Crawl-delay: 4\n"
+    val r = Seq(txt).toDF("t").select(
+      Robots.rules(col("t")).as("r"),
+      Robots.disallowPrefixes(col("t")).as("p"),
+      Robots.crawlDelaySeconds(col("t")).as("d")).collect().head
+    assert(r.getSeq[org.apache.spark.sql.Row](0).map(x =>
+      (x.getString(0), x.getBoolean(1))).toSet
+      === Set(("/a", false), ("/a/b", true)))
+    assert(r.getSeq[String](1) === Seq("/a"))
+    assert(r.getDouble(2) === 4.0)
+    // stacked agent above an INDENTED block: the block is own-directive
+    // (so no inheritance hop past it) AND its rules now extract
+    val stacked = "User-agent: a\nUser-agent: b\n  Disallow: /x\n"
+    val rb = Seq(stacked).toDF("t").select(
+      Robots.rulesFor(col("t"), lit("a")).as("ra"),
+      Robots.rulesFor(col("t"), lit("b")).as("rb")).collect().head
+    assert(rb.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      === Seq("/x"))
+    assert(rb.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      === Seq("/x"))
+  }
+
   test("crawlDelaySecondsFor: per-bot delay with '*' fallback") {
     def delayFor(txt: String, agent: String): Option[Double] = {
       val r = Seq(txt).toDF("t")
