@@ -309,14 +309,15 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private def warcFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcl", dir), _ =>
+    fixturePathMemo.computeIfAbsent(("warclq", dir), _ =>
       warcFixturePathUncached(s, dir))
 
   private def warcFixturePathUncached(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
-    // kind "warcl" (not the r12 "warc"): payloads now carry the planted
-    // link anchors, so the pre-anchor cache key must never be reused
-    ensureIndex(s, ids, "warcl", "built") { p =>
+    // kind "warclq" (r14 "warcl" bumped): payloads now render the
+    // (d+j)%6==4 anchors UNQUOTED, so the all-quoted cache key must
+    // never be reused
+    ensureIndex(s, ids, "warclq", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true) // crash debris
       val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -504,17 +505,18 @@ object SparkEntry {
     * (`links_compact`) fed the same batches and then COMPACTED — the
     * `warc_links_compacted` equivalence twin reads it while
     * `pipeline_crawl_refresh` keeps its time-travel history on the
-    * uncompacted one. Kind "warcingestl2" (not r12's "warcingest"): the
+    * uncompacted one. Kind "warcingestl2q" (r14's "warcingestl2" bumped
+    * for the unquoted-anchor class): the
     * segment payloads now carry anchors and the builder grew the
     * compacted index.
     */
   private def warcIngestPath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcingestl2", dir), _ =>
+    fixturePathMemo.computeIfAbsent(("warcingestl2q", dir), _ =>
       warcIngestPathUncached(s, dir))
 
   private def warcIngestPathUncached(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
-    ensureIndex(s, ids, "warcingestl2", "built") { p =>
+    ensureIndex(s, ids, "warcingestl2q", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true) // crash debris
       graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
@@ -711,15 +713,15 @@ object SparkEntry {
   private val warcAnchorSql: String =
     """(CASE WHEN d % 5 <> 0 THEN array_to_string(list_transform(list_transform(list_transform(
       |    range(0, d % 3 + 1),
-      |    j -> {'par': (d + j) % 2, 'dst0': (d*13 + j*17 + 1) % n}),
-      |    x -> {'par': x.par, 'pt': CASE WHEN x.dst0 % 3 = 2 THEN x.dst0 - 1 ELSE x.dst0 END}),
-      |    x -> '<a href="' ||
+      |    j -> {'par': (d + j) % 2, 'unq': (d + j) % 6 = 4, 'dst0': (d*13 + j*17 + 1) % n}),
+      |    x -> {'par': x.par, 'unq': x.unq, 'pt': CASE WHEN x.dst0 % 3 = 2 THEN x.dst0 - 1 ELSE x.dst0 END}),
+      |    x -> (CASE WHEN x.unq THEN '<a href=' ELSE '<a href="' END) ||
       |      (CASE WHEN x.par = 1
       |        THEN 'HTTPS://' || upper('d' || (x.pt % 7) || '.ex.test') || ':443/d/' || x.pt ||
       |          (CASE WHEN x.pt % 5 = 0 THEN '?b=2&a=1' ELSE '' END) || '#frag'
       |        ELSE 'https://d' || (x.pt % 7) || '.ex.test/d/' || x.pt ||
       |          (CASE WHEN x.pt % 5 = 0 THEN '?a=1&b=2' ELSE '' END) END) ||
-      |      '"></a>'), '') ELSE '' END)""".stripMargin
+      |      (CASE WHEN x.unq THEN ' ></a>' ELSE '"></a>' END)), '') ELSE '' END)""".stripMargin
 
   /** The `graph_pagerank[_seeded]` oracle generator: one MATERIALIZED CTE
     * per power iteration, mirroring `Graph.pageRank`'s teleport-vector
@@ -1777,9 +1779,10 @@ object SparkEntry {
     // serialization, gzip) breaks the re-parse and the row goes red.
     "warc_rewrite" -> ((s, dir) => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      // "warclrw", not r12's "warcrw": the re-export embeds the source
-      // fixture's payload bytes, which now carry the planted link anchors
-      val path = ensureIndex(s, ids, "warclrw", "built") { p =>
+      // "warclqrw" (r14 "warclrw" bumped): the re-export embeds the
+      // source fixture's payload bytes, which now carry the unquoted
+      // anchor class
+      val path = ensureIndex(s, ids, "warclqrw", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         import s.implicits._

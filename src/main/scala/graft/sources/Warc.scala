@@ -88,10 +88,12 @@ object Warc {
     *    `(d*13 + j*17 + 1) % linkSpace` — the corpus link graph, planted
     *    with the same URL-messiness classes as the page URIs (odd `d+j`
     *    uppercases scheme+host, adds `:443` + `#frag` and scrambles the
-    *    param order) so canonicalization is load-bearing for edge
-    *    extraction. Empty anchor text keeps `html_text` output
-    *    byte-identical to the linkless fixture (data chunks concatenate
-    *    with no separators), so only payload-level oracles see the links.
+    *    param order; `(d+j) % 6 == 4` renders the anchor UNQUOTED,
+    *    `<a href=… ></a>`) so canonicalization AND the unquoted
+    *    extraction pass are load-bearing for edge extraction. Empty
+    *    anchor text keeps `html_text` output byte-identical to the
+    *    linkless fixture (data chunks concatenate with no separators),
+    *    so only payload-level oracles see the links.
     */
   private[graft] def responseRecordString(d: Long, linkSpace: Long = 0L): String = {
     val v = d % 4
@@ -123,7 +125,12 @@ object Warc {
               val href =
                 if ((d + j) % 2 == 1) s"HTTPS://${hostT.toUpperCase}:443/d/$pt$qsT#frag"
                 else s"https://$hostT/d/$pt$qsT"
-              s"""<a href="$href"></a>"""
+              // (d+j)%6==4 renders UNQUOTED (common in older archived
+              // HTML; necessarily the plain arm — 4 is even): extraction
+              // must still land the identical edge, so warc_links'
+              // arithmetic oracle is the proof the unquoted pass works
+              if ((d + j) % 6 == 4) s"<a href=$href ></a>"
+              else s"""<a href="$href"></a>"""
             }.mkString("")
           else ""
         ("HTTP/1.1 200 OK", s"<html><body>$words$fake$links</body></html>")
