@@ -301,15 +301,19 @@ object SparkEntry {
   /** Session-scoped memo for fixture index paths: the ensureIndex
     * fingerprint (count+xor over the documents ids) is a corpus-column
     * scan, and every warc/crawl query re-derived it per CALL — including
-    * three times per query under Bench's median-of-3. Within one JVM the
-    * testdata doesn't change, so the first resolution per (kind, sf dir)
-    * is authoritative.
+    * three times per query under Bench's median-of-3. The memo key
+    * includes the sf dir's [[listingKey]] (names+sizes of the parquet
+    * tables — an O(listing) stat, no data read), NOT just the path
+    * string: a long-lived session that regenerates a fixture dir in
+    * place gets a fresh resolution instead of a stale path, so the
+    * "testdata never changes within a JVM" assumption is checked per
+    * call rather than assumed forever.
     */
   private val fixturePathMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
 
   private def warcFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warclq", dir), _ =>
+    fixturePathMemo.computeIfAbsent(("warclq", dir, listingKey(s, dir)), _ =>
       warcFixturePathUncached(s, dir))
 
   private def warcFixturePathUncached(s: SparkSession, dir: String): String = {
@@ -511,8 +515,8 @@ object SparkEntry {
     * compacted index.
     */
   private def warcIngestPath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcingestl2q", dir), _ =>
-      warcIngestPathUncached(s, dir))
+    fixturePathMemo.computeIfAbsent(("warcingestl2q", dir, listingKey(s, dir)),
+      _ => warcIngestPathUncached(s, dir))
 
   private def warcIngestPathUncached(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
