@@ -122,6 +122,85 @@ object SparkEntry {
     }
   }
 
+  /** The alternating-week CHURN cohort: keep a user's events only in
+    * weeks matching the user's parity (user_id%2 == week-index%2, week
+    * index anchored at Monday 1970-01-05 so both engines agree), so
+    * every consecutive week pair has EXACTLY ZERO retained users while
+    * the union stays corpus-sized — the degenerate case the retention
+    * gate's union-scaled absolute floor exists for (on the natural
+    * fixture union ≈ retained and the floor is never the binding term;
+    * here relative-bound = 0 and the floor does ALL the work).
+    */
+  private def churnEvents(ev: DataFrame): DataFrame = {
+    val wk = date_trunc("week", col("ts")).cast("date")
+    // Monday-truncated dates are exact multiples of 7 days from the
+    // Monday anchor, so the double division is exact and the cast safe
+    val weekIdx = (datediff(wk, to_date(lit("1970-01-05"))) / 7).cast("long")
+    ev.filter(pmod(col("user_id").cast("long"), lit(2)) === pmod(weekIdx, lit(2)))
+  }
+
+  /** The churn cohort's per-day-HLL index — same two-batch build as
+    * [[sketchPath]] over [[churnEvents]], own kind so the two sketch
+    * tables coexist.
+    */
+  private def churnSketchPath(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val ev = churnEvents(t(s, dir, "events"))
+    ensureIndex(s, ev, "evsketchchurn", "built") { p =>
+      graft.streaming.EventIngest.processSketchBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, p)
+      graft.streaming.EventIngest.processSketchBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, p)
+      Seq(2).toDF("n_batches").coalesce(1).write.mode("overwrite")
+        .parquet(s"$p/built")
+    }
+  }
+
+  private[graft] def churnSketchPathForProbe(s: SparkSession, dir: String): String =
+    churnSketchPath(s, dir)
+
+  /** Exact week-over-week retained + the inclusion–exclusion sketch
+    * estimate gated by `greatest(relative, union-scaled floor)` — shared
+    * by `events_retention_sketch` (natural activity) and its `_churn`
+    * twin (planted zero-retention cohort) so the gate logic can never
+    * drift between the case where the relative term binds and the case
+    * where only the floor does.
+    */
+  private def retentionSketchShape(s: SparkSession, ev: DataFrame,
+      sketchDir: String): DataFrame = {
+    // the estimate reads the SAME per-day sketch table the DAU/WAU
+    // estimates read (mergeability: one table, every stat)
+    val est = graft.streaming.EventIngest.retainedEstimateFromSketches(
+      s, sketchDir)
+    // exact retained per consecutive observed week pair (left join: a
+    // pair with zero retention still reports)
+    val pairs = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("w")).distinct()
+    val pairsB = pairs.select(col("user_id").as("uid_b"), col("w").as("w_b"))
+    val exact = pairs.join(pairsB,
+        col("uid_b") === col("user_id") &&
+          col("w_b") === col("w") + expr("interval 7 days"))
+      .groupBy(col("w")).agg(count(lit(1)).as("retained"))
+    val wks = pairs.select("w").distinct()
+    val obs = wks.join(
+        wks.select((col("w") - expr("interval 7 days")).as("w")), Seq("w"), "left_semi")
+    obs.join(exact, Seq("w"), "left")
+      .select(col("w"), coalesce(col("retained"), lit(0L)).as("retained"))
+      .join(est, Seq("w"))
+      // the bound needs an ABSOLUTE floor scaled by the union estimate:
+      // inclusion–exclusion error grows with the union, so a week pair
+      // with small retention would otherwise demand near-zero estimator
+      // error and turn benign sketch noise into a red row
+      .select(unix_micros(col("w")).as("week_us"), col("retained"),
+        (abs(col("retained_est") - col("retained")) <=
+          greatest(col("retained") * 0.05, col("union_est") * 0.05))
+          .as("est_ok"))
+      .orderBy("week_us")
+  }
+
+  private[graft] def churnEventsForProbe(ev: DataFrame): DataFrame =
+    churnEvents(ev)
+
   /** Trailing-7-day WAU derivation over a (user_id, day) frame — shared
     * by events_wau and events_wau_streamed under ONE oracle. Input rows
     * may carry duplicates; the distinct here is part of the contract.
@@ -2859,37 +2938,19 @@ object SparkEntry {
     // three terms, so the gate is the same 5% recall-gate convention:
     // the oracle replays the EXACT retained count; the pinned-TRUE bound
     // turns estimator drift into a hash mismatch.
-    "events_retention_sketch" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      // the estimate reads the SAME per-day sketch table the DAU/WAU
-      // estimates read (mergeability: one table, every stat)
-      val est = graft.streaming.EventIngest.retainedEstimateFromSketches(
-        s, sketchPath(s, dir))
-      // exact retained per consecutive observed week pair (left join: a
-      // pair with zero retention still reports)
-      val pairs = ev.select(col("user_id"),
-        date_trunc("week", col("ts")).as("w")).distinct()
-      val pairsB = pairs.select(col("user_id").as("uid_b"), col("w").as("w_b"))
-      val exact = pairs.join(pairsB,
-          col("uid_b") === col("user_id") &&
-            col("w_b") === col("w") + expr("interval 7 days"))
-        .groupBy(col("w")).agg(count(lit(1)).as("retained"))
-      val wks = pairs.select("w").distinct()
-      val obs = wks.join(
-          wks.select((col("w") - expr("interval 7 days")).as("w")), Seq("w"), "left_semi")
-      obs.join(exact, Seq("w"), "left")
-        .select(col("w"), coalesce(col("retained"), lit(0L)).as("retained"))
-        .join(est, Seq("w"))
-        // the bound needs an ABSOLUTE floor scaled by the union estimate:
-        // inclusion–exclusion error grows with the union, so a week pair
-        // with small retention would otherwise demand near-zero estimator
-        // error and turn benign sketch noise into a red row
-        .select(unix_micros(col("w")).as("week_us"), col("retained"),
-          (abs(col("retained_est") - col("retained")) <=
-            greatest(col("retained") * 0.05, col("union_est") * 0.05))
-            .as("est_ok"))
-        .orderBy("week_us")
-    }),
+    "events_retention_sketch" -> ((s, dir) =>
+      retentionSketchShape(s, t(s, dir, "events"), sketchPath(s, dir))),
+
+    // The CHURN cohort through the same gate — the degenerate case the
+    // union-scaled floor exists for: alternating-week activity makes
+    // every consecutive pair's EXACT retained 0 (the parities are
+    // disjoint), so the relative bound term is 0 and the floor is the
+    // ONLY thing between benign inclusion–exclusion noise and a red row.
+    // RetentionProbe prints both terms per pair at both SFs (the
+    // probe-calibrate-before-pinning convention).
+    "events_retention_sketch_churn" -> ((s, dir) =>
+      retentionSketchShape(s, churnEvents(t(s, dir, "events")),
+        churnSketchPath(s, dir))),
 
     // SECOND serving view off the SAME accumulated activity table as
     // events_dau_streamed — the point of set-union accumulation: one
@@ -8841,6 +8902,27 @@ object SparkEntry {
         |r AS (SELECT a.w, count(*) AS retained
         |      FROM pairs a JOIN pairs b ON a.user_id = b.user_id
         |                               AND b.w = a.w + INTERVAL 7 DAY
+        |      GROUP BY a.w)
+        |SELECT epoch_us(n.w) AS week_us,
+        |  CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained, TRUE AS est_ok
+        |FROM nxt n LEFT JOIN r ON r.w = n.w ORDER BY week_us""".stripMargin,
+
+    // the churn cohort replays the alternating-week filter (week index
+    // anchored at Monday 1970-01-05, same arithmetic both engines) and
+    // the SAME retained derivation — every pair's exact retained is 0 by
+    // construction (disjoint parities), so the pinned-TRUE gate is
+    // carried entirely by the union-scaled floor
+    "events_retention_sketch_churn" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events
+        |  WHERE user_id % 2 =
+        |    (date_diff('day', DATE '1970-01-05',
+        |       CAST(date_trunc('week', ts) AS DATE)) // 7) % 2),
+        |wks AS (SELECT DISTINCT w FROM act),
+        |nxt AS (SELECT a.w FROM wks a JOIN wks b ON b.w = a.w + INTERVAL 7 DAY),
+        |r AS (SELECT a.w, count(*) AS retained
+        |      FROM act a JOIN act b ON a.user_id = b.user_id
+        |                            AND b.w = a.w + INTERVAL 7 DAY
         |      GROUP BY a.w)
         |SELECT epoch_us(n.w) AS week_us,
         |  CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained, TRUE AS est_ok
