@@ -509,7 +509,7 @@ object SparkEntry {
     * level, anything else → page seed. `fetched` models the fetch cache
     * (host, sm_url, xml); production swaps it for the HTTP leg.
     */
-  private def sitemapWalk(fetched: DataFrame, roots: DataFrame,
+  private[graft] def sitemapWalk(fetched: DataFrame, roots: DataFrame,
       maxDepth: Int): DataFrame = {
     val isXml = (c: Column) => lower(c).endsWith(".xml")
     var visited = roots.select(col("host"), col("sm_url")).distinct()
