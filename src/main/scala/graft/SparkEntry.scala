@@ -2192,6 +2192,46 @@ object SparkEntry {
         .orderBy("host", "rn")
     }),
 
+    // PER-URL fetch-clock refresh — the production form of the lastmod
+    // leg: instead of one snapshot date, each url's last-fetch time comes
+    // from the streamed link index's urls table (min landed batch_id per
+    // url — the ingest log IS the fetch log), so staleness is
+    // lastmod − fetch_date per url. The fixture interplay is arithmetic
+    // on both axes: fetch batch = floor(min(floor(p/chunk),15)/4) from
+    // the range-partitioned segment layout (batch b fetched at
+    // 2026-01-01 + 10b days), lastmod = 2026-01-01 + p%60 days — so
+    // early-fetched pages go stale more often, exactly the real-world
+    // shape. Top-5 per host by staleness days; one groupBy over the urls
+    // table + broadcast-sized sitemap join, no rank chain needed.
+    "pipeline_crawl_refresh_fetched" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val entries = sitemapDocs(s, n).select(col("host"),
+          explode(graft.functions.Robots.sitemapEntries(col("sitemap_xml")))
+            .as("e"))
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("e.loc")).as("url"),
+          to_date(col("e.lastmod")).as("lastmod"))
+      val idx = s"${warcIngestPath(s, dir)}/links"
+      val fetched = s.read.parquet(s"$idx/urls")
+        .groupBy(col("url"))
+        .agg(min(col("batch_id")).cast("bigint").as("fetch_batch"))
+        .withColumn("fetch_date",
+          date_add(to_date(lit("2026-01-01")),
+            (col("fetch_batch") * 10).cast("int")))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(desc("stale_days"), asc("url"))
+      entries.join(fetched, Seq("url"))
+        .withColumn("stale_days",
+          datediff(col("lastmod"), col("fetch_date")).cast("bigint"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select(col("host"), col("url"), col("fetch_batch"),
+          date_format(col("lastmod"), "yyyy-MM-dd").as("lastmod"),
+          col("stale_days"), (col("stale_days") > 0).as("is_stale"),
+          col("rn"))
+        .orderBy("host", "rn")
+    }),
+
     // The whole policy digest a scheduler keeps per host: rule count
     // (both tiers' input), the `*` group's crawl delay (the fetchbot
     // decoy's `Crawl-delay: 99` must NOT leak — delays are group-scoped,
@@ -6379,6 +6419,44 @@ object SparkEntry {
         |SELECT host, url, node, lastmod, is_stale, rank,
         |  CAST(rn AS BIGINT) AS rn
         |FROM scored WHERE rn <= 5 ORDER BY host, rn""".stripMargin),
+
+    // the fetch clock replays from the segment layout itself: chunk =
+    // (n-1)//16 + 1, batch = min-id's file//4 (the min over a canonical
+    // alias pair is the smaller id's batch — ids are range-partitioned),
+    // fetch date 2026-01-01 + 10·batch; known-url condition as the
+    // lastmod leg; staleness-days window, top-5 per host
+    "pipeline_crawl_refresh_fetched" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ks AS (SELECT h, k, h + 7*k AS p FROM range(7) t(h), range(40) t2(k)),
+        |loc AS (SELECT h, k, p,
+        |    'https://d' || h || '.ex.test/d/' || p ||
+        |      (CASE WHEN k % 4 = 3 AND p % 5 = 0 AND p % 3 <> 2
+        |            THEN '?a=1&b=2' ELSE '' END) AS url,
+        |    DATE '2026-01-01' + CAST(p % 60 AS INTEGER) AS lastmod
+        |  FROM ks),
+        |pg AS (SELECT DISTINCT CASE WHEN doc_id % 3 = 2 THEN doc_id - 1
+        |                            ELSE doc_id END AS p FROM documents),
+        |known AS (SELECT l.h, l.p, l.url, l.lastmod
+        |  FROM loc l JOIN pg ON pg.p = l.p
+        |  WHERE l.p % 5 <> 0 OR l.k % 4 = 3),
+        |fb AS (SELECT *,
+        |    (least(p // (((SELECT n FROM nn) - 1) // 16 + 1), 15) // 4)
+        |      AS fetch_batch
+        |  FROM known),
+        |st AS (SELECT h, url, fetch_batch,
+        |    strftime(lastmod, '%Y-%m-%d') AS lastmod,
+        |    date_diff('day', DATE '2026-01-01'
+        |        + CAST(fetch_batch * 10 AS INTEGER), lastmod) AS stale_days,
+        |    row_number() OVER (PARTITION BY h
+        |      ORDER BY date_diff('day', DATE '2026-01-01'
+        |          + CAST(fetch_batch * 10 AS INTEGER), lastmod) DESC,
+        |        url) AS rn
+        |  FROM fb)
+        |SELECT 'd' || h || '.ex.test' AS host, url,
+        |  CAST(fetch_batch AS BIGINT) AS fetch_batch, lastmod,
+        |  CAST(stale_days AS BIGINT) AS stale_days,
+        |  stale_days > 0 AS is_stale, CAST(rn AS BIGINT) AS rn
+        |FROM st WHERE rn <= 5 ORDER BY host, rn""".stripMargin,
 
     // rule counts replay the fixture arithmetic (h5's empty Disallow
     // contributes nothing; h4 adds the wildcard + decoy-Allow pair; h6
