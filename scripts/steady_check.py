@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Mechanical band check: BENCH_r{N}.json vs STEADY.json.
+
+For every query with a steady band, classify the bench artifact's number:
+  in-band   value <= max * slack   (default slack 1.5x — the adjudicated
+                                    contention envelope; see PLANS.md)
+  OVER      value >  max * slack   -> investigate the code, not the box
+  fast      value <  min           (fine; box cooler than the band run)
+
+Queries without a band (sub-threshold) are skipped. Exit code 1 if any
+OVER, so a driver/judge can gate on it.
+
+usage: steady_check.py BENCH_rN.json [STEADY.json] [slack]
+"""
+import json
+import sys
+
+bench_path = sys.argv[1]
+steady_path = sys.argv[2] if len(sys.argv) > 2 else "STEADY.json"
+slack = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+bench = json.load(open(bench_path))
+steady = json.load(open(steady_path))
+
+over = []
+rows = []
+for name, band in sorted(steady["queries"].items()):
+    v = bench["queries"].get(name)
+    if v is None:
+        rows.append((name, None, band, "MISSING"))
+        continue
+    lim = band["max"] * slack
+    if v < 0:
+        cls = "FAILED"
+    elif v > lim:
+        cls = "OVER"
+    elif v < band["min"]:
+        cls = "fast"
+    else:
+        cls = "in-band"
+    if cls in ("OVER", "FAILED"):
+        over.append(name)
+    rows.append((name, v, band, cls))
+
+for name, v, band, cls in rows:
+    vtxt = f"{v:7.2f}" if v is not None else "   n/a "
+    print(f"{name:42s} {vtxt}  band {band['min']:.2f}-{band['max']:.2f}"
+          f" (median {band['median']:.2f})  {cls}")
+print(f"\nbench load_avg={bench.get('load_avg')} producer="
+      f"{bench.get('producer', '?')} | steady load_avg_end="
+      f"{steady.get('load_avg_end')} producer={steady.get('producer', '?')}"
+      f" | slack {slack}x | {len(over)} over-band")
+sys.exit(1 if over else 0)

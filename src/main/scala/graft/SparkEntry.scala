@@ -2192,6 +2192,38 @@ object SparkEntry {
         .orderBy("host", "rn")
     }),
 
+    // Per-host CRAWL-HEALTH / trap-score report — the heuristic a real
+    // crawler runs before throttling a host: fetches vs distinct
+    // canonical urls (alias_rate — re-fetch waste from uncanonicalized
+    // link forms) and fetches vs distinct CONTENT (content_dup_rate —
+    // the mirror/calendar-trap signature: many fetches, few bodies).
+    // One archive pass (canonicalize + html_text + md5 map-side), one
+    // hash aggregate per host with map-side partials — the 100 TB shape
+    // (distinct counts per host would switch to HLL at the scale tier;
+    // the exact form is the oracle-able baseline). The fixture's alias
+    // pairs drive alias_rate above 1; the shared 404 body drives
+    // content_dup_rate above alias_rate on every host.
+    "pipeline_crawl_trap_score" -> ((s, dir) => {
+      val parsed = graft.sources.Warc.httpParsed(
+        graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
+      val pages = parsed.select(
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          md5(graft.functions.HtmlTextColumn.htmlText(col("body")))
+            .as("content_md5"))
+        .filter(col("url").isNotNull)
+      pages.groupBy("host")
+        .agg(count(lit(1)).as("n_fetches"),
+          countDistinct(col("url")).as("n_urls"),
+          countDistinct(col("content_md5")).as("n_contents"))
+        .select(col("host"), col("n_fetches"), col("n_urls"), col("n_contents"),
+          round(col("n_fetches").cast("double") / col("n_urls"), 4)
+            .as("alias_rate"),
+          round(col("n_fetches").cast("double") / col("n_contents"), 4)
+            .as("content_dup_rate"))
+        .orderBy("host")
+    }),
+
     // PER-URL fetch-clock refresh — the production form of the lastmod
     // leg: instead of one snapshot date, each url's last-fetch time comes
     // from the streamed link index's urls table (min landed batch_id per
@@ -6419,6 +6451,33 @@ object SparkEntry {
         |SELECT host, url, node, lastmod, is_stale, rank,
         |  CAST(rn AS BIGINT) AS rn
         |FROM scored WHERE rn <= 5 ORDER BY host, rn""".stripMargin),
+
+    // the health report replays from the page arithmetic: fetches = docs
+    // per host, urls = distinct canonical positions, contents = distinct
+    // replayed text (404s collapse to one 'not found' per host; 200
+    // texts are distinct within a host — the d≡d' mod 117 word-collision
+    // pairs always land on different hosts and differ in the d%7 fake-
+    // record suffix when they don't)
+    "pipeline_crawl_trap_score" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |c AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |tx AS (SELECT d, p, p % 7 AS h,
+        |  CASE WHEN d % 11 = 0 THEN 'not found'
+        |       ELSE array_to_string(list_transform(range(0, d % 9 + 1),
+        |              i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+        |         (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
+        |  END AS text
+        | FROM c),
+        |g AS (SELECT h, count(*) AS n_fetches, count(DISTINCT p) AS n_urls,
+        |    count(DISTINCT md5(text)) AS n_contents
+        |  FROM tx GROUP BY h)
+        |SELECT 'd' || h || '.ex.test' AS host,
+        |  CAST(n_fetches AS BIGINT) AS n_fetches,
+        |  CAST(n_urls AS BIGINT) AS n_urls,
+        |  CAST(n_contents AS BIGINT) AS n_contents,
+        |  round(n_fetches * 1.0 / n_urls, 4) AS alias_rate,
+        |  round(n_fetches * 1.0 / n_contents, 4) AS content_dup_rate
+        |FROM g ORDER BY host""".stripMargin,
 
     // the fetch clock replays from the segment layout itself: chunk =
     // (n-1)//16 + 1, batch = min-id's file//4 (the min over a canonical
