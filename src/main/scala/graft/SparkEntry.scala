@@ -2192,6 +2192,51 @@ object SparkEntry {
         .orderBy("host", "rn")
     }),
 
+    // The RE-FETCH leg composed end-to-end — the refresh counterpart of
+    // pipeline_crawl_enqueue (which handles NEW urls): the stale set
+    // (per-url fetch clock vs sitemap lastmod, stale_days > 0) gated and
+    // paced AS THE NAMED BOT (rulesFor/crawlDelaySecondsFor — graftbot's
+    // stacked group where one exists, `*` fallback on host 3), then a
+    // top-3 per-host re-fetch budget ordered by staleness with
+    // (rn−1)×delay offsets. Closes the crawl loop: discover → enqueue →
+    // fetch → refresh-detect → re-fetch schedule.
+    "pipeline_crawl_refresh_enqueue" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val entries = sitemapDocs(s, n).select(col("host"),
+          explode(graft.functions.Robots.sitemapEntries(col("sitemap_xml")))
+            .as("e"))
+        .select(col("host"),
+          graft.functions.Url.canonicalizeUrl(col("e.loc")).as("url"),
+          to_date(col("e.lastmod")).as("lastmod"))
+      val idx = s"${warcIngestPath(s, dir)}/links"
+      val fetched = s.read.parquet(s"$idx/urls")
+        .groupBy(col("url"))
+        .agg(min(col("batch_id")).cast("bigint").as("fetch_batch"))
+        .withColumn("fetch_date",
+          date_add(to_date(lit("2026-01-01")),
+            (col("fetch_batch") * 10).cast("int")))
+      val stale = entries.join(fetched, Seq("url"))
+        .withColumn("stale_days",
+          datediff(col("lastmod"), col("fetch_date")).cast("bigint"))
+        .filter(col("stale_days") > 0)
+      val bot = lit("graftbot")
+      val pol = robotsPolicies(s).select(col("host"),
+        graft.functions.Robots.rulesFor(col("robots_txt"), bot).as("rules"),
+        graft.functions.Robots.crawlDelaySecondsFor(col("robots_txt"), bot)
+          .as("delay"))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(desc("stale_days"), asc("url"))
+      stale.join(broadcast(pol), Seq("host"), "left")
+        .filter(!graft.functions.Robots.isBlockedByRules(
+          try_parse_url(col("url"), lit("PATH")), col("rules")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("host"), col("url"), col("stale_days"),
+          ((col("rn") - 1) * coalesce(col("delay"), lit(0.0)))
+            .as("scheduled_offset_s"))
+        .orderBy("host", "url")
+    }),
+
     // Per-host CRAWL-HEALTH / trap-score report — the heuristic a real
     // crawler runs before throttling a host: fetches vs distinct
     // canonical urls (alias_rate — re-fetch waste from uncanonicalized
@@ -6451,6 +6496,45 @@ object SparkEntry {
         |SELECT host, url, node, lastmod, is_stale, rank,
         |  CAST(rn AS BIGINT) AS rn
         |FROM scored WHERE rn <= 5 ORDER BY host, rn""".stripMargin),
+
+    // the re-fetch schedule replays the stale-set CTEs (fetch-batch +
+    // lastmod arithmetic), graftbot's gate CASE (path '/d/p' under the
+    // stacked group's Disallow /d/ + host-digit Allow carve-out; the `*`
+    // prefix tier on host 3), the per-bot delay, and the top-3 staleness
+    // budget with (rn−1)×delay offsets
+    "pipeline_crawl_refresh_enqueue" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ks AS (SELECT h, k, h + 7*k AS p FROM range(7) t(h), range(40) t2(k)),
+        |loc AS (SELECT h, k, p,
+        |    'https://d' || h || '.ex.test/d/' || p ||
+        |      (CASE WHEN k % 4 = 3 AND p % 5 = 0 AND p % 3 <> 2
+        |            THEN '?a=1&b=2' ELSE '' END) AS url,
+        |    DATE '2026-01-01' + CAST(p % 60 AS INTEGER) AS lastmod
+        |  FROM ks),
+        |pg AS (SELECT DISTINCT CASE WHEN doc_id % 3 = 2 THEN doc_id - 1
+        |                            ELSE doc_id END AS p FROM documents),
+        |known AS (SELECT l.h, l.p, l.url, l.lastmod
+        |  FROM loc l JOIN pg ON pg.p = l.p
+        |  WHERE l.p % 5 <> 0 OR l.k % 4 = 3),
+        |stale AS (SELECT *,
+        |    date_diff('day', DATE '2026-01-01' + CAST(
+        |      (least(p // (((SELECT n FROM nn) - 1) // 16 + 1), 15) // 4) * 10
+        |      AS INTEGER), lastmod) AS stale_days
+        |  FROM known),
+        |gated AS (SELECT h, url, stale_days FROM stale
+        |  WHERE stale_days > 0 AND NOT (
+        |    CASE WHEN h = 3 THEN starts_with(CAST(p AS VARCHAR), '3')
+        |              AND NOT starts_with(CAST(p AS VARCHAR), '35')
+        |         ELSE NOT starts_with(CAST(p AS VARCHAR),
+        |              CAST(h AS VARCHAR) || '5') END)),
+        |q AS (SELECT 'd' || h || '.ex.test' AS host, url,
+        |    CAST(stale_days AS BIGINT) AS stale_days,
+        |    row_number() OVER (PARTITION BY h
+        |      ORDER BY stale_days DESC, url) AS rn,
+        |    CASE WHEN h = 3 THEN 2.0 ELSE 7.0 END AS delay
+        |  FROM gated)
+        |SELECT host, url, stale_days, (rn - 1) * delay AS scheduled_offset_s
+        |FROM q WHERE rn <= 3 ORDER BY host, url""".stripMargin,
 
     // the health report replays from the page arithmetic: fetches = docs
     // per host, urls = distinct canonical positions, contents = distinct
