@@ -55,6 +55,10 @@ object Steady {
 
     // canary FIRST: its run-1 JIT absorbs session warmup off the heavy
     // queries' clocks, same as Bench's alphabetical order does in practice
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // could emit a comma decimal separator and corrupt the JSON
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val canary = timeQuery("s1_scan_project")
     val rows = heavy.map { name =>
       val ts = timeQuery(name)
@@ -65,8 +69,8 @@ object Steady {
         else (steady(steady.length / 2 - 1) + steady(steady.length / 2)) / 2.0
       System.err.println(f"[steady] $name%-40s median $median%.2f " +
         f"band ${steady.head}%.2f-${steady.last}%.2f (run1 ${ts.head}%.2f)")
-      val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-      s""""$name":{"median":${f"$median%.3f"},"min":${f"${steady.head}%.3f"},"max":${f"${steady.last}%.3f"},"runs":$runsJson}"""
+      val runsJson = ts.map(num).mkString("[", ",", "]")
+      s""""$name":{"median":${num(median)},"min":${num(steady.head)},"max":${num(steady.last)},"runs":$runsJson}"""
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -74,7 +78,7 @@ object Steady {
     val json =
       s"""{"sf":"$sfDir","runs":$runs,"threshold_sec":$threshold,""" +
         s""""producer":"$producer","load_avg_end":$load,""" +
-        s""""canary":${canary.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        s""""canary":${canary.map(num).mkString("[", ",", "]")},""" +
         s""""queries":{${rows.mkString(",")}}}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("STEADY.json"),
