@@ -2161,7 +2161,10 @@ object SparkEntry {
     // priority) against the last-crawl snapshot date, and the re-fetch
     // queue orders STALENESS FIRST (lastmod after the fetch snapshot),
     // rank second — so a stale low-rank page outranks a fresh high-rank
-    // one, which is the entire point of the signal. Top-5 per host.
+    // one, which is the entire point of the signal. Top-12 per host — wide
+    // enough that the stale/fresh BOUNDARY itself is in the output (fresh
+    // rows surface below every stale one), so the ordering proof is
+    // visible, not just hash-implied.
     // Only KNOWN urls qualify (refresh is for fetched pages; unseen locs
     // are pipeline_crawl_seeds' business): the inner join against the
     // url table also re-proves the entity-class fold (a query-form loc
@@ -2185,7 +2188,7 @@ object SparkEntry {
         .withColumn("rank", round(col("rank"), 6))
         .withColumn("is_stale", col("lastmod") > fetchDate)
         .withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 5)
+        .filter(col("rn") <= 12)
         .select(col("host"), col("url"), col("node"),
           date_format(col("lastmod"), "yyyy-MM-dd").as("lastmod"),
           col("is_stale"), col("rank"), col("rn"))
@@ -2213,7 +2216,7 @@ object SparkEntry {
         .groupBy(col("url"))
         .agg(min(col("batch_id")).cast("bigint").as("fetch_batch"))
         .withColumn("fetch_date",
-          date_add(to_date(lit("2026-01-01")),
+          date_add(to_date(lit("2026-02-01")),
             (col("fetch_batch") * 10).cast("int")))
       val stale = entries.join(fetched, Seq("url"))
         .withColumn("stale_days",
@@ -2276,9 +2279,11 @@ object SparkEntry {
     // lastmod − fetch_date per url. The fixture interplay is arithmetic
     // on both axes: fetch batch = floor(min(floor(p/chunk),15)/4) from
     // the range-partitioned segment layout (batch b fetched at
-    // 2026-01-01 + 10b days), lastmod = 2026-01-01 + p%60 days — so
+    // 2026-02-01 + 10b days — base aligned with the snapshot leg so the
+    // stale/fresh boundary lands INSIDE the per-host top-12), lastmod = 2026-01-01 + p%60 days — so
     // early-fetched pages go stale more often, exactly the real-world
-    // shape. Top-5 per host by staleness days; one groupBy over the urls
+    // shape. Top-12 per host by staleness days (the boundary rows where
+    // staleness goes negative surface in the output); one groupBy over the urls
     // table + broadcast-sized sitemap join, no rank chain needed.
     "pipeline_crawl_refresh_fetched" -> ((s, dir) => {
       val n = t(s, dir, "documents").count()
@@ -2293,7 +2298,7 @@ object SparkEntry {
         .groupBy(col("url"))
         .agg(min(col("batch_id")).cast("bigint").as("fetch_batch"))
         .withColumn("fetch_date",
-          date_add(to_date(lit("2026-01-01")),
+          date_add(to_date(lit("2026-02-01")),
             (col("fetch_batch") * 10).cast("int")))
       val w = Window.partitionBy(col("host"))
         .orderBy(desc("stale_days"), asc("url"))
@@ -2301,7 +2306,7 @@ object SparkEntry {
         .withColumn("stale_days",
           datediff(col("lastmod"), col("fetch_date")).cast("bigint"))
         .withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 5)
+        .filter(col("rn") <= 12)
         .select(col("host"), col("url"), col("fetch_batch"),
           date_format(col("lastmod"), "yyyy-MM-dd").as("lastmod"),
           col("stale_days"), (col("stale_days") > 0).as("is_stale"),
@@ -6469,7 +6474,7 @@ object SparkEntry {
     // (2026-01-01 + p%60 days vs the 2026-02-01 snapshot ⇒ stale iff
     // p%60 ≥ 32) + the known-url condition (bare form discovered for
     // p%5<>0; the k%4==3 decoded query form for p%5==0) + the two-key
-    // staleness-first window, top-5 per host
+    // staleness-first window, top-12 per host
     "pipeline_crawl_refresh_lastmod" -> (pagerankChain(
       "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)",
       edgesCte = extractedEdgesCte) +
@@ -6495,7 +6500,7 @@ object SparkEntry {
         |  FROM known kn JOIN r10 r ON r.node = kn.p)
         |SELECT host, url, node, lastmod, is_stale, rank,
         |  CAST(rn AS BIGINT) AS rn
-        |FROM scored WHERE rn <= 5 ORDER BY host, rn""".stripMargin),
+        |FROM scored WHERE rn <= 12 ORDER BY host, rn""".stripMargin),
 
     // the re-fetch schedule replays the stale-set CTEs (fetch-batch +
     // lastmod arithmetic), graftbot's gate CASE (path '/d/p' under the
@@ -6517,7 +6522,7 @@ object SparkEntry {
         |  FROM loc l JOIN pg ON pg.p = l.p
         |  WHERE l.p % 5 <> 0 OR l.k % 4 = 3),
         |stale AS (SELECT *,
-        |    date_diff('day', DATE '2026-01-01' + CAST(
+        |    date_diff('day', DATE '2026-02-01' + CAST(
         |      (least(p // (((SELECT n FROM nn) - 1) // 16 + 1), 15) // 4) * 10
         |      AS INTEGER), lastmod) AS stale_days
         |  FROM known),
@@ -6566,8 +6571,8 @@ object SparkEntry {
     // the fetch clock replays from the segment layout itself: chunk =
     // (n-1)//16 + 1, batch = min-id's file//4 (the min over a canonical
     // alias pair is the smaller id's batch — ids are range-partitioned),
-    // fetch date 2026-01-01 + 10·batch; known-url condition as the
-    // lastmod leg; staleness-days window, top-5 per host
+    // fetch date 2026-02-01 + 10·batch; known-url condition as the
+    // lastmod leg; staleness-days window, top-12 per host
     "pipeline_crawl_refresh_fetched" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |ks AS (SELECT h, k, h + 7*k AS p FROM range(7) t(h), range(40) t2(k)),
@@ -6588,10 +6593,10 @@ object SparkEntry {
         |  FROM known),
         |st AS (SELECT h, url, fetch_batch,
         |    strftime(lastmod, '%Y-%m-%d') AS lastmod,
-        |    date_diff('day', DATE '2026-01-01'
+        |    date_diff('day', DATE '2026-02-01'
         |        + CAST(fetch_batch * 10 AS INTEGER), lastmod) AS stale_days,
         |    row_number() OVER (PARTITION BY h
-        |      ORDER BY date_diff('day', DATE '2026-01-01'
+        |      ORDER BY date_diff('day', DATE '2026-02-01'
         |          + CAST(fetch_batch * 10 AS INTEGER), lastmod) DESC,
         |        url) AS rn
         |  FROM fb)
@@ -6599,7 +6604,7 @@ object SparkEntry {
         |  CAST(fetch_batch AS BIGINT) AS fetch_batch, lastmod,
         |  CAST(stale_days AS BIGINT) AS stale_days,
         |  stale_days > 0 AS is_stale, CAST(rn AS BIGINT) AS rn
-        |FROM st WHERE rn <= 5 ORDER BY host, rn""".stripMargin,
+        |FROM st WHERE rn <= 12 ORDER BY host, rn""".stripMargin,
 
     // rule counts replay the fixture arithmetic (h5's empty Disallow
     // contributes nothing; h4 adds the wildcard + decoy-Allow pair; h6
