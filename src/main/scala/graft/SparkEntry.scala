@@ -392,15 +392,15 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
 
   private def warcFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warclq", dir, listingKey(s, dir)), _ =>
+    fixturePathMemo.computeIfAbsent(("warclqr", dir, listingKey(s, dir)), _ =>
       warcFixturePathUncached(s, dir))
 
   private def warcFixturePathUncached(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
-    // kind "warclq" (r14 "warcl" bumped): payloads now render the
-    // (d+j)%6==4 anchors UNQUOTED, so the all-quoted cache key must
-    // never be reused
-    ensureIndex(s, ids, "warclq", "built") { p =>
+    // kind "warclqr" (r15 bumps: q = unquoted anchors, r = relative
+    // same-host anchors with dot segments) — payload-content changes
+    // always bump the kind so a stale cache can never serve new oracles
+    ensureIndex(s, ids, "warclqr", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true) // crash debris
       val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -563,8 +563,13 @@ object SparkEntry {
       .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("src_url"),
         explode(graft.functions.HtmlTextColumn.hrefs(col("body"))).as("href"))
       .filter(col("src_url").isNotNull)
+      // RFC 3986 resolution against the page's canonical url (absolute
+      // hrefs pass through verbatim) — relative anchors, the dominant
+      // form in real HTML, land on the same node as their absolute twins
       .select(pathIdNode(col("src_url")).as("src"),
-        graft.functions.Url.canonicalizeUrl(col("href")).as("dst_url"))
+        graft.functions.Url.canonicalizeUrl(
+          graft.functions.Url.resolveUrl(col("src_url"), col("href")))
+          .as("dst_url"))
       .filter(col("dst_url").isNotNull)
     links.join(urls, Seq("dst_url"))
       .select("src", "dst").distinct()
@@ -588,18 +593,18 @@ object SparkEntry {
     * (`links_compact`) fed the same batches and then COMPACTED — the
     * `warc_links_compacted` equivalence twin reads it while
     * `pipeline_crawl_refresh` keeps its time-travel history on the
-    * uncompacted one. Kind "warcingestl2q" (r14's "warcingestl2" bumped
-    * for the unquoted-anchor class): the
+    * uncompacted one. Kind "warcingestl2qr" (r15 bumps for the unquoted
+    * and relative anchor classes): the
     * segment payloads now carry anchors and the builder grew the
     * compacted index.
     */
   private def warcIngestPath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcingestl2q", dir, listingKey(s, dir)),
+    fixturePathMemo.computeIfAbsent(("warcingestl2qr", dir, listingKey(s, dir)),
       _ => warcIngestPathUncached(s, dir))
 
   private def warcIngestPathUncached(s: SparkSession, dir: String): String = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
-    ensureIndex(s, ids, "warcingestl2q", "built") { p =>
+    ensureIndex(s, ids, "warcingestl2qr", "built") { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true) // crash debris
       graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
@@ -796,10 +801,15 @@ object SparkEntry {
   private val warcAnchorSql: String =
     """(CASE WHEN d % 5 <> 0 THEN array_to_string(list_transform(list_transform(list_transform(
       |    range(0, d % 3 + 1),
-      |    j -> {'par': (d + j) % 2, 'unq': (d + j) % 6 = 4, 'dst0': (d*13 + j*17 + 1) % n}),
-      |    x -> {'par': x.par, 'unq': x.unq, 'pt': CASE WHEN x.dst0 % 3 = 2 THEN x.dst0 - 1 ELSE x.dst0 END}),
+      |    j -> {'par': (d + j) % 2, 'unq': (d + j) % 6 = 4, 'r12': (d + j) % 12, 'dst0': (d*13 + j*17 + 1) % n}),
+      |    x -> {'par': x.par, 'unq': x.unq,
+      |          'rel': x.r12 % 6 = 2, 'r12': x.r12,
+      |          'pt': CASE WHEN x.dst0 % 3 = 2 THEN x.dst0 - 1 ELSE x.dst0 END}),
       |    x -> (CASE WHEN x.unq THEN '<a href=' ELSE '<a href="' END) ||
-      |      (CASE WHEN x.par = 1
+      |      (CASE WHEN x.rel AND x.pt % 7 = (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7
+      |        THEN (CASE WHEN x.r12 = 2 THEN '../d/' ELSE '/d/../d/' END) || x.pt ||
+      |          (CASE WHEN x.pt % 5 = 0 THEN '?a=1&b=2' ELSE '' END)
+      |       WHEN x.par = 1
       |        THEN 'HTTPS://' || upper('d' || (x.pt % 7) || '.ex.test') || ':443/d/' || x.pt ||
       |          (CASE WHEN x.pt % 5 = 0 THEN '?b=2&a=1' ELSE '' END) || '#frag'
       |        ELSE 'https://d' || (x.pt % 7) || '.ex.test/d/' || x.pt ||
@@ -1862,10 +1872,9 @@ object SparkEntry {
     // serialization, gzip) breaks the re-parse and the row goes red.
     "warc_rewrite" -> ((s, dir) => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      // "warclqrw" (r14 "warclrw" bumped): the re-export embeds the
-      // source fixture's payload bytes, which now carry the unquoted
-      // anchor class
-      val path = ensureIndex(s, ids, "warclqrw", "built") { p =>
+      // "warclqrrw" (re-export twin of warclqr): embeds the source
+      // fixture's payload bytes incl. the unquoted + relative anchors
+      val path = ensureIndex(s, ids, "warclqrrw", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         import s.implicits._

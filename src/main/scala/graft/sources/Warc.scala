@@ -89,8 +89,12 @@ object Warc {
     *    with the same URL-messiness classes as the page URIs (odd `d+j`
     *    uppercases scheme+host, adds `:443` + `#frag` and scrambles the
     *    param order; `(d+j) % 6 == 4` renders the anchor UNQUOTED,
-    *    `<a href=… ></a>`) so canonicalization AND the unquoted
-    *    extraction pass are load-bearing for edge extraction. Empty
+    *    `<a href=… ></a>`; `(d+j) % 6 == 2` same-host targets render
+    *    RELATIVE with dot segments — `../d/…` path-relative at
+    *    `%12==2`, `/d/../d/…` root-relative at `%12==8`) so
+    *    canonicalization, the unquoted extraction pass, AND RFC 3986
+    *    reference resolution are all load-bearing for edge extraction.
+    *    Empty
     *    anchor text keeps `html_text` output byte-identical to the
     *    linkless fixture (data chunks concatenate with no separators),
     *    so only payload-level oracles see the links.
@@ -122,8 +126,17 @@ object Warc {
                 if (pt % 5 == 0) { if ((d + j) % 2 == 1) "?b=2&a=1" else "?a=1&b=2" }
                 else ""
               val hostT = s"d${pt % 7}.ex.test"
+              // (d+j)%6==2 same-host targets render RELATIVE (the
+              // dominant form in real HTML): (d+j)%12==2 path-relative
+              // with a dot segment, %12==8 root-relative with one — RFC
+              // 3986 §5 resolution must collapse both onto the SAME
+              // canonical the absolute form yields, so warc_links'
+              // unchanged arithmetic oracle is the end-to-end proof
+              val rel = (d + j) % 6 == 2 && pt % 7 == p % 7
               val href =
-                if ((d + j) % 2 == 1) s"HTTPS://${hostT.toUpperCase}:443/d/$pt$qsT#frag"
+                if (rel && (d + j) % 12 == 2) s"../d/$pt$qsT"
+                else if (rel) s"/d/../d/$pt$qsT"
+                else if ((d + j) % 2 == 1) s"HTTPS://${hostT.toUpperCase}:443/d/$pt$qsT#frag"
                 else s"https://$hostT/d/$pt$qsT"
               // (d+j)%6==4 renders UNQUOTED (common in older archived
               // HTML; necessarily the plain arm — 4 is even): extraction

@@ -89,7 +89,11 @@ object LinkIngest {
         .select(Url.canonicalizeUrl(col("uri")).as("src_url"),
           explode(HtmlTextColumn.hrefs(col("body"))).as("href"))
         .filter(col("src_url").isNotNull)
-        .select(col("src_url"), Url.canonicalizeUrl(col("href")).as("dst_url"))
+        // RFC 3986 resolution against the canonical page url — relative
+        // anchors accumulate the same canonical pairs as absolute ones
+        .select(col("src_url"),
+          Url.canonicalizeUrl(Url.resolveUrl(col("src_url"), col("href")))
+            .as("dst_url"))
         .filter(col("dst_url").isNotNull)
         .distinct()
         .withColumn("batch_id", lit(batchId))

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Url.resolveUrl]] against RFC 3986 §5.4's own reference-resolution
+  * examples (base `http://a/b/c/d;p?q`), normal and abnormal sets —
+  * the published conformance table IS the golden suite. Two deviations
+  * by contract, both asserted: a `#`-only ref returns the base WITHOUT
+  * the fragment (canonicalization drops fragments later anyway), and
+  * resolution output feeds [[Url.canonicalizeUrl]], so scheme/authority
+  * case is normalized downstream, not here.
+  */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "http://a/b/c/d;p?q"
+
+  private def resolve(ref: String): String = {
+    val r = Seq((base, ref)).toDF("b", "r")
+      .select(Url.resolveUrl(col("b"), col("r")).as("u")).collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("RFC 3986 §5.4.1 normal examples") {
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    cases.foreach { case (ref, want) =>
+      assert(resolve(ref) === want, s"ref <$ref>")
+    }
+    // deviation by contract: fragment-only ref returns the base sans
+    // fragment (RFC keeps "#s"; canonicalization drops it one step later)
+    assert(resolve("#s") === "http://a/b/c/d;p?q")
+  }
+
+  test("RFC 3986 §5.4.2 abnormal examples") {
+    val cases = Seq(
+      "../../../g" -> "http://a/g",    // never above root
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      // dot-segments in the query/fragment are NOT path segments
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x",
+      // a ref WITH a scheme is already absolute (strict parser)
+      "http:g" -> "http:g")
+    cases.foreach { case (ref, want) =>
+      assert(resolve(ref) === want, s"ref <$ref>")
+    }
+  }
+
+  test("resolve -> canonicalize composes: relative forms fold onto the " +
+      "absolute canonical, absolute refs pass through verbatim") {
+    val rows = Seq(
+      ("HTTPS://D1.EX.TEST:443/d/8?b=2&a=1#f", "/d/../d/15"),
+      ("https://d1.ex.test/d/8", "../d/15"),
+      ("https://d1.ex.test/d/8", "https://d1.ex.test/d/15"))
+      .toDF("b", "r")
+      .select(Url.canonicalizeUrl(Url.resolveUrl(col("b"), col("r"))).as("u"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq.fill(3)("https://d1.ex.test/d/15"))
+    // unparseable base -> NULL, the drop-out posture
+    val bad = Seq(("not a url", "/x")).toDF("b", "r")
+      .select(Url.resolveUrl(col("b"), col("r")).as("u")).collect().head
+    assert(bad.isNullAt(0))
+  }
+}
