@@ -2011,6 +2011,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The robots-FETCH-STATUS gate (RFC 9309 §2.3.1) — what a crawler
+    // does when the policy fetch itself fails: per host, the robots.txt
+    // fetch status is h%4-classed (0 → 200 parse-and-evaluate, 1 → 404
+    // unavailable ⇒ MAY access everything, 2 → 503 unreachable ⇒ MUST
+    // assume complete disallow, 3 → null/timeout ⇒ same). Only the 200
+    // class consults the rule arithmetic; a gate that parsed a 503
+    // host's stale text (or treated 404 as block-all) flips whole hosts.
+    "warc_robots_gate_status" -> ((s, dir) => {
+      val pages = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          try_parse_url(col("uri"), lit("PATH")).as("path"))
+      val st = pmod(regexp_extract(col("host"), "d(\\d+)", 1).cast("long"), lit(4))
+      val pol = robotsPolicies(s).select(col("host"),
+        when(st === 0, lit(200)).when(st === 1, lit(404))
+          .when(st === 2, lit(503)).otherwise(lit(null).cast("int"))
+          .as("fetch_status"),
+        graft.functions.Robots.rules(col("robots_txt")).as("rules"))
+      pages.join(broadcast(pol), Seq("host"), "left")
+        .select(col("doc_id"), col("host"), col("fetch_status"),
+          graft.functions.Robots.isBlockedWithFetchStatus(
+            col("fetch_status"), col("path"), col("rules")).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // Sitemap discovery (Robots.sitemaps) — the crawl's seed-URL source:
     // sitemap lines are GROUP-INDEPENDENT per RFC 9309 §2.3, and the
     // fixture plants each host's line INSIDE the fetchbot decoy group to
@@ -6366,6 +6391,26 @@ object SparkEntry {
         |            OR (starts_with(s, '4') AND NOT starts_with(s, '45'))
         |       WHEN h = 6 THEN (starts_with(s, '6') AND NOT starts_with(s, '65'))
         |            OR starts_with(s, '16')
+        |       ELSE starts_with(s, CAST(h AS VARCHAR))
+        |            AND NOT starts_with(s, CAST(h AS VARCHAR) || '5')
+        |  END AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the status tier replays by host class: h%4==0 hosts evaluate the
+    // rule CASE (same arithmetic as warc_robots_gate), h%4==1 hosts are
+    // 404-unavailable (nothing blocked), h%4∈{2,3} are 503/timeout
+    // (everything blocked)
+    "warc_robots_gate_status" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |pg AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |m AS (SELECT d, p, p % 7 AS h, CAST(p AS VARCHAR) AS s FROM pg)
+        |SELECT d AS doc_id, 'd' || h || '.ex.test' AS host,
+        |  CASE WHEN h % 4 = 0 THEN 200 WHEN h % 4 = 1 THEN 404
+        |       WHEN h % 4 = 2 THEN 503 END AS fetch_status,
+        |  CASE WHEN h % 4 = 1 THEN FALSE
+        |       WHEN h % 4 >= 2 THEN TRUE
+        |       WHEN h = 4 THEN s LIKE '%7'
+        |            OR (starts_with(s, '4') AND NOT starts_with(s, '45'))
         |       ELSE starts_with(s, CAST(h AS VARCHAR))
         |            AND NOT starts_with(s, CAST(h AS VARCHAR) || '5')
         |  END AS blocked

@@ -257,6 +257,23 @@ object Robots {
       when(anchored, lit("$")).otherwise(lit("")))
   }
 
+  /** The robots-FETCH-status tier of the gate (RFC 9309 §2.3.1): the
+    * verdict for a path given how the robots.txt fetch itself ended —
+    * 2xx evaluates the parsed rules as usual; 3xx is what a crawler sees
+    * AFTER following redirects, so an unresolved 3xx here falls into the
+    * unreachable class conservatively alongside 5xx ("MUST assume
+    * complete disallow"); 4xx means "unavailable" and the RFC says a
+    * crawler MAY access all resources (the universal convention);
+    * anything else (timeouts modeled as null, 5xx) blocks everything.
+    * This is the gate production crawlers actually run — a host whose
+    * robots.txt 503s must NOT be crawled as if it had no policy.
+    */
+  def isBlockedWithFetchStatus(status: Column, path: Column,
+      rules: Column): Column =
+    when(status >= 200 && status < 300, isBlockedByRules(path, rules))
+      .when(status >= 400 && status < 500, lit(false))
+      .otherwise(lit(true))
+
   /** TRUE when `path` is blocked under RFC 9309 precedence: among the
     * rules whose pattern matches, the LONGEST pattern wins, and a length
     * tie goes to `Allow`. No matching rule — or no policy row, or a null

@@ -237,6 +237,32 @@ class RobotsSpec extends SparkSpec {
       === Seq(("https://a.test/s.xml", Some("2026-02-02"))))
   }
 
+  test("isBlockedWithFetchStatus: 2xx evaluates rules, 4xx allows all, " +
+      "5xx/3xx/timeout block all (RFC 9309 §2.3.1)") {
+    val rules = Robots.rules(lit("User-agent: *\nDisallow: /a\n"))
+    val got = Seq(200, 204, 404, 410, 503, 500, 301)
+      .toDF("st")
+      .select(col("st"),
+        Robots.isBlockedWithFetchStatus(col("st"), lit("/a/x"), rules)
+          .as("ba"),
+        Robots.isBlockedWithFetchStatus(col("st"), lit("/ok"), rules)
+          .as("bo"))
+      .collect().map(r => r.getInt(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(got(200) === (true, false))   // rules evaluate
+    assert(got(204) === (true, false))
+    assert(got(404) === (false, false))  // unavailable: MAY access all
+    assert(got(410) === (false, false))
+    assert(got(503) === (true, true))    // unreachable: complete disallow
+    assert(got(500) === (true, true))
+    assert(got(301) === (true, true))    // unresolved redirect: conservative
+    // timeout modeled as null status -> block
+    val t = Seq(Tuple1(null.asInstanceOf[Integer])).toDF("st")
+      .select(Robots.isBlockedWithFetchStatus(col("st"), lit("/ok"), rules))
+      .collect().head.getBoolean(0)
+    assert(t)
+  }
+
   test("indented directives: extraction tolerates leading whitespace in " +
       "lockstep with the own-directive group-merge check") {
     // the ADVICE case: an indented rule block made the group classed
