@@ -2011,6 +2011,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REDIRECT-CHAIN resolution — the alias tier crawl dedup needs
+    // before content ever loads: per origin, follow Location hops
+    // (RELATIVE Locations are legal per RFC 7231 §7.1.2 and common —
+    // resolved with Url.resolveUrl against the hop's own url; the
+    // even-k hops here are root-relative, odd-k absolute) to the final
+    // url, under a HOP BUDGET with self-loop termination. Fixture: per
+    // host, 10 arithmetic chains of m%3+1 hops ending on the /d/(h+7m)
+    // page; the m==9 chain is a planted SELF-LOOP that must exhaust the
+    // budget and report resolved=false, never spin. The loop is 8
+    // bounded driver rounds of a left join over the redirect table —
+    // done rows ride through unchanged (their final url has no redirect
+    // row), so the fold is idempotent past each chain's end.
+    "pipeline_crawl_redirects" -> ((s, dir) => {
+      val hm = s.range(7).select(col("id").as("h"))
+        .crossJoin(s.range(10).select(col("id").as("m")))
+      val hops = hm.select(col("h"), col("m"),
+        explode(sequence(lit(0L), pmod(col("m"), lit(3)))).as("k"))
+      val srcU = concat(lit("https://d"), col("h"), lit(".ex.test/r/"),
+        col("h"), lit("/"), col("m"), lit("/"), col("k"))
+      val isLast = col("k") === pmod(col("m"), lit(3))
+      val location = when(col("m") === 9 && isLast,
+          concat(lit("/r/"), col("h"), lit("/9/0"))) // the self-loop
+        .when(isLast, concat(lit("/d/"), col("h") + col("m") * 7))
+        .when(pmod(col("k"), lit(2)) === 1,
+          concat(lit("https://d"), col("h"), lit(".ex.test/r/"),
+            col("h"), lit("/"), col("m"), lit("/"), col("k") + 1))
+        .otherwise(concat(lit("/r/"), col("h"), lit("/"), col("m"),
+          lit("/"), col("k") + 1))
+      val redirects = hops
+        .select(srcU.as("cur"),
+          graft.functions.Url.resolveUrl(srcU, location).as("next_url"))
+        .localCheckpoint()
+      var walk = hm.select(
+        concat(lit("https://d"), col("h"), lit(".ex.test/r/"), col("h"),
+          lit("/"), col("m"), lit("/0")).as("origin"))
+        .select(col("origin"), col("origin").as("cur"),
+          lit(0L).as("n_hops"))
+      val budget = 8
+      for (i <- 1 to budget) {
+        walk = walk.join(redirects, Seq("cur"), "left")
+          .select(col("origin"),
+            coalesce(col("next_url"), col("cur")).as("cur"),
+            (col("n_hops") + when(col("next_url").isNotNull, 1L)
+              .otherwise(0L)).as("n_hops"))
+        if (i % 4 == 0) walk = walk.localCheckpoint()
+      }
+      // resolved = the final url has no redirect row left (a loop or an
+      // over-budget chain still sits on a redirecting url)
+      walk.join(redirects.select(col("cur"), lit(true).as("redirects_on")),
+          Seq("cur"), "left")
+        .select(col("origin"), col("cur").as("final_url"), col("n_hops"),
+          coalesce(!col("redirects_on"), lit(true)).as("resolved"))
+        .orderBy("origin")
+    }),
+
     // The robots-FETCH-STATUS gate (RFC 9309 §2.3.1) — what a crawler
     // does when the policy fetch itself fails: per host, the robots.txt
     // fetch status is h%4-classed (0 → 200 parse-and-evaluate, 1 → 404
@@ -6395,6 +6450,20 @@ object SparkEntry {
         |            AND NOT starts_with(s, CAST(h AS VARCHAR) || '5')
         |  END AS blocked
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // redirect chains replay in CLOSED FORM — lengths and targets are
+    // arithmetic (m%3+1 hops to /d/(h+7m)), so the oracle states the
+    // ideal and the walk must erase the hop mechanics (incl. relative
+    // Location resolution); the self-loop class reports the spent
+    // 8-hop budget, unresolved
+    "pipeline_crawl_redirects" ->
+      """WITH hm AS (SELECT h, m FROM range(7) t(h), range(10) t2(m))
+        |SELECT 'https://d' || h || '.ex.test/r/' || h || '/' || m || '/0' AS origin,
+        |  CASE WHEN m = 9 THEN 'https://d' || h || '.ex.test/r/' || h || '/9/0'
+        |       ELSE 'https://d' || h || '.ex.test/d/' || (h + m*7) END AS final_url,
+        |  CAST(CASE WHEN m = 9 THEN 8 ELSE m % 3 + 1 END AS BIGINT) AS n_hops,
+        |  m <> 9 AS resolved
+        |FROM hm ORDER BY origin""".stripMargin,
 
     // the status tier replays by host class: h%4==0 hosts evaluate the
     // rule CASE (same arithmetic as warc_robots_gate), h%4==1 hosts are
