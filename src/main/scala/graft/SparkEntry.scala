@@ -409,6 +409,41 @@ object SparkEntry {
     }
   }
 
+  /** The SECOND-snapshot archive (`changeSalt = 1`): the same corpus
+    * re-fetched 14 days after [[warcFixturePath]]'s crawl, where exactly
+    * the `d % 4 == 3` 200-status class changed content and every other
+    * byte is identical — the observation pair the change-rate estimator
+    * (`pipeline_crawl_change_rate`) compares digests across.
+    */
+  private def warcSnapFixturePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warcsnap1", dir, listingKey(s, dir)), _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, ids, "warcsnap1", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
+          nFiles = 16, linkSpace = ids.count(), changeSalt = 1L)
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+    })
+
+  /** The BLOCK-STRUCTURED archive (`Warc.bpResponseRecordString`): pages
+    * wrapped in sitewide chrome for the main-content extraction query —
+    * separate fixture so the flat fixture's 24 payload-level oracles stay
+    * untouched.
+    */
+  private def warcBpFixturePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warcbp", dir, listingKey(s, dir)), _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, ids, "warcbp", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
+          nFiles = 16, recordFor = d => graft.sources.Warc.bpResponseRecordString(d))
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+    })
+
   /** Node id of a canonical fixture URL — the path id the oracles'
     * arithmetic is stated in (a real corpus would use LinkIngest's
     * default url-hash nodes instead).
@@ -1779,6 +1814,108 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_aliases"),
           min("doc_id").as("id_min"), max("doc_id").as("id_max"))
         .orderBy("url")
+    }),
+
+    // Payload-level STORAGE dedup — the WARC revisit-record model
+    // (ISO 28500 §6.7.2: an unchanged re-fetch is written as a `revisit`
+    // record carrying `WARC-Payload-Digest` + `WARC-Refers-To` instead
+    // of the bytes; Common Crawl dedups its snapshots exactly this way).
+    // Group responses by payload digest: the first record (min doc id)
+    // stays the stored response, every later identical fetch would be a
+    // revisit pointer, saving (n-1) × payload bytes. The fixture's
+    // biggest group is the 404 class (every `not found` body is
+    // byte-identical — error pages ARE the canonical revisit win in real
+    // archives). Scale shape: one map-side md5 over the record walk,
+    // one hash aggregate on the 128-bit digest with map-side partials —
+    // no shuffle of payload bytes, only digests + counters move.
+    "warc_revisit_dedup" -> ((s, dir) => {
+      graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .select(md5(col("payload")).as("payload_md5"),
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("content_length"))
+        .groupBy("payload_md5")
+        .agg(count(lit(1)).as("n_copies"),
+          min("doc_id").as("stored_doc"),
+          max("content_length").as("bytes_each"),
+          ((count(lit(1)) - 1) * max("content_length")).as("bytes_saved"))
+        .filter(col("n_copies") >= 2)
+        .orderBy("payload_md5")
+    }),
+
+    // CHANGE-RATE estimation over two crawl snapshots — the revisit-
+    // policy input (Cho & Garcia-Molina, TODS 2003: estimate a page's
+    // Poisson change rate λ from n re-fetches with X detected changes,
+    // λ̂ = ln((n + 0.5) / (n − X + 0.5)) / I for access interval I).
+    // Per canonical url take the LATEST record's payload digest in each
+    // snapshot (alias groups carry two fetches per snapshot — a real
+    // scheduler keys freshness on the newest), diff across snapshots,
+    // and derive the adaptive revisit interval (expected half-a-change
+    // per visit, capped at 60 days; an unchanged pair estimates λ̂ = 0 →
+    // the cap). The second snapshot is the changeSalt=1 fixture: exactly
+    // the d%4==3 200-status class changed. Scale shape: digests are
+    // map-side over each archive scan, then ONE hash aggregate keyed on
+    // (url, snapshot) and one on url — payload bytes never shuffle.
+    "pipeline_crawl_change_rate" -> ((s, dir) => {
+      val snap0 = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+        .withColumn("snap", lit(0))
+      val snap1 = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+          s, s"${warcSnapFixturePath(s, dir)}/files")).toDF()
+        .withColumn("snap", lit(1))
+      val latest = snap0.unionByName(snap1)
+        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("snap"), md5(col("payload")).as("digest"))
+        .groupBy("url", "snap")
+        .agg(max_by(col("digest"), col("doc_id")).as("digest"))
+      val obs = latest.groupBy("url").agg(
+          max(when(col("snap") === 0, col("digest"))).as("d0"),
+          max(when(col("snap") === 1, col("digest"))).as("d1"))
+        .select(col("url"), (col("d0") =!= col("d1")).as("changed"))
+      val n = lit(1.0) // one re-fetch interval between the two snapshots
+      val x = col("changed").cast("double")
+      // positive-log form so the unchanged case is exactly +0.0 (the
+      // -ln(r)/I form yields -0.0, which is bit-unequal across engines)
+      val lam = log((n + lit(0.5)) / (n - x + lit(0.5))) / lit(14.0)
+      obs.select(col("url"), col("changed"),
+          round(lam, 6).as("lambda_hat"),
+          when(col("changed"), round(least(lit(60.0), lit(0.5) / lam), 2))
+            .otherwise(lit(60.0)).as("revisit_days"))
+        .orderBy("url")
+    }),
+
+    // MAIN-CONTENT extraction (functions/Boilerplate) over the block-
+    // structured archive: segment each 200 page into blocks, classify by
+    // token link-density + minimum length, and reassemble the retained
+    // text in document order. The fixture plants one block per verdict
+    // class (all-anchor nav, plain content of varying length, a
+    // link-BEARING related strip that must survive, an anchor-heavy
+    // footer); the oracle replays each block's verdict and the retained
+    // text's md5. Scale shape: blocks EXPLODE to rows (a real page is
+    // 10²–10³ blocks), per-block scoring is codegen'd map-side work, and
+    // the per-doc reassembly is one hash aggregate.
+    "warc_main_content" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
+      val pages = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("body"))
+      val bp = graft.functions.Boilerplate
+      val blk = pages.select(col("doc_id"),
+        posexplode(bp.blocks(col("body"))).as(Seq("pos", "raw")))
+      val scored = blk.select(col("doc_id"), col("pos"),
+          bp.blockText(col("raw")).as("text"),
+          bp.tokenCount(bp.blockText(col("raw"))).as("n_toks"),
+          bp.tokenCount(bp.linkText(col("raw"))).as("n_link_toks"))
+        .withColumn("kept", bp.isContent(col("n_toks"), col("n_link_toks")))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("main_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
+            b => b.getField("text")), "\n")).as("main_md5"))
+        .orderBy("doc_id")
     }),
 
     // Link-graph EXTRACTION from the archived pages themselves
@@ -6359,6 +6496,73 @@ object SparkEntry {
         |SELECT url, CAST(count(*) AS BIGINT) AS n_aliases,
         |  min(d) AS id_min, max(d) AS id_max
         |FROM urls GROUP BY url ORDER BY url""".stripMargin,
+
+    // Revisit-record storage dedup: the oracle rebuilds every response
+    // PAYLOAD (warc_read's reconstruction, minus the uri it doesn't
+    // contain) and groups by it — digest grouping in Spark must land the
+    // identical partition of the archive.
+    "warc_revisit_dedup" ->
+      ("""WITH ids AS (SELECT doc_id AS d FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |pay AS (SELECT d,
+        |  (CASE WHEN d % 11 = 0 THEN 'HTTP/1.1 404 Not Found' ELSE 'HTTP/1.1 200 OK' END)
+        |  || chr(13) || chr(10) || 'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  (CASE WHEN d % 11 = 0 THEN 'not found' ELSE '<html><body>' ||
+        |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+        |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
+        |     || """.stripMargin + warcAnchorSql +
+        " || '</body></html>' END) AS payload FROM ids, nn)\n" +
+      """SELECT md5(payload) AS payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(d) AS stored_doc, CAST(max(length(payload)) AS BIGINT) AS bytes_each,
+        |  CAST((count(*) - 1) * max(length(payload)) AS BIGINT) AS bytes_saved
+        |FROM pay GROUP BY md5(payload) HAVING count(*) >= 2
+        |ORDER BY payload_md5""".stripMargin),
+
+    // Change-rate replay: which urls changed is pure arithmetic (the
+    // LATEST record per alias group is max(d); content drifts iff that
+    // record is the d%4==3 200-status class), and the estimator formula
+    // is restated verbatim — Spark's digest diff must land exactly the
+    // arithmetic's change set.
+    "pipeline_crawl_change_rate" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |c AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |g AS (SELECT p, max(d) AS dmax FROM c GROUP BY p),
+        |chg AS (SELECT
+        |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+        |  (dmax % 4 = 3 AND dmax % 11 <> 0) AS changed FROM g),
+        |est AS (SELECT url, changed,
+        |  ln((1 + 0.5) / (1 - (CASE WHEN changed THEN 1 ELSE 0 END) + 0.5)) / 14.0 AS lam
+        | FROM chg)
+        |SELECT url, changed, round(lam, 6) AS lambda_hat,
+        |  CASE WHEN changed THEN round(least(60.0, 0.5 / lam), 2)
+        |       ELSE CAST(60.0 AS DOUBLE) END AS revisit_days
+        |FROM est ORDER BY url""".stripMargin,
+
+    // Main-content replay: per 200 page, each block's verdict and the
+    // retained text are closed-form in d (nav/footer always drop,
+    // content keeps iff its run is >= 3 tokens, the related strip always
+    // keeps on its d%4==1 class).
+    "warc_main_content" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |w AS (SELECT d,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
+        |  d % 9 + 1 >= 3 AS keep_content,
+        |  d % 4 = 1 AS has_related
+        | FROM ids)
+        |SELECT d AS doc_id,
+        |  CAST(3 + (CASE WHEN has_related THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+        |  CAST((CASE WHEN keep_content THEN 1 ELSE 0 END)
+        |     + (CASE WHEN has_related THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST((CASE WHEN keep_content THEN d % 9 + 1 ELSE 0 END)
+        |     + (CASE WHEN has_related THEN 7 ELSE 0 END) AS BIGINT) AS main_tokens,
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB; the
+        |  -- zero-kept page's retained text is the empty string
+        |  md5(coalesce(array_to_string(list_filter([
+        |    CASE WHEN keep_content THEN words ELSE NULL END,
+        |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
+        |    x -> x IS NOT NULL), chr(10)), '')) AS main_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // The extracted edge table IS the frontier oracles' edges CTE —
     // one definition, consumed by warc_links directly and by the

@@ -99,7 +99,11 @@ object Warc {
     *    linkless fixture (data chunks concatenate with no separators),
     *    so only payload-level oracles see the links.
     */
-  private[graft] def responseRecordString(d: Long, linkSpace: Long = 0L): String = {
+  /** The messy-URL variant of one doc id — shared by every synthetic
+    * record class so URL-level behavior (canonicalization, alias folds)
+    * is identical across fixtures.
+    */
+  private[graft] def messyUri(d: Long): String = {
     val v = d % 4
     val p = if (d % 3 == 2) d - 1 else d
     val hostL = s"d${p % 7}.ex.test"
@@ -111,11 +115,25 @@ object Warc {
     val q = Seq(bp, tr).filter(_.nonEmpty).mkString("&")
     val query = if (q.nonEmpty) "?" + q else ""
     val frag = if (v == 2) "#frag" else ""
-    val uri = s"$scheme://$host$port/d/$p$query$frag"
+    s"$scheme://$host$port/d/$p$query$frag"
+  }
+
+  /** `changeSalt` models CONTENT DRIFT between crawl snapshots: docs with
+    * `d % 4 == 3` (200-status) shift their word run by the salt, every
+    * other byte stays identical — so a second synthesis with salt 1 is
+    * the "re-fetch two weeks later" archive where exactly that class
+    * changed. Salt 0 (the default) is byte-identical to the pre-salt
+    * fixture, so existing oracles are untouched.
+    */
+  private[graft] def responseRecordString(d: Long, linkSpace: Long = 0L,
+      changeSalt: Long = 0L): String = {
+    val p = if (d % 3 == 2) d - 1 else d
+    val uri = messyUri(d)
     val (statusLine, body) =
       if (d % 11 == 0) ("HTTP/1.1 404 Not Found", "not found")
       else {
-        val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+        val salt = if (d % 4 == 3) changeSalt else 0L
+        val words = (0L to d % 9).map(i => s"w${(d * 7 + i + salt) % 13}").mkString(" ")
         val fake = if (d % 7 == 0) FakeRecordLiteral else ""
         val links =
           if (linkSpace > 0 && d % 5 != 0)
@@ -148,6 +166,11 @@ object Warc {
           else ""
         ("HTTP/1.1 200 OK", s"<html><body>$words$fake$links</body></html>")
       }
+    wrapResponse(d, uri, statusLine, body)
+  }
+
+  private def wrapResponse(d: Long, uri: String, statusLine: String,
+      body: String): String = {
     val payload = statusLine + Crlf + "Content-Type: text/html" + Crlf + Crlf + body
     "WARC/1.0" + Crlf +
       "WARC-Type: response" + Crlf +
@@ -155,6 +178,45 @@ object Warc {
       s"WARC-Target-URI: $uri" + Crlf +
       s"Content-Length: ${payload.length}" + Crlf + Crlf +
       payload + Crlf + Crlf
+  }
+
+  /** The BLOCK-STRUCTURED page class for main-content extraction
+    * (boilerplate removal): real pages wrap the content in sitewide
+    * chrome — a nav bar, related-links strips, a footer — and a training
+    * pipeline that ships raw `html_text` ships the chrome too. Each
+    * 200-status page here is:
+    *
+    *  - a nav `<div>`: 3 anchors, ALL text inside links (link density 1)
+    *  - the content `<p>`: the doc's word run, zero links (density 0; a
+    *    page with `d % 9 < 2` has a 1-2-token run — genuinely thin
+    *    content the min-length gate must drop too)
+    *  - `d % 4 == 1` only: a RELATED strip — one anchor among six plain
+    *    words (density 1/7 — link-bearing but content; the case a naive
+    *    "has links ⇒ boilerplate" rule misclassifies)
+    *  - a footer `<div>`: two anchors + one plain token (density 2/3)
+    *
+    * Every token is arithmetic in `d`, so the block classifier's verdict
+    * per block — and the retained main text — replays in SQL. 404s keep
+    * the plain-text body (the status filter drops them before blocks).
+    */
+  private[graft] def bpResponseRecordString(d: Long): String = {
+    val uri = messyUri(d)
+    val (statusLine, body) =
+      if (d % 11 == 0) ("HTTP/1.1 404 Not Found", "not found")
+      else {
+        val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+        val related =
+          if (d % 4 == 1)
+            """<div><a href="/r">more</a> w1 w2 w3 w4 w5 w6</div>"""
+          else ""
+        ("HTTP/1.1 200 OK",
+          "<html><body>" +
+            """<div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>""" +
+            s"<p>$words</p>" + related +
+            """<div><a href="/about">about</a> <a href="/contact">contact</a> c0</div>""" +
+            "</body></html>")
+      }
+    wrapResponse(d, uri, statusLine, body)
   }
 
   /** The file-leading `warcinfo` record real archives carry; readers that
@@ -178,11 +240,20 @@ object Warc {
     */
   def synthesizeFiles(spark: SparkSession, ids: DataFrame, idCol: String,
       dir: String, nFiles: Int = 16, gzip: Boolean = true,
-      rangePartition: Boolean = false, linkSpace: Long = 0L): Long = {
+      rangePartition: Boolean = false, linkSpace: Long = 0L,
+      changeSalt: Long = 0L,
+      recordFor: Long => String = null): Long = {
     import spark.implicits._
     val target = dir
     val doGzip = gzip
     val links = linkSpace
+    val salt = changeSalt
+    // record synthesizer: the default crawl page, or a caller-supplied
+    // page class (boilerplate layout) — a pure Long => String, captured
+    // into the task closure
+    val mk: Long => String =
+      if (recordFor != null) recordFor
+      else d => responseRecordString(d, links, salt)
     val id = col(idCol).cast("long")
     val fileNo =
       if (rangePartition) {
@@ -213,7 +284,7 @@ object Warc {
             out = if (doGzip) new GZIPOutputStream(raw) else raw
             out.write(warcinfoRecordString.getBytes(US_ASCII))
           }
-          out.write(responseRecordString(d, links).getBytes(US_ASCII))
+          out.write(mk(d).getBytes(US_ASCII))
           n += 1L
         }
         closeFile()
