@@ -1842,6 +1842,33 @@ object SparkEntry {
         .orderBy("payload_md5")
     }),
 
+    // The revisit model's SINK half round-tripped: re-export the archive
+    // through Warc.writeRecordsDeduped (one stored response per distinct
+    // payload, a pointer-only `revisit` record for every later identical
+    // fetch), read it back through the standard record walk, and report
+    // the storage ledger per record type. The oracle restates the ledger
+    // from the duplicate-group arithmetic — stored rows = distinct
+    // payloads (with their bytes), revisit rows = the rest (zero bytes) —
+    // so a green row proves the dedup election, both serialization
+    // shapes, and the re-read agree end-to-end. WarcSpec pins the
+    // pointer fields (WARC-Refers-To / WARC-Payload-Digest) byte-level.
+    "warc_rewrite_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val path = ensureIndex(s, ids, "warcdd", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val n = graft.sources.Warc.writeRecordsDeduped(
+          graft.sources.Warc.responses(warcRecords(s, dir)), s"$p/files", nFiles = 8)
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+      graft.sources.Warc.readRecords(s, s"$path/files").toDF()
+        .filter(col("warc_type").isin("response", "revisit"))
+        .groupBy(col("warc_type").as("rec_type"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("bytes_stored"))
+        .orderBy("rec_type")
+    }),
+
     // CHANGE-RATE estimation over two crawl snapshots — the revisit-
     // policy input (Cho & Garcia-Molina, TODS 2003: estimate a page's
     // Poisson change rate λ from n re-fetches with X detected changes,
@@ -1861,15 +1888,24 @@ object SparkEntry {
       val snap1 = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
           s, s"${warcSnapFixturePath(s, dir)}/files")).toDF()
         .withColumn("snap", lit(1))
-      val latest = snap0.unionByName(snap1)
+      // one archive pass per snapshot: digests computed map-side, then
+      // checkpoint the 4-column frame (payload bytes never shuffle, and
+      // the latest-per-key tiers below reference it twice). Latest-per-
+      // (url, snapshot) is max(long) + join-back — hash aggregate and
+      // hash join; a max_by(digest, doc_id) would put a string in the
+      // agg buffer and force SortAggregate (see pipeline_warc's note)
+      val recs = snap0.unionByName(snap1)
         .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
           regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
           col("snap"), md5(col("payload")).as("digest"))
-        .groupBy("url", "snap")
-        .agg(max_by(col("digest"), col("doc_id")).as("digest"))
-      val obs = latest.groupBy("url").agg(
-          max(when(col("snap") === 0, col("digest"))).as("d0"),
-          max(when(col("snap") === 1, col("digest"))).as("d1"))
+        .localCheckpoint()
+      val latestIds = recs.groupBy("url", "snap").agg(max("doc_id").as("doc_id"))
+      val latest = recs.join(latestIds, Seq("url", "snap", "doc_id"))
+        .localCheckpoint() // tiny (one row per url per snapshot)
+      val obs = latest.filter(col("snap") === 0)
+        .select(col("url"), col("digest").as("d0"))
+        .join(latest.filter(col("snap") === 1)
+          .select(col("url"), col("digest").as("d1")), Seq("url"))
         .select(col("url"), (col("d0") =!= col("d1")).as("changed"))
       val n = lit(1.0) // one re-fetch interval between the two snapshots
       val x = col("changed").cast("double")
@@ -6517,6 +6553,30 @@ object SparkEntry {
         |  CAST((count(*) - 1) * max(length(payload)) AS BIGINT) AS bytes_saved
         |FROM pay GROUP BY md5(payload) HAVING count(*) >= 2
         |ORDER BY payload_md5""".stripMargin),
+
+    // Deduped-sink ledger: stored rows = one per distinct payload (their
+    // summed bytes), revisit rows = every further copy at zero bytes —
+    // the same payload reconstruction, grouped.
+    "warc_rewrite_dedup" ->
+      ("""WITH ids AS (SELECT doc_id AS d FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |pay AS (SELECT d,
+        |  (CASE WHEN d % 11 = 0 THEN 'HTTP/1.1 404 Not Found' ELSE 'HTTP/1.1 200 OK' END)
+        |  || chr(13) || chr(10) || 'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  (CASE WHEN d % 11 = 0 THEN 'not found' ELSE '<html><body>' ||
+        |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+        |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
+        |     || """.stripMargin + warcAnchorSql +
+        " || '</body></html>' END) AS payload FROM ids, nn)\n" +
+      """, g AS (SELECT count(*) AS c, CAST(length(payload) AS BIGINT) AS len
+        |        FROM pay GROUP BY payload)
+        |SELECT * FROM (
+        |  SELECT 'response' AS rec_type, CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(sum(len) AS BIGINT) AS bytes_stored FROM g
+        |  UNION ALL
+        |  SELECT 'revisit', CAST(coalesce(sum(c - 1), 0) AS BIGINT), CAST(0 AS BIGINT) FROM g)
+        |WHERE n_records > 0
+        |ORDER BY rec_type""".stripMargin),
 
     // Change-rate replay: which urls changed is pure arithmetic (the
     // LATEST record per alias group is max(d); content drifts iff that

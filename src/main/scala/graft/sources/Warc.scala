@@ -356,6 +356,85 @@ object Warc {
     written.sum
   }
 
+  /** Revisit-aware export — the storage half of the WARC dedup model
+    * (ISO 28500 §6.7.2): per payload digest, ONE record keeps its bytes
+    * (the lexicographically-first record id — deterministic, rerun-
+    * stable); every other identical payload is written as a `revisit`
+    * record carrying `WARC-Refers-To` (the stored record's id) and
+    * `WARC-Payload-Digest` instead of a body. Readers resolve the
+    * pointer through the digest or the referred id; [[readRecords]]
+    * walks revisit records like any other (Content-Length 0).
+    *
+    * Scale shape: the canonical election shuffles (digest, record_id)
+    * POINTERS only; the bytes move exactly once, on the digest
+    * repartition both join sides share (same single-byte-move cost as
+    * [[writeRecords]]'s repartition — co-partitioned inputs, so the join
+    * itself adds no exchange). Output is `nFiles` files keyed by digest.
+    */
+  def writeRecordsDeduped(records: Dataset[WarcRecord], dir: String,
+      nFiles: Int = 16, gzip: Boolean = true): Long = {
+    import records.sparkSession.implicits._
+    val target = dir
+    val doGzip = gzip
+    val withDigest = records.toDF()
+      .withColumn("digest", md5(col("payload")))
+      .repartition(nFiles, col("digest"))
+    val canon = withDigest.select("digest", "record_id")
+      .groupBy("digest").agg(min(col("record_id")).as("canon_id"))
+    val written = withDigest.join(canon, Seq("digest"))
+      .select(col("warc_type"), col("record_id"), col("uri"),
+        col("payload"), col("digest"), col("canon_id"))
+      .as[(String, String, String, Array[Byte], String, String)]
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var out: OutputStream = null
+        var n = 0L
+        it.foreach { case (wtype, rid, uri, payload, digest, canonId) =>
+          require(wtype != "ingest_error" && payload != null,
+            "quarantine rows cannot be re-exported as WARC records")
+          require(Seq(wtype, rid, uri)
+              .forall(v => v == null || (!v.contains('\r') && !v.contains('\n'))),
+            "header fields must not contain CR/LF")
+          if (out == null) {
+            val p = new Path(target,
+              f"part-$pid%05d.warc" + (if (doGzip) ".gz" else ""))
+            val raw = p.getFileSystem(conf).create(p, true)
+            out = if (doGzip) new GZIPOutputStream(raw) else raw
+            out.write(warcinfoRecordString.getBytes(US_ASCII))
+          }
+          // a group with no identifiable canonical (all-null record ids)
+          // stores every member — a revisit record must point at an id
+          val isStored = canonId == null || (rid != null && rid == canonId)
+          val h = new StringBuilder("WARC/1.0").append(Crlf)
+          if (isStored) {
+            h.append("WARC-Type: ").append(wtype).append(Crlf)
+            if (rid != null) h.append("WARC-Record-ID: ").append(rid).append(Crlf)
+            if (uri != null) h.append("WARC-Target-URI: ").append(uri).append(Crlf)
+            h.append("Content-Length: ").append(payload.length).append(Crlf)
+            h.append(Crlf)
+            out.write(h.toString.getBytes(US_ASCII))
+            out.write(payload)
+          } else {
+            h.append("WARC-Type: revisit").append(Crlf)
+            if (rid != null) h.append("WARC-Record-ID: ").append(rid).append(Crlf)
+            if (uri != null) h.append("WARC-Target-URI: ").append(uri).append(Crlf)
+            h.append("WARC-Refers-To: ").append(canonId).append(Crlf)
+            h.append("WARC-Payload-Digest: md5:").append(digest).append(Crlf)
+            h.append("Content-Length: 0").append(Crlf)
+            h.append(Crlf)
+            out.write(h.toString.getBytes(US_ASCII))
+          }
+          out.write((Crlf + Crlf).getBytes(US_ASCII))
+          n += 1L
+        }
+        if (out != null) out.close()
+        Iterator.single(n)
+      }
+      .collect()
+    written.sum
+  }
+
   private def gunzip(raw: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
     try in.readAllBytes() finally in.close()

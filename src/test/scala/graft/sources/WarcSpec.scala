@@ -168,6 +168,48 @@ class WarcSpec extends SparkSpec {
       Warc.writeRecords(crlf, tmp("warc_w_bad2")))
   }
 
+  test("writeRecordsDeduped: one stored response per distinct payload, revisit pointers " +
+      "carry WARC-Refers-To + WARC-Payload-Digest, and the read-back ledger balances") {
+    val src = tmp("warc_dd_src"); val out = tmp("warc_dd_out")
+    synth(src, 44) // 4 identical 404 bodies (0,11,22,33) at minimum
+    val records = Warc.responses(Warc.readRecords(spark, src))
+    val byPayload = records.collect()
+      .groupBy(r => new String(r.payload, US_ASCII))
+    val distinctPayloads = byPayload.size
+    assert(Warc.writeRecordsDeduped(records, out, nFiles = 3) === 44L)
+    val back = Warc.readRecords(spark, out).collect()
+    val resp = back.filter(_.warc_type == "response")
+    val revisit = back.filter(_.warc_type == "revisit")
+    assert(resp.length === distinctPayloads)
+    assert(revisit.length === 44 - distinctPayloads)
+    assert(revisit.forall(_.content_length === Some(0L)))
+    assert(revisit.forall(_.payload.isEmpty))
+    // stored member of each group = lexicographically-first record id
+    val canonOf = byPayload.map { case (p, rs) => p -> rs.map(_.record_id).min }
+    assert(resp.map(_.record_id).toSet === canonOf.values.toSet)
+    // byte level: every revisit's WARC-Refers-To names its group's stored
+    // record and its digest matches the referred payload's md5
+    val rawText = Files.list(Paths.get(out)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".warc.gz")) // skip Hadoop .crc sidecars
+      .map { f =>
+        val in = new java.util.zip.GZIPInputStream(Files.newInputStream(f))
+        try new String(in.readAllBytes(), US_ASCII) finally in.close()
+      }.mkString
+    val payloadByCanon = canonOf.map { case (p, id) => id -> p }
+    revisit.foreach { r =>
+      val at = rawText.indexOf(s"WARC-Record-ID: ${r.record_id}")
+      assert(at >= 0, s"${r.record_id} missing from raw bytes")
+      val block = rawText.substring(at, rawText.indexOf("\r\n\r\n", at))
+      val refersTo = "WARC-Refers-To: (\\S+)".r.findFirstMatchIn(block).get.group(1)
+      val digest = "WARC-Payload-Digest: md5:([0-9a-f]+)".r.findFirstMatchIn(block).get.group(1)
+      val referred = payloadByCanon(refersTo)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(referred.getBytes(US_ASCII)).map("%02x".format(_)).mkString
+      assert(digest === md5hex, s"${r.record_id}: digest must name the referred payload")
+    }
+  }
+
   test("canonicalizeUrl erases case/default-port/fragment/tracking/param-order, keeps real ports") {
     import spark.implicits._
     val cases = Seq(
