@@ -444,6 +444,49 @@ object SparkEntry {
       }
     })
 
+  /** Per-url change-rate estimates across the two crawl snapshots —
+    * shared by `pipeline_crawl_change_rate` (the estimator table) and
+    * `pipeline_crawl_refresh_adaptive` (the scheduler it feeds). One
+    * archive pass per snapshot: digests computed map-side, then the
+    * 4-column frame is checkpointed (payload bytes never shuffle, and
+    * the latest-per-key tiers reference it twice). Latest-per-(url,
+    * snapshot) is max(long) + join-back — hash aggregate and hash join;
+    * a max_by(digest, doc_id) would put a string in the agg buffer and
+    * force SortAggregate (see pipeline_warc's note). The estimator is
+    * Cho & Garcia-Molina (TODS 2003): λ̂ = ln((n + 0.5) / (n − X + 0.5))
+    * / I for n re-fetches with X detected changes at interval I; the
+    * positive-log form keeps the unchanged case exactly +0.0 (the
+    * -ln(r)/I form yields -0.0, which is bit-unequal across engines).
+    * Revisit interval targets half-a-change per visit, capped at 60 d.
+    */
+  private def changeRateEstimates(s: SparkSession, dir: String): DataFrame = {
+    val snap0 = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+      .withColumn("snap", lit(0))
+    val snap1 = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcSnapFixturePath(s, dir)}/files")).toDF()
+      .withColumn("snap", lit(1))
+    val recs = snap0.unionByName(snap1)
+      .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
+        regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+        col("snap"), md5(col("payload")).as("digest"))
+      .localCheckpoint()
+    val latestIds = recs.groupBy("url", "snap").agg(max("doc_id").as("doc_id"))
+    val latest = recs.join(latestIds, Seq("url", "snap", "doc_id"))
+      .localCheckpoint() // tiny (one row per url per snapshot)
+    val obs = latest.filter(col("snap") === 0)
+      .select(col("url"), col("digest").as("d0"))
+      .join(latest.filter(col("snap") === 1)
+        .select(col("url"), col("digest").as("d1")), Seq("url"))
+      .select(col("url"), (col("d0") =!= col("d1")).as("changed"))
+    val n = lit(1.0) // one re-fetch interval between the two snapshots
+    val x = col("changed").cast("double")
+    val lam = log((n + lit(0.5)) / (n - x + lit(0.5))) / lit(14.0)
+    obs.select(col("url"), col("changed"),
+      round(lam, 6).as("lambda_hat"),
+      when(col("changed"), round(least(lit(60.0), lit(0.5) / lam), 2))
+        .otherwise(lit(60.0)).as("revisit_days"))
+  }
+
   /** Node id of a canonical fixture URL — the path id the oracles'
     * arithmetic is stated in (a real corpus would use LinkIngest's
     * default url-hash nodes instead).
@@ -1882,41 +1925,32 @@ object SparkEntry {
     // the d%4==3 200-status class changed. Scale shape: digests are
     // map-side over each archive scan, then ONE hash aggregate keyed on
     // (url, snapshot) and one on url — payload bytes never shuffle.
-    "pipeline_crawl_change_rate" -> ((s, dir) => {
-      val snap0 = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
-        .withColumn("snap", lit(0))
-      val snap1 = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
-          s, s"${warcSnapFixturePath(s, dir)}/files")).toDF()
-        .withColumn("snap", lit(1))
-      // one archive pass per snapshot: digests computed map-side, then
-      // checkpoint the 4-column frame (payload bytes never shuffle, and
-      // the latest-per-key tiers below reference it twice). Latest-per-
-      // (url, snapshot) is max(long) + join-back — hash aggregate and
-      // hash join; a max_by(digest, doc_id) would put a string in the
-      // agg buffer and force SortAggregate (see pipeline_warc's note)
-      val recs = snap0.unionByName(snap1)
-        .select(graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
-          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
-          col("snap"), md5(col("payload")).as("digest"))
-        .localCheckpoint()
-      val latestIds = recs.groupBy("url", "snap").agg(max("doc_id").as("doc_id"))
-      val latest = recs.join(latestIds, Seq("url", "snap", "doc_id"))
-        .localCheckpoint() // tiny (one row per url per snapshot)
-      val obs = latest.filter(col("snap") === 0)
-        .select(col("url"), col("digest").as("d0"))
-        .join(latest.filter(col("snap") === 1)
-          .select(col("url"), col("digest").as("d1")), Seq("url"))
-        .select(col("url"), (col("d0") =!= col("d1")).as("changed"))
-      val n = lit(1.0) // one re-fetch interval between the two snapshots
-      val x = col("changed").cast("double")
-      // positive-log form so the unchanged case is exactly +0.0 (the
-      // -ln(r)/I form yields -0.0, which is bit-unequal across engines)
-      val lam = log((n + lit(0.5)) / (n - x + lit(0.5))) / lit(14.0)
-      obs.select(col("url"), col("changed"),
-          round(lam, 6).as("lambda_hat"),
-          when(col("changed"), round(least(lit(60.0), lit(0.5) / lam), 2))
-            .otherwise(lit(60.0)).as("revisit_days"))
-        .orderBy("url")
+    "pipeline_crawl_change_rate" -> ((s, dir) =>
+      changeRateEstimates(s, dir).orderBy("url")),
+
+    // The estimator FEEDING the scheduler — the adaptive-revisit loop
+    // closed: at a probe date 14 days past the second snapshot, exactly
+    // the urls whose estimated interval has elapsed (the changed class's
+    // ~6.4 days; the unchanged class sits at the 60-day cap) are due,
+    // and the due set is budgeted top-5 per host by crawl priority (the
+    // persisted rank index — due-ness decides MEMBERSHIP, rank decides
+    // ORDER, the complement of refresh_lastmod's staleness-first sort).
+    // Scale shape: estimates and the url/rank tables join on url/node
+    // keys; the per-host budget is a WindowGroupLimit-prunable top-k.
+    "pipeline_crawl_refresh_adaptive" -> ((s, dir) => {
+      val w = Window.partitionBy(col("host"))
+        .orderBy(desc("rank"), asc("node"))
+      changeRateEstimates(s, dir)
+        .filter(col("revisit_days") <= lit(14.0)) // due by snap1 + 14d
+        .join(crawlUrls(s, dir).select(col("url"), col("node")), Seq("url"))
+        .join(crawlRanks(s, dir), Seq("node"))
+        .withColumn("rank", round(col("rank"), 6))
+        .withColumn("host", lower(try_parse_url(col("url"), lit("HOST"))))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select(col("host"), col("url"), col("node"),
+          col("revisit_days"), col("rank"), col("rn"))
+        .orderBy("host", "rn")
     }),
 
     // MAIN-CONTENT extraction (functions/Boilerplate) over the block-
@@ -6598,6 +6632,28 @@ object SparkEntry {
         |  CASE WHEN changed THEN round(least(60.0, 0.5 / lam), 2)
         |       ELSE CAST(60.0 AS DOUBLE) END AS revisit_days
         |FROM est ORDER BY url""".stripMargin,
+
+    // Adaptive re-fetch schedule: the due set is the changed class (its
+    // interval formula restated), ranked by the converged extracted-graph
+    // walk, top-5 per host.
+    "pipeline_crawl_refresh_adaptive" -> (pagerankChain(
+      "tele AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS tele FROM nodes)",
+      edgesCte = extractedEdgesCte) +
+      """,
+        |c2 AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |g2 AS (SELECT p, max(d) AS dmax FROM c2 GROUP BY p),
+        |due AS (SELECT p,
+        |    'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |      (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+        |    round(least(60.0, 0.5 / (ln((1 + 0.5) / 0.5) / 14.0)), 2) AS revisit_days
+        |  FROM g2 WHERE dmax % 4 = 3 AND dmax % 11 <> 0),
+        |scored AS (SELECT 'd' || (du.p % 7) || '.ex.test' AS host, du.url,
+        |    du.p AS node, du.revisit_days, round(r.rank, 6) AS rank,
+        |    row_number() OVER (PARTITION BY du.p % 7
+        |      ORDER BY round(r.rank, 6) DESC, du.p) AS rn
+        |  FROM due du JOIN r10 r ON r.node = du.p)
+        |SELECT host, url, node, revisit_days, rank, CAST(rn AS BIGINT) AS rn
+        |FROM scored WHERE rn <= 5 ORDER BY host, rn""".stripMargin),
 
     // Main-content replay: per 200 page, each block's verdict and the
     // retained text are closed-form in d (nav/footer always drop,
