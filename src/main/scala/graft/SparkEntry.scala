@@ -433,9 +433,11 @@ object SparkEntry {
     * untouched.
     */
   private def warcBpFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbp", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbph", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      ensureIndex(s, ids, "warcbp", "built") { p =>
+      // "warcbph" (h = host-keyed footer token) — payload changes bump
+      // the kind so a stale cache can never serve new oracles
+      ensureIndex(s, ids, "warcbph", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -443,6 +445,29 @@ object SparkEntry {
         s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
       }
     })
+
+  /** The block-structured archive's scored block rows — one row per
+    * `<p>`/`<div>` block of every 200-status page, with its text, token
+    * counts, and the [[graft.functions.Boilerplate]] content verdict.
+    * Shared by `warc_main_content` (the extraction table) and
+    * `warc_main_dedup` (the chrome-vs-content dedup ledger).
+    */
+  private def bpScoredBlocks(s: SparkSession, dir: String): DataFrame = {
+    val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+      s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
+    val pages = graft.sources.Warc.httpParsed(resp)
+      .filter(col("http_status") === 200)
+      .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+        col("body"))
+    val bp = graft.functions.Boilerplate
+    pages.select(col("doc_id"),
+        posexplode(bp.blocks(col("body"))).as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"),
+        bp.blockText(col("raw")).as("text"),
+        bp.tokenCount(bp.blockText(col("raw"))).as("n_toks"),
+        bp.tokenCount(bp.linkText(col("raw"))).as("n_link_toks"))
+      .withColumn("kept", bp.isContent(col("n_toks"), col("n_link_toks")))
+  }
 
   /** Per-url change-rate estimates across the two crawl snapshots —
     * shared by `pipeline_crawl_change_rate` (the estimator table) and
@@ -1963,29 +1988,33 @@ object SparkEntry {
     // text's md5. Scale shape: blocks EXPLODE to rows (a real page is
     // 10²–10³ blocks), per-block scoring is codegen'd map-side work, and
     // the per-doc reassembly is one hash aggregate.
-    "warc_main_content" -> ((s, dir) => {
-      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
-        s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
-      val pages = graft.sources.Warc.httpParsed(resp)
-        .filter(col("http_status") === 200)
-        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
-          col("body"))
-      val bp = graft.functions.Boilerplate
-      val blk = pages.select(col("doc_id"),
-        posexplode(bp.blocks(col("body"))).as(Seq("pos", "raw")))
-      val scored = blk.select(col("doc_id"), col("pos"),
-          bp.blockText(col("raw")).as("text"),
-          bp.tokenCount(bp.blockText(col("raw"))).as("n_toks"),
-          bp.tokenCount(bp.linkText(col("raw"))).as("n_link_toks"))
-        .withColumn("kept", bp.isContent(col("n_toks"), col("n_link_toks")))
-      scored.groupBy("doc_id")
+    "warc_main_content" -> ((s, dir) =>
+      bpScoredBlocks(s, dir).groupBy("doc_id")
         .agg(count(lit(1)).as("n_blocks"),
           sum(col("kept").cast("long")).as("n_kept"),
           coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("main_tokens"),
           md5(array_join(transform(
             array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
             b => b.getField("text")), "\n")).as("main_md5"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // WHY boilerplate removal precedes dedup: sitewide chrome varies by
+    // SITE, not by page (the fixture's footer is host-keyed), so the
+    // same article syndicated across hosts is unique in raw extracted
+    // text but collapses after main-content extraction. One ledger row:
+    // page count, distinct raw texts, distinct main texts — the gap is
+    // the duplicate mass only chrome-stripping exposes. Scale shape:
+    // per-doc md5s from one block-row aggregate, then a count-distinct
+    // over 16-byte digests.
+    "warc_main_dedup" -> ((s, dir) => {
+      def joined(c: Column) = md5(array_join(transform(
+        array_sort(collect_list(c)), b => b.getField("text")), "\n"))
+      bpScoredBlocks(s, dir).groupBy("doc_id")
+        .agg(joined(struct(col("pos"), col("text"))).as("raw_md5"),
+          joined(when(col("kept"), struct(col("pos"), col("text")))).as("main_md5"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("raw_md5")).as("n_raw_distinct"),
+          countDistinct(col("main_md5")).as("n_main_distinct"))
     }),
 
     // Link-graph EXTRACTION from the archived pages themselves
@@ -6679,6 +6708,31 @@ object SparkEntry {
         |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
         |    x -> x IS NOT NULL), chr(10)), '')) AS main_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Chrome-vs-content dedup ledger: distinctness over md5 equals
+    // distinctness over the texts themselves, so the oracle counts
+    // distinct reconstructed texts directly — raw carries the host-keyed
+    // footer, main doesn't.
+    "warc_main_dedup" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
+        |  d % 9 + 1 >= 3 AS keep_content,
+        |  d % 4 = 1 AS has_related
+        | FROM ids),
+        |texts AS (SELECT
+        |  'nav0 nav1 nav2' || chr(10) || words ||
+        |    (CASE WHEN has_related THEN chr(10) || 'more w1 w2 w3 w4 w5 w6' ELSE '' END) ||
+        |    chr(10) || 'about contact c' || (p % 7) AS raw_t,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN keep_content THEN words ELSE NULL END,
+        |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
+        |    x -> x IS NOT NULL), chr(10)), '') AS main_t
+        | FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(count(DISTINCT raw_t) AS BIGINT) AS n_raw_distinct,
+        |  CAST(count(DISTINCT main_t) AS BIGINT) AS n_main_distinct
+        |FROM texts""".stripMargin,
 
     // The extracted edge table IS the frontier oracles' edges CTE —
     // one definition, consumed by warc_links directly and by the

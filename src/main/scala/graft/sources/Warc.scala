@@ -193,7 +193,12 @@ object Warc {
     *  - `d % 4 == 1` only: a RELATED strip — one anchor among six plain
     *    words (density 1/7 — link-bearing but content; the case a naive
     *    "has links ⇒ boilerplate" rule misclassifies)
-    *  - a footer `<div>`: two anchors + one plain token (density 2/3)
+    *  - a footer `<div>`: two anchors + one plain token (density 2/3).
+    *    The plain token is HOST-KEYED (`c<h>`) — sitewide chrome varies
+    *    by SITE, not by page, so two pages with identical content on
+    *    different hosts differ in raw text but collapse after
+    *    main-content extraction (the syndicated-article case
+    *    `warc_main_dedup` measures)
     *
     * Every token is arithmetic in `d`, so the block classifier's verdict
     * per block — and the retained main text — replays in SQL. 404s keep
@@ -204,6 +209,7 @@ object Warc {
     val (statusLine, body) =
       if (d % 11 == 0) ("HTTP/1.1 404 Not Found", "not found")
       else {
+        val p = if (d % 3 == 2) d - 1 else d
         val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
         val related =
           if (d % 4 == 1)
@@ -213,7 +219,7 @@ object Warc {
           "<html><body>" +
             """<div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>""" +
             s"<p>$words</p>" + related +
-            """<div><a href="/about">about</a> <a href="/contact">contact</a> c0</div>""" +
+            s"""<div><a href="/about">about</a> <a href="/contact">contact</a> c${p % 7}</div>""" +
             "</body></html>")
       }
     wrapResponse(d, uri, statusLine, body)
