@@ -686,6 +686,9 @@ object SparkEntry {
   private[graft] def warcIngestPathForProbe(s: SparkSession, dir: String): String =
     warcIngestPath(s, dir)
 
+  private[graft] def warcFixtureForProbe(s: SparkSession, dir: String): String =
+    warcFixturePath(s, dir)
+
   /** The streamed-ingest segment fixture shared by `warc_ingest_streamed`
     * and `warc_links_streamed`: 16 range-partitioned archive segments
     * (anchors planted, linkSpace = corpus) consumed as 4 micro-batches of

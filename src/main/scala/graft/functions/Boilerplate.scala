@@ -28,11 +28,13 @@ object Boilerplate {
 
   /** Block-level segmentation: the contents of `<p>`/`<div>` elements, in
     * document order (the backreference keys the close tag to the open
-    * tag). Non-greedy, so the first matching close bounds each block —
-    * the flat-block layout real extractors normalize to before scoring.
+    * tag; the word boundary keeps `<pre>`/`<picture>` from matching as
+    * `p`-blocks and scanning to a distant `</p>`). Non-greedy, so the
+    * first matching close bounds each block — the flat-block layout real
+    * extractors normalize to before scoring.
     */
   def blocks(body: Column): Column =
-    regexp_extract_all(body, lit("(?s)<(p|div)[^>]*>(.*?)</\\1>"), lit(2))
+    regexp_extract_all(body, lit("(?s)<(p|div)\\b[^>]*>(.*?)</\\1>"), lit(2))
 
   /** A block's visible text: inline tags stripped. The fixture (like
     * sane HTML) separates inline elements with literal whitespace, so
@@ -41,9 +43,11 @@ object Boilerplate {
   def blockText(raw: Column): Column =
     trim(regexp_replace(raw, "<[^>]*>", ""))
 
-  /** The block's anchor-text run — the numerator of link density. */
+  /** The block's anchor-text run — the numerator of link density (the
+    * word boundary keeps `<abbr>`/`<article>` out of the anchor class).
+    */
   def linkText(raw: Column): Column =
-    trim(array_join(regexp_extract_all(raw, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+    trim(array_join(regexp_extract_all(raw, lit("(?s)<a\\b[^>]*>(.*?)</a>"), lit(1)), " "))
 
   /** Whitespace token count; empty string counts 0 (split of "" yields
     * one empty element).

@@ -43,6 +43,21 @@ class BoilerplateSpec extends SparkSpec {
     assert(rows(3) === ((3L, 2L, false))) // footer: 2/3
   }
 
+  test("tag-name boundaries: <pre>/<picture> are not p-blocks, <abbr> is not an anchor") {
+    val tricky = "<pre>code code code</pre><p>w1 w2 w3</p>" +
+      "<div><abbr>NASA</abbr> w1 w2 w3 w4</div>"
+    val got = Seq(tricky).toDF("body")
+      .select(Boilerplate.blocks(col("body"))).as[Seq[String]].head()
+    // the <pre> block must NOT match as a p-block (nor make the p regex
+    // scan from <pre> to the real </p>); the div's <abbr> contributes
+    // zero anchor tokens
+    assert(got === Seq("w1 w2 w3", "<abbr>NASA</abbr> w1 w2 w3 w4"))
+    val lt = Seq(got(1)).toDF("raw")
+      .select(Boilerplate.tokenCount(Boilerplate.linkText(col("raw"))))
+      .as[Long].head()
+    assert(lt === 0L)
+  }
+
   test("thin content (under 3 tokens) and empty blocks drop; zero-token division is guarded") {
     val rows = Seq("<p>w1 w2</p><div></div>").toDF("body")
       .select(posexplode(Boilerplate.blocks(col("body"))).as(Seq("pos", "raw")))

@@ -96,4 +96,30 @@ class UrlSpec extends SparkSpec {
       .select(Url.resolveUrl(col("b"), col("r")).as("u")).collect().head
     assert(bad.isNullAt(0))
   }
+
+  test("native codegen expression is row-for-row equivalent to the retired Column form") {
+    val bases = Seq(
+      "http://a/b/c/d;p?q", "https://d1.ex.test/d/8",
+      "HTTPS://D1.EX.TEST:443/d/8?b=2&a=1#f", "https://h.test",
+      "https://h.test/", "http://u@h.test:8080/x/y?q=1",
+      "not a url", "d1.ex.test/d/5", "")
+    val refs = Seq(
+      "g", "./g", "g/", "/g", "//g", "?y", "g?y", "g#s", "g?y#s", ";x",
+      "", ".", "./", "..", "../", "../g", "../..", "../../g",
+      "../../../g", "/./g", "/../g", "g.", ".g", "g..", "..g", "./../g",
+      "./g/.", "g/./h", "g/../h", "g?y/./x", "g#s/../x", "http:g",
+      "HTTPS://X.TEST:443/p?b=2&a=1#f", "//x.test/p", "#s", "?", "#",
+      "a//b/../c", "/d/../d/15?a=1", "../d/15")
+    val rows = for (b <- bases; r <- refs) yield (b, r)
+    val got = rows.toDF("b", "r")
+      .select(
+        Url.resolveUrl(col("b"), col("r")).as("native"),
+        Url.resolveUrlColumns(col("b"), col("r")).as("columns"))
+      .collect()
+    rows.zip(got).foreach { case ((b, r), row) =>
+      val n = if (row.isNullAt(0)) null else row.getString(0)
+      val c = if (row.isNullAt(1)) null else row.getString(1)
+      assert(n === c, s"base <$b> ref <$r>")
+    }
+  }
 }
