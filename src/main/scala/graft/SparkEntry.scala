@@ -2814,6 +2814,31 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // WEAKLY-CONNECTED components of the extracted link graph — the
+    // site-cluster / mirror-family analysis a crawl runs before host
+    // policies (a mirror farm is one component; budget it once). Reuses
+    // the dedup tier's pointer-jump CC (log-diameter rounds, eager
+    // per-round localCheckpoint — the 100 TB shape) over the symmetrized
+    // edge set; component id = min node id, singletons via the left join
+    // (a page that only self-links). Oracled as a recursive-CTE closure.
+    "graph_components" -> ((s, dir) => {
+      val edges = warcLinkEdges(s, dir).localCheckpoint() // extract once
+      val pairs = edges.filter(col("src") =!= col("dst"))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val labels = graft.operators.Dedup.duplicateClusters(pairs)
+        .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+      val lab = nodes.join(labels, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component_id"), col("node")).as("component_id"))
+      val sizes = lab.groupBy("component_id")
+        .agg(count(lit(1)).as("component_size"))
+      lab.join(sizes, Seq("component_id"))
+        .select(col("node"), col("component_id"), col("component_size"))
+        .orderBy("node")
+    }),
+
     // Personalized PageRank: teleport restricted to every-17th doc id —
     // the domain-focused crawl-prioritization variant (rank pages by
     // proximity to a trusted seed set). Same operator, same oracle
@@ -6741,6 +6766,35 @@ object SparkEntry {
     // one definition, consumed by warc_links directly and by the
     // rank chains of pipeline_crawl_frontier / pipeline_crawl_polite.
     "warc_links" -> warcLinksOracle,
+
+    // Weak components: transitive closure over the symmetrized extracted
+    // edges (the dedup_phash_clusters recursive-CTE pattern), component
+    // id = min reachable node.
+    "graph_components" ->
+      ("""WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM ids),
+        |""".stripMargin + extractedEdgesCte + """
+        |-- DISTINCT over UNION ALL, not bare UNION: inside a WITH
+        |-- RECURSIVE list DuckDB does not apply set-union dedup to these
+        |-- non-recursive members (observed: 728+728 rows surviving)
+        |sym AS (SELECT DISTINCT a, b FROM (
+        |        SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+        |        UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |labels AS (SELECT a AS node, least(a, min(b)) AS component_id
+        |           FROM reach GROUP BY a),
+        |lab AS (SELECT n.node, coalesce(l.component_id, n.node) AS component_id
+        |        FROM nodes n LEFT JOIN labels l ON l.node = n.node),
+        |csizes AS (SELECT component_id, count(*) AS component_size
+        |           FROM lab GROUP BY 1)
+        |SELECT lab.node, lab.component_id, csizes.component_size
+        |FROM lab JOIN csizes USING (component_id)
+        |ORDER BY lab.node""".stripMargin),
 
     // the SAME oracle: streamed accumulation + deferred resolution must
     // equal batch extraction (equivalence proof)
