@@ -469,6 +469,34 @@ object SparkEntry {
       .withColumn("kept", bp.isContent(col("n_toks"), col("n_link_toks")))
   }
 
+  /** Self-loop-free undirected pair view of an edge table — the CC
+    * operators' input shape.
+    */
+  private def componentPairs(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+
+  /** Assemble per-node component rows from a CC labeling over the edge
+    * table's node set: singletons (self-loop-only nodes carry no pair)
+    * via the left join, sizes in one hash aggregate. Shared by
+    * `graph_components` and its incremental twin so the two queries can
+    * only differ in HOW the labeling was computed.
+    */
+  private def componentAssembly(edges: DataFrame, labeling: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val labels = labeling
+      .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+    val lab = nodes.join(labels, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component_id"), col("node")).as("component_id"))
+    val sizes = lab.groupBy("component_id")
+      .agg(count(lit(1)).as("component_size"))
+    lab.join(sizes, Seq("component_id"))
+      .select(col("node"), col("component_id"), col("component_size"))
+      .orderBy("node")
+  }
+
   /** Per-url change-rate estimates across the two crawl snapshots —
     * shared by `pipeline_crawl_change_rate` (the estimator table) and
     * `pipeline_crawl_refresh_adaptive` (the scheduler it feeds). One
@@ -941,6 +969,36 @@ object SparkEntry {
       |nd AS (SELECT count(*) AS n_docs FROM ids),
       |""".stripMargin + extractedEdgesCte.stripSuffix(",") +
       "\nSELECT src, dst FROM edges ORDER BY src, dst"
+
+  /** Weak-components closure over the extracted link graph — shared by
+    * `graph_components` and `graph_components_incremental` (green on the
+    * incremental twin = star-warm-start ≡ from-scratch equivalence).
+    * DISTINCT over UNION ALL for the non-recursive members: inside a
+    * WITH RECURSIVE list DuckDB does not set-dedup a bare UNION there
+    * (observed: 728+728 rows surviving).
+    */
+  private lazy val graphComponentsOracle: String =
+    ("""WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM ids),
+      |""".stripMargin + extractedEdgesCte + """
+      |sym AS (SELECT DISTINCT a, b FROM (
+      |        SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+      |        UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |labels AS (SELECT a AS node, least(a, min(b)) AS component_id
+      |           FROM reach GROUP BY a),
+      |lab AS (SELECT n.node, coalesce(l.component_id, n.node) AS component_id
+      |        FROM nodes n LEFT JOIN labels l ON l.node = n.node),
+      |csizes AS (SELECT component_id, count(*) AS component_size
+      |           FROM lab GROUP BY 1)
+      |SELECT lab.node, lab.component_id, csizes.component_size
+      |FROM lab JOIN csizes USING (component_id)
+      |ORDER BY lab.node""".stripMargin)
 
   /** The synthetic doc-space edge rule the `graph_*` operator oracles walk
     * (every non-d%5 doc links to `1 + d%3` arithmetic targets).
@@ -2823,20 +2881,27 @@ object SparkEntry {
     // (a page that only self-links). Oracled as a recursive-CTE closure.
     "graph_components" -> ((s, dir) => {
       val edges = warcLinkEdges(s, dir).localCheckpoint() // extract once
-      val pairs = edges.filter(col("src") =!= col("dst"))
-        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-      val nodes = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct()
-      val labels = graft.operators.Dedup.duplicateClusters(pairs)
-        .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
-      val lab = nodes.join(labels, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("component_id"), col("node")).as("component_id"))
-      val sizes = lab.groupBy("component_id")
-        .agg(count(lit(1)).as("component_size"))
-      lab.join(sizes, Seq("component_id"))
-        .select(col("node"), col("component_id"), col("component_size"))
-        .orderBy("node")
+      componentAssembly(edges,
+        graft.operators.Dedup.duplicateClusters(componentPairs(edges)))
+    }),
+
+    // INCREMENTAL component maintenance — the crawl-cadence form:
+    // yesterday's labeling enters as star edges, only the pairs touching
+    // the new node class (a re-crawled host's pages) are added, and the
+    // relabeling must equal the from-scratch closure — SHARES
+    // graph_components' recursive-CTE oracle, so green is the
+    // equivalence proof (the dedup_phash_clusters_incremental posture,
+    // on the link graph). Per-crawl cost = new pairs + touched history;
+    // history is read as one labels table, never re-paired.
+    "graph_components_incremental" -> ((s, dir) => {
+      val edges = warcLinkEdges(s, dir).localCheckpoint()
+      val pairs = componentPairs(edges).localCheckpoint()
+      val isNew = (c: Column) => pmod(c, lit(13)) === 5
+      val hist = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      val fresh = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      val prev = graft.operators.Dedup.duplicateClusters(hist)
+      componentAssembly(edges,
+        graft.operators.Dedup.incrementalClusters(prev, fresh))
     }),
 
     // Personalized PageRank: teleport restricted to every-17th doc id —
@@ -6770,31 +6835,11 @@ object SparkEntry {
     // Weak components: transitive closure over the symmetrized extracted
     // edges (the dedup_phash_clusters recursive-CTE pattern), component
     // id = min reachable node.
-    "graph_components" ->
-      ("""WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents),
-        |nd AS (SELECT count(*) AS n_docs FROM ids),
-        |""".stripMargin + extractedEdgesCte + """
-        |-- DISTINCT over UNION ALL, not bare UNION: inside a WITH
-        |-- RECURSIVE list DuckDB does not apply set-union dedup to these
-        |-- non-recursive members (observed: 728+728 rows surviving)
-        |sym AS (SELECT DISTINCT a, b FROM (
-        |        SELECT src AS a, dst AS b FROM edges WHERE src <> dst
-        |        UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM sym
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
-        |nodes AS (SELECT DISTINCT node FROM (
-        |        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-        |labels AS (SELECT a AS node, least(a, min(b)) AS component_id
-        |           FROM reach GROUP BY a),
-        |lab AS (SELECT n.node, coalesce(l.component_id, n.node) AS component_id
-        |        FROM nodes n LEFT JOIN labels l ON l.node = n.node),
-        |csizes AS (SELECT component_id, count(*) AS component_size
-        |           FROM lab GROUP BY 1)
-        |SELECT lab.node, lab.component_id, csizes.component_size
-        |FROM lab JOIN csizes USING (component_id)
-        |ORDER BY lab.node""".stripMargin),
+    "graph_components" -> graphComponentsOracle,
+
+    // the SAME oracle: star-edge warm start + new-class pairs must
+    // relabel identically to the from-scratch closure
+    "graph_components_incremental" -> graphComponentsOracle,
 
     // the SAME oracle: streamed accumulation + deferred resolution must
     // equal batch extraction (equivalence proof)
