@@ -361,6 +361,44 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_crawl_change_rate: the published tail is a broadcast self-join " +
+      "over the checkpointed latest-digest frame — no sorts beyond the output order") {
+    assume(available)
+    // the latest-per-key aggregation materializes behind the eager
+    // localCheckpoint, so the published plan starts at the tiny frame;
+    // the tail must stay a broadcast join with no SortAggregate
+    val p = plan("pipeline_crawl_change_rate")
+    assert(!p.contains("SortAggregate"),
+      s"string-valued agg buffer fell back to SortAggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"snapshot self-join did not broadcast:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"checkpoint boundary missing — archive re-parse leaked into the tail:\n$p")
+  }
+
+  test("warc_main_content: blocks explode to rows (Generate), reassembly is one " +
+      "grouping exchange") {
+    assume(available)
+    val p = plan("warc_main_content")
+    assert(p.contains("Generate"), s"no posexplode in the block plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than one hash exchange for the per-doc reassembly:\n$p")
+  }
+
+  test("warc_revisit_dedup: digest grouping is one partial+final hash-agg chain, " +
+      "payload bytes never shuffle") {
+    assume(available)
+    val p = plan("warc_revisit_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than one hash exchange for the digest grouping:\n$p")
+    // the exchange keys on the 128-bit digest (payload_md5), never on the
+    // payload byte column itself (which would print as `payload#NN`)
+    assert(p.contains("Exchange hashpartitioning(payload_md5"),
+      s"digest grouping exchange missing:\n$p")
+    assert(!"hashpartitioning\\(payload#".r.findFirstIn(p).isDefined,
+      s"payload bytes crossed the shuffle:\n$p")
+  }
+
   test("no accidental cartesian/nested-loop join anywhere in the query surface") {
     assume(available)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
