@@ -433,11 +433,12 @@ object SparkEntry {
     * untouched.
     */
   private def warcBpFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbph", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbphc", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      // "warcbph" (h = host-keyed footer token) — payload changes bump
-      // the kind so a stale cache can never serve new oracles
-      ensureIndex(s, ids, "warcbph", "built") { p =>
+      // "warcbphc" (h = host-keyed footer token, c = charset declaration
+      // classes) — payload changes bump the kind so a stale cache can
+      // never serve new oracles
+      ensureIndex(s, ids, "warcbphc", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -2058,6 +2059,24 @@ object SparkEntry {
             array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
             b => b.getField("text")), "\n")).as("main_md5"))
         .orderBy("doc_id")),
+
+    // CHARSET detection (functions/Charset) — the WET step between the
+    // HTTP split and text extraction: header `charset` parameter wins,
+    // then the first meta declaration (HTML5 or HTML4 http-equiv), then
+    // the UTF-8 default; provenance reported beside the name. The
+    // fixture plants one page class per declaration source. All
+    // codegen'd regexp Columns, map-side over the archive scan.
+    "warc_charset" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
+      val pages = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+      val (cs, src) = graft.functions.Charset.detect(col("content_type"), col("body"))
+      pages.select(
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          cs.as("charset"), src.as("charset_source"))
+        .orderBy("doc_id")
+    }),
 
     // WHY boilerplate removal precedes dedup: sitewide chrome varies by
     // SITE, not by page (the fixture's footer is host-keyed), so the
@@ -6801,6 +6820,19 @@ object SparkEntry {
         |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
         |    x -> x IS NOT NULL), chr(10)), '')) AS main_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Charset replay: pure class arithmetic (the detection itself is the
+    // thing under test — precedence and name normalization).
+    "warc_charset" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT d AS doc_id,
+        |  CASE WHEN d % 5 = 0 THEN 'iso-8859-1'
+        |       WHEN d % 5 = 2 THEN 'windows-1252'
+        |       ELSE 'utf-8' END AS charset,
+        |  CASE WHEN d % 5 = 0 THEN 'header'
+        |       WHEN d % 5 = 1 OR d % 5 = 2 THEN 'meta'
+        |       ELSE 'default' END AS charset_source
+        |FROM ids ORDER BY doc_id""".stripMargin,
 
     // Chrome-vs-content dedup ledger: distinctness over md5 equals
     // distinctness over the texts themselves, so the oracle counts

@@ -170,8 +170,8 @@ object Warc {
   }
 
   private def wrapResponse(d: Long, uri: String, statusLine: String,
-      body: String): String = {
-    val payload = statusLine + Crlf + "Content-Type: text/html" + Crlf + Crlf + body
+      body: String, contentType: String = "text/html"): String = {
+    val payload = statusLine + Crlf + s"Content-Type: $contentType" + Crlf + Crlf + body
     "WARC/1.0" + Crlf +
       "WARC-Type: response" + Crlf +
       s"WARC-Record-ID: <urn:uuid:doc-$d>" + Crlf +
@@ -206,23 +206,33 @@ object Warc {
     */
   private[graft] def bpResponseRecordString(d: Long): String = {
     val uri = messyUri(d)
-    val (statusLine, body) =
-      if (d % 11 == 0) ("HTTP/1.1 404 Not Found", "not found")
-      else {
-        val p = if (d % 3 == 2) d - 1 else d
-        val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
-        val related =
-          if (d % 4 == 1)
-            """<div><a href="/r">more</a> w1 w2 w3 w4 w5 w6</div>"""
-          else ""
-        ("HTTP/1.1 200 OK",
-          "<html><body>" +
-            """<div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>""" +
-            s"<p>$words</p>" + related +
-            s"""<div><a href="/about">about</a> <a href="/contact">contact</a> c${p % 7}</div>""" +
-            "</body></html>")
-      }
-    wrapResponse(d, uri, statusLine, body)
+    if (d % 11 == 0)
+      return wrapResponse(d, uri, "HTTP/1.1 404 Not Found", "not found")
+    val p = if (d % 3 == 2) d - 1 else d
+    val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+    val related =
+      if (d % 4 == 1)
+        """<div><a href="/r">more</a> w1 w2 w3 w4 w5 w6</div>"""
+      else ""
+    // charset declaration classes (d % 5): 0 = header parameter wins,
+    // 1 = HTML5 meta, 2 = HTML4 http-equiv meta, else undeclared (the
+    // UTF-8 default). head-level tags are invisible to the block
+    // segmentation, so the main-content oracles never see them.
+    val contentType =
+      if (d % 5 == 0) "text/html; charset=ISO-8859-1" else "text/html"
+    val head = d % 5 match {
+      case 1 => """<head><meta charset="UTF-8"></head>"""
+      case 2 => "<head><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=Windows-1252\"></head>"
+      case _ => ""
+    }
+    val body =
+      "<html>" + head + "<body>" +
+        """<div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>""" +
+        s"<p>$words</p>" + related +
+        s"""<div><a href="/about">about</a> <a href="/contact">contact</a> c${p % 7}</div>""" +
+        "</body></html>"
+    wrapResponse(d, uri, "HTTP/1.1 200 OK", body, contentType)
   }
 
   /** The file-leading `warcinfo` record real archives carry; readers that
