@@ -459,11 +459,12 @@ object SparkEntry {
     val pages = graft.sources.Warc.httpParsed(resp)
       .filter(col("http_status") === 200)
       .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+        graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
         col("body"))
     val bp = graft.functions.Boilerplate
-    pages.select(col("doc_id"),
+    pages.select(col("doc_id"), col("url"),
         posexplode(bp.blocks(col("body"))).as(Seq("pos", "raw")))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("url"), col("pos"),
         bp.blockText(col("raw")).as("text"),
         bp.tokenCount(bp.blockText(col("raw"))).as("n_toks"),
         bp.tokenCount(bp.linkText(col("raw"))).as("n_link_toks"))
@@ -2059,6 +2060,34 @@ object SparkEntry {
             array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
             b => b.getField("text")), "\n")).as("main_md5"))
         .orderBy("doc_id")),
+
+    // The crawl-curation pipeline on MAIN content — pipeline_warc's
+    // tiers (status gate → canonical-URL dedup → quality gate → exact
+    // dedup) with the text tier running on chrome-STRIPPED text: quality
+    // judges the content tokens a page actually contributes, and the
+    // exact-dedup tier collapses cross-host syndication the raw-text
+    // form can never see (host-keyed chrome makes raw texts unique).
+    // Same 100 TB shape as pipeline_warc: every tier is
+    // groupBy(min(doc_id)) + long-key join-back, the per-doc main frame
+    // materializes once.
+    "pipeline_warc_main" -> ((s, dir) => {
+      val main = bpScoredBlocks(s, dir)
+        .groupBy("doc_id", "url")
+        .agg(coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("main_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
+            b => b.getField("text")), "\n")).as("main_md5"))
+        .localCheckpoint() // parse + segment + score once; tiers reuse
+      val urlKept = main.groupBy("url").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val gated = main.join(urlKept, "doc_id")
+        .filter(col("main_tokens") >= 3)
+      val textKept = gated.groupBy("main_md5").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      gated.join(textKept, "doc_id")
+        .select(col("doc_id"), col("url"), col("main_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // CHARSET detection (functions/Charset) — the WET step between the
     // HTTP split and text extraction: header `charset` parameter wins,
@@ -6820,6 +6849,33 @@ object SparkEntry {
         |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
         |    x -> x IS NOT NULL), chr(10)), '')) AS main_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Main-content pipeline replay: the pipeline_warc tier chain with
+    // the text tier on the reconstructed MAIN text (nav/footer chrome
+    // stripped, so the host-keyed footer never blocks the dedup fold).
+    "pipeline_warc_main" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
+        |  d % 9 + 1 >= 3 AS keep_content,
+        |  d % 4 = 1 AS has_related
+        | FROM ids),
+        |m AS (SELECT d,
+        |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+        |  CAST((CASE WHEN keep_content THEN d % 9 + 1 ELSE 0 END)
+        |     + (CASE WHEN has_related THEN 7 ELSE 0 END) AS BIGINT) AS main_tokens,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN keep_content THEN words ELSE NULL END,
+        |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
+        |    x -> x IS NOT NULL), chr(10)), '') AS main_t
+        | FROM w),
+        |url_kept AS (SELECT min(d) AS d FROM m GROUP BY url),
+        |gated AS (SELECT m.* FROM m JOIN url_kept k ON m.d = k.d
+        |          WHERE m.main_tokens >= 3),
+        |text_kept AS (SELECT min(d) AS d FROM gated GROUP BY main_t)
+        |SELECT g.d AS doc_id, g.url, g.main_tokens
+        |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin,
 
     // Charset replay: pure class arithmetic (the detection itself is the
     // thing under test — precedence and name normalization).
