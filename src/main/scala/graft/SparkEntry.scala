@@ -453,10 +453,16 @@ object SparkEntry {
     * Shared by `warc_main_content` (the extraction table) and
     * `warc_main_dedup` (the chrome-vs-content dedup ledger).
     */
-  private def bpScoredBlocks(s: SparkSession, dir: String): DataFrame = {
-    val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
-      s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
-    val pages = graft.sources.Warc.httpParsed(resp)
+  private def bpScoredBlocks(s: SparkSession, dir: String): DataFrame =
+    bpScoredBlocksFromParsed(graft.sources.Warc.httpParsed(
+      graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcBpFixturePath(s, dir)}/files")).toDF()))
+
+  /** As [[bpScoredBlocks]], over an already-HTTP-parsed frame — shared
+    * with the streamed ingest, whose micro-batches arrive pre-parsed.
+    */
+  private def bpScoredBlocksFromParsed(parsed: DataFrame): DataFrame = {
+    val pages = parsed
       .filter(col("http_status") === 200)
       .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
         graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
@@ -470,6 +476,19 @@ object SparkEntry {
         bp.tokenCount(bp.linkText(col("raw"))).as("n_link_toks"))
       .withColumn("kept", bp.isContent(col("n_toks"), col("n_link_toks")))
   }
+
+  /** Per-doc MAIN-content frame from scored block rows: the retained
+    * token count and the retained text's digest, in the (n_tokens,
+    * text_md5) slots [[graft.streaming.WarcIngest]]'s claim-log tiers
+    * consume — so the streamed curation runs unchanged on
+    * chrome-stripped text.
+    */
+  private def bpMainPages(scored: DataFrame): DataFrame =
+    scored.groupBy("doc_id", "url")
+      .agg(coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
+          b => b.getField("text")), "\n")).as("text_md5"))
 
   /** Self-loop-free undirected pair view of an edge table — the CC
     * operators' input shape.
@@ -498,6 +517,35 @@ object SparkEntry {
       .select(col("node"), col("component_id"), col("component_size"))
       .orderBy("node")
   }
+
+  /** The streamed MAIN-CONTENT curation fixture: 16 range-partitioned bp
+    * segments consumed as 4 micro-batches of 4 files through
+    * [[graft.streaming.WarcIngest.processBatch]] over the
+    * chrome-stripped main frame ([[bpMainPages]]). Kind carries the bp
+    * payload classes (h = host-keyed footer, c = charset declarations).
+    */
+  private def warcBpIngestPath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warcbpingesthc", dir, listingKey(s, dir)), _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, ids, "warcbpingesthc", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true)
+        graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
+          nFiles = 16, rangePartition = true,
+          recordFor = d => graft.sources.Warc.bpResponseRecordString(d))
+        (0 until 4).foreach { b =>
+          val files = (4 * b until 4 * b + 4)
+            .map(f => f"part-$f%05d.warc.gz").mkString("{", ",", "}")
+          val parsed = graft.sources.Warc.httpParsed(graft.sources.Warc.responses(
+            graft.sources.Warc.readRecords(s, s"$p/warc/$files")).toDF())
+          graft.streaming.WarcIngest.processBatch(
+            bpMainPages(bpScoredBlocksFromParsed(parsed)), b.toLong, s"$p/log")
+        }
+        import s.implicits._
+        Seq(4).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+    })
 
   /** Per-url change-rate estimates across the two crawl snapshots —
     * shared by `pipeline_crawl_change_rate` (the estimator table) and
@@ -971,6 +1019,35 @@ object SparkEntry {
       |nd AS (SELECT count(*) AS n_docs FROM ids),
       |""".stripMargin + extractedEdgesCte.stripSuffix(",") +
       "\nSELECT src, dst FROM edges ORDER BY src, dst"
+
+  /** Main-content tier-chain replay — shared by `pipeline_warc_main`
+    * (batch resolution) and `warc_main_streamed` (the id-ordered
+    * claim-log accumulation), so one green row per variant proves the
+    * greedy ≡ global equivalence on chrome-stripped text.
+    */
+  private lazy val warcMainPipelineOracle: String =
+    """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+      |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+      |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
+      |  d % 9 + 1 >= 3 AS keep_content,
+      |  d % 4 = 1 AS has_related
+      | FROM ids),
+      |m AS (SELECT d,
+      |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
+      |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+      |  CAST((CASE WHEN keep_content THEN d % 9 + 1 ELSE 0 END)
+      |     + (CASE WHEN has_related THEN 7 ELSE 0 END) AS BIGINT) AS main_tokens,
+      |  coalesce(array_to_string(list_filter([
+      |    CASE WHEN keep_content THEN words ELSE NULL END,
+      |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
+      |    x -> x IS NOT NULL), chr(10)), '') AS main_t
+      | FROM w),
+      |url_kept AS (SELECT min(d) AS d FROM m GROUP BY url),
+      |gated AS (SELECT m.* FROM m JOIN url_kept k ON m.d = k.d
+      |          WHERE m.main_tokens >= 3),
+      |text_kept AS (SELECT min(d) AS d FROM gated GROUP BY main_t)
+      |SELECT g.d AS doc_id, g.url, g.main_tokens
+      |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin
 
   /** Weak-components closure over the extracted link graph — shared by
     * `graph_components` and `graph_components_incremental` (green on the
@@ -2071,21 +2148,31 @@ object SparkEntry {
     // groupBy(min(doc_id)) + long-key join-back, the per-doc main frame
     // materializes once.
     "pipeline_warc_main" -> ((s, dir) => {
-      val main = bpScoredBlocks(s, dir)
-        .groupBy("doc_id", "url")
-        .agg(coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("main_tokens"),
-          md5(array_join(transform(
-            array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
-            b => b.getField("text")), "\n")).as("main_md5"))
+      val main = bpMainPages(bpScoredBlocks(s, dir))
         .localCheckpoint() // parse + segment + score once; tiers reuse
       val urlKept = main.groupBy("url").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       val gated = main.join(urlKept, "doc_id")
-        .filter(col("main_tokens") >= 3)
-      val textKept = gated.groupBy("main_md5").agg(min("doc_id").as("doc_id"))
+        .filter(col("n_tokens") >= 3)
+      val textKept = gated.groupBy("text_md5").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       gated.join(textKept, "doc_id")
-        .select(col("doc_id"), col("url"), col("main_tokens"))
+        .select(col("doc_id"), col("url"), col("n_tokens").as("main_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // STREAMED accumulation of the same curation — bp crawl segments
+    // (range-partitioned: file order follows id order) consumed 4
+    // files/micro-batch through WarcIngest's claim-log protocol, with
+    // the per-batch pages frame being the chrome-stripped MAIN frame.
+    // SHARES pipeline_warc_main's oracle: green = greedy first-claim
+    // over id-ordered arrival ≡ global min-doc_id resolution, on main
+    // content (the warc_ingest_streamed equivalence, one extraction tier
+    // deeper).
+    "warc_main_streamed" -> ((s, dir) => {
+      val path = warcBpIngestPath(s, dir)
+      graft.streaming.WarcIngest.kept(s, s"$path/log")
+        .select(col("doc_id"), col("url"), col("n_tokens").as("main_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -6853,29 +6940,11 @@ object SparkEntry {
     // Main-content pipeline replay: the pipeline_warc tier chain with
     // the text tier on the reconstructed MAIN text (nav/footer chrome
     // stripped, so the host-keyed footer never blocks the dedup fold).
-    "pipeline_warc_main" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
-        |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
-        |  d % 9 + 1 >= 3 AS keep_content,
-        |  d % 4 = 1 AS has_related
-        | FROM ids),
-        |m AS (SELECT d,
-        |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
-        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
-        |  CAST((CASE WHEN keep_content THEN d % 9 + 1 ELSE 0 END)
-        |     + (CASE WHEN has_related THEN 7 ELSE 0 END) AS BIGINT) AS main_tokens,
-        |  coalesce(array_to_string(list_filter([
-        |    CASE WHEN keep_content THEN words ELSE NULL END,
-        |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
-        |    x -> x IS NOT NULL), chr(10)), '') AS main_t
-        | FROM w),
-        |url_kept AS (SELECT min(d) AS d FROM m GROUP BY url),
-        |gated AS (SELECT m.* FROM m JOIN url_kept k ON m.d = k.d
-        |          WHERE m.main_tokens >= 3),
-        |text_kept AS (SELECT min(d) AS d FROM gated GROUP BY main_t)
-        |SELECT g.d AS doc_id, g.url, g.main_tokens
-        |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin,
+    "pipeline_warc_main" -> warcMainPipelineOracle,
+
+    // the SAME oracle: id-ordered streamed first-claim over the main
+    // frame must equal the batch resolution (equivalence proof)
+    "warc_main_streamed" -> warcMainPipelineOracle,
 
     // Charset replay: pure class arithmetic (the detection itself is the
     // thing under test — precedence and name normalization).
