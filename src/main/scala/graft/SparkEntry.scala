@@ -2138,6 +2138,28 @@ object SparkEntry {
             b => b.getField("text")), "\n")).as("main_md5"))
         .orderBy("doc_id")),
 
+    // robots.txt CACHE EXPIRY (RFC 9309 §2.4: a cached robots file is
+    // valid for at most 24 hours) — the robots tier's own freshness
+    // loop, beside the page-level refresh queues: per host, the robots
+    // fetch clock vs the probe instant decides which policies are stale
+    // and must re-fetch before the next crawl wave trusts them. Fixture
+    // clock is per-host arithmetic; 7 rows — policy-table-sized, the
+    // broadcast side of every gate join.
+    "pipeline_crawl_robots_age" -> ((s, dir) => {
+      val h = regexp_extract(col("host"), "d(\\d+)", 1).cast("long")
+      robotsPolicies(s).select(col("host"),
+          pmod(h * 9, lit(40)).cast("int").as("fetch_h"))
+        .select(col("host"),
+          (to_timestamp(lit("2026-02-01 00:00:00")) +
+            expr("make_interval(0, 0, 0, 0, fetch_h, 0, 0)")).as("fetched_ts"))
+        .select(col("host"),
+          date_format(col("fetched_ts"), "yyyy-MM-dd HH:mm").as("fetched_at"),
+          ((unix_timestamp(to_timestamp(lit("2026-02-03 00:00:00"))) -
+            unix_timestamp(col("fetched_ts"))) / 3600).cast("bigint").as("age_hours"))
+        .withColumn("robots_stale", col("age_hours") > 24)
+        .orderBy("host")
+    }),
+
     // The crawl-curation pipeline on MAIN content — pipeline_warc's
     // tiers (status gate → canonical-URL dedup → quality gate → exact
     // dedup) with the text tier running on chrome-STRIPPED text: quality
@@ -6936,6 +6958,18 @@ object SparkEntry {
         |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
         |    x -> x IS NOT NULL), chr(10)), '')) AS main_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Robots cache age: the per-host fetch clock and the 24 h validity
+    // bound restated as arithmetic.
+    "pipeline_crawl_robots_age" ->
+      """WITH h AS (SELECT CAST(range AS BIGINT) AS h FROM range(7)),
+        |f AS (SELECT 'd' || h || '.ex.test' AS host,
+        |  TIMESTAMP '2026-02-01 00:00:00'
+        |    + to_hours(CAST((h * 9) % 40 AS BIGINT)) AS ts FROM h)
+        |SELECT host, strftime(ts, '%Y-%m-%d %H:%M') AS fetched_at,
+        |  CAST(datediff('hour', ts, TIMESTAMP '2026-02-03 00:00:00') AS BIGINT) AS age_hours,
+        |  datediff('hour', ts, TIMESTAMP '2026-02-03 00:00:00') > 24 AS robots_stale
+        |FROM f ORDER BY host""".stripMargin,
 
     // Main-content pipeline replay: the pipeline_warc tier chain with
     // the text tier on the reconstructed MAIN text (nav/footer chrome
