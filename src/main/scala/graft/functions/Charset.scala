@@ -26,14 +26,16 @@ object Charset {
 
   /** First in-document meta declaration, or NULL: `<meta charset="x">`
     * (HTML5) or `<meta http-equiv="Content-Type" content="…charset=x">`
-    * (HTML4). Attribute-level regexes, same posture as `hrefs` — meta
-    * tags can't nest, so no parser is needed.
+    * (HTML4; the lookahead makes the http-equiv/content attribute ORDER
+    * irrelevant — both appear in the wild). Attribute-level regexes,
+    * same posture as `hrefs` — meta tags can't nest, so no parser is
+    * needed.
     */
   def fromMeta(body: Column): Column = {
     val html5 = nullif(regexp_extract(body,
       "(?i)<meta[^>]*\\scharset=[\"']?([A-Za-z0-9_][A-Za-z0-9._\\-]*)", 1), lit(""))
     val html4 = nullif(regexp_extract(body,
-      "(?i)<meta[^>]*http-equiv=[\"']?content-type[^>]*content=[\"'][^\"'>]*" +
+      "(?i)<meta(?=[^>]*http-equiv=[\"']?content-type)[^>]*content=[\"'][^\"'>]*" +
         headerCharset.stripPrefix("(?i)"), 1), lit(""))
     lower(coalesce(html5, html4))
   }

@@ -37,6 +37,10 @@ class CharsetSpec extends SparkSpec {
       "<META HTTP-EQUIV='content-type' CONTENT='text/html; CHARSET=big5'>") ===
       (("big5", "meta")))
     assert(detect("Text/HTML; Charset=\"EUC-JP\"", "") === (("euc-jp", "header")))
+    // attribute order is free in real HTML: content may precede http-equiv
+    assert(detect("text/html",
+      """<meta content="text/html; charset=gb2312" http-equiv="Content-Type">""") ===
+      (("gb2312", "meta")))
   }
 
   test("malformed corners fall through: bare charset=, unrelated meta, attribute-name decoys") {
