@@ -7,8 +7,11 @@ For every query with a steady band, classify the bench artifact's number:
   OVER      value >  max * slack   -> investigate the code, not the box
   fast      value <  min           (fine; box cooler than the band run)
 
-Queries without a band (sub-threshold) are skipped. Exit code 1 if any
-OVER, so a driver/judge can gate on it.
+Every bench query MUST have a band (r15 lesson, twice over: the query
+that became the round's biggest outlier was exactly the one the steady
+table skipped) — a bench query with no band is NO_BAND and fails the
+check the same as OVER. Exit code 1 if any OVER/FAILED/NO_BAND, so a
+driver/judge/close can gate on it.
 
 usage: steady_check.py BENCH_rN.json [STEADY.json] [slack]
 """
@@ -41,6 +44,11 @@ for name, band in sorted(steady["queries"].items()):
     if cls in ("OVER", "FAILED"):
         over.append(name)
     rows.append((name, v, band, cls))
+
+unbanded = sorted(set(bench["queries"]) - set(steady["queries"]))
+for name in unbanded:
+    over.append(name)
+    print(f"{name:42s} {bench['queries'][name]:7.2f}  NO_BAND")
 
 for name, v, band, cls in rows:
     vtxt = f"{v:7.2f}" if v is not None else "   n/a "

@@ -46,11 +46,22 @@ object Bench {
       if (ok) sec else -1.0
     }
 
+    // Locale.ROOT formatting for every number that lands in the JSON —
+    // a comma decimal separator under a non-ROOT default locale would
+    // corrupt the artifact (the tools/Steady lesson)
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    val loadStart = loadAvg
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val loadBefore = loadAvg
       val times = (1 to runs).iterator
         .map(_ => timeOnce(name, fn))
         .takeWhile(_ >= 0) // a failed run fails the query; don't re-run
         .toSeq
+      val loadAfter = loadAvg
       System.gc() // let ContextCleaner reap broadcasts/shuffles off-clock
       val value =
         if (times.length < runs) -1.0
@@ -61,15 +72,31 @@ object Bench {
           // at runs=2)
           if (runs % 2 == 1) s(runs / 2) else (s(runs / 2 - 1) + s(runs / 2)) / 2.0
         }
-      (name, value)
+      (name, value, times, loadBefore, loadAfter)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Per-run evidence travels IN the artifact (r15 adjudication gap: a
+    // 30 s MEDIAN of 3 cannot be told apart from "one 80 s GC run + two
+    // 2 s runs" from the median alone). `runs_detail` is each query's
+    // raw run array in execution order; `load_detail` the host 1-minute
+    // load sampled immediately before and after that query's runs — the
+    // tools/Steady canary discipline, so an over-band number can be
+    // adjudicated as contention (load ramped) vs regression (quiet box,
+    // every run slow) without a re-run.
+    val runsDetail = results
+      .map { case (k, _, ts, _, _) =>
+        "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val loadDetail = results
+      .map { case (k, _, _, lb, la) => s""""$k":[${num(lb)},${num(la)}]""" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     // Host 1-minute load average at end of run: CPU contention from
     // neighboring JVMs inflates multi-stage shuffle queries superlinearly
     // (measured: 2× oversubscription ⇒ 2.5× on the shingle-dedup queries,
     // 1× on map-only queries), so the number contextualizes the timings.
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val load = loadAvg
     // n_failed/n_queries travel IN the artifact: the process exits 0 even
     // with failed queries (the -1.0 convention), so a consumer checking the
     // exit code alone must still see partial-suite failure in the JSON.
@@ -78,7 +105,7 @@ object Bench {
     // tree's bench_last.json and readers mistook whose run it was — the
     // producer travels IN the JSON (driver leaves the env unset)
     val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"n_failed":$nFailed,"load_avg":$load,"producer":"$producer"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"n_failed":$nFailed,"load_avg":$load,"load_avg_start":${num(loadStart)},"producer":"$producer","runs_detail":$runsDetail,"load_detail":$loadDetail}"""
     println(json)
     // The stdout line travels through sbt's [info] prefix and the driver's
     // tail capture, which has truncated it two rounds running — the file

@@ -50,10 +50,15 @@ object Boilerplate {
     trim(array_join(regexp_extract_all(raw, lit("(?s)<a\\b[^>]*>(.*?)</a>"), lit(1)), " "))
 
   /** Whitespace token count; empty string counts 0 (split of "" yields
-    * one empty element).
+    * one empty element). HOF-free on purpose: `filter()` is a
+    * CodegenFallback higher-order function and this runs once per
+    * EXPLODED block row — the hot path — so the empty case is handled
+    * with a `when` instead (inputs come trimmed from [[blockText]] /
+    * [[linkText]], so split never yields interior empties).
     */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+    when(length(text) === 0, lit(0L))
+      .otherwise(size(split(text, "\\s+")).cast("long"))
 
   /** The content verdict: link density (anchor tokens / all tokens)
     * under `maxLinkDensity` AND at least `minTokens` tokens. The density

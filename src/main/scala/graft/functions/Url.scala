@@ -168,14 +168,23 @@ object UrlResolve {
     if (acc.isEmpty) "/" else sb.toString
   }
 
-  /** True iff `ref` opens with a scheme (`^[A-Za-z][A-Za-z0-9+.\-]*:`). */
+  /** True iff `ref` opens with a scheme (`^[A-Za-z][A-Za-z0-9+.\-]*:`).
+    * ASCII ranges only — RFC 3986 §3.1 scheme chars are ASCII, and the
+    * retired Column form's regex test is ASCII-only; `Character.isLetter`
+    * would accept Unicode letters here and let a ref like `é:x` pass
+    * through verbatim natively while the Column form resolves it as
+    * relative, breaking the documented exact-equivalence contract.
+    */
+  private def asciiAlpha(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+
   private def hasScheme(ref: String): Boolean = {
-    if (ref.isEmpty || !Character.isLetter(ref.charAt(0))) return false
+    if (ref.isEmpty || !asciiAlpha(ref.charAt(0))) return false
     var i = 1
     while (i < ref.length) {
       val c = ref.charAt(i)
       if (c == ':') return true
-      if (!Character.isLetterOrDigit(c) && c != '+' && c != '.' && c != '-')
+      if (!asciiAlpha(c) && !(c >= '0' && c <= '9') && c != '+' && c != '.' && c != '-')
         return false
       i += 1
     }

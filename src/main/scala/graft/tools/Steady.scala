@@ -2,11 +2,10 @@ package graft.tools
 
 import graft.{GraftSession, SparkEntry}
 
-/** Machine-readable steady-state bands for the expensive queries — the
+/** Machine-readable steady-state bands for EVERY registry query — the
   * adjudication artifact the per-round prose table in PLANS.md used to
-  * be. Selects every query whose median in a given bench artifact
-  * exceeds a threshold, re-times each in ONE warm JVM (run 1 dropped as
-  * JIT/codegen warmup), and writes `STEADY.json`:
+  * be. Re-times each query in ONE warm JVM (run 1 dropped as
+  * JIT/codegen warmup) and writes `STEADY.json`:
   *
   * {{{
   * {"sf":"...","runs":8,"producer":"builder","canary":[...],
@@ -22,36 +21,58 @@ import graft.{GraftSession, SparkEntry}
   * heavy shuffle queries (r14 finding) — band consumers should weigh
   * `load_avg_end` and the spread of the heavy runs themselves.
   *
-  * usage: Steady <sfDir> <benchJson> [thresholdSec=1.5] [runs=8]
+  * NO selection threshold by default (r15 lesson, twice over: the
+  * threshold + regenerate-before-the-last-commit combination is exactly
+  * how the query that became the round's biggest driver outlier escaped
+  * banding two rounds running). Every query in `SparkEntry.queries`
+  * gets a band; `scripts/steady_check.py` fails the close when any
+  * registry query lacks one. To keep a 237-query full pass tractable,
+  * the run count adapts: a query whose warmup run comes in under
+  * `lightCut` (default 0.8 s) is banded from `lightRuns` (4) runs, the
+  * rest from `runs` (8) — sub-second map-side queries don't need eight
+  * samples to band, the heavy shuffle queries do.
+  *
+  * usage: Steady <sfDir> <benchJson> [thresholdSec=0] [runs=8]
+  * (benchJson is consulted only when thresholdSec > 0 — legacy mode)
   */
 object Steady {
   def main(args: Array[String]): Unit = {
     val sfDir     = args(0)
     val benchJson = args(1)
-    val threshold = if (args.length > 2) args(2).toDouble else 1.5
+    val threshold = if (args.length > 2) args(2).toDouble else 0.0
     val runs      = if (args.length > 3) args(3).toInt else 8
+    val lightRuns = math.min(4, runs)
+    val lightCut  = 0.8
     val cpus      = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // the bench artifact's "queries" map, via the Jackson that ships with
-    // Spark — no extra dependency
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(benchJson)))
-    val qNode = root.get("queries")
-    val heavy = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val v = qNode.get(name)
-      v != null && v.asDouble(-1.0) >= threshold
-    }
+    val heavy =
+      if (threshold <= 0.0) SparkEntry.queries.keys.toSeq.sorted
+      else {
+        // legacy selection mode: the bench artifact's "queries" map, via
+        // the Jackson that ships with Spark — no extra dependency
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(benchJson)))
+        val qNode = root.get("queries")
+        SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+          val v = qNode.get(name)
+          v != null && v.asDouble(-1.0) >= threshold
+        }
+      }
 
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
-    def timeQuery(name: String): Seq[Double] =
-      (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        sec
-      }
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      sec
+    }
+    def timeQuery(name: String): Seq[Double] = {
+      val warm = timeOnce(name)
+      val rest = if (warm < lightCut) lightRuns - 1 else runs - 1
+      warm +: (1 to rest).map(_ => timeOnce(name))
+    }
 
     // canary FIRST: its run-1 JIT absorbs session warmup off the heavy
     // queries' clocks, same as Bench's alphabetical order does in practice

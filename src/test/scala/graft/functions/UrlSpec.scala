@@ -109,7 +109,10 @@ class UrlSpec extends SparkSpec {
       "../../../g", "/./g", "/../g", "g.", ".g", "g..", "..g", "./../g",
       "./g/.", "g/./h", "g/../h", "g?y/./x", "g#s/../x", "http:g",
       "HTTPS://X.TEST:443/p?b=2&a=1#f", "//x.test/p", "#s", "?", "#",
-      "a//b/../c", "/d/../d/15?a=1", "../d/15")
+      "a//b/../c", "/d/../d/15?a=1", "../d/15",
+      // non-ASCII first char: Unicode letters are NOT scheme chars (RFC
+      // 3986 §3.1 is ASCII-only) — both forms must resolve as relative
+      "é:x", "日:y", "ä/g")
     val rows = for (b <- bases; r <- refs) yield (b, r)
     val got = rows.toDF("b", "r")
       .select(
