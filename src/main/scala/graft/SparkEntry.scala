@@ -433,12 +433,13 @@ object SparkEntry {
     * untouched.
     */
   private def warcBpFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbphc", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbphce", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      // "warcbphc" (h = host-keyed footer token, c = charset declaration
-      // classes) — payload changes bump the kind so a stale cache can
-      // never serve new oracles
-      ensureIndex(s, ids, "warcbphc", "built") { p =>
+      // "warcbphce" (h = host-keyed footer token, c = charset declaration
+      // classes, e = r16 ENCODING classes: latin-1/UTF-8-BOM/UTF-16LE
+      // bodies, decoy + late + conflicting metas) — payload changes bump
+      // the kind so a stale cache can never serve new oracles
+      ensureIndex(s, ids, "warcbphce", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -460,13 +461,20 @@ object SparkEntry {
 
   /** As [[bpScoredBlocks]], over an already-HTTP-parsed frame — shared
     * with the streamed ingest, whose micro-batches arrive pre-parsed.
+    * The body decodes through the DETECTED charset (BOM > header > meta
+    * prelude > UTF-8 default), not a blind UTF-8 read — the fixture's
+    * latin-1/UTF-16/BOM classes make every downstream main-content
+    * oracle load-bearing on that decode (a UTF-8 read of the UTF-16
+    * class yields NUL-riddled garbage no block regex would match).
     */
   private def bpScoredBlocksFromParsed(parsed: DataFrame): DataFrame = {
+    val (cs, _) = graft.functions.Charset.detect(
+      col("content_type"), col("body_bytes"))
     val pages = parsed
       .filter(col("http_status") === 200)
       .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
         graft.functions.Url.canonicalizeUrl(col("uri")).as("url"),
-        col("body"))
+        graft.functions.Charset.decodeWith(col("body_bytes"), cs).as("body"))
     val bp = graft.functions.Boilerplate
     pages.select(col("doc_id"), col("url"),
         posexplode(bp.blocks(col("body"))).as(Seq("pos", "raw")))
@@ -525,9 +533,9 @@ object SparkEntry {
     * payload classes (h = host-keyed footer, c = charset declarations).
     */
   private def warcBpIngestPath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbpingesthc", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbpingesthce", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      ensureIndex(s, ids, "warcbpingesthc", "built") { p =>
+      ensureIndex(s, ids, "warcbpingesthce", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true)
         graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
@@ -1028,7 +1036,7 @@ object SparkEntry {
   private lazy val warcMainPipelineOracle: String =
     """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
       |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-      |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
+      |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
       |  d % 9 + 1 >= 3 AS keep_content,
       |  d % 4 = 1 AS has_related
       | FROM ids),
@@ -2198,21 +2206,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // CHARSET detection (functions/Charset) — the WET step between the
-    // HTTP split and text extraction: header `charset` parameter wins,
-    // then the first meta declaration (HTML5 or HTML4 http-equiv), then
-    // the UTF-8 default; provenance reported beside the name. The
-    // fixture plants one page class per declaration source. All
-    // codegen'd regexp Columns, map-side over the archive scan.
+    // CHARSET detection + DECODE (functions/Charset) — the WET step
+    // between the HTTP split and text extraction, WHATWG precedence:
+    // BOM wins (even over a lying header), then the header `charset`
+    // parameter, then the FIRST meta declaration within the 1024-byte
+    // prescan prelude (either form, document order — a late declaration
+    // past the bound is ignored), then the UTF-8 default. `body_md5`
+    // hashes the body DECODED through the detected name (BOM stripped):
+    // the latin-1/UTF-16 classes' digests only match the oracle's
+    // reconstructed char string if detection fed decode correctly — the
+    // tier is load-bearing, not annotative. All codegen'd regexp/string
+    // Columns, map-side over the archive scan.
     "warc_charset" -> ((s, dir) => {
       val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
         s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
       val pages = graft.sources.Warc.httpParsed(resp)
         .filter(col("http_status") === 200)
-      val (cs, src) = graft.functions.Charset.detect(col("content_type"), col("body"))
+      val (cs, src) = graft.functions.Charset.detect(
+        col("content_type"), col("body_bytes"))
       pages.select(
           regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
-          cs.as("charset"), src.as("charset_source"))
+          cs.as("charset"), src.as("charset_source"),
+          md5(graft.functions.Charset.decodeWith(col("body_bytes"), cs))
+            .as("body_md5"))
         .orderBy("doc_id")
     }),
 
@@ -6941,7 +6957,7 @@ object SparkEntry {
     "warc_main_content" ->
       """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
         |w AS (SELECT d,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
         |  d % 9 + 1 >= 3 AS keep_content,
         |  d % 4 = 1 AS has_related
         | FROM ids)
@@ -6980,18 +6996,44 @@ object SparkEntry {
     // frame must equal the batch resolution (equivalence proof)
     "warc_main_streamed" -> warcMainPipelineOracle,
 
-    // Charset replay: pure class arithmetic (the detection itself is the
-    // thing under test — precedence and name normalization).
+    // Charset replay: class arithmetic for the (charset, source) pair —
+    // BOM > header > meta-in-prelude > default, earlier-of-forms on
+    // conflicting metas, the decoy and the late declaration resolving
+    // AWAY from their planted names — plus the DECODED body's md5: the
+    // oracle reconstructs the page's char string (what a correct decode
+    // yields), so the latin-1/UTF-16/BOM classes only hash-match if
+    // detection actually fed decode. DuckDB md5 hashes the UTF-8 bytes
+    // of the reconstructed string, same as Spark's md5-of-string.
     "warc_charset" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0)
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words
+        | FROM ids),
+        |pg AS (SELECT d, '<html>' ||
+        |  (CASE WHEN d % 5 = 1 THEN '<head><meta name="description" content="all about charset=EBCDIC pages"><meta charset="UTF-8"></head>'
+        |        WHEN d % 5 = 2 THEN '<head><meta http-equiv="Content-Type" content="text/html; charset=Windows-1252"></head>'
+        |        WHEN d % 15 = 13 THEN '<head><!-- ' || repeat('x', 1100) || ' --><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1"></head>'
+        |        WHEN d % 15 = 4 THEN '<head><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-5"><meta charset="KOI8-R"></head>'
+        |        ELSE '' END) ||
+        |  '<body><div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>' ||
+        |  '<p>' || words || '</p>' ||
+        |  (CASE WHEN d % 4 = 1 THEN '<div><a href="/r">more</a> w1 w2 w3 w4 w5 w6</div>' ELSE '' END) ||
+        |  '<div><a href="/about">about</a> <a href="/contact">contact</a> c' || (p % 7) ||
+        |  '</div></body></html>' AS body
+        | FROM w)
         |SELECT d AS doc_id,
-        |  CASE WHEN d % 5 = 0 THEN 'iso-8859-1'
+        |  CASE WHEN d % 15 = 3 THEN 'utf-8'
+        |       WHEN d % 15 = 8 THEN 'utf-16le'
+        |       WHEN d % 5 = 0 THEN 'iso-8859-1'
         |       WHEN d % 5 = 2 THEN 'windows-1252'
+        |       WHEN d % 15 = 4 THEN 'iso-8859-5'
         |       ELSE 'utf-8' END AS charset,
-        |  CASE WHEN d % 5 = 0 THEN 'header'
-        |       WHEN d % 5 = 1 OR d % 5 = 2 THEN 'meta'
-        |       ELSE 'default' END AS charset_source
-        |FROM ids ORDER BY doc_id""".stripMargin,
+        |  CASE WHEN d % 15 = 3 OR d % 15 = 8 THEN 'bom'
+        |       WHEN d % 5 = 0 THEN 'header'
+        |       WHEN d % 5 = 1 OR d % 5 = 2 OR d % 15 = 4 THEN 'meta'
+        |       ELSE 'default' END AS charset_source,
+        |  md5(body) AS body_md5
+        |FROM pg ORDER BY doc_id""".stripMargin,
 
     // Chrome-vs-content dedup ledger: distinctness over md5 equals
     // distinctness over the texts themselves, so the oracle counts
@@ -7000,7 +7042,7 @@ object SparkEntry {
     "warc_main_dedup" ->
       """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
         |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') AS words,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
         |  d % 9 + 1 >= 3 AS keep_content,
         |  d % 4 = 1 AS has_related
         | FROM ids),

@@ -204,35 +204,82 @@ object Warc {
     * per block — and the retained main text — replays in SQL. 404s keep
     * the plain-text body (the status filter drops them before blocks).
     */
+  /** Charset declaration + ENCODING classes (r16). Declaration source
+    * (d % 5, refined by d % 15 on the former default classes):
+    *
+    *  - `d%5==0`  header `charset=ISO-8859-1` — and the body really IS
+    *    latin-1 (content words carry `é` as byte 0xE9)
+    *  - `d%5==1`  HTML5 `<meta charset="UTF-8">`, preceded by a DECOY
+    *    `charset=EBCDIC` inside a quoted `content` attribute value that
+    *    a naive attribute regex would match
+    *  - `d%5==2`  HTML4 `http-equiv` `charset=Windows-1252`, body
+    *    latin-1 with `é` (1252 ≡ latin-1 over the planted byte range)
+    *  - `d%15==3` UTF-8 BOM + LYING header (`charset=ISO-8859-1`) — the
+    *    BOM must win (WHATWG step 1); body UTF-8 with `é` (C3 A9, which
+    *    latin-1 decoding would read as `Ã©`)
+    *  - `d%15==8` UTF-16LE BOM, no declaration anywhere — the WHOLE
+    *    body is UTF-16LE; a UTF-8 read yields NUL-riddled garbage, so
+    *    every downstream oracle is load-bearing on the detected decode
+    *  - `d%15==13` late decoy: a >1024-byte head comment pushes an
+    *    HTML4 declaration past the WHATWG prescan bound — must resolve
+    *    as the UTF-8 default
+    *  - `d%15==4` CONFLICTING metas, HTML4 (`ISO-8859-5`) before HTML5
+    *    (`KOI8-R`) — the EARLIER declaration wins (document order, not
+    *    form priority); ASCII body
+    *  - `d%15∈{9,14}` undeclared → UTF-8 default.
+    *
+    * Encoding classes (0, 2 latin-1; 3 UTF-8+BOM; 8 UTF-16LE) prefix
+    * the content words with `é` so the decoded text differs from the
+    * raw bytes' UTF-8 reading — detection FEEDS decode, and a green
+    * oracle proves the decoded chars, not byte identity. The returned
+    * string is byte-TRANSPARENT latin-1 (char i ↦ byte i), which
+    * [[synthesizeFiles]] writes back with ISO_8859_1.
+    */
   private[graft] def bpResponseRecordString(d: Long): String = {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8, UTF_16LE}
     val uri = messyUri(d)
     if (d % 11 == 0)
       return wrapResponse(d, uri, "HTTP/1.1 404 Not Found", "not found")
     val p = if (d % 3 == 2) d - 1 else d
-    val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+    val enc = d % 5 == 0 || d % 5 == 2 || d % 15 == 3 || d % 15 == 8
+    val wp = if (enc) "wé" else "w"
+    val words = (0L to d % 9).map(i => s"$wp${(d * 7 + i) % 13}").mkString(" ")
     val related =
       if (d % 4 == 1)
         """<div><a href="/r">more</a> w1 w2 w3 w4 w5 w6</div>"""
       else ""
-    // charset declaration classes (d % 5): 0 = header parameter wins,
-    // 1 = HTML5 meta, 2 = HTML4 http-equiv meta, else undeclared (the
-    // UTF-8 default). head-level tags are invisible to the block
-    // segmentation, so the main-content oracles never see them.
     val contentType =
-      if (d % 5 == 0) "text/html; charset=ISO-8859-1" else "text/html"
-    val head = d % 5 match {
-      case 1 => """<head><meta charset="UTF-8"></head>"""
-      case 2 => "<head><meta http-equiv=\"Content-Type\" " +
-        "content=\"text/html; charset=Windows-1252\"></head>"
-      case _ => ""
-    }
-    val body =
+      if (d % 5 == 0 || d % 15 == 3) "text/html; charset=ISO-8859-1"
+      else "text/html"
+    val head =
+      if (d % 5 == 1)
+        "<head><meta name=\"description\" content=\"all about charset=EBCDIC pages\">" +
+          "<meta charset=\"UTF-8\"></head>"
+      else if (d % 5 == 2)
+        "<head><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=Windows-1252\"></head>"
+      else if (d % 15 == 13)
+        "<head><!-- " + "x" * 1100 + " --><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=ISO-8859-1\"></head>"
+      else if (d % 15 == 4)
+        "<head><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=ISO-8859-5\">" +
+          "<meta charset=\"KOI8-R\"></head>"
+      else ""
+    val html =
       "<html>" + head + "<body>" +
         """<div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>""" +
         s"<p>$words</p>" + related +
         s"""<div><a href="/about">about</a> <a href="/contact">contact</a> c${p % 7}</div>""" +
         "</body></html>"
-    wrapResponse(d, uri, "HTTP/1.1 200 OK", body, contentType)
+    val bytes: Array[Byte] =
+      if (d % 15 == 3)
+        Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ html.getBytes(UTF_8)
+      else if (d % 15 == 8)
+        Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes(UTF_16LE)
+      else html.getBytes(ISO_8859_1) // latin-1 AND plain-ASCII classes
+    wrapResponse(d, uri, "HTTP/1.1 200 OK", new String(bytes, ISO_8859_1),
+      contentType)
   }
 
   /** The file-leading `warcinfo` record real archives carry; readers that
@@ -300,7 +347,12 @@ object Warc {
             out = if (doGzip) new GZIPOutputStream(raw) else raw
             out.write(warcinfoRecordString.getBytes(US_ASCII))
           }
-          out.write(mk(d).getBytes(US_ASCII))
+          // ISO-8859-1, not US-ASCII: byte-TRANSPARENT (char i ↦ byte i
+          // for 0..255), so record synthesizers can express arbitrary
+          // payload bytes — the UTF-16/latin-1/BOM encoding classes —
+          // as chars. Byte-identical to US_ASCII for all-ASCII records,
+          // where US_ASCII would mangle every non-ASCII char to '?'.
+          out.write(mk(d).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
           n += 1L
         }
         closeFile()
@@ -550,7 +602,17 @@ object Warc {
     * quarantine posture, never an exception.
     *
     * Output adds to each input row: `http_status` (int), `content_type`
-    * (null when the header is absent), `body` (string).
+    * (null when the header is absent), `body` (string — the payload
+    * bytes read as UTF-8, the pre-charset-detection view), and
+    * `body_bytes` (binary — the raw body bytes, what charset-aware
+    * consumers feed through `Charset.detect` + `Charset.decodeWith`).
+    *
+    * The blank-line offset is found in the UTF-8-cast view but applied
+    * to the BYTES: valid because the HTTP head is ASCII (RFC 9110 field
+    * syntax), so every char before the first blank line is one byte and
+    * char position == byte position. A head with non-ASCII junk bytes
+    * would garble the offset — such payloads already yield garbage
+    * under any split and land in quarantine-shaped nulls downstream.
     */
   def httpParsed(responses: DataFrame): DataFrame = {
     val p = col("payload").cast("string")
@@ -567,5 +629,7 @@ object Warc {
       .withColumn("content_type",
         nullif(regexp_extract(head, "(?mi)^content-type: ([^\r\n]*)", 1), lit("")))
       .withColumn("body", when(at > 0, p.substr(at + 4, length(p))))
+      .withColumn("body_bytes",
+        when(at > 0, col("payload").substr(at + 4, length(col("payload")))))
   }
 }

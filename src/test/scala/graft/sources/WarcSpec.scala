@@ -232,6 +232,33 @@ class WarcSpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("bp encoding classes: BOM bytes, byte-transparent latin-1, UTF-16LE body, late-meta padding") {
+    def body(d: Long): String = {
+      val r = Warc.bpResponseRecordString(d)
+      r.substring(r.indexOf("\r\n\r\n", r.indexOf("HTTP/1.1")) + 4)
+    }
+    // d=10 (d%5==0): latin-1 body, é as single byte 0xE9, header declares it
+    assert(Warc.bpResponseRecordString(10).contains("charset=ISO-8859-1"))
+    assert(body(10).contains("wé"))
+    // d=18 (d%15==3): UTF-8 BOM then UTF-8 bytes (é = C3 A9 as two chars)
+    assert(body(18).take(3).map(_.toInt) === Seq(0xEF, 0xBB, 0xBF))
+    assert(body(18).contains("wÃ©"))
+    // d=23 (d%15==8): UTF-16LE BOM, NUL-interleaved ASCII markup
+    assert(body(23).take(2).map(_.toInt) === Seq(0xFF, 0xFE))
+    assert(body(23).slice(body(23).indexOf("<"), body(23).indexOf("<") + 6)
+      .map(_.toInt) === Seq(0x3C, 0, 0x68, 0, 0x74, 0))
+    // d=28 (d%15==13): declaration pushed past the 1024-byte prescan bound
+    val b28 = body(28)
+    assert(b28.indexOf("charset=ISO-8859-1") > 1024)
+    // Content-Length matches the BYTE count for every class
+    Seq(10L, 18L, 23L, 28L, 6L).foreach { d =>
+      val r = Warc.bpResponseRecordString(d)
+      val len = "Content-Length: (\\d+)".r.findFirstMatchIn(r).get.group(1).toInt
+      val payloadStart = r.indexOf("\r\n\r\n") + 4
+      assert(r.substring(payloadStart).stripSuffix("\r\n\r\n").length === len, s"d=$d")
+    }
+  }
+
   test("fixture plants canonical-duplicate pairs: d=3k+1 and d=3k+2 collide, others are unique") {
     val dir = tmp("warc_dups")
     synth(dir, 30, nFiles = 2)
