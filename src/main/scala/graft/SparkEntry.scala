@@ -433,13 +433,13 @@ object SparkEntry {
     * untouched.
     */
   private def warcBpFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbphce", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbphcen", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      // "warcbphce" (h = host-keyed footer token, c = charset declaration
+      // "warcbphcen" (h = host-keyed footer token, c = charset declaration
       // classes, e = r16 ENCODING classes: latin-1/UTF-8-BOM/UTF-16LE
       // bodies, decoy + late + conflicting metas) — payload changes bump
       // the kind so a stale cache can never serve new oracles
-      ensureIndex(s, ids, "warcbphce", "built") { p =>
+      ensureIndex(s, ids, "warcbphcen", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -533,9 +533,9 @@ object SparkEntry {
     * payload classes (h = host-keyed footer, c = charset declarations).
     */
   private def warcBpIngestPath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbpingesthce", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbpingesthcen", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      ensureIndex(s, ids, "warcbpingesthce", "built") { p =>
+      ensureIndex(s, ids, "warcbpingesthcen", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true)
         graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
@@ -6962,7 +6962,10 @@ object SparkEntry {
         |  d % 4 = 1 AS has_related
         | FROM ids)
         |SELECT d AS doc_id,
-        |  CAST(3 + (CASE WHEN has_related THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+        |  -- d%13==5: the nested nav segments as TWO blocks (inner nav +
+        |  -- breadcrumb), both all-anchor and dropped
+        |  CAST(3 + (CASE WHEN d % 13 = 5 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN has_related THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
         |  CAST((CASE WHEN keep_content THEN 1 ELSE 0 END)
         |     + (CASE WHEN has_related THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST((CASE WHEN keep_content THEN d % 9 + 1 ELSE 0 END)
@@ -7015,7 +7018,9 @@ object SparkEntry {
         |        WHEN d % 15 = 13 THEN '<head><!-- ' || repeat('x', 1100) || ' --><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1"></head>'
         |        WHEN d % 15 = 4 THEN '<head><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-5"><meta charset="KOI8-R"></head>'
         |        ELSE '' END) ||
-        |  '<body><div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>' ||
+        |  (CASE WHEN d % 13 = 5
+        |        THEN '<body><div><div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div> <a href="/crumb">crumb</a></div>'
+        |        ELSE '<body><div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>' END) ||
         |  '<p>' || words || '</p>' ||
         |  (CASE WHEN d % 4 = 1 THEN '<div><a href="/r">more</a> w1 w2 w3 w4 w5 w6</div>' ELSE '' END) ||
         |  '<div><a href="/about">about</a> <a href="/contact">contact</a> c' || (p % 7) ||
@@ -7047,7 +7052,9 @@ object SparkEntry {
         |  d % 4 = 1 AS has_related
         | FROM ids),
         |texts AS (SELECT
-        |  'nav0 nav1 nav2' || chr(10) || words ||
+        |  'nav0 nav1 nav2' ||
+        |    (CASE WHEN d % 13 = 5 THEN chr(10) || 'crumb' ELSE '' END) ||
+        |    chr(10) || words ||
         |    (CASE WHEN has_related THEN chr(10) || 'more w1 w2 w3 w4 w5 w6' ELSE '' END) ||
         |    chr(10) || 'about contact c' || (p % 7) AS raw_t,
         |  coalesce(array_to_string(list_filter([

@@ -1,7 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Main-content extraction (boilerplate removal) — the block-level
   * link-density family (jusText, Kohlschütter's Boilerpipe): segment a
@@ -26,15 +32,31 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
-  /** Block-level segmentation: the contents of `<p>`/`<div>` elements, in
-    * document order (the backreference keys the close tag to the open
-    * tag; the word boundary keeps `<pre>`/`<picture>` from matching as
-    * `p`-blocks and scanning to a distant `</p>`). Non-greedy, so the
-    * first matching close bounds each block — the flat-block layout real
-    * extractors normalize to before scoring.
+  /** Block-level segmentation: a single depth-tracking scan over the
+    * page, splitting at every `<p>`/`<div>` open or close boundary and
+    * emitting each non-blank segment that lies inside at least one
+    * block element, in document order — the jusText/Boilerpipe
+    * segmentation model. NESTING-correct by construction (the r15
+    * regex form paired an outer `<div>` with the FIRST inner close, so
+    * real nav chrome — nested divs — truncated and leaked): for
+    * `<div>nav <div>inner</div> tail</div>` the segments are `nav `,
+    * `inner`, `tail`, each scored separately. The tag-name check
+    * requires a delimiter after the name (`<pre>`/`<picture>` are not
+    * `p`-blocks); matching is case-insensitive; self-closing block tags
+    * act as a boundary without changing depth; whitespace-only segments
+    * (the gaps between adjacent blocks in nested markup) are dropped;
+    * inline markup inside a segment passes through raw for
+    * [[blockText]]/[[linkText]] to score. No comment/script awareness —
+    * same posture as the attribute-level regex family; a block tag
+    * inside an in-BODY comment would miscount depth (head-level
+    * comments sit at depth 0 and are ignored).
+    *
+    * One static JVM call per page row inside whole-stage codegen (the
+    * `HtmlTextExtract` pattern) — NOT a regex + higher-order lambda,
+    * which would fall out of codegen on the hot path.
     */
   def blocks(body: Column): Column =
-    regexp_extract_all(body, lit("(?s)<(p|div)\\b[^>]*>(.*?)</\\1>"), lit(2))
+    ColumnBridge.column(HtmlBlocksExtract(ColumnBridge.expr(body)))
 
   /** A block's visible text: inline tags stripped. The fixture (like
     * sane HTML) separates inline elements with literal whitespace, so
@@ -71,4 +93,93 @@ object Boilerplate {
       minTokens: Int = 3, maxLinkDensity: Double = 0.35): Column =
     (nLinkToks.cast("double") / greatest(nToks.cast("double"), lit(1.0))
       < lit(maxLinkDensity)) && (nToks >= lit(minTokens.toLong))
+
+  /** The depth-tracking segment scan behind [[blocks]] — static so
+    * codegen calls it directly. See [[blocks]] for semantics.
+    */
+  def segments(html: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val buf = new java.lang.StringBuilder(256)
+    var depth = 0
+    def emit(): Unit = {
+      var i = 0
+      var blank = true
+      while (blank && i < buf.length) {
+        if (!Character.isWhitespace(buf.charAt(i))) blank = false
+        i += 1
+      }
+      if (!blank) out += buf.toString
+      buf.setLength(0)
+    }
+    // s[i] == '<': classify the tag. Returns the index AFTER the tag's
+    // '>' when it is a p/div open/close (handling it in-place), or -1
+    // when it is not a block tag (caller copies the '<' through).
+    def blockTag(s: String, i: Int): Int = {
+      val n = s.length
+      var j = i + 1
+      val closing = j < n && s.charAt(j) == '/'
+      if (closing) j += 1
+      // tag name: p | div, case-insensitive, delimiter-terminated
+      val nameLen =
+        if (j < n && (s.charAt(j) == 'p' || s.charAt(j) == 'P')) 1
+        else if (j + 2 < n && "div".equalsIgnoreCase(s.substring(j, math.min(j + 3, n)))) 3
+        else -1
+      if (nameLen < 0) return -1
+      val after = j + nameLen
+      if (after < n) {
+        val c = s.charAt(after)
+        if (c != '>' && c != '/' && !Character.isWhitespace(c)) return -1
+      }
+      var k = s.indexOf('>', after)
+      if (k < 0) k = n - 1 // unterminated tag: consume to EOF
+      val selfClosing = !closing && k > i && s.charAt(k - 1) == '/'
+      if (depth >= 1) emit() // boundary: flush the running segment
+      if (closing) { if (depth > 0) depth -= 1 }
+      else if (!selfClosing) {
+        if (depth == 0) buf.setLength(0)
+        depth += 1
+      }
+      k + 1
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val next = blockTag(html, i)
+        if (next >= 0) i = next
+        else { if (depth >= 1) buf.append(c); i += 1 }
+      } else {
+        if (depth >= 1) buf.append(c)
+        i += 1
+      }
+    }
+    if (depth >= 1) emit() // unclosed trailing block
+    out.toArray
+  }
+
+  def segmentsUTF8(s: UTF8String): ArrayData = {
+    val segs = segments(s.toString)
+    val arr = new Array[Any](segs.length)
+    var i = 0
+    while (i < segs.length) { arr(i) = UTF8String.fromString(segs(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Codegen'd block segmentation (one static call per page row inside
+  * whole-stage codegen, the `HtmlTextExtract` pattern).
+  */
+case class HtmlBlocksExtract(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_blocks"
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlocksExtract =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Boilerplate.segmentsUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Boilerplate.segmentsUTF8($c)")
 }

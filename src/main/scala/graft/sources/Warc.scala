@@ -266,9 +266,18 @@ object Warc {
           "content=\"text/html; charset=ISO-8859-5\">" +
           "<meta charset=\"KOI8-R\"></head>"
       else ""
+    // d%13==5: NESTED nav chrome — the real-HTML shape (nav bars are
+    // nested divs with a breadcrumb trailing the inner close). Under
+    // depth-aware segmentation this yields TWO all-anchor segments
+    // (inner nav, breadcrumb), both dropped; the r15 regex form
+    // truncated the outer div at the inner close and LOST the crumb.
+    val nav =
+      if (d % 13 == 5)
+        """<div><div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div> <a href="/crumb">crumb</a></div>"""
+      else
+        """<div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>"""
     val html =
-      "<html>" + head + "<body>" +
-        """<div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div>""" +
+      "<html>" + head + "<body>" + nav +
         s"<p>$words</p>" + related +
         s"""<div><a href="/about">about</a> <a href="/contact">contact</a> c${p % 7}</div>""" +
         "</body></html>"

@@ -58,7 +58,7 @@ class BoilerplateSpec extends SparkSpec {
     assert(lt === 0L)
   }
 
-  test("thin content (under 3 tokens) and empty blocks drop; zero-token division is guarded") {
+  test("thin content (under 3 tokens) drops; empty blocks never surface as segments") {
     val rows = Seq("<p>w1 w2</p><div></div>").toDF("body")
       .select(posexplode(Boilerplate.blocks(col("body"))).as(Seq("pos", "raw")))
       .select(
@@ -66,7 +66,36 @@ class BoilerplateSpec extends SparkSpec {
         Boilerplate.tokenCount(Boilerplate.linkText(col("raw"))).as("lt"))
       .withColumn("kept", Boilerplate.isContent(col("t"), col("lt")))
       .select("t", "kept").as[(Long, Boolean)].collect()
-    assert(rows.toSeq === Seq((2L, false), (0L, false)))
+    assert(rows.toSeq === Seq((2L, false)))
+  }
+
+  test("nested blocks segment at every boundary (the real-nav-chrome case the regex form truncated)") {
+    val nested = "<html><body><div>intro <div>inner1</div> middle " +
+      "<p>inner2</p> tail</div><p>after</p></body></html>"
+    val got = Seq(nested).toDF("body")
+      .select(Boilerplate.blocks(col("body"))).as[Seq[String]].head()
+    assert(got === Seq("intro ", "inner1", " middle ", "inner2", " tail", "after"))
+    // nested nav chrome: every segment is all-anchor or blank -> all drop
+    val nav = "<div><div><a href=\"/\">nav0</a> <a href=\"/a\">nav1</a></div> " +
+      "<a href=\"/crumb\">crumb</a></div><p>w1 w2 w3 w4</p>"
+    val verdicts = Seq(nav).toDF("body")
+      .select(posexplode(Boilerplate.blocks(col("body"))).as(Seq("pos", "raw")))
+      .select(
+        Boilerplate.tokenCount(Boilerplate.blockText(col("raw"))).as("t"),
+        Boilerplate.tokenCount(Boilerplate.linkText(col("raw"))).as("lt"))
+      .withColumn("kept", Boilerplate.isContent(col("t"), col("lt")))
+      .select("kept").as[Boolean].collect()
+    assert(verdicts.toSeq === Seq(false, false, true)) // nav-inner, crumb, content
+    // self-closing and unclosed corners: boundary without depth change;
+    // an unclosed trailing block still emits
+    val corners = Seq("<div>a<div/>b</div>", "<p>dangling").toDF("body")
+      .select(Boilerplate.blocks(col("body"))).as[Seq[String]].collect()
+    assert(corners(0) === Seq("a", "b"))
+    assert(corners(1) === Seq("dangling"))
+    // uppercase tags segment too
+    val upper = Seq("<DIV>w1 w2</DIV><P>w3</P>").toDF("body")
+      .select(Boilerplate.blocks(col("body"))).as[Seq[String]].head()
+    assert(upper === Seq("w1 w2", "w3"))
   }
 
   test("changeSalt: salt 0 is byte-identical, salt 1 drifts exactly the d%4==3 200-status class") {
