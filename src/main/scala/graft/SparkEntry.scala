@@ -2685,7 +2685,12 @@ object SparkEntry {
     // (prefix rules; delay 2) — then a top-3 per-host enqueue budget
     // ordered by url (seeds are pre-rank by definition), each slot
     // offset by the bot's delay. Integrates the r14 sitemap + per-bot
-    // tiers into one scheduling decision.
+    // tiers into one scheduling decision. r16: the RFC 9309 §2.4 robots
+    // cache clock (pipeline_crawl_robots_age's per-host fetch hour vs
+    // the 2026-02-03 probe, 24 h validity) GATES the schedule — a stale
+    // host gets a `robots_refresh` row at slot 0 and its page fetches
+    // shift one delay slot, so the policy is re-validated before any
+    // page is fetched under it; fresh hosts schedule as before.
     "pipeline_crawl_enqueue" -> ((s, dir) => {
       val n = t(s, dir, "documents").count()
       val seeds = sitemapDocs(s, n).select(col("host"),
@@ -2701,16 +2706,29 @@ object SparkEntry {
         // host with no graftbot group (groupsFor's selection)
         graft.functions.Robots.crawlDelaySecondsFor(col("robots_txt"), bot)
           .as("delay"))
+      // the robots fetch clock (same arithmetic as
+      // pipeline_crawl_robots_age): fetched 2026-02-01 + (h*9)%40 h,
+      // probed 2026-02-03 ⇒ age 48 − (h*9)%40 h, stale beyond 24 h
+      val fetchH = pmod(
+        regexp_extract(col("host"), "d(\\d+)", 1).cast("long") * 9, lit(40))
       val w = Window.partitionBy(col("host")).orderBy(asc("url"))
-      seeds.join(broadcast(pol), Seq("host"), "left")
+      val gated = seeds.join(broadcast(pol), Seq("host"), "left")
         .filter(!graft.functions.Robots.isBlockedByRules(
           try_parse_url(col("url"), lit("PATH")), col("rules")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("host"), col("url"),
-          ((col("rn") - 1) * coalesce(col("delay"), lit(0.0)))
-            .as("scheduled_offset_s"))
-        .orderBy("host", "url")
+        .withColumn("robots_stale", (lit(48L) - fetchH) > lit(24L))
+      val pages = gated.select(col("host"), lit("fetch").as("kind"), col("url"),
+        ((col("rn") - 1 + when(col("robots_stale"), 1).otherwise(0)) *
+          coalesce(col("delay"), lit(0.0))).as("scheduled_offset_s"))
+      // one refresh row per stale host WITH work queued (keyed off its
+      // first page slot, so an all-blocked host refreshes nothing)
+      val robots = gated.filter(col("robots_stale") && col("rn") === 1)
+        .select(col("host"), lit("robots_refresh").as("kind"),
+          concat(lit("https://"), col("host"), lit("/robots.txt")).as("url"),
+          lit(0.0).as("scheduled_offset_s"))
+      robots.unionByName(pages)
+        .orderBy("host", "scheduled_offset_s", "url")
     }),
 
     // LASTMOD-DRIVEN refresh prioritization (Robots.sitemapEntries) —
@@ -7235,7 +7253,10 @@ object SparkEntry {
     // hosts with the stacked group block everything but the host-digit
     // Allow carve-out and pace at 7 s; host 3 falls back to the `*`
     // prefix rules and the 2 s delay — then the top-3-by-url enqueue
-    // budget with (rn−1)×delay offsets
+    // budget. r16: the robots cache clock gates the schedule — stale
+    // hosts ((h*9)%40 < 24, i.e. age 48−fetch_h > 24) prepend a
+    // robots_refresh row at offset 0 and their page offsets shift one
+    // delay slot (rn×delay instead of (rn−1)×delay)
     "pipeline_crawl_enqueue" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |ks AS (SELECT h, k, CASE WHEN k < 40 THEN h + 7*k
@@ -7249,12 +7270,21 @@ object SparkEntry {
         |allowed AS (SELECT * FROM seeds WHERE NOT (
         |  CASE WHEN h = 3 THEN starts_with(s, '3') AND NOT starts_with(s, '35')
         |       ELSE NOT starts_with(s, CAST(h AS VARCHAR) || '5') END)),
-        |q AS (SELECT 'd' || h || '.ex.test' AS host, url,
+        |q AS (SELECT h, 'd' || h || '.ex.test' AS host, url,
         |    row_number() OVER (PARTITION BY h ORDER BY url) AS rn,
-        |    CASE WHEN h = 3 THEN 2.0 ELSE 7.0 END AS delay
+        |    CASE WHEN h = 3 THEN 2.0 ELSE 7.0 END AS delay,
+        |    ((h * 9) % 40) < 24 AS stale
         |  FROM allowed)
-        |SELECT host, url, (rn - 1) * delay AS scheduled_offset_s
-        |FROM q WHERE rn <= 3 ORDER BY host, url""".stripMargin,
+        |SELECT host, kind, url, scheduled_offset_s FROM (
+        |  SELECT host, 'fetch' AS kind, url,
+        |    CAST((rn - 1 + CASE WHEN stale THEN 1 ELSE 0 END) * delay
+        |      AS DOUBLE) AS scheduled_offset_s
+        |  FROM q WHERE rn <= 3
+        |  UNION ALL
+        |  SELECT DISTINCT host, 'robots_refresh',
+        |    'https://' || host || '/robots.txt', CAST(0 AS DOUBLE)
+        |  FROM q WHERE stale AND rn <= 3)
+        |ORDER BY host, scheduled_offset_s, url""".stripMargin,
 
     // a sitemap loc is already-discovered ONLY when its canonical form
     // truly matches a discovered url: the bare form for in-corpus (p<n),
