@@ -4157,6 +4157,43 @@ object SparkEntry {
         .orderBy("vid_a", "vid_b")
     }),
 
+    // KEYFRAME-SAMPLED video dedup at realistic clip lengths — the
+    // 100 TB plan: real clips run 10³–10⁴ frames, and per-frame dHash +
+    // banded-join work grows LINEARLY with clip length while the
+    // near-dup verdict is decided by a handful of aligned keyframes.
+    // The long-clip fixture (64–66 frames, same family/perturbation
+    // arithmetic as dedup_video_pairs) is hashed from every 8TH frame
+    // only — extractFrameImages emits (and PNG-encodes) just the
+    // sampled frames, so the expensive half of the bridge scales with
+    // frames/8, not frames. The ORACLE replays the FULL-frame
+    // comparison (every frame, ≥2 aligned matches): a green row is the
+    // proof that sampling before hashing lands the full-frame pair set
+    // on this class — sample-then-hash, never hash-then-sample.
+    "dedup_video_pairs_sampled" -> ((s, dir) => {
+      // a fixed 200-clip long-form library (50 families of 4): clip
+      // COUNT is the scale axis the banded join handles; clip LENGTH is
+      // what sampling must neutralize
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 200)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val media = Multimodal.synthesizeLongDupGifs(docs)
+      val frames = Multimodal.extractFrameImages(media, every = 8).toDF()
+      val sigs = Multimodal.imageDHash(
+          frames.select(
+            (col("media_id") * 1000 + col("frame_no")).as("media_id"),
+            col("payload"), col("media_type"))).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("hash_hi"), col("hash_lo"))
+      Dedup.hammingPairsHiLo(sigs, maxHamming = 3, bands = 4)
+        .filter(pmod(col("doc_a"), lit(1000)) === pmod(col("doc_b"), lit(1000)))
+        .groupBy(floor(col("doc_a") / 1000).cast("long").as("vid_a"),
+          floor(col("doc_b") / 1000).cast("long").as("vid_b"))
+        .agg(count(lit(1)).as("n_matching_frames"))
+        .filter(col("n_matching_frames") >= 2)
+        .select(col("vid_a"), col("vid_b"))
+        .orderBy("vid_a", "vid_b")
+    }),
+
     // The STREAMED image-feature index: VectorIngest is modality-agnostic
     // (it ingests any (vec_id, embedding) frame), so two doc-disjoint
     // micro-batches of decoded histogram features land on the same
@@ -8644,6 +8681,45 @@ object SparkEntry {
         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
         |        bit_count(xor(a.hash_lo, b.hash_lo)) <= 3)
         |SELECT vid_a, vid_b, count(*) AS n_matching_frames
+        |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY vid_a, vid_b""".stripMargin,
+
+    // the FULL-frame comparison on the long-clip class (every one of the
+    // 64–66 frames hashed, >= 2 aligned matches) — the keyframe-SAMPLED
+    // Spark path (every 8th frame only) must land exactly this pair
+    // set: green = sampling loses nothing on the planted class
+    "dedup_video_pairs_sampled" ->
+      """WITH fams AS (
+        |  SELECT doc_id, doc_id // 4 AS family,
+        |    64 + CAST((doc_id // 4) % 3 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 200),
+        |vpx AS (
+        |  SELECT fm.doc_id, fr.f, xs.x, ys.y,
+        |    (CAST(concat('0x', substr(md5(concat(fm.family, '_', xs.x, '_', ys.y, '_', fr.f)), 1, 2)) AS BIGINT)
+        |     + CASE WHEN fm.doc_id % 4 > 0 AND xs.x = fm.doc_id % 4
+        |                 AND ys.y = fm.doc_id % 4 AND fr.f = 0
+        |            THEN (fm.doc_id % 4) * 3 ELSE 0 END) % 256 AS p
+        |  FROM fams fm
+        |  JOIN generate_series(0, 66) fr(f) ON fr.f < fm.nf
+        |  CROSS JOIN generate_series(0, 8) xs(x)
+        |  CROSS JOIN generate_series(0, 7) ys(y)),
+        |vbits AS (
+        |  SELECT a.doc_id, a.f, a.x, a.y,
+        |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+        |  FROM vpx a JOIN vpx b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |vsigs AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM vbits GROUP BY doc_id, f),
+        |fp AS (
+        |  SELECT a.doc_id AS vid_a, b.doc_id AS vid_b
+        |  FROM vsigs a JOIN vsigs b ON a.doc_id < b.doc_id AND a.f = b.f
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |        bit_count(xor(a.hash_lo, b.hash_lo)) <= 3)
+        |SELECT vid_a, vid_b
         |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
 

@@ -828,14 +828,29 @@ object Multimodal {
   def synthesizeDupGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
     synthesizeGifsWithDims(ids, idCol,
       dims = id => (dhashW, dhashH, 2 + ((id / 4) % 3).toInt),
-      px = (id, x, y, f) => {
-        val family = id / 4
-        val v = (id % 4).toInt
-        val base = md5Pool.get.digest(
-          s"${family}_${x}_${y}_${f}".getBytes("UTF-8"))(0) & 0xff
-        if (v > 0 && x == v && y == v && f == 0) (base + v * 3) % 256
-        else base
-      })
+      px = dupGifPx)
+
+  /** LONG-clip variant of [[synthesizeDupGifs]]: identical family/pixel
+    * arithmetic, but 64–66 frames per clip (`64 + family % 3`) — the
+    * realistic-footage shape where hashing EVERY frame is the scale
+    * bug: per-frame work grows linearly with clip length while the
+    * near-dup verdict is decided by a handful of aligned keyframes.
+    * The sampled dedup query proves every-Nth keyframe sampling lands
+    * the full-frame pair set on this class.
+    */
+  def synthesizeLongDupGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    synthesizeGifsWithDims(ids, idCol,
+      dims = id => (dhashW, dhashH, 64 + ((id / 4) % 3).toInt),
+      px = dupGifPx)
+
+  private val dupGifPx: (Long, Int, Int, Int) => Int = (id, x, y, f) => {
+    val family = id / 4
+    val v = (id % 4).toInt
+    val base = md5Pool.get.digest(
+      s"${family}_${x}_${y}_${f}".getBytes("UTF-8"))(0) & 0xff
+    if (v > 0 && x == v && y == v && f == 0) (base + v * 3) % 256
+    else base
+  }
 
   case class VideoQualityRow(media_id: Long, decoded: Boolean, n_frames: Long,
       motion: Double, quality_ok: Boolean)
