@@ -3122,11 +3122,17 @@ object SparkEntry {
     // markup), so the oracle's reconstruction covers it too.
     "warc_text" -> ((s, dir) => {
       val resp = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+      // body decodes through the DETECTED charset (identity on this
+      // all-ASCII undeclared fixture — the default UTF-8 arm — but the
+      // pipeline posture matches the bp family's charset-aware chain)
+      val (cs, _) = graft.functions.Charset.detect(
+        col("content_type"), col("body_bytes"))
       graft.sources.Warc.httpParsed(resp)
         .filter(col("http_status") === 200)
         .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
           lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
-          graft.functions.HtmlTextColumn.htmlText(col("body")).as("text"))
+          graft.functions.HtmlTextColumn.htmlText(
+            graft.functions.Charset.decodeWith(col("body_bytes"), cs)).as("text"))
         .select(col("doc_id"), col("host"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
           md5(col("text")).as("text_md5"))

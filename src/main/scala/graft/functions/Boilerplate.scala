@@ -23,12 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * all-anchor, content blocks are mostly plain text), but exactly
   * replayable arithmetic for the oracle.
   *
-  * Every function is a pure `Column` composition (codegen'd regexp +
-  * string ops, map-side). The intended shape at scale is EXPLODED block
-  * rows — a real page has ~10²–10³ blocks, so per-block work distributes
-  * and the per-doc reassembly is one hash aggregate — not per-row
-  * higher-order lambdas over the block array (interpreted, and the whole
-  * page's work lands in one task row).
+  * Everything stays inside whole-stage codegen: [[blocks]] is a native
+  * Catalyst expression (one static scan call per page row), the rest
+  * are codegen'd regexp/string Column compositions — never higher-order
+  * lambdas, which are interpreted and would take the whole projection
+  * out of codegen on the hot path. The intended shape at scale is
+  * EXPLODED block rows — a real page has ~10²–10³ blocks, so per-block
+  * work distributes and the per-doc reassembly is one hash aggregate.
   */
 object Boilerplate {
 
