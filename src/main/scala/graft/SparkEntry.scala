@@ -1057,6 +1057,22 @@ object SparkEntry {
       |SELECT g.d AS doc_id, g.url, g.main_tokens
       |FROM gated g JOIN text_kept t ON g.d = t.d ORDER BY doc_id""".stripMargin
 
+  /** WET-stage text replay — shared by `warc_text` (extraction) and
+    * `warc_wet_roundtrip` (extraction → conversion-record sink →
+    * read-back), so one green row per variant proves the write half
+    * recovers the extracted text byte-exactly.
+    */
+  private lazy val warcTextOracle: String =
+    """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+      |tx AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+      |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+      |  (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END) AS text
+      | FROM ids)
+      |SELECT d AS doc_id, 'd' || (p % 7) || '.ex.test' AS host,
+      |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  md5(text) AS text_md5
+      |FROM tx ORDER BY doc_id""".stripMargin
+
   /** Weak-components closure over the extracted link graph — shared by
     * `graph_components` and `graph_components_incremental` (green on the
     * incremental twin = star-warm-start ≡ from-scratch equivalence).
@@ -3133,6 +3149,58 @@ object SparkEntry {
           lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
           graft.functions.HtmlTextColumn.htmlText(
             graft.functions.Charset.decodeWith(col("body_bytes"), cs)).as("text"))
+        .select(col("doc_id"), col("host"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // The WET PRODUCTION shape (ISO 28500 §6.8 / Common Crawl's WET
+    // layer): extracted text written back as `conversion` records —
+    // one per source page, id re-keyed wet-<d>, payload = the UTF-8
+    // text — through the standard WARC sink, then read back by the same
+    // Content-Length walk and re-scored. SHARES warc_text's oracle: a
+    // green row proves extract → WET write → archive read recovers the
+    // text byte-exactly, including the planted fake-record literal now
+    // riding INSIDE a conversion payload (a delimiter-scanning reader
+    // would split the WET file there too). Sink kind is versioned
+    // ("wetsinka") because the cached dir derives from EXTRACTION
+    // semantics, not just the corpus — a text-pipeline change must bump
+    // it. Scale shape: same file-granular parallel write/read as every
+    // WARC sink; nothing driver-side but the bounded written-count sum.
+    "warc_wet_roundtrip" -> ((s, dir) => {
+      import graft.sources.{Warc, WarcRecord}
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val path = ensureIndex(s, docs, "wetsinka", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val resp = Warc.responses(warcRecords(s, dir)).toDF()
+        val (cs, _) = graft.functions.Charset.detect(
+          col("content_type"), col("body_bytes"))
+        implicit val enc = org.apache.spark.sql.Encoders.product[WarcRecord]
+        val conv = Warc.httpParsed(resp)
+          .filter(col("http_status") === 200)
+          .select(
+            lit("").as("path"),
+            lit("conversion").as("warc_type"),
+            regexp_replace(col("record_id"), "doc-", "wet-").as("record_id"),
+            col("uri"),
+            lit(null).cast("long").as("content_length"),
+            graft.functions.HtmlTextColumn.htmlText(
+              graft.functions.Charset.decodeWith(col("body_bytes"), cs))
+              .cast("binary").as("payload"))
+          .as[WarcRecord]
+        Warc.writeRecords(conv, s"$p/files", nFiles = 8)
+        s.range(1).select(lit(1L).as("ok")).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      Warc.readRecords(s, s"$path/files").toDF()
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("record_id"), "wet-(\\d+)", 1).cast("long").as("doc_id"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          col("payload").cast("string").as("text"))
         .select(col("doc_id"), col("host"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
           md5(col("text")).as("text_md5"))
@@ -7567,16 +7635,14 @@ object SparkEntry {
     // WET extraction: 200-status pages only; text = the body's word run
     // (+ the fake-record literal, which is tagless and rides through
     // html_text as data); token count replays the same whitespace split.
-    "warc_text" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
-        |tx AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
-        |  (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END) AS text
-        | FROM ids)
-        |SELECT d AS doc_id, 'd' || (p % 7) || '.ex.test' AS host,
-        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  md5(text) AS text_md5
-        |FROM tx ORDER BY doc_id""".stripMargin,
+    "warc_text" -> warcTextOracle,
+
+    // the SAME oracle: extraction -> WET conversion-record sink ->
+    // archive read-back must recover the extracted text byte-exactly
+    // (equivalence proof for the WET write half, including the planted
+    // fake-record literal riding INSIDE a conversion payload — the
+    // Content-Length walk must read through it on the WET file too)
+    "warc_wet_roundtrip" -> warcTextOracle,
 
     // The DDL text is a pure function of the (fixed, declared) schema —
     // the oracle pins it literally.
