@@ -433,13 +433,13 @@ object SparkEntry {
     * untouched.
     */
   private def warcBpFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbphcen", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbphcenn", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      // "warcbphcen" (h = host-keyed footer token, c = charset declaration
+      // "warcbphcenn" (h = host-keyed footer token, c = charset declaration
       // classes, e = r16 ENCODING classes: latin-1/UTF-8-BOM/UTF-16LE
       // bodies, decoy + late + conflicting metas) — payload changes bump
       // the kind so a stale cache can never serve new oracles
-      ensureIndex(s, ids, "warcbphcen", "built") { p =>
+      ensureIndex(s, ids, "warcbphcenn", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -494,9 +494,13 @@ object SparkEntry {
   private def bpMainPages(scored: DataFrame): DataFrame =
     scored.groupBy("doc_id", "url")
       .agg(coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("n_tokens"),
-        md5(array_join(transform(
+        // NFC before hashing (Unicode TR15): the decomposed-accent class
+        // must collide with visually-identical precomposed text in the
+        // dedup tier — byte-keyed hashing without the fold silently
+        // treats composition variants as distinct documents
+        md5(graft.functions.NormalizeColumn.nfc(array_join(transform(
           array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
-          b => b.getField("text")), "\n")).as("text_md5"))
+          b => b.getField("text")), "\n"))).as("text_md5"))
 
   /** Self-loop-free undirected pair view of an edge table — the CC
     * operators' input shape.
@@ -533,9 +537,9 @@ object SparkEntry {
     * payload classes (h = host-keyed footer, c = charset declarations).
     */
   private def warcBpIngestPath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbpingesthcen", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbpingesthcenn", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      ensureIndex(s, ids, "warcbpingesthcen", "built") { p =>
+      ensureIndex(s, ids, "warcbpingesthcenn", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true)
         graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
@@ -1036,7 +1040,7 @@ object SparkEntry {
   private lazy val warcMainPipelineOracle: String =
     """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
       |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-      |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
+      |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' WHEN d % 15 = 9 THEN 'we' || chr(769) ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
       |  d % 9 + 1 >= 3 AS keep_content,
       |  d % 4 = 1 AS has_related
       | FROM ids),
@@ -1045,10 +1049,12 @@ object SparkEntry {
       |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
       |  CAST((CASE WHEN keep_content THEN d % 9 + 1 ELSE 0 END)
       |     + (CASE WHEN has_related THEN 7 ELSE 0 END) AS BIGINT) AS main_tokens,
-      |  coalesce(array_to_string(list_filter([
+      |  -- NFC before the dedup fold, mirroring bpMainPages: the
+      |  -- decomposed-accent class must collide with precomposed text
+      |  nfc_normalize(coalesce(array_to_string(list_filter([
       |    CASE WHEN keep_content THEN words ELSE NULL END,
       |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
-      |    x -> x IS NOT NULL), chr(10)), '') AS main_t
+      |    x -> x IS NOT NULL), chr(10)), '')) AS main_t
       | FROM w),
       |url_kept AS (SELECT min(d) AS d FROM m GROUP BY url),
       |gated AS (SELECT m.* FROM m JOIN url_kept k ON m.d = k.d
@@ -2245,6 +2251,30 @@ object SparkEntry {
           cs.as("charset"), src.as("charset_source"),
           md5(graft.functions.Charset.decodeWith(col("body_bytes"), cs))
             .as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // NFC NORMALIZATION (functions/Normalize, Unicode TR15) made
+    // visible per doc: the raw main text's md5 beside the NFC'd md5 and
+    // a changed flag — TRUE exactly where the decoded text carries a
+    // decomposed code-point sequence (the d%15==9 planted class, e +
+    // U+0301, undeclared UTF-8) with kept content. Byte-keyed dedup,
+    // shingles and term hashing all silently split such documents from
+    // their precomposed twins unless this fold runs first; the pipeline
+    // dedup tier hashes NFC'd text (bpMainPages), and this row is the
+    // direct proof of what the fold changes. Native codegen'd
+    // expression with an ASCII fast path — no allocation on the
+    // overwhelming ASCII majority.
+    "warc_text_nfc" -> ((s, dir) => {
+      val raw = bpScoredBlocks(s, dir).groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("pos"), col("text"))))),
+          b => b.getField("text")), "\n").as("main_text"))
+      raw.select(col("doc_id"),
+          md5(col("main_text")).as("text_md5"),
+          md5(graft.functions.NormalizeColumn.nfc(col("main_text")))
+            .as("text_md5_nfc"))
+        .withColumn("nfc_changed", col("text_md5") =!= col("text_md5_nfc"))
         .orderBy("doc_id")
     }),
 
@@ -7086,7 +7116,7 @@ object SparkEntry {
     "warc_main_content" ->
       """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
         |w AS (SELECT d,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' WHEN d % 15 = 9 THEN 'we' || chr(769) ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
         |  d % 9 + 1 >= 3 AS keep_content,
         |  d % 4 = 1 AS has_related
         | FROM ids)
@@ -7139,7 +7169,7 @@ object SparkEntry {
     "warc_charset" ->
       """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
         |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' WHEN d % 15 = 9 THEN 'we' || chr(769) ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words
         | FROM ids),
         |pg AS (SELECT d, '<html>' ||
         |  (CASE WHEN d % 5 = 1 THEN '<head><meta name="description" content="all about charset=EBCDIC pages"><meta charset="UTF-8"></head>'
@@ -7169,6 +7199,27 @@ object SparkEntry {
         |  md5(body) AS body_md5
         |FROM pg ORDER BY doc_id""".stripMargin,
 
+    // NFC replay: the reconstructed main text's md5 raw and through
+    // DuckDB's own nfc_normalize — the changed flag goes TRUE exactly
+    // where the planted decomposed sequence survives into kept content
+    "warc_text_nfc" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |w AS (SELECT d,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' WHEN d % 15 = 9 THEN 'we' || chr(769) ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
+        |  d % 9 + 1 >= 3 AS keep_content,
+        |  d % 4 = 1 AS has_related
+        | FROM ids),
+        |m AS (SELECT d,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN keep_content THEN words ELSE NULL END,
+        |    CASE WHEN has_related THEN 'more w1 w2 w3 w4 w5 w6' ELSE NULL END],
+        |    x -> x IS NOT NULL), chr(10)), '') AS t
+        | FROM w)
+        |SELECT d AS doc_id, md5(t) AS text_md5,
+        |  md5(nfc_normalize(t)) AS text_md5_nfc,
+        |  md5(t) <> md5(nfc_normalize(t)) AS nfc_changed
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Chrome-vs-content dedup ledger: distinctness over md5 equals
     // distinctness over the texts themselves, so the oracle counts
     // distinct reconstructed texts directly — raw carries the host-keyed
@@ -7176,7 +7227,7 @@ object SparkEntry {
     "warc_main_dedup" ->
       """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
         |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
-        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' WHEN d % 15 = 9 THEN 'we' || chr(769) ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words,
         |  d % 9 + 1 >= 3 AS keep_content,
         |  d % 4 = 1 AS has_related
         | FROM ids),

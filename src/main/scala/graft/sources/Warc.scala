@@ -242,7 +242,13 @@ object Warc {
       return wrapResponse(d, uri, "HTTP/1.1 404 Not Found", "not found")
     val p = if (d % 3 == 2) d - 1 else d
     val enc = d % 5 == 0 || d % 5 == 2 || d % 15 == 3 || d % 15 == 8
-    val wp = if (enc) "wé" else "w"
+    // d%15==9: DECOMPOSED accent (e + U+0301 combining acute, undeclared
+    // UTF-8) — visibly identical to the precomposed classes' é but a
+    // different code-point sequence; the NFC tier must fold it
+    val wp =
+      if (enc) "wé"
+      else if (d % 15 == 9) "we\u0301"
+      else "w"
     val words = (0L to d % 9).map(i => s"$wp${(d * 7 + i) % 13}").mkString(" ")
     val related =
       if (d % 4 == 1)
@@ -286,6 +292,8 @@ object Warc {
         Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ html.getBytes(UTF_8)
       else if (d % 15 == 8)
         Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes(UTF_16LE)
+      else if (d % 15 == 9)
+        html.getBytes(UTF_8) // decomposed class: plain undeclared UTF-8
       else html.getBytes(ISO_8859_1) // latin-1 AND plain-ASCII classes
     wrapResponse(d, uri, "HTTP/1.1 200 OK", new String(bytes, ISO_8859_1),
       contentType)
