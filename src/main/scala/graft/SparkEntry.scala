@@ -1012,6 +1012,34 @@ object SparkEntry {
       |          (CASE WHEN x.pt % 5 = 0 THEN '?a=1&b=2' ELSE '' END) END) ||
       |      (CASE WHEN x.unq THEN ' ></a>' ELSE '"></a>' END)), '') ELSE '' END)""".stripMargin
 
+  /** The flat-fixture PAYLOAD reconstruction WITH-chain (`ids` → `pay`
+    * with full anchor runs) — shared by every oracle that needs the
+    * exact response bytes: `warc_read` (lengths + md5s) and
+    * `warc_truncated_export` (cap arithmetic). Mirrors
+    * `Warc.responseRecordString` verbatim.
+    */
+  private lazy val warcPayloadCte: String =
+    ("""WITH ids AS (SELECT doc_id AS d FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |b AS (SELECT d, d % 4 AS v, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+      |q AS (SELECT *, array_to_string(list_filter([
+      |    CASE WHEN p % 5 = 0 THEN (CASE WHEN d % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ELSE '' END,
+      |    CASE WHEN v = 1 THEN 'utm_source=news' ELSE '' END], x -> x <> ''), '&') AS qs FROM b),
+      |u AS (SELECT d, v, p,
+      |  (CASE WHEN v = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |  (CASE WHEN v = 1 THEN upper('d' || (p % 7) || '.ex.test') ELSE 'd' || (p % 7) || '.ex.test' END) ||
+      |  (CASE WHEN v = 1 THEN ':443' ELSE '' END) || '/d/' || p ||
+      |  (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) ||
+      |  (CASE WHEN v = 2 THEN '#frag' ELSE '' END) AS uri FROM q),
+      |pay AS (SELECT d, uri,
+      |  (CASE WHEN d % 11 = 0 THEN 'HTTP/1.1 404 Not Found' ELSE 'HTTP/1.1 200 OK' END)
+      |  || chr(13) || chr(10) || 'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+      |  (CASE WHEN d % 11 = 0 THEN 'not found' ELSE '<html><body>' ||
+      |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
+      |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
+      |     || """.stripMargin + warcAnchorSql +
+      " || '</body></html>' END) AS payload FROM u, nn)\n")
+
   /** The `graph_pagerank[_seeded]` oracle generator: one MATERIALIZED CTE
     * per power iteration, mirroring `Graph.pageRank`'s teleport-vector
     * update rule term for term (init = teleport, per-round dangling mass
@@ -3185,6 +3213,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TRUNCATED capture round-trip (ISO 28500 §5.13) — the crawler's
+    // response-size cap as a storage feature: payloads over 64 bytes
+    // export as their prefix with a `WARC-Truncated: length` header,
+    // and the read-back surfaces the marker plus the STORED length —
+    // what a downstream consumer needs to know a document is a
+    // deliberate prefix, not a corrupt capture (the quarantine path)
+    // nor a complete one. The flat fixture splits cleanly: every 200
+    // page exceeds the cap (status line + headers + html alone pass
+    // it), every 404 fits under it. Same file-granular sink/scan shape
+    // as every WARC leg.
+    "warc_truncated_export" -> ((s, dir) => {
+      import graft.sources.Warc
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val path = ensureIndex(s, docs, "warctrunca", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        Warc.writeRecords(
+          Warc.capPayloads(Warc.responses(warcRecords(s, dir)), maxBytes = 64),
+          s"$p/files", nFiles = 8)
+        s.range(1).select(lit(1L).as("ok")).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      Warc.readRecords(s, s"$path/files").toDF()
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("content_length").as("stored_len"),
+          col("truncated"))
+        .orderBy("doc_id")
+    }),
+
     // The WET PRODUCTION shape (ISO 28500 §6.8 / Common Crawl's WET
     // layer): extracted text written back as `conversion` records —
     // one per source page, id re-keyed wet-<d>, payload = the UTF-8
@@ -3219,7 +3279,8 @@ object SparkEntry {
             lit(null).cast("long").as("content_length"),
             graft.functions.HtmlTextColumn.htmlText(
               graft.functions.Charset.decodeWith(col("body_bytes"), cs))
-              .cast("binary").as("payload"))
+              .cast("binary").as("payload"),
+            lit(false).as("truncated"))
           .as[WarcRecord]
         Warc.writeRecords(conv, s"$p/files", nFiles = 8)
         s.range(1).select(lit(1L).as("ok")).write.mode("overwrite")
@@ -6977,26 +7038,7 @@ object SparkEntry {
     // md5(payload) pins the round-trip byte-for-byte. Mirrors
     // Warc.responseRecordString / warcinfoRecordString verbatim.
     "warc_read" ->
-      ("""WITH ids AS (SELECT doc_id AS d FROM documents),
-        |nn AS (SELECT count(*) AS n FROM documents),
-        |b AS (SELECT d, d % 4 AS v, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
-        |q AS (SELECT *, array_to_string(list_filter([
-        |    CASE WHEN p % 5 = 0 THEN (CASE WHEN d % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ELSE '' END,
-        |    CASE WHEN v = 1 THEN 'utm_source=news' ELSE '' END], x -> x <> ''), '&') AS qs FROM b),
-        |u AS (SELECT d, v, p,
-        |  (CASE WHEN v = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
-        |  (CASE WHEN v = 1 THEN upper('d' || (p % 7) || '.ex.test') ELSE 'd' || (p % 7) || '.ex.test' END) ||
-        |  (CASE WHEN v = 1 THEN ':443' ELSE '' END) || '/d/' || p ||
-        |  (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) ||
-        |  (CASE WHEN v = 2 THEN '#frag' ELSE '' END) AS uri FROM q),
-        |pay AS (SELECT d, uri,
-        |  (CASE WHEN d % 11 = 0 THEN 'HTTP/1.1 404 Not Found' ELSE 'HTTP/1.1 200 OK' END)
-        |  || chr(13) || chr(10) || 'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
-        |  (CASE WHEN d % 11 = 0 THEN 'not found' ELSE '<html><body>' ||
-        |     array_to_string(list_transform(range(0, d % 9 + 1), i -> 'w' || ((d * 7 + i) % 13)), ' ') ||
-        |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
-        |     || """.stripMargin + warcAnchorSql +
-        " || '</body></html>' END) AS payload FROM u, nn)\n" +
+      (warcPayloadCte +
         """SELECT 'response' AS rec_type, d AS doc_id, uri,""" + """
         |  CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5 FROM pay
         |UNION ALL
@@ -7694,6 +7736,15 @@ object SparkEntry {
     // fake-record literal riding INSIDE a conversion payload — the
     // Content-Length walk must read through it on the WET file too)
     "warc_wet_roundtrip" -> warcTextOracle,
+
+    // cap arithmetic over the reconstructed payload bytes: stored
+    // length = min(len, 64), truncated = len > 64 — what the capped
+    // export's read-back must report per record
+    "warc_truncated_export" -> (warcPayloadCte +
+      """SELECT d AS doc_id,
+        |  CAST(least(length(payload), 64) AS BIGINT) AS stored_len,
+        |  length(payload) > 64 AS truncated
+        |FROM pay ORDER BY doc_id""".stripMargin),
 
     // The DDL text is a pure function of the (fixed, declared) schema —
     // the oracle pins it literally.

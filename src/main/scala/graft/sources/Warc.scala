@@ -22,7 +22,12 @@ case class WarcRecord(
     record_id: String,
     uri: String,
     content_length: Option[Long],
-    payload: Array[Byte])
+    payload: Array[Byte],
+    // ISO 28500 §5.13: the record carried a `WARC-Truncated` header — its
+    // payload is a deliberate prefix of the original capture (crawlers
+    // cap response sizes). Travels through [[Warc.writeRecords]] so a
+    // re-export preserves the marker.
+    truncated: Boolean = false)
 
 /** Web-archive (WARC 1.0) ingestion — the Common Crawl shape (builder
   * brief: sources a large-scale training-data pipeline needs; the
@@ -427,6 +432,8 @@ object Warc {
             headers.append("WARC-Record-ID: ").append(r.record_id).append(Crlf)
           if (r.uri != null)
             headers.append("WARC-Target-URI: ").append(r.uri).append(Crlf)
+          if (r.truncated)
+            headers.append("WARC-Truncated: length").append(Crlf)
           headers.append("Content-Length: ").append(r.payload.length).append(Crlf)
           headers.append(Crlf)
           out.write(headers.toString.getBytes(US_ASCII))
@@ -439,6 +446,24 @@ object Warc {
       }
       .collect()
     written.sum
+  }
+
+  /** Payload capping — the crawler's response-size limit (ISO 28500
+    * §5.13 `length` truncation): payloads over `maxBytes` cut to the
+    * prefix and marked truncated; [[writeRecords]] emits the
+    * `WARC-Truncated: length` header and [[parseAll]] surfaces the
+    * marker on read-back. Map-side transform — compose with
+    * [[writeRecords]] for a capped export.
+    */
+  def capPayloads(records: Dataset[WarcRecord], maxBytes: Int): Dataset[WarcRecord] = {
+    import records.sparkSession.implicits._
+    require(maxBytes >= 0, "maxBytes must be non-negative")
+    records.map { r =>
+      if (r.payload != null && r.payload.length > maxBytes)
+        r.copy(payload = java.util.Arrays.copyOf(r.payload, maxBytes),
+          truncated = true)
+      else r
+    }
   }
 
   /** Revisit-aware export — the storage half of the WARC dedup model
@@ -576,7 +601,8 @@ object Warc {
             headers.getOrElse("WARC-Record-ID", null),
             headers.getOrElse("WARC-Target-URI", null),
             Some(len.toLong),
-            java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len))
+            java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len),
+            truncated = headers.contains("WARC-Truncated"))
           i = payloadStart + len
           require(startsWith(bytes, i, "\r\n\r\n"), "missing record terminator")
           i += 4

@@ -259,6 +259,30 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("capPayloads + writeRecords round-trips the WARC-Truncated marker and the prefix bytes") {
+    val src = tmp("warc_cap_src"); val out = tmp("warc_cap_out")
+    synth(src, 24)
+    val resp = Warc.responses(Warc.readRecords(spark, src))
+    val full = resp.collect().map(r => r.record_id -> r.payload).toMap
+    assert(Warc.writeRecords(Warc.capPayloads(resp, maxBytes = 64), out, nFiles = 2) === 24L)
+    val back = Warc.readRecords(spark, out).collect()
+      .filter(_.warc_type == "response")
+    assert(back.length === 24)
+    back.foreach { r =>
+      val orig = full(r.record_id)
+      if (orig.length > 64) {
+        assert(r.truncated, r.record_id)
+        assert(r.payload.toSeq === orig.take(64).toSeq, r.record_id)
+        assert(r.content_length === Some(64L))
+      } else {
+        assert(!r.truncated, r.record_id)
+        assert(r.payload.toSeq === orig.toSeq, r.record_id)
+      }
+    }
+    // both classes are present (404s fit under the cap, 200s exceed it)
+    assert(back.exists(_.truncated) && back.exists(!_.truncated))
+  }
+
   test("fixture plants canonical-duplicate pairs: d=3k+1 and d=3k+2 collide, others are unique") {
     val dir = tmp("warc_dups")
     synth(dir, 30, nFiles = 2)
