@@ -409,6 +409,24 @@ object SparkEntry {
     }
   }
 
+  /** The SAME corpus as [[warcFixturePath]] compressed as `.warc.zst`
+    * (zstd whole-file members — Common Crawl's successor compression
+    * for WARC-at-rest; the zstd-jni shipping with Spark decodes it).
+    * Byte-identical records behind a different codec, so `warc_read_zstd`
+    * shares `warc_read`'s oracle verbatim.
+    */
+  private def warcZstdFixturePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warczstdlqr", dir, listingKey(s, dir)), _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, ids, "warczstdlqr", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
+          nFiles = 16, gzip = false, zstd = true, linkSpace = ids.count())
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+    })
+
   /** The SECOND-snapshot archive (`changeSalt = 1`): the same corpus
     * re-fetched 14 days after [[warcFixturePath]]'s crawl, where exactly
     * the `d % 4 == 3` 200-status class changed content and every other
@@ -1039,6 +1057,24 @@ object SparkEntry {
       |     (CASE WHEN d % 7 = 0 THEN E'\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\ngotcha!' ELSE '' END)
       |     || """.stripMargin + warcAnchorSql +
       " || '</body></html>' END) AS payload FROM u, nn)\n")
+
+  /** Record-set replay over the reconstructed archive bytes — shared by
+    * `warc_read` (gzip members) and `warc_read_zstd` (zstd members): the
+    * codec changes, the parsed record set must not.
+    */
+  private lazy val warcReadOracle: String =
+    (warcPayloadCte +
+      """SELECT 'response' AS rec_type, d AS doc_id, uri,""" + """
+        |  CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5 FROM pay
+        |UNION ALL
+        |SELECT 'warcinfo', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(length(wi) AS BIGINT), md5(wi)
+        |FROM (SELECT 'software: graft-warc-synth' || chr(13) || chr(10) ||
+        |             'format: WARC File Format 1.0' AS wi),
+        |  -- one warcinfo per FILE, and a file exists only for residue
+        |  -- classes with >= 1 doc (synthesizeFiles writes lazily)
+        |  (SELECT DISTINCT doc_id % 16 FROM documents)
+        |ORDER BY rec_type, doc_id""".stripMargin)
 
   /** The `graph_pagerank[_seeded]` oracle generator: one MATERIALIZED CTE
     * per power iteration, mirroring `Graph.pageRank`'s teleport-vector
@@ -2060,6 +2096,24 @@ object SparkEntry {
     // split there).
     "warc_read" -> ((s, dir) => {
       warcRecords(s, dir).toDF()
+        .select(col("warc_type").as("rec_type"),
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("rec_type", "doc_id")
+    }),
+
+    // The SAME archive as `.warc.zst` (zstd whole-file members — the
+    // Common Crawl successor codec; decoded by the zstd-jni that ships
+    // with Spark, magic-sniffed beside gzip). SHARES warc_read's oracle
+    // verbatim: the codec changes, the parsed records must not — green
+    // = the write → zstd → read → record-walk loop is byte-exact. Like
+    // gzip, plain zstd streams are non-splittable (the seekable-frame
+    // extension exists but isn't needed at the ~1 GB production shard
+    // size), so parallelism stays file-granular.
+    "warc_read_zstd" -> ((s, dir) => {
+      graft.sources.Warc.readRecords(s, s"${warcZstdFixturePath(s, dir)}/files")
+        .toDF()
         .select(col("warc_type").as("rec_type"),
           regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
           col("uri"), col("content_length"),
@@ -7037,19 +7091,11 @@ object SparkEntry {
     // the per-file warcinfo records) purely from doc_id arithmetic —
     // md5(payload) pins the round-trip byte-for-byte. Mirrors
     // Warc.responseRecordString / warcinfoRecordString verbatim.
-    "warc_read" ->
-      (warcPayloadCte +
-        """SELECT 'response' AS rec_type, d AS doc_id, uri,""" + """
-        |  CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5 FROM pay
-        |UNION ALL
-        |SELECT 'warcinfo', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-        |  CAST(length(wi) AS BIGINT), md5(wi)
-        |FROM (SELECT 'software: graft-warc-synth' || chr(13) || chr(10) ||
-        |             'format: WARC File Format 1.0' AS wi),
-        |  -- one warcinfo per FILE, and a file exists only for residue
-        |  -- classes with >= 1 doc (synthesizeFiles writes lazily)
-        |  (SELECT DISTINCT doc_id % 16 FROM documents)
-        |ORDER BY rec_type, doc_id""".stripMargin),
+    "warc_read" -> warcReadOracle,
+
+    // the SAME oracle: zstd-member archive must parse to the identical
+    // record set (codec-equivalence twin)
+    "warc_read_zstd" -> warcReadOracle,
 
     // Canonical-URL aliasing: the oracle states the arithmetic IDEAL
     // (lowercase https, no port/fragment/tracking, sorted params, path id

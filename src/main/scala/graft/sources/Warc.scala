@@ -327,10 +327,12 @@ object Warc {
       dir: String, nFiles: Int = 16, gzip: Boolean = true,
       rangePartition: Boolean = false, linkSpace: Long = 0L,
       changeSalt: Long = 0L,
-      recordFor: Long => String = null): Long = {
+      recordFor: Long => String = null,
+      zstd: Boolean = false): Long = {
     import spark.implicits._
     val target = dir
     val doGzip = gzip
+    val doZstd = zstd
     val links = linkSpace
     val salt = changeSalt
     // record synthesizer: the default crawl page, or a caller-supplied
@@ -364,9 +366,14 @@ object Warc {
         it.foreach { case (f, d) =>
           if (f != cur) {
             closeFile(); cur = f; n = 0L
-            val p = new Path(target, f"part-$f%05d.warc" + (if (doGzip) ".gz" else ""))
+            val ext =
+              if (doZstd) ".zst" else if (doGzip) ".gz" else ""
+            val p = new Path(target, f"part-$f%05d.warc" + ext)
             val raw = p.getFileSystem(conf).create(p, true)
-            out = if (doGzip) new GZIPOutputStream(raw) else raw
+            out =
+              if (doZstd) new com.github.luben.zstd.ZstdOutputStream(raw)
+              else if (doGzip) new GZIPOutputStream(raw)
+              else raw
             out.write(warcinfoRecordString.getBytes(US_ASCII))
           }
           // ISO-8859-1, not US-ASCII: byte-TRANSPARENT (char i ↦ byte i
@@ -550,6 +557,18 @@ object Warc {
     try in.readAllBytes() finally in.close()
   }
 
+  /** zstd member decode — Common Crawl's successor compression for
+    * WARC-at-rest (`.warc.zst`); the zstd-jni that ships with Spark
+    * (shuffle/parquet codec) decodes it, no extra dependency. Like
+    * gzip, a zstd stream is non-splittable without the seekable-frame
+    * extension, so parallelism stays file-granular.
+    */
+  private def unzstd(raw: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    try in.readAllBytes() finally in.close()
+  }
+
   private def startsWith(b: Array[Byte], at: Int, s: String): Boolean = {
     if (at + s.length > b.length) return false
     var i = 0
@@ -574,6 +593,8 @@ object Warc {
     try {
       val bytes =
         if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
+        else if (raw.length >= 4 && (raw(0) & 0xff) == 0x28 && (raw(1) & 0xff) == 0xb5 &&
+          (raw(2) & 0xff) == 0x2f && (raw(3) & 0xff) == 0xfd) unzstd(raw)
         else raw
       var i = 0
       var done = false

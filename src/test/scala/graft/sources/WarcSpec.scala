@@ -81,14 +81,22 @@ class WarcSpec extends SparkSpec {
     assert(d7.content_length === Some(body.length.toLong))
   }
 
-  test("uncompressed files read identically (gzip sniff on magic bytes)") {
-    val gz = tmp("warc_gz"); val plain = tmp("warc_plain")
+  test("uncompressed and zstd files read identically (codec sniff on magic bytes)") {
+    val gz = tmp("warc_gz"); val plain = tmp("warc_plain"); val zst = tmp("warc_zst")
     synth(gz, 20); synth(plain, 20, gzip = false)
-    val a = Warc.readRecords(spark, gz).collect().filter(_.warc_type == "response")
-      .map(r => (r.record_id, new String(r.payload, US_ASCII))).sortBy(_._1)
-    val b = Warc.readRecords(spark, plain).collect().filter(_.warc_type == "response")
-      .map(r => (r.record_id, new String(r.payload, US_ASCII))).sortBy(_._1)
-    assert(a.toSeq === b.toSeq)
+    val ids = spark.range(20L).select(col("id").as("doc_id"))
+    Warc.synthesizeFiles(spark, ids, "doc_id", zst, nFiles = 4,
+      gzip = false, zstd = true)
+    // the zstd files really are zstd members, not renamed plain files
+    val f = Files.list(Paths.get(zst)).filter(_.toString.endsWith(".warc.zst"))
+      .findFirst().get()
+    val magic = Files.readAllBytes(f).take(4).map(_ & 0xff)
+    assert(magic.toSeq === Seq(0x28, 0xb5, 0x2f, 0xfd))
+    def recs(dir: String) =
+      Warc.readRecords(spark, dir).collect().filter(_.warc_type == "response")
+        .map(r => (r.record_id, new String(r.payload, US_ASCII))).sortBy(_._1).toSeq
+    assert(recs(gz) === recs(plain))
+    assert(recs(gz) === recs(zst))
   }
 
   test("corrupt member quarantines: parsed-so-far survive plus ONE ingest_error row, job never fails") {
