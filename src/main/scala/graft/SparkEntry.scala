@@ -427,6 +427,23 @@ object SparkEntry {
       }
     })
 
+  /** The rel=canonical archive (`Warc.canonicalResponseRecordString`):
+    * separate fixture so the flat fixture's payload-level oracles stay
+    * untouched.
+    */
+  private def warcCanonFixturePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warccanon", dir, listingKey(s, dir)), _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, ids, "warccanon", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
+          nFiles = 16,
+          recordFor = d => graft.sources.Warc.canonicalResponseRecordString(d))
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+    })
+
   /** The SECOND-snapshot archive (`changeSalt = 1`): the same corpus
     * re-fetched 14 days after [[warcFixturePath]]'s crawl, where exactly
     * the `d % 4 == 3` 200-status class changed content and every other
@@ -2119,6 +2136,47 @@ object SparkEntry {
           col("uri"), col("content_length"),
           md5(col("payload")).as("payload_md5"))
         .orderBy("rec_type", "doc_id")
+    }),
+
+    // DECLARED canonical extraction (RFC 6596, HtmlTextColumn
+    // .canonicalHref): per 200 page, the author-asserted canonical URL
+    // (canonicalized) or the page's own canonical URI when absent. The
+    // fixture's decoy links (stylesheet/alternate), messy href forms,
+    // and free rel/href attribute order are all load-bearing — and the
+    // 404 class proves the status gate. Map-side regex over the archive
+    // scan, no shuffle before the output sort.
+    "warc_canonical" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcCanonFixturePath(s, dir)}/files")).toDF()
+      val decl = graft.functions.HtmlTextColumn.canonicalHref(col("body"))
+      graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .select(
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          coalesce(graft.functions.Url.canonicalizeUrl(decl),
+            graft.functions.Url.canonicalizeUrl(col("uri"))).as("canonical_url"),
+          decl.isNotNull.as("declared"))
+        .orderBy("doc_id")
+    }),
+
+    // WHY the declared fold matters: family members live on DIFFERENT
+    // hosts, so URL-string canonicalization sees one group per page
+    // while the declared fold collapses each family onto its head — the
+    // cross-host syndication dedup only the author's assertion exposes.
+    // One ledger row: pages, URL-canonical groups, declared-fold groups.
+    "warc_canonical_dedup" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcCanonFixturePath(s, dir)}/files")).toDF()
+      val decl = graft.functions.HtmlTextColumn.canonicalHref(col("body"))
+      graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .select(
+          graft.functions.Url.canonicalizeUrl(col("uri")).as("self_url"),
+          coalesce(graft.functions.Url.canonicalizeUrl(decl),
+            graft.functions.Url.canonicalizeUrl(col("uri"))).as("resolved_url"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("self_url")).as("n_url_groups"),
+          countDistinct(col("resolved_url")).as("n_canonical_groups"))
     }),
 
     // Canonical-URL aliasing (functions/Url.canonicalizeUrl): the fixture
@@ -7096,6 +7154,40 @@ object SparkEntry {
     // the SAME oracle: zstd-member archive must parse to the identical
     // record set (codec-equivalence twin)
     "warc_read_zstd" -> warcReadOracle,
+
+    // Declared-canonical replay: extraction + canonicalization stated as
+    // the arithmetic ideal (variants point at the alias-folded family
+    // head, heads fall back to their own canonical URI)
+    "warc_canonical" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |c AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  CASE WHEN (d - d % 4) % 3 = 2 THEN d - d % 4 - 1 ELSE d - d % 4 END AS pt,
+        |  d % 4 > 0 AS declared FROM ids)
+        |SELECT d AS doc_id,
+        |  CASE WHEN declared THEN 'https://d' || (pt % 7) || '.ex.test/d/' || pt
+        |       ELSE 'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |         (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) END AS canonical_url,
+        |  declared
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the fold ledger: URL-canonical groups vs declared-fold groups,
+    // counted over the same replayed strings
+    "warc_canonical_dedup" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |c AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  CASE WHEN (d - d % 4) % 3 = 2 THEN d - d % 4 - 1 ELSE d - d % 4 END AS pt,
+        |  d % 4 > 0 AS declared FROM ids),
+        |r AS (SELECT
+        |  'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |    (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS self_url,
+        |  CASE WHEN declared THEN 'https://d' || (pt % 7) || '.ex.test/d/' || pt
+        |       ELSE 'https://d' || (p % 7) || '.ex.test/d/' || p ||
+        |         (CASE WHEN p % 5 = 0 THEN '?a=1&b=2' ELSE '' END) END AS resolved_url
+        | FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(count(DISTINCT self_url) AS BIGINT) AS n_url_groups,
+        |  CAST(count(DISTINCT resolved_url) AS BIGINT) AS n_canonical_groups
+        |FROM r""".stripMargin,
 
     // Canonical-URL aliasing: the oracle states the arithmetic IDEAL
     // (lowercase https, no port/fragment/tracking, sorted params, path id

@@ -304,6 +304,41 @@ object Warc {
       contentType)
   }
 
+  /** The rel=canonical page class (RFC 6596): variants (`d % 4 > 0`,
+    * 200-status) DECLARE their family head (`base = d - d%4`,
+    * alias-folded) as canonical — odd `d` in the messy
+    * shouting-caps-with-port form, `d % 3 == 0` with the rel attribute
+    * AFTER href (attribute order is free in real HTML) — while family
+    * heads (`d % 4 == 0`) declare nothing. Every head carries stylesheet
+    * and alternate `<link>` decoys the extractor must skip. Family
+    * members live on DIFFERENT hosts (host = p % 7 moves with d), so the
+    * declared-canonical fold collapses groups URL-string
+    * canonicalization can never see — the cross-host syndication shape.
+    * All arithmetic in `d`; the oracle replays extraction,
+    * canonicalization, and the fold.
+    */
+  private[graft] def canonicalResponseRecordString(d: Long): String = {
+    val uri = messyUri(d)
+    if (d % 11 == 0)
+      return wrapResponse(d, uri, "HTTP/1.1 404 Not Found", "not found")
+    val base = d - (d % 4)
+    val pt = if (base % 3 == 2) base - 1 else base
+    val declared = d % 4 > 0
+    val href =
+      if (d % 2 == 1) s"HTTPS://D${pt % 7}.EX.TEST:443/d/$pt#frag"
+      else s"https://d${pt % 7}.ex.test/d/$pt"
+    val canon =
+      if (!declared) ""
+      else if (d % 3 == 0) s"""<link href="$href" rel="canonical">"""
+      else s"""<link rel="canonical" href="$href">"""
+    val head = "<head>" +
+      """<link rel="stylesheet" href="/css/site.css">""" + canon +
+      """<link rel="alternate" href="/feed.xml">""" + "</head>"
+    val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+    wrapResponse(d, uri, "HTTP/1.1 200 OK",
+      s"<html>$head<body>$words</body></html>")
+  }
+
   /** The file-leading `warcinfo` record real archives carry; readers that
     * want pages must filter on `WARC-Type` ([[responses]]).
     */
