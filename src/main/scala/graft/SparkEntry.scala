@@ -468,13 +468,13 @@ object SparkEntry {
     * untouched.
     */
   private def warcBpFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbphcenn", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbphcenns", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      // "warcbphcenn" (h = host-keyed footer token, c = charset declaration
+      // "warcbphcenns" (h = host-keyed footer token, c = charset declaration
       // classes, e = r16 ENCODING classes: latin-1/UTF-8-BOM/UTF-16LE
       // bodies, decoy + late + conflicting metas) — payload changes bump
       // the kind so a stale cache can never serve new oracles
-      ensureIndex(s, ids, "warcbphcenn", "built") { p =>
+      ensureIndex(s, ids, "warcbphcenns", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -572,9 +572,9 @@ object SparkEntry {
     * payload classes (h = host-keyed footer, c = charset declarations).
     */
   private def warcBpIngestPath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warcbpingesthcenn", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warcbpingesthcenns", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      ensureIndex(s, ids, "warcbpingesthcenn", "built") { p =>
+      ensureIndex(s, ids, "warcbpingesthcenns", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/warc"), true)
         graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/warc",
@@ -7356,6 +7356,7 @@ object SparkEntry {
         |        WHEN d % 5 = 2 THEN '<head><meta http-equiv="Content-Type" content="text/html; charset=Windows-1252"></head>'
         |        WHEN d % 15 = 13 THEN '<head><!-- ' || repeat('x', 1100) || ' --><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1"></head>'
         |        WHEN d % 15 = 4 THEN '<head><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-5"><meta charset="KOI8-R"></head>'
+        |        WHEN d % 15 = 14 THEN '<head><script>var nav = "<div>decoy</div>";</script></head>'
         |        ELSE '' END) ||
         |  (CASE WHEN d % 13 = 5
         |        THEN '<body><div><div><a href="/">nav0</a> <a href="/about">nav1</a> <a href="/news">nav2</a></div> <a href="/crumb">crumb</a></div>'

@@ -47,10 +47,11 @@ object Boilerplate {
     * act as a boundary without changing depth; whitespace-only segments
     * (the gaps between adjacent blocks in nested markup) are dropped;
     * inline markup inside a segment passes through raw for
-    * [[blockText]]/[[linkText]] to score. No comment/script awareness —
-    * same posture as the attribute-level regex family; a block tag
-    * inside an in-BODY comment would miscount depth (head-level
-    * comments sit at depth 0 and are ignored).
+    * [[blockText]]/[[linkText]] to score. Comments and script/style
+    * rawtext are skipped wholesale at any depth (r16): block-tag text
+    * inside a script string or comment must neither corrupt the depth
+    * track nor surface as a segment — the same rawtext rule as
+    * [[HtmlText]]'s extractor.
     *
     * One static JVM call per page row inside whole-stage codegen (the
     * `HtmlTextExtract` pattern) — NOT a regex + higher-order lambda,
@@ -142,14 +143,51 @@ object Boilerplate {
       }
       k + 1
     }
+    // comments and script/style rawtext are skipped WHOLESALE at any
+    // depth: real pages carry block-tag text inside script strings
+    // (`var nav = "<div>…</div>"`) and comments, which would corrupt
+    // the depth track and surface junk segments; and script/style
+    // content is code, not visible text — it must never reach a
+    // segment (same rawtext rule as HtmlText's extractor). Matching is
+    // to the first close (rawtext cannot nest per HTML parsing rules);
+    // unterminated constructs consume to EOF.
+    def skipRegion(s: String, i: Int): Int = {
+      val n = s.length
+      if (s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4)
+        return if (e < 0) n else e + 3
+      }
+      for (name <- Seq("script", "style")) {
+        if (i + 1 + name.length <= n &&
+          s.regionMatches(true, i + 1, name, 0, name.length)) {
+          val after = i + 1 + name.length
+          val delim = after >= n || s.charAt(after) == '>' ||
+            s.charAt(after) == '/' || Character.isWhitespace(s.charAt(after))
+          if (delim) {
+            var j = s.indexOf('<', after)
+            while (j >= 0 && !(j + 2 + name.length <= n && s.charAt(j + 1) == '/' &&
+              s.regionMatches(true, j + 2, name, 0, name.length)))
+              j = s.indexOf('<', j + 1)
+            if (j < 0) return n
+            val e = s.indexOf('>', j)
+            return if (e < 0) n else e + 1
+          }
+        }
+      }
+      -1
+    }
     var i = 0
     val n = html.length
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
-        val next = blockTag(html, i)
-        if (next >= 0) i = next
-        else { if (depth >= 1) buf.append(c); i += 1 }
+        val skipped = skipRegion(html, i)
+        if (skipped >= 0) i = skipped
+        else {
+          val next = blockTag(html, i)
+          if (next >= 0) i = next
+          else { if (depth >= 1) buf.append(c); i += 1 }
+        }
       } else {
         if (depth >= 1) buf.append(c)
         i += 1

@@ -276,6 +276,12 @@ object Warc {
         "<head><meta http-equiv=\"Content-Type\" " +
           "content=\"text/html; charset=ISO-8859-5\">" +
           "<meta charset=\"KOI8-R\"></head>"
+      else if (d % 15 == 14)
+        // script decoy: block-tag text inside a script STRING — a
+        // depth-tracking scanner without rawtext awareness opens a
+        // phantom block here and surfaces "decoy" (plus trailing script
+        // code) as junk segments, shifting every count downstream
+        "<head><script>var nav = \"<div>decoy</div>\";</script></head>"
       else ""
     // d%13==5: NESTED nav chrome — the real-HTML shape (nav bars are
     // nested divs with a breadcrumb trailing the inner close). Under

@@ -98,6 +98,28 @@ class BoilerplateSpec extends SparkSpec {
     assert(upper === Seq("w1 w2", "w3"))
   }
 
+  test("comments and script/style rawtext are skipped wholesale — block tags inside them " +
+      "neither corrupt depth nor surface as segments") {
+    def blocksOf(html: String): Seq[String] =
+      Seq(html).toDF("body")
+        .select(Boilerplate.blocks(col("body"))).as[Seq[String]].head()
+    // the fixture's decoy shape: a script STRING carrying a block tag
+    assert(blocksOf("<head><script>var nav = \"<div>decoy</div>\";</script></head>" +
+      "<body><div>real</div></body>") === Seq("real"))
+    // script INSIDE a block: its code never reaches the segment text
+    assert(blocksOf("<div>before <script>if (a<b) x(\"<p>\");</script>after</div>")
+      === Seq("before after"))
+    // comments at depth too, and <style>
+    assert(blocksOf("<div>a<!-- <div>ghost</div> -->b</div>") === Seq("ab"))
+    assert(blocksOf("<style>.x{}</style><p>w</p><style>div{color:red}</style>")
+      === Seq("w"))
+    // unterminated constructs consume to EOF instead of derailing
+    assert(blocksOf("<div>kept</div><script>var x = '<div>") === Seq("kept"))
+    // <scripted> is NOT a script tag (delimiter check)
+    assert(blocksOf("<div><scripted>t</scripted> w1</div>")
+      === Seq("<scripted>t</scripted> w1"))
+  }
+
   test("changeSalt: salt 0 is byte-identical, salt 1 drifts exactly the d%4==3 200-status class") {
     (0L until 60L).foreach { d =>
       val base = graft.sources.Warc.responseRecordString(d, linkSpace = 60L)
