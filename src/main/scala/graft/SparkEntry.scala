@@ -432,9 +432,9 @@ object SparkEntry {
     * untouched.
     */
   private def warcCanonFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warccanon", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warccanonh", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      ensureIndex(s, ids, "warccanon", "built") { p =>
+      ensureIndex(s, ids, "warccanonh", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -2177,6 +2177,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pages"),
           countDistinct(col("self_url")).as("n_url_groups"),
           countDistinct(col("resolved_url")).as("n_canonical_groups"))
+    }),
+
+    // HREFLANG translation clusters (HtmlTextColumn.alternateLinkTags):
+    // every 200 page's declared language alternates — per row the
+    // sibling's language tag and its canonicalized target. The
+    // no-hreflang feed alternate must drop (null-language filter), the
+    // messy href forms must fold, and attribute order (hreflang before
+    // or after rel/href) is free. The multilingual-curation signal: a
+    // pipeline keeps one quality doc per translation cluster per
+    // language instead of near-dup-ing translations apart. Tags explode
+    // to rows FIRST, then codegen'd per-row regexes — never a
+    // higher-order lambda over the tag array.
+    "warc_hreflang" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcCanonFixturePath(s, dir)}/files")).toDF()
+      val tags = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .select(
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          explode(graft.functions.HtmlTextColumn.alternateLinkTags(col("body")))
+            .as("tag"))
+      val lang = nullif(regexp_extract(col("tag"),
+        "(?i)(?<=[\\s\"'])hreflang\\s*=\\s*[\"']?([A-Za-z][A-Za-z0-9-]*)", 1), lit(""))
+      val href = coalesce(
+        nullif(regexp_extract(col("tag"),
+          "(?i)(?<=[\\s\"'])href\\s*=\\s*([\"'])((?:[^<>\"']|(?!\\1)[\"'])*?)\\1", 2),
+          lit("")),
+        nullif(regexp_extract(col("tag"),
+          "(?i)(?<=[\\s\"'])href\\s*=\\s*([^\\s\"'<>]+)", 1), lit("")))
+      tags.select(col("doc_id"), lang.as("hreflang"),
+          graft.functions.Url.canonicalizeUrl(href).as("target_url"))
+        .filter(col("hreflang").isNotNull)
+        .orderBy("doc_id", "hreflang")
     }),
 
     // Canonical-URL aliasing (functions/Url.canonicalizeUrl): the fixture
@@ -7188,6 +7221,24 @@ object SparkEntry {
         |  CAST(count(DISTINCT self_url) AS BIGINT) AS n_url_groups,
         |  CAST(count(DISTINCT resolved_url) AS BIGINT) AS n_canonical_groups
         |FROM r""".stripMargin,
+
+    // hreflang replay: per 200 page, one row per family sibling with the
+    // slot-keyed language and the alias-folded target (the feed
+    // alternate never surfaces — it has no hreflang)
+    "warc_hreflang" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |x AS (SELECT d, d - d % 4 AS base, CAST(d % 4 AS INT) AS slot FROM ids),
+        |jj AS (SELECT x.d, t.j, x.base + t.j AS sib
+        |       FROM x, range(4) t(j) WHERE t.j <> x.slot),
+        |r AS (SELECT d,
+        |  CASE j WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+        |         ELSE 'es' END AS hreflang,
+        |  'https://d' || ((CASE WHEN sib % 3 = 2 THEN sib - 1 ELSE sib END) % 7) ||
+        |    '.ex.test/d/' ||
+        |    (CASE WHEN sib % 3 = 2 THEN sib - 1 ELSE sib END) AS target_url
+        | FROM jj)
+        |SELECT d AS doc_id, hreflang, target_url
+        |FROM r ORDER BY doc_id, hreflang""".stripMargin,
 
     // Canonical-URL aliasing: the oracle states the arithmetic IDEAL
     // (lowercase https, no port/fragment/tracking, sorted params, path id

@@ -337,8 +337,26 @@ object Warc {
       if (!declared) ""
       else if (d % 3 == 0) s"""<link href="$href" rel="canonical">"""
       else s"""<link rel="canonical" href="$href">"""
+    // hreflang translation links (r16): every 200 page lists its family
+    // SIBLINGS as language alternates — lang keyed by the sibling's
+    // variant slot, odd (d + j) rendering the href in the messy
+    // shouting-caps-with-port form, j % 2 == 1 putting hreflang BEFORE
+    // rel (attribute order is free). The feed alternate below carries
+    // NO hreflang and must never surface as a translation.
+    val langs = Seq("en", "fr", "de", "es")
+    val hreflangs = (0 to 3).filter(_ != (d % 4).toInt).map { j =>
+      val sib = base + j
+      val pj = if (sib % 3 == 2) sib - 1 else sib
+      val h =
+        if ((d + j) % 2 == 1) s"HTTPS://D${pj % 7}.EX.TEST:443/d/$pj#frag"
+        else s"https://d${pj % 7}.ex.test/d/$pj"
+      if (j % 2 == 1)
+        s"""<link hreflang="${langs(j)}" rel="alternate" href="$h">"""
+      else
+        s"""<link rel="alternate" href="$h" hreflang="${langs(j)}">"""
+    }.mkString("")
     val head = "<head>" +
-      """<link rel="stylesheet" href="/css/site.css">""" + canon +
+      """<link rel="stylesheet" href="/css/site.css">""" + canon + hreflangs +
       """<link rel="alternate" href="/feed.xml">""" + "</head>"
     val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
     wrapResponse(d, uri, "HTTP/1.1 200 OK",
