@@ -432,9 +432,9 @@ object SparkEntry {
     * untouched.
     */
   private def warcCanonFixturePath(s: SparkSession, dir: String): String =
-    fixturePathMemo.computeIfAbsent(("warccanonh", dir, listingKey(s, dir)), _ => {
+    fixturePathMemo.computeIfAbsent(("warccanonh2", dir, listingKey(s, dir)), _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
-      ensureIndex(s, ids, "warccanonh", "built") { p =>
+      ensureIndex(s, ids, "warccanonh2", "built") { p =>
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
         val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
@@ -2210,6 +2210,60 @@ object SparkEntry {
           graft.functions.Url.canonicalizeUrl(href).as("target_url"))
         .filter(col("hreflang").isNotNull)
         .orderBy("doc_id", "hreflang")
+    }),
+
+    // Translation-cluster ASSEMBLY from extracted hreflang edges — the
+    // consumer of warc_hreflang's rows: a cluster's identity is the
+    // lexicographic MIN over its member and target URLs (every member
+    // lists every sibling, so each member's candidate set spans the
+    // whole family — no iterative closure needed for the bidirectional
+    // hreflang topology; a one-sided graph would fall back to the CC
+    // operator). Per cluster: member count, distinct member hosts
+    // (cross-host families), distinct language labels. One extraction
+    // pass, two hash aggregates.
+    "warc_translation_clusters" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcCanonFixturePath(s, dir)}/files")).toDF()
+      val pages = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .select(
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          lower(try_parse_url(col("uri"), lit("HOST"))).as("host"),
+          explode(graft.functions.HtmlTextColumn.alternateLinkTags(col("body")))
+            .as("tag"))
+        // the member's url in the family's own link space (the form its
+        // siblings declare FOR it) — NOT the alias-folded crawl
+        // canonical: the fold belongs to URL dedup, and mixing it in
+        // here would leak boundary urls across families
+        .withColumn("self_url",
+          concat(lit("https://d"), pmod(col("doc_id"), lit(7)),
+            lit(".ex.test/d/"), col("doc_id")))
+      val lang = nullif(regexp_extract(col("tag"),
+        "(?i)(?<=[\\s\"'])hreflang\\s*=\\s*[\"']?([A-Za-z][A-Za-z0-9-]*)", 1), lit(""))
+      val href = coalesce(
+        nullif(regexp_extract(col("tag"),
+          "(?i)(?<=[\\s\"'])href\\s*=\\s*([\"'])((?:[^<>\"']|(?!\\1)[\"'])*?)\\1", 2),
+          lit("")),
+        nullif(regexp_extract(col("tag"),
+          "(?i)(?<=[\\s\"'])href\\s*=\\s*([^\\s\"'<>]+)", 1), lit("")))
+      val edges = pages
+        .select(col("doc_id"), col("self_url"), col("host"),
+          lang.as("hreflang"),
+          graft.functions.Url.canonicalizeUrl(href).as("target_url"))
+        .filter(col("hreflang").isNotNull)
+      val perDoc = edges
+        .groupBy("doc_id", "self_url", "host")
+        .agg(min(col("target_url")).as("min_target"),
+          collect_set(col("hreflang")).as("langs"))
+        .select(col("doc_id"), col("host"),
+          least(col("self_url"), col("min_target")).as("cluster_id"),
+          col("langs"))
+      perDoc.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          size(array_distinct(flatten(collect_list(col("langs")))))
+            .cast("bigint").as("n_langs"))
+        .orderBy("cluster_id")
     }),
 
     // Canonical-URL aliasing (functions/Url.canonicalizeUrl): the fixture
@@ -7233,12 +7287,33 @@ object SparkEntry {
         |r AS (SELECT d,
         |  CASE j WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
         |         ELSE 'es' END AS hreflang,
-        |  'https://d' || ((CASE WHEN sib % 3 = 2 THEN sib - 1 ELSE sib END) % 7) ||
-        |    '.ex.test/d/' ||
-        |    (CASE WHEN sib % 3 = 2 THEN sib - 1 ELSE sib END) AS target_url
+        |  'https://d' || (sib % 7) || '.ex.test/d/' || sib AS target_url
         | FROM jj)
         |SELECT d AS doc_id, hreflang, target_url
         |FROM r ORDER BY doc_id, hreflang""".stripMargin,
+
+    // Cluster assembly replay: cluster id = string-min over the four
+    // family slot urls (alias-folded), members = 200-status docs of the
+    // base, langs = union of slots each member labels (3 for a
+    // singleton member, 4 once two members cross-label)
+    "warc_translation_clusters" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |m AS (SELECT d, d - d % 4 AS base, CAST(d % 4 AS INT) AS slot,
+        |      CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p FROM ids),
+        |bases AS (SELECT DISTINCT base FROM m),
+        |slots AS (SELECT b.base, t.j, b.base + t.j AS pj
+        |  FROM bases b, range(4) t(j)),
+        |cl AS (SELECT base,
+        |    min('https://d' || (pj % 7) || '.ex.test/d/' || pj) AS cluster_id
+        |  FROM slots GROUP BY base),
+        |agg AS (SELECT base, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT p % 7) AS BIGINT) AS n_hosts
+        |  FROM m GROUP BY base),
+        |lagg AS (SELECT m.base, CAST(count(DISTINCT t.j) AS BIGINT) AS n_langs
+        |  FROM m, range(4) t(j) WHERE t.j <> m.slot GROUP BY m.base)
+        |SELECT cl.cluster_id, agg.n_docs, agg.n_hosts, lagg.n_langs
+        |FROM agg JOIN cl USING (base) JOIN lagg USING (base)
+        |ORDER BY cluster_id""".stripMargin,
 
     // Canonical-URL aliasing: the oracle states the arithmetic IDEAL
     // (lowercase https, no port/fragment/tracking, sorted params, path id

@@ -343,10 +343,16 @@ object Warc {
     // shouting-caps-with-port form, j % 2 == 1 putting hreflang BEFORE
     // rel (attribute order is free). The feed alternate below carries
     // NO hreflang and must never surface as a translation.
+    // targets are the siblings' RAW variant urls (no alias fold): the
+    // author links the pages as published, which keeps translation
+    // families DISJOINT in url space — alias overlap across family
+    // boundaries is the connected-components operator's business, and
+    // folding here made adjacent families share boundary urls, breaking
+    // the one-agg cluster assembly's disjointness precondition
     val langs = Seq("en", "fr", "de", "es")
     val hreflangs = (0 to 3).filter(_ != (d % 4).toInt).map { j =>
       val sib = base + j
-      val pj = if (sib % 3 == 2) sib - 1 else sib
+      val pj = sib
       val h =
         if ((d + j) % 2 == 1) s"HTTPS://D${pj % 7}.EX.TEST:443/d/$pj#frag"
         else s"https://d${pj % 7}.ex.test/d/$pj"
