@@ -427,6 +427,22 @@ object SparkEntry {
       }
     })
 
+  /** The MIME-class archive (`Warc.mimeResponseRecordString`): separate
+    * fixture for the WET content-type gate.
+    */
+  private def warcMimeFixturePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warcmime", dir, listingKey(s, dir)), _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, ids, "warcmime", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
+          nFiles = 16,
+          recordFor = d => graft.sources.Warc.mimeResponseRecordString(d))
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+    })
+
   /** The rel=canonical archive (`Warc.canonicalResponseRecordString`):
     * separate fixture so the flat fixture's payload-level oracles stay
     * untouched.
@@ -2136,6 +2152,34 @@ object SparkEntry {
           col("uri"), col("content_length"),
           md5(col("payload")).as("payload_md5"))
         .orderBy("rec_type", "doc_id")
+    }),
+
+    // WET CONTENT-TYPE gate: the step between the HTTP split and ANY
+    // text extraction — normalize the Content-Type media type
+    // (parameters stripped, lowercased) and extract only text/*
+    // responses: HTML through html_text, text/plain raw, everything
+    // else contributes ZERO tokens (PDF bytes through an HTML extractor
+    // are garbage tokens that poison every downstream text statistic;
+    // Common Crawl's WET layer gates exactly this way). Per doc: the
+    // normalized mime, the gate verdict, and the gated token count.
+    "warc_mime_gate" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcMimeFixturePath(s, dir)}/files")).toDF()
+      val pages = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .withColumn("mime",
+          lower(trim(substring_index(col("content_type"), ";", 1))))
+        .withColumn("wet_eligible", col("mime").startsWith("text/"))
+      pages.select(
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("mime"), col("wet_eligible"),
+          when(!col("wet_eligible"), lit(0L))
+            .when(col("mime") === "text/html",
+              size(split(trim(graft.functions.HtmlTextColumn.htmlText(col("body"))),
+                "\\s+")).cast("long"))
+            .otherwise(size(split(trim(col("body")), "\\s+")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("doc_id")
     }),
 
     // DECLARED canonical extraction (RFC 6596, HtmlTextColumn
@@ -7241,6 +7285,18 @@ object SparkEntry {
     // the SAME oracle: zstd-member archive must parse to the identical
     // record set (codec-equivalence twin)
     "warc_read_zstd" -> warcReadOracle,
+
+    // MIME gate replay: class arithmetic — pdf ineligible at zero
+    // tokens, text classes carry their word-run counts
+    "warc_mime_gate" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT d AS doc_id,
+        |  CASE WHEN d % 6 = 3 THEN 'application/pdf'
+        |       WHEN d % 6 = 5 THEN 'text/plain'
+        |       ELSE 'text/html' END AS mime,
+        |  d % 6 <> 3 AS wet_eligible,
+        |  CAST(CASE WHEN d % 6 = 3 THEN 0 ELSE d % 9 + 1 END AS BIGINT) AS n_tokens
+        |FROM ids ORDER BY doc_id""".stripMargin,
 
     // Declared-canonical replay: extraction + canonicalization stated as
     // the arithmetic ideal (variants point at the alias-folded family

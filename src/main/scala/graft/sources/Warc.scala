@@ -369,6 +369,30 @@ object Warc {
       s"<html>$head<body>$words</body></html>")
   }
 
+  /** The MIME-class page fixture: real crawls fetch plenty of non-HTML,
+    * and the WET stage must gate on the Content-Type MEDIA TYPE before
+    * extraction (Common Crawl's WET layer covers text responses only;
+    * shoving PDF bytes through an HTML extractor yields garbage tokens
+    * that poison every downstream text statistic). Classes: `d%6==3` →
+    * `application/pdf` (parameter-bearing header, mixed case — the
+    * normalizer must strip both), `d%6==5` → `text/plain` (extraction =
+    * the raw body), else `text/html`; 404s as usual.
+    */
+  private[graft] def mimeResponseRecordString(d: Long): String = {
+    val uri = messyUri(d)
+    if (d % 11 == 0)
+      return wrapResponse(d, uri, "HTTP/1.1 404 Not Found", "not found")
+    val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+    if (d % 6 == 3)
+      wrapResponse(d, uri, "HTTP/1.1 200 OK", s"%PDF-1.4 $words endobj",
+        "Application/PDF; version=1.4")
+    else if (d % 6 == 5)
+      wrapResponse(d, uri, "HTTP/1.1 200 OK", words, "text/plain; charset=UTF-8")
+    else
+      wrapResponse(d, uri, "HTTP/1.1 200 OK",
+        s"<html><body>$words</body></html>", "text/html")
+  }
+
   /** The file-leading `warcinfo` record real archives carry; readers that
     * want pages must filter on `WARC-Type` ([[responses]]).
     */

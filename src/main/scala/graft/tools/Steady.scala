@@ -32,8 +32,15 @@ import graft.{GraftSession, SparkEntry}
   * rest from `runs` (8) — sub-second map-side queries don't need eight
   * samples to band, the heavy shuffle queries do.
   *
-  * usage: Steady <sfDir> <benchJson> [thresholdSec=0] [runs=8]
+  * usage: Steady <sfDir> <benchJson> [thresholdSec=0] [runs=8] [onlyCsv]
   * (benchJson is consulted only when thresholdSec > 0 — legacy mode)
+  *
+  * `onlyCsv` (comma-separated query names) is the INCREMENTAL mode: only
+  * the listed queries are re-timed and their bands are MERGED into the
+  * existing STEADY.json (every other band preserved verbatim) — for
+  * banding a post-close single-leg addition without a 40-minute full
+  * regen. The full no-threshold regen remains the round-close norm;
+  * merged files carry mixed provenance by construction.
   */
 object Steady {
   def main(args: Array[String]): Unit = {
@@ -41,12 +48,16 @@ object Steady {
     val benchJson = args(1)
     val threshold = if (args.length > 2) args(2).toDouble else 0.0
     val runs      = if (args.length > 3) args(3).toInt else 8
+    val only: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").toSet) else None
     val lightRuns = math.min(4, runs)
     val lightCut  = 0.8
     val cpus      = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     val heavy =
-      if (threshold <= 0.0) SparkEntry.queries.keys.toSeq.sorted
+      if (only.isDefined)
+        SparkEntry.queries.keys.toSeq.sorted.filter(only.get.contains)
+      else if (threshold <= 0.0) SparkEntry.queries.keys.toSeq.sorted
       else {
         // legacy selection mode: the bench artifact's "queries" map, via
         // the Jackson that ships with Spark — no extra dependency
@@ -96,11 +107,24 @@ object Steady {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "builder")
+    // incremental mode: preserve every band not re-timed this run
+    val kept: Seq[String] =
+      if (only.isEmpty) Seq.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prior = mapper.readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("STEADY.json"))).get("queries")
+        val names = scala.collection.mutable.ArrayBuffer[String]()
+        val it = prior.fieldNames()
+        while (it.hasNext) { val n = it.next(); if (!only.get.contains(n)) names += n }
+        names.sorted.map(n => "\"" + n + "\":" + prior.get(n).toString).toSeq
+      }
+    val allRows = (kept ++ rows).mkString(",")
     val json =
       s"""{"sf":"$sfDir","runs":$runs,"threshold_sec":$threshold,""" +
         s""""producer":"$producer","load_avg_end":$load,""" +
         s""""canary":${canary.map(num).mkString("[", ",", "]")},""" +
-        s""""queries":{${rows.mkString(",")}}}"""
+        s""""queries":{$allRows}}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("STEADY.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
