@@ -443,6 +443,23 @@ object SparkEntry {
       }
     })
 
+  /** The LYING-HEADER archive (`Warc.sniffResponseRecordString`):
+    * separate fixture for the magic-byte sniff tier, so the truthful
+    * mime fixture's gate oracle stays untouched.
+    */
+  private def warcSniffFixturePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("warcsniff", dir, listingKey(s, dir)), _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, ids, "warcsniff", "built") { p =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/files"), true)
+        val n = graft.sources.Warc.synthesizeFiles(s, ids, "doc_id", s"$p/files",
+          nFiles = 16,
+          recordFor = d => graft.sources.Warc.sniffResponseRecordString(d))
+        s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
+      }
+    })
+
   /** The rel=canonical archive (`Warc.canonicalResponseRecordString`):
     * separate fixture so the flat fixture's payload-level oracles stay
     * untouched.
@@ -2182,6 +2199,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MAGIC-BYTE MIME SNIFF vs the DECLARED header (functions/Mime,
+    // simplified WHATWG sniffing table): route every payload by what
+    // its leading bytes SAY IT IS, not what the server claimed. The
+    // fixture plants both failure directions — PDF bytes declared
+    // text/html (n_tokens_declared shows the garbage tokens a
+    // declared-type route would have shipped; the sniffed route ships
+    // 0) and real HTML behind application/octet-stream (declared route
+    // drops it, sniffed route recovers the words). All codegen'd
+    // prefix-compare Columns, map-side over the archive scan.
+    "warc_mime_sniff" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcSniffFixturePath(s, dir)}/files")).toDF()
+      val M = graft.functions.Mime
+      val pages = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+        .withColumn("declared", M.normalize(col("content_type")))
+        .withColumn("sniffed", M.sniff(col("body")))
+      def tokensIf(mime: Column) =
+        when(mime === "text/html",
+          size(split(trim(graft.functions.HtmlTextColumn.htmlText(col("body"))),
+            "\\s+")).cast("long"))
+          .when(mime.startsWith("text/"),
+            size(split(trim(col("body")), "\\s+")).cast("long"))
+          .otherwise(lit(0L))
+      pages.select(
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("declared"), col("sniffed"),
+          (col("declared") =!= col("sniffed")).as("mislabeled"),
+          tokensIf(col("sniffed")).as("n_tokens"),
+          tokensIf(col("declared")).as("n_tokens_declared"))
+        .orderBy("doc_id")
+    }),
+
     // DECLARED canonical extraction (RFC 6596, HtmlTextColumn
     // .canonicalHref): per 200 page, the author-asserted canonical URL
     // (canonicalized) or the page's own canonical URI when absent. The
@@ -2323,6 +2373,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_aliases"),
           min("doc_id").as("id_min"), max("doc_id").as("id_max"))
         .orderBy("url")
+    }),
+
+    // CDX-style CAPTURE INDEX (the Internet Archive / Common Crawl cdxj
+    // convention): one row per response record keyed by the SURT of the
+    // canonical URL — host labels reversed, so every page of a host (and
+    // every host of a domain) sorts CONTIGUOUSLY and "everything under
+    // this host" is a range scan over the index, never a suffix match or
+    // an archive read — plus the fields a wayback/dedup consumer needs
+    // without touching payloads: status, normalized mime, HTTP-body
+    // digest (the WARC-Payload-Digest slot), record length. Map-only
+    // over the record walk + the presentation sort; at scale the sink
+    // range-partitions on surt_key so each output shard is a self-sorted
+    // CDX segment (the warc_cdx analog of curation_zorder's file-stat
+    // pruning: per-file surt min/max prune host-range queries).
+    "warc_cdx" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(warcRecords(s, dir)).toDF()
+      val parsed = graft.sources.Warc.httpParsed(resp)
+      parsed.select(
+          graft.functions.Url.surt(
+            graft.functions.Url.canonicalizeUrl(col("uri"))).as("surt_key"),
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          col("http_status").as("status"),
+          lower(trim(substring_index(col("content_type"), ";", 1))).as("mime"),
+          md5(col("body")).as("digest"),
+          col("content_length").as("record_length"))
+        .orderBy("surt_key", "doc_id")
     }),
 
     // Payload-level STORAGE dedup — the WARC revisit-record model
@@ -2484,6 +2560,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HOST-LEVEL QUALITY GATE — the cheapest lever a 100 TB curation
+    // pipeline has: per-page quality is noisy, but HOST-level rates
+    // (thin-content fraction here; spam/dup/boilerplate rates in
+    // production) are stable, and one rollup row gates every page the
+    // host ever contributes (RefinedWeb/FineWeb-class corpora apply
+    // exactly this domain-prior tier before any per-document model).
+    // Per host over the main-content frame: page count, thin pages
+    // (< 3 retained tokens), retained-token mass, keep verdict (thin
+    // fraction ≤ 1/6 — integer-exact, no FP in the compare). Scale
+    // shape: ONE hash aggregate keyed on host; the verdict table is
+    // host-cardinality (tiny) and broadcast-joins back onto the corpus
+    // in consumers.
+    "pipeline_host_gate" -> ((s, dir) => {
+      bpMainPages(bpScoredBlocks(s, dir))
+        .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+          col("n_tokens"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("n_tokens") < 3, 1L).otherwise(0L)).as("n_thin"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("host_kept", col("n_thin") * 6 <= col("n_pages"))
+        .orderBy("host")
+    }),
+
     // STREAMED accumulation of the same curation — bp crawl segments
     // (range-partitioned: file order follows id order) consumed 4
     // files/micro-batch through WarcIngest's claim-log protocol, with
@@ -2568,6 +2668,35 @@ object SparkEntry {
           countDistinct(col("main_md5")).as("n_main_distinct"))
     }),
 
+    // CCNET-STYLE PARAGRAPH DEDUP (Wenzek et al. 2020 §4.1: hash every
+    // paragraph, keep only the corpus-wide FIRST occurrence) — the
+    // OTHER boilerplate strategy, and CCNet's actual first stage over
+    // each Common Crawl snapshot: sitewide chrome repeats VERBATIM
+    // across pages, so corpus-wide paragraph dedup strips it with no
+    // link-density model at all (the nav/footer blocks here survive on
+    // exactly one page each; unique content paragraphs all survive).
+    // Blocks are the paragraphs; first occurrence = global (doc_id,
+    // pos) order. Scale shape: ONE shuffle keyed on the paragraph
+    // digest (the window partitions by md5, so duplicate texts co-
+    // locate without comparing strings), per-group sort bounded by the
+    // duplicate population — CCNet shards this same hash space across
+    // workers.
+    "warc_ccnet_paradedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("para_md5")).orderBy(col("doc_id"), col("pos"))
+      bpScoredBlocks(s, dir)
+        .select(col("doc_id"), col("pos"), col("text"),
+          md5(col("text")).as("para_md5"))
+        .withColumn("first_seen", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("first_seen"), 1L).otherwise(0L)).as("n_paras_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              when(col("first_seen"), struct(col("pos"), col("text"))))),
+            b => b.getField("text")), "\n")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Link-graph EXTRACTION from the archived pages themselves
     // (warcLinkEdges): anchor hrefs out of the HTML bodies, planted with
     // the same URL-messiness classes as the page URIs — the oracle's
@@ -2588,6 +2717,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("in_degree"),
           countDistinct(pmod(col("src"), lit(7))).as("n_src_hosts"))
         .orderBy("node")),
+
+    // ANCHOR-TEXT AGGREGATION per link target — the classic web-search
+    // relevance signal (how OTHER pages describe a page; anchor text
+    // carried early search ranking before content analysis did) and a
+    // crawl-frontier topical prior. From the block fixture's DECODED
+    // bodies: every <a href>text</a> pair, href resolved RFC 3986-style
+    // against the page's canonical URL, grouped by target — reference
+    // count plus the sorted distinct anchor vocabulary. Scale shape:
+    // map-side extraction (two codegen'd regexp_extract_all passes
+    // zipped, no explode until the pairs exist), ONE shuffle keyed on
+    // the target; collect_set is bounded by the per-target anchor
+    // vocabulary (production caps it with smallest_k; the fixture's is
+    // single digits).
+    "warc_anchor_text" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
+        s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
+      val parsed = graft.sources.Warc.httpParsed(resp)
+        .filter(col("http_status") === 200)
+      val (cs, _) = graft.functions.Charset.detect(
+        col("content_type"), col("body_bytes"))
+      val pages = parsed.select(
+        graft.functions.Url.canonicalizeUrl(col("uri")).as("page_url"),
+        graft.functions.Charset.decodeWith(col("body_bytes"), cs).as("body"))
+      val pat = "<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+      pages.select(col("page_url"),
+          explode(arrays_zip(
+            regexp_extract_all(col("body"), lit(pat), lit(1)).as("h"),
+            regexp_extract_all(col("body"), lit(pat), lit(2)).as("t"))).as("a"))
+        .select(
+          graft.functions.Url.canonicalizeUrl(graft.functions.Url.resolveUrl(
+            col("page_url"), col("a.h"))).as("target_url"),
+          col("a.t").as("text"))
+        .groupBy("target_url")
+        .agg(count(lit(1)).as("n_refs"),
+          array_sort(collect_set(col("text"))).as("anchor_texts"))
+        .orderBy("target_url")
+    }),
 
     // The CRAWL-CADENCE REFRESH end-to-end on the streamed graph: ranks
     // from the first three segment batches (LinkIngest.edges' batch-
@@ -2668,7 +2834,13 @@ object SparkEntry {
         val pages = graft.sources.Warc.httpParsed(
             graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
           .filter(col("http_status") === 200)
-          .select("path", "warc_type", "record_id", "uri", "content_length", "payload")
+          // `truncated` must ride along since WarcRecord grew the field
+          // (r16 WARC-Truncated round-trip): the encoder has no defaults,
+          // and dropping it fails ANALYSIS — but only when the memoized
+          // fixture needs rebuilding, which is exactly how it slipped
+          // past a close whose index cache was warm
+          .select("path", "warc_type", "record_id", "uri", "content_length",
+            "payload", "truncated")
           .as[graft.sources.WarcRecord]
         val n = graft.sources.Warc.writeRecords(pages, s"$p/files", nFiles = 8)
         s.range(1).select(lit(n).as("n_records")).write.mode("overwrite").parquet(s"$p/built")
@@ -3825,6 +3997,24 @@ object SparkEntry {
         lit(" :: "), col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.scrubPii(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // CONSISTENT-surrogate PII scrub (pseudonymization): the same
+    // entity maps to the SAME hash-keyed surrogate everywhere, so
+    // entity-level statistics survive redaction. The planted entities
+    // are keyed doc_id % 10 / % 5 so they RECUR across documents —
+    // consistency is observable, not vacuous (the oracle reconstructs
+    // each surrogate from the entity value alone, which only matches
+    // if identical entities got identical tokens). Content-keyed ids
+    // need no corpus-wide numbering pass — the 100 TB shape.
+    "text_pii_surrogates" -> ((s, dir) => {
+      val dirty = concat(
+        lit("contact u"), col("doc_id") % 10,
+        lit("@mail.example.org from 10.0.0."), col("doc_id") % 5,
+        lit(" :: "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.scrubPiiConsistent(dirty).as("clean"))
         .orderBy("doc_id")
     }),
 
@@ -7298,6 +7488,29 @@ object SparkEntry {
         |  CAST(CASE WHEN d % 6 = 3 THEN 0 ELSE d % 9 + 1 END AS BIGINT) AS n_tokens
         |FROM ids ORDER BY doc_id""".stripMargin,
 
+    // Sniff replay: class arithmetic for both routes — the lying
+    // text/html-PDF ships wc+2 garbage tokens on the declared route
+    // ('%PDF-1.4' and 'endobj' plus the word run) and 0 on the sniffed
+    // one; the octet-stream HTML recovers its words only when sniffed.
+    "warc_mime_sniff" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |c AS (SELECT d, CAST(d % 9 + 1 AS BIGINT) AS wc FROM ids)
+        |SELECT d AS doc_id,
+        |  CASE WHEN d % 6 = 1 THEN 'text/html'
+        |       WHEN d % 6 = 2 THEN 'application/octet-stream'
+        |       WHEN d % 6 = 3 THEN 'application/pdf'
+        |       WHEN d % 6 = 5 THEN 'text/plain'
+        |       ELSE 'text/html' END AS declared,
+        |  CASE WHEN d % 6 = 1 OR d % 6 = 3 THEN 'application/pdf'
+        |       WHEN d % 6 = 5 THEN 'text/plain'
+        |       ELSE 'text/html' END AS sniffed,
+        |  d % 6 = 1 OR d % 6 = 2 AS mislabeled,
+        |  CAST(CASE WHEN d % 6 = 1 OR d % 6 = 3 THEN 0 ELSE wc END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN d % 6 = 1 THEN wc + 2
+        |            WHEN d % 6 = 2 OR d % 6 = 3 THEN 0
+        |            ELSE wc END AS BIGINT) AS n_tokens_declared
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // Declared-canonical replay: extraction + canonicalization stated as
     // the arithmetic ideal (variants point at the alias-folded family
     // head, heads fall back to their own canonical URI)
@@ -7382,6 +7595,25 @@ object SparkEntry {
         |SELECT url, CAST(count(*) AS BIGINT) AS n_aliases,
         |  min(d) AS id_min, max(d) AS id_max
         |FROM urls GROUP BY url ORDER BY url""".stripMargin,
+
+    // CDX replay: the SURT stated as the reversed-label ideal over the
+    // canonical-url arithmetic (host d<p%7>.ex.test reverses to
+    // test,ex,d<p%7>); digest over the reconstructed HTTP body (the
+    // payload past its header block), record length over the full
+    // payload — both from the shared byte-exact payload CTE.
+    "warc_cdx" -> (warcPayloadCte +
+      """SELECT
+        |  'test,ex,d' || ((CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7) || ')/d/' ||
+        |    (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) ||
+        |    (CASE WHEN (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 5 = 0
+        |          THEN '?a=1&b=2' ELSE '' END) AS surt_key,
+        |  d AS doc_id,
+        |  CAST(CASE WHEN d % 11 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+        |  'text/html' AS mime,
+        |  md5(substr(payload,
+        |    strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) + 4)) AS digest,
+        |  CAST(length(payload) AS BIGINT) AS record_length
+        |FROM pay ORDER BY surt_key, doc_id""".stripMargin),
 
     // Revisit-record storage dedup: the oracle rebuilds every response
     // PAYLOAD (warc_read's reconstruction, minus the uri it doesn't
@@ -7516,6 +7748,23 @@ object SparkEntry {
     // stripped, so the host-keyed footer never blocks the dedup fold).
     "pipeline_warc_main" -> warcMainPipelineOracle,
 
+    // Host-gate replay: main-token arithmetic per page grouped on the
+    // host key, thin threshold restated as the same integer compare.
+    "pipeline_host_gate" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |m AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  CAST((CASE WHEN d % 9 + 1 >= 3 THEN d % 9 + 1 ELSE 0 END)
+        |     + (CASE WHEN d % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS mt
+        | FROM ids),
+        |g AS (SELECT 'd' || (p % 7) || '.ex.test' AS host,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(CASE WHEN mt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_thin,
+        |  CAST(sum(mt) AS BIGINT) AS sum_tokens
+        | FROM m GROUP BY 1)
+        |SELECT host, n_pages, n_thin, sum_tokens,
+        |  n_thin * 6 <= n_pages AS host_kept
+        |FROM g ORDER BY host""".stripMargin,
+
     // the SAME oracle: id-ordered streamed first-claim over the main
     // frame must equal the batch resolution (equivalence proof)
     "warc_main_streamed" -> warcMainPipelineOracle,
@@ -7610,6 +7859,34 @@ object SparkEntry {
         |  CAST(count(DISTINCT main_t) AS BIGINT) AS n_main_distinct
         |FROM texts""".stripMargin,
 
+    // CCNet paragraph-dedup replay: the per-page DECODED block list
+    // (nav / crumb / words / related / footer, same classes as the
+    // charset oracle) unnested with positions, first occurrence by the
+    // identical (doc, pos) window, reassembly in block order.
+    "warc_ccnet_paradedup" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |w AS (SELECT d, CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END AS p,
+        |  array_to_string(list_transform(range(0, d % 9 + 1), i -> (CASE WHEN d % 5 = 0 OR d % 5 = 2 OR d % 15 = 3 OR d % 15 = 8 THEN 'wé' WHEN d % 15 = 9 THEN 'we' || chr(769) ELSE 'w' END) || ((d * 7 + i) % 13)), ' ') AS words
+        | FROM ids),
+        |bdoc AS (SELECT d, list_filter([
+        |    'nav0 nav1 nav2',
+        |    CASE WHEN d % 13 = 5 THEN 'crumb' END,
+        |    words,
+        |    CASE WHEN d % 4 = 1 THEN 'more w1 w2 w3 w4 w5 w6' END,
+        |    'about contact c' || (p % 7)], x -> x IS NOT NULL) AS bl
+        | FROM w),
+        |ex AS (SELECT d, unnest(list_transform(range(1, len(bl) + 1),
+        |    i -> {pos: i, text: bl[i]})) AS u FROM bdoc),
+        |ex2 AS (SELECT d, u.pos AS pos, u.text AS text FROM ex),
+        |fr AS (SELECT d, pos, text,
+        |  row_number() OVER (PARTITION BY text ORDER BY d, pos) = 1 AS first_seen
+        | FROM ex2)
+        |SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN first_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_paras_kept,
+        |  md5(coalesce(string_agg(CASE WHEN first_seen THEN text END,
+        |    chr(10) ORDER BY pos), '')) AS kept_md5
+        |FROM fr GROUP BY d ORDER BY doc_id""".stripMargin,
+
     // The extracted edge table IS the frontier oracles' edges CTE —
     // one definition, consumed by warc_links directly and by the
     // rank chains of pipeline_crawl_frontier / pipeline_crawl_polite.
@@ -7639,6 +7916,24 @@ object SparkEntry {
         |SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree,
         |  CAST(count(DISTINCT src % 7) AS BIGINT) AS n_src_hosts
         |FROM edges GROUP BY dst ORDER BY node""".stripMargin),
+
+    // Anchor-text replay: the block fixture's per-page anchor (path,
+    // text) pairs stated arithmetically, targets resolved onto the
+    // page's host, vocabulary as sorted distinct lists.
+    "warc_anchor_text" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |h AS (SELECT d, (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7 AS hn FROM ids),
+        |pr AS (SELECT hn, unnest(list_filter([
+        |    {p: '/', t: 'nav0'}, {p: '/about', t: 'nav1'}, {p: '/news', t: 'nav2'},
+        |    CASE WHEN d % 13 = 5 THEN {p: '/crumb', t: 'crumb'} END,
+        |    CASE WHEN d % 4 = 1 THEN {p: '/r', t: 'more'} END,
+        |    {p: '/about', t: 'about'}, {p: '/contact', t: 'contact'}],
+        |  x -> x IS NOT NULL)) AS a FROM h),
+        |tg AS (SELECT 'https://d' || hn || '.ex.test' || a.p AS target_url,
+        |  a.t AS text FROM pr)
+        |SELECT target_url, CAST(count(*) AS BIGINT) AS n_refs,
+        |  list_sort(list_distinct(list(text))) AS anchor_texts
+        |FROM tg GROUP BY target_url ORDER BY target_url""".stripMargin,
 
     // cold ranks over the extracted graph replay the shared chain; the
     // warm-refresh proximity gate is Spark-computed and pinned TRUE
@@ -10321,6 +10616,18 @@ object SparkEntry {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\+?\d{1,3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Consistent-surrogate replay: the oracle rebuilds each surrogate
+    // FROM THE ENTITY VALUE ALONE (md5 prefix of the planted address /
+    // ip) — it can only match if Spark mapped identical entities to
+    // identical tokens everywhere.
+    "text_pii_surrogates" ->
+      """SELECT doc_id,
+        |  'contact <EMAIL_' ||
+        |    substr(md5('u' || (doc_id % 10) || '@mail.example.org'), 1, 8) ||
+        |  '> from <IP_' || substr(md5('10.0.0.' || (doc_id % 5)), 1, 8) ||
+        |  '> :: ' || text AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

@@ -152,6 +152,40 @@ object TextStats {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
   }
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** CONSISTENT-surrogate PII scrub — pseudonymization rather than
+    * redaction: every occurrence of the SAME entity maps to the SAME
+    * surrogate token (`<EMAIL_xxxxxxxx>`, hash-keyed), so entity-level
+    * statistics (how many distinct contacts, which docs share one)
+    * survive the scrub while the raw value does not. Surrogates are
+    * CONTENT-keyed (md5 prefix of the matched value), not sequentially
+    * numbered — numbering needs a global rank over the entity domain
+    * (a corpus-wide coordination step), hash keys need nothing: two
+    * executors scrubbing the same address on different shards of a
+    * 100 TB corpus agree by construction. Per row: extract the distinct
+    * matches, then fold a whole-value replace over them — the fold is
+    * an interpreted HOF, but it runs over the per-document entity list
+    * (single digits), not the corpus token stream, the same
+    * per-candidate exemption as the MinHash estimate gate.
+    */
+  def scrubPiiConsistent(c: Column): Column = {
+    def sub(in: Column, re: String, tag: String): Column = {
+      // LONGEST first: one entity can be a substring of another
+      // ("a@x.org" inside "ba@x.org"); replacing the shorter first
+      // would corrupt the longer match mid-string
+      val ents = array_sort(
+        array_distinct(regexp_extract_all(in, lit(re), lit(0))),
+        (l, r) => when(length(l) =!= length(r), length(r) - length(l))
+          .otherwise(when(l < r, -1).when(l > r, 1).otherwise(0)))
+      aggregate(ents, in,
+        (acc, e) => org.apache.spark.sql.functions.replace(acc, e,
+          concat(lit(s"<${tag}_"), substring(md5(e), 1, 8), lit(">"))))
+    }
+    sub(sub(c, EmailRe, "EMAIL"), Ipv4Re, "IP")
+  }
+
   /** Word-bigram array from a token array, as one fused codegen'd call
     * ([[Bigrams]]; equality with the old transform/sequence chain pinned
     * in TokenizerSpec). The single reference also retires the historical

@@ -130,6 +130,31 @@ object Url {
     // concat null-propagates: unparseable url (null scheme/authority) -> null
     concat(scheme, lit("://"), authNoDefault, normPath, qs)
   }
+
+  /** SURT (Sort-friendly URI Reordering Transform) key of an ALREADY
+    * CANONICAL url ([[canonicalizeUrl]] output) — the CDX capture-index
+    * primary key convention (Internet Archive / OpenWayback / Common
+    * Crawl's cdxj): host labels reversed and comma-joined, a `)`
+    * delimiter, then path + query, scheme erased. `www.` is dropped
+    * (the "massaged" form) so `www.ex.test` and `ex.test` captures
+    * interleave. The point of the transform is LOCALITY: every page of
+    * a host — and every host of a domain — sorts contiguously, so
+    * "everything under `test,ex`" is one range scan over a sorted
+    * index instead of a full-index suffix match. Pure codegen'd
+    * regexp/array Columns; null-propagates on a null canonical.
+    */
+  def surt(canonical: Column): Column = {
+    val auth = regexp_extract(canonical, "^[a-z][a-z0-9+.\\-]*://([^/?#]*)", 1)
+    // canonicalizeUrl keeps only NON-default ports; they ride behind the
+    // reversed host so the same host's ports stay adjacent
+    val host = regexp_replace(auth, ":\\d+$", "")
+    val port = regexp_extract(auth, "(:\\d+)$", 1)
+    val tail = regexp_replace(canonical, "^[a-z][a-z0-9+.\\-]*://[^/?#]*", "")
+    val noWww = regexp_replace(host, "^www\\.", "")
+    when(canonical.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        array_join(reverse(split(noWww, "\\.")), ","), port, lit(")"), tail))
+  }
 }
 
 /** JVM kernel for RFC 3986 §5 reference resolution — one static call per

@@ -393,6 +393,38 @@ object Warc {
         s"<html><body>$words</body></html>", "text/html")
   }
 
+  /** The LYING-HEADER page fixture for magic-byte MIME sniffing: real
+    * crawls mislabel constantly, and a WET gate that trusts the declared
+    * `Content-Type` alone both poisons itself (PDF bytes declared
+    * `text/html` go through the HTML extractor as garbage tokens) and
+    * starves itself (real HTML behind `application/octet-stream` is
+    * dropped). Classes beyond [[mimeResponseRecordString]]'s truthful
+    * ones: `d%6==1` declares `text/html` but the body is PDF bytes
+    * (the poison class); `d%6==2` declares `application/octet-stream`
+    * but the body is HTML (the recoverable class); `d%6==3` truthful
+    * PDF, `d%6==5` truthful plain, else truthful HTML; 404s as usual.
+    */
+  private[graft] def sniffResponseRecordString(d: Long): String = {
+    val uri = messyUri(d)
+    if (d % 11 == 0)
+      return wrapResponse(d, uri, "HTTP/1.1 404 Not Found", "not found")
+    val words = (0L to d % 9).map(i => s"w${(d * 7 + i) % 13}").mkString(" ")
+    if (d % 6 == 1)
+      wrapResponse(d, uri, "HTTP/1.1 200 OK", s"%PDF-1.4 $words endobj",
+        "text/html")
+    else if (d % 6 == 2)
+      wrapResponse(d, uri, "HTTP/1.1 200 OK",
+        s"<html><body>$words</body></html>", "application/octet-stream")
+    else if (d % 6 == 3)
+      wrapResponse(d, uri, "HTTP/1.1 200 OK", s"%PDF-1.4 $words endobj",
+        "Application/PDF; version=1.4")
+    else if (d % 6 == 5)
+      wrapResponse(d, uri, "HTTP/1.1 200 OK", words, "text/plain; charset=UTF-8")
+    else
+      wrapResponse(d, uri, "HTTP/1.1 200 OK",
+        s"<html><body>$words</body></html>", "text/html")
+  }
+
   /** The file-leading `warcinfo` record real archives carry; readers that
     * want pages must filter on `WARC-Type` ([[responses]]).
     */

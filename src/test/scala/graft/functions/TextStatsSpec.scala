@@ -107,4 +107,45 @@ class TextStatsSpec extends SparkSpec {
     assert(hamming(a, b) < hamming(a, c))
     assert(hamming(a, b) <= 16)
   }
+
+  test("scrubPiiConsistent: same entity -> same surrogate, distinct " +
+      "entities -> distinct surrogates, non-PII text untouched") {
+    val rows = Seq(
+      "mail a@x.org then a@x.org again from 10.0.0.1",
+      "mail b@x.org from 10.0.0.1",
+      "no pii here").toDF("v")
+      .select(TextStats.scrubPiiConsistent(col("v")).as("c"))
+      .as[String].collect()
+    val sur = "<EMAIL_[0-9a-f]{8}>".r
+    val surs0 = sur.findAllIn(rows(0)).toSeq
+    assert(surs0.size === 2 && surs0.distinct.size === 1) // same entity twice
+    val aTok = surs0.head
+    val bTok = sur.findAllIn(rows(1)).toSeq.head
+    assert(aTok !== bTok) // distinct entities diverge
+    // the shared ip maps identically ACROSS rows (cross-shard consistency)
+    val ip = "<IP_[0-9a-f]{8}>".r
+    assert(ip.findAllIn(rows(0)).toSeq.head === ip.findAllIn(rows(1)).toSeq.head)
+    assert(rows(2) === "no pii here")
+    assert(!rows(0).contains("a@x.org") && !rows(0).contains("10.0.0.1"))
+  }
+
+  test("Mime.sniff + normalize: magic bytes beat the declared header") {
+    val rows = Seq(
+      ("%PDF-1.4 x endobj", "text/html"),
+      ("<html><body>hi</body></html>", "application/octet-stream"),
+      ("  <!DOCTYPE HTML><html>", "Text/HTML; charset=utf-8"),
+      ("GIF89a....", "image/gif"),
+      ("plain words only", "text/plain; charset=UTF-8"),
+      ("\u0089PNG\r\n", "image/png"),
+      ("PK\u0003\u0004zipdata", "application/zip"),
+      ("<?xml version=\"1.0\"?><feed/>", "application/octet-stream"))
+      .toDF("body", "ct")
+      .select(Mime.sniff(col("body")).as("s"), Mime.normalize(col("ct")).as("n"))
+      .as[(String, String)].collect()
+    assert(rows.map(_._1).toSeq === Seq("application/pdf", "text/html",
+      "text/html", "image/gif", "text/plain", "image/png", "application/zip",
+      "text/xml"))
+    assert(rows(0)._2 === "text/html" && rows(2)._2 === "text/html" &&
+      rows(4)._2 === "text/plain")
+  }
 }

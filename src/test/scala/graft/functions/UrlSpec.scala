@@ -125,4 +125,27 @@ class UrlSpec extends SparkSpec {
       assert(n === c, s"base <$b> ref <$r>")
     }
   }
+
+  test("surt: reversed labels, www fold, port, query tail, sort locality") {
+    def surtOf(u: String): String = {
+      val r = Seq(u).toDF("u")
+        .select(Url.surt(Url.canonicalizeUrl(col("u"))).as("s")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(surtOf("https://d3.ex.test/d/42?a=1&b=2") === "test,ex,d3)/d/42?a=1&b=2")
+    // www is massaged away; scheme and default port erased
+    assert(surtOf("HTTP://WWW.Example.COM:80/a/b") === "com,example)/a/b")
+    // non-default port rides BEHIND the reversed host (same-host adjacency)
+    assert(surtOf("https://h.test:8443/x") === "test,h:8443)/x")
+    // bare path → canonical "/"
+    assert(surtOf("https://ex.test") === "test,ex)/")
+    assert(surtOf("not a url") === null)
+    // the locality property the transform exists for: every page of a
+    // host sorts under one prefix, subdomains sort under the domain
+    val keys = Seq("https://a.ex.test/z", "https://b.other.test/a",
+      "https://a.ex.test/a", "https://ex.test/m").map(surtOf).sorted
+    assert(keys === Seq("test,ex)/m", "test,ex,a)/a", "test,ex,a)/z",
+      "test,other,b)/a"))
+    assert(keys.take(3).forall(_.startsWith("test,ex")))
+  }
 }
