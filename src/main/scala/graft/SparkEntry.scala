@@ -3501,6 +3501,40 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // GLOBAL FETCH-BUDGET APPORTIONMENT across hosts — the cycle-level
+    // decision above pipeline_crawl_polite's per-host cut: a crawl has
+    // B fetch slots per cycle (bandwidth/politeness bound) and must
+    // split them across hosts in proportion to demand so that the
+    // allocations are integers SUMMING EXACTLY to B. Hamilton /
+    // largest-remainder apportionment: integer-divide each host's
+    // quota, then hand the leftover slots to the largest remainders
+    // (host-ascending tiebreak) — the standard apportionment with no
+    // FP anywhere, so the oracle replays it digit-exact. Scale shape:
+    // demand is one hash aggregate; everything after runs on the
+    // HOST-cardinality table (tiny — the global window is over hosts,
+    // never pages) with scalar broadcasts.
+    "pipeline_crawl_budget" -> ((s, dir) => {
+      val B = 100L
+      val parsed = graft.sources.Warc.httpParsed(
+          graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
+        .filter(col("http_status") === 200)
+      val demand = parsed.select(lower(try_parse_url(
+          graft.functions.Url.canonicalizeUrl(col("uri")), lit("HOST"))).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("demand"))
+      val tot = demand.agg(sum("demand").as("total"))
+      val q = demand.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"(demand * $B) div total"))
+        .withColumn("rem", expr(s"(demand * $B) % total"))
+      val leftover = q.agg((lit(B) - sum("base")).as("leftover"))
+      val w = Window.orderBy(col("rem").desc, col("host"))
+      q.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(w))
+        .select(col("host"), col("demand"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("allocated"))
+        .orderBy("host")
+    }),
+
     // Politeness-capped frontier — the per-HOST fetch budget every crawl
     // scheduler enforces: top-3 urls per host by rank, selected through
     // the bounded smallest_k HEAP (map-side partial, shuffle carries ≤ k
@@ -3563,6 +3597,22 @@ object SparkEntry {
       val edges = warcLinkEdges(s, dir).localCheckpoint() // extract once
       componentAssembly(edges,
         graft.operators.Dedup.duplicateClusters(componentPairs(edges)))
+    }),
+
+    // LABEL-PROPAGATION COMMUNITIES (Graph.labelPropagation, the
+    // deterministic synchronous LPA): finer than weak components — a
+    // component splits where link density does, the site-section /
+    // topic-blob granularity crawl analysts budget by. 5 synchronized
+    // rounds, ties to the smallest label, so the recursive oracle
+    // replays every round exactly. Sizes via one extra hash aggregate.
+    "graph_lpa" -> ((s, dir) => {
+      val lab = graft.operators.Graph.labelPropagation(
+        warcLinkEdges(s, dir), "src", "dst", iterations = 5)
+      val sizes = lab.groupBy("community")
+        .agg(count(lit(1)).as("community_size"))
+      lab.join(sizes, Seq("community"))
+        .select(col("node"), col("community"), col("community_size"))
+        .orderBy("node")
     }),
 
     // INCREMENTAL component maintenance — the crawl-cadence form:
@@ -3973,6 +4023,36 @@ object SparkEntry {
           (abs(col("approx_distinct") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy("event_type")
+    }),
+
+    // UNICODE SCRIPT DETECTION (TextStats.scriptChars) — the step
+    // BEFORE language ID (script narrows the language candidate set;
+    // CLD-family detectors branch on it first) and a spam/confusable
+    // signal (mixed-script text). Planted per-class non-Latin runs make
+    // every script counter load-bearing; foreign_script is the
+    // dominant non-Latin script (disjoint classes ⇒ fixed precedence
+    // replays exactly). Map-only codegen'd string ops, zero shuffle.
+    "text_scripts" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(" привет мир"))
+          .when(col("doc_id") % 4 === 2, lit(" αβγ δε"))
+          .when(col("doc_id") % 4 === 3, lit(" 你好世界"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.scriptChars(planted, "Latin").as("n_latin"),
+          TextStats.scriptChars(planted, "Cyrillic").as("n_cyrillic"),
+          TextStats.scriptChars(planted, "Greek").as("n_greek"),
+          TextStats.scriptChars(planted, "Han").as("n_han"))
+        .withColumn("foreign_script",
+          when(col("n_cyrillic") > 0, lit("cyrillic"))
+            .when(col("n_greek") > 0, lit("greek"))
+            .when(col("n_han") > 0, lit("han"))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("multiscript",
+          (col("n_cyrillic") + col("n_greek") + col("n_han")) > 0 &&
+            col("n_latin") > 0)
+        .orderBy("doc_id")
     }),
 
     // Rule-based language ID (function-word hits, profile order tiebreak).
@@ -7731,6 +7811,23 @@ object SparkEntry {
         |    x -> x IS NOT NULL), chr(10)), '')) AS main_md5
         |FROM w ORDER BY doc_id""".stripMargin,
 
+    // Budget replay: the same Hamilton arithmetic over the replayed
+    // per-host 200-page demand — `//` and `%` on BIGINTs, leftover to
+    // the largest remainders, host-ascending tiebreak.
+    "pipeline_crawl_budget" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
+        |h AS (SELECT 'd' || ((CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7)
+        |  || '.ex.test' AS host FROM ids),
+        |dm AS (SELECT host, count(*) AS demand FROM h GROUP BY host),
+        |t AS (SELECT sum(demand) AS total FROM dm),
+        |q AS (SELECT host, demand, (demand * 100) // total AS base,
+        |  (demand * 100) % total AS rem FROM dm, t),
+        |l AS (SELECT 100 - sum(base) AS leftover FROM q),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM q)
+        |SELECT host, CAST(demand AS BIGINT) AS demand,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS allocated
+        |FROM r, l ORDER BY host""".stripMargin,
+
     // Robots cache age: the per-host fetch clock and the 24 h validity
     // bound restated as arithmetic.
     "pipeline_crawl_robots_age" ->
@@ -7896,6 +7993,35 @@ object SparkEntry {
     // edges (the dedup_phash_clusters recursive-CTE pattern), component
     // id = min reachable node.
     "graph_components" -> graphComponentsOracle,
+
+    // LPA replay: one materialized CTE per synchronous round over the
+    // symmetrized extracted edges — per-node argmax via QUALIFY with
+    // the identical (count DESC, label ASC) order.
+    "graph_lpa" -> {
+      def round(t: Int): String =
+        s"""r$t AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab, count(*) AS c FROM (
+           |      SELECT e.dst AS node, l.lab AS lab
+           |      FROM sed e JOIN r${t - 1} l ON l.node = e.src
+           |      UNION ALL SELECT node, lab FROM r${t - 1})
+           |    GROUP BY 1, 2)
+           |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1)""".stripMargin
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM ids),
+        |""".stripMargin + extractedEdgesCte + "\n" +
+      """sed AS MATERIALIZED (
+        |  SELECT src, dst FROM edges WHERE src <> dst
+        |  UNION
+        |  SELECT dst, src FROM edges WHERE src <> dst),
+        |r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sed),
+        |""".stripMargin +
+      (1 to 5).map(round).mkString(",\n") + ",\n" +
+      """sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+        |  FROM r5 GROUP BY lab)
+        |SELECT r5.node, r5.lab AS community, sz.community_size
+        |FROM r5 JOIN sz USING (lab) ORDER BY node""".stripMargin
+    },
 
     // the SAME oracle: star-edge warm start + new-class pairs must
     // relabel identically to the from-scratch closure
@@ -9126,6 +9252,28 @@ object SparkEntry {
     // tables reproduce the full recompute exactly.
     "text_token_totals" -> tokenTotalsOracle,
     "text_token_totals_incremental" -> tokenTotalsOracle,
+
+    // Script replay: RE2 script classes (\p{Latin} etc.) mirror Java's
+    // \p{IsXxx} over the planted runs; foreign precedence is exact
+    // because the planted classes are disjoint.
+    "text_scripts" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 1 THEN ' привет мир'
+        |       WHEN doc_id % 4 = 2 THEN ' αβγ δε'
+        |       WHEN doc_id % 4 = 3 THEN ' 你好世界'
+        |       ELSE '' END AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(t) - length(regexp_replace(t, '\p{Greek}', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(t) - length(regexp_replace(t, '\p{Han}', '', 'g')) AS BIGINT) AS n_han
+        | FROM p)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+        |  CASE WHEN n_cyrillic > 0 THEN 'cyrillic'
+        |       WHEN n_greek > 0 THEN 'greek'
+        |       WHEN n_han > 0 THEN 'han' END AS foreign_script,
+        |  (n_cyrillic + n_greek + n_han) > 0 AND n_latin > 0 AS multiscript
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" ->
       """SELECT doc_id,

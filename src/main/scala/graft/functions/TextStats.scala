@@ -186,6 +186,19 @@ object TextStats {
     sub(sub(c, EmailRe, "EMAIL"), Ipv4Re, "IP")
   }
 
+  /** Count of characters in a Unicode SCRIPT (Latin/Cyrillic/Greek/
+    * Han/...): length minus the length after deleting the script's
+    * chars — two codegen'd string ops, no per-char explode. Script
+    * detection is the step BEFORE language ID in real pipelines (CLD
+    * family: script narrows the candidate set; a Cyrillic page is
+    * never English), and the script MIX is a quality signal of its own
+    * (mixed-script tokens are a spam/confusable marker). Java regex
+    * `\p{IsXxx}` is the Unicode script property — mirror it in RE2 as
+    * `\p{Xxx}`.
+    */
+  def scriptChars(c: Column, script: String): Column =
+    (length(c) - length(regexp_replace(c, s"\\p{Is$script}", ""))).cast("long")
+
   /** Word-bigram array from a token array, as one fused codegen'd call
     * ([[Bigrams]]; equality with the old transform/sequence chain pinned
     * in TokenizerSpec). The single reference also retires the historical

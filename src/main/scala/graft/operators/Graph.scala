@@ -205,4 +205,61 @@ object Graph {
     hub.join(auth, Seq("node")).select(col("node"), col("hub"),
       col("auth").as("authority"))
   }
+
+  /** Label-propagation community detection (Raghavan et al. 2007) in
+    * its DETERMINISTIC synchronous form: labels start as node ids;
+    * each round EVERY node simultaneously takes the most frequent
+    * label among its neighbors, smallest label on ties. The async
+    * random-order variant converges faster but is irreproducible — a
+    * non-starter for an oracled pipeline; fixed-round synchronous
+    * updates replay exactly (each round is one materialized CTE in the
+    * oracle). Communities are finer than weak components (a component
+    * splits where link density does) — the site-section / topic-blob
+    * granularity crawl analysts budget by.
+    *
+    * Scale shape, same discipline as [[pageRank]]: symmetrized deduped
+    * edges hash-partitioned once and checkpointed (loop-invariant);
+    * per round ONE label⋈edges join + one (node, label) count
+    * aggregate + one per-node argmax — all map-side partial before
+    * their single exchange; argmax through `max(struct(cnt, -label))`
+    * (no per-node sort, ties to the SMALLEST label); each new labeling
+    * eagerly localCheckpoints so the plan stays constant-size.
+    *
+    * Returns (node: long, community: long) after exactly `iterations`
+    * rounds. Self-loop EDGES are dropped, but each node's own CURRENT
+    * label always casts one vote: pure neighbor-voting in the
+    * synchronous form oscillates forever on any pendant pair (5⇄6 swap
+    * labels every round — the known bipartite artifact GraphFrames'
+    * synchronous LPA documents), while the single self-vote damps the
+    * swap (the pair ties and the min label wins for both) without
+    * letting sparse first rounds flood: a denser neighborhood outvotes
+    * the self immediately.
+    */
+  def labelPropagation(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val raw = edgesRaw
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      val votes = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("vnode"), col("lab"))
+        .unionByName(labels.select(col("node").as("vnode"), col("lab")))
+      labels = votes
+        .groupBy(col("vnode"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("vnode"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("vnode").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
 }

@@ -187,4 +187,35 @@ class GraphSpec extends SparkSpec {
     assertClose(got, ref(e, 6, seeds = Some(Set(1L, 9L))).filter(_._1 != 9L))
     assert(got.values.sum < 1.0 - 1e-6)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two cliques joined by one bridge edge split " +
+      "into two communities; one clique alone collapses to min label") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val c1 = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L)
+    val c2 = Seq(10L -> 11L, 10L -> 12L, 11L -> 12L)
+    val got = lpa(c1 ++ c2 ++ Seq(3L -> 10L), 5)
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // within-clique agreement, cross-clique split (the bridge does not
+    // merge them — that's what distinguishes LPA from weak components)
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(Set(got(10L), got(11L), got(12L)).size === 1)
+    assert(got(1L) !== got(10L))
+    val single = lpa(c1, 5)
+    assert(single.values.toSet.size === 1)
+  }
+
+  test("labelPropagation: deterministic across runs (synchronous form, " +
+      "min-label tiebreak) and self-loops are ignored") {
+    val e = Seq(1L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L,
+      5L -> 6L)
+    val a = lpa(e, 4)
+    val b = lpa(e, 4)
+    assert(a === b)
+    assert(a(5L) === a(6L)) // the isolated pair agrees with itself
+    assert(a.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
 }
