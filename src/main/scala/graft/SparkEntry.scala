@@ -103,6 +103,32 @@ object SparkEntry {
     }
   }
 
+  /** The streamed SESSION-state accumulation: events cut into 4
+    * EVENT-TIME range slices (boundaries from one 1-row min/max agg —
+    * no global sort; the kafka/segment contract is time-ordered batch
+    * arrival) and folded through `processSessionBatch`'s carried
+    * open-session state.
+    */
+  private def sessionsStreamPath(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    ensureIndex(s, ev, "evsessstream", "built") { p =>
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).first()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      val sliced = ev.withColumn("slice",
+        expr(s"(unix_micros(ts) - ${lo}L) div ${step}L"))
+      (0 until 4).foreach { i =>
+        graft.streaming.EventIngest.processSessionBatch(
+          sliced.filter(col("slice") === i).drop("slice"), i.toLong, p,
+          gapMinutes = 30)
+      }
+      Seq(4).toDF("n_batches").coalesce(1).write.mode("overwrite")
+        .parquet(s"$p/built")
+    }
+  }
+
   /** The streamed per-day-HLL index, built once and shared by
     * `events_dau_sketch` and `events_wau_sketch` — one sketch table
     * serves every distinct-user estimate (the mergeability point), and
@@ -1125,6 +1151,27 @@ object SparkEntry {
         |  -- classes with >= 1 doc (synthesizeFiles writes lazily)
         |  (SELECT DISTINCT doc_id % 16 FROM documents)
         |ORDER BY rec_type, doc_id""".stripMargin)
+
+  /** Shared by `events_sessions` (one-pass window) and
+    * `events_sessions_streamed` (carried cross-batch state) — the gap
+    * rule in integral microseconds, so streamed ≡ batch is exact.
+    */
+  private lazy val eventsSessionsOracle: String =
+    """WITH l AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |s AS (
+      |  SELECT user_id, sum(brk) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM b)
+      |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** The `graph_pagerank[_seeded]` oracle generator: one MATERIALIZED CTE
     * per power iteration, mirroring `Graph.pageRank`'s teleport-vector
@@ -2398,6 +2445,53 @@ object SparkEntry {
           lower(trim(substring_index(col("content_type"), ";", 1))).as("mime"),
           md5(col("body")).as("digest"),
           col("content_length").as("record_length"))
+        .orderBy("surt_key", "doc_id")
+    }),
+
+    // The PERSISTED, host-bucket-partitioned CDX index + a host LOOKUP
+    // — the production shape of "give me every capture under these
+    // hosts" (wayback resolution, per-host recrawl diffing): the index
+    // is written ONCE hive-partitioned on pmod(xxhash64(host), 8) and
+    // surt-sorted within partitions, and a lookup computes its hosts'
+    // buckets (bounded by the query set — the queryTokenBuckets
+    // pattern), reading ONLY those partition dirs. PartitionFilters on
+    // the scan is pinned by PlanInvariantsSpec; at 100 TB this is the
+    // difference between scanning the whole capture index and 2/8ths
+    // of it, with per-file surt min/max pruning inside each bucket.
+    "warc_cdx_pruned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val path = ensureIndex(s, docs, "cdxidx", "built") { p =>
+        val parsed = graft.sources.Warc.httpParsed(
+          graft.sources.Warc.responses(warcRecords(s, dir)).toDF())
+        val canon = graft.functions.Url.canonicalizeUrl(col("uri"))
+        parsed.select(
+            graft.functions.Url.surt(canon).as("surt_key"),
+            lower(try_parse_url(canon, lit("HOST"))).as("host"),
+            regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long")
+              .as("doc_id"),
+            col("http_status").as("status"),
+            md5(col("body")).as("digest"))
+          .withColumn("host_bucket",
+            pmod(xxhash64(col("host")), lit(8)).cast("int"))
+          .repartition(col("host_bucket"))
+          .sortWithinPartitions("surt_key", "doc_id")
+          .write.mode("overwrite").partitionBy("host_bucket")
+          .parquet(s"$p/cdx")
+        s.range(1).select(lit(1L).as("ok")).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      import s.implicits._
+      val hosts = Seq("d1.ex.test", "d4.ex.test")
+      // bucket literals from the 2-host query set — a bounded collect,
+      // never corpus data
+      val buckets = hosts.toDF("host")
+        .select(pmod(xxhash64(col("host")), lit(8)).cast("int").as("b"))
+        .distinct().as[Int].collect().toSeq
+      s.read.parquet(s"$path/cdx")
+        .filter(col("host_bucket").isin(buckets: _*) &&
+          col("host").isin(hosts: _*))
+        .select(col("host"), col("surt_key"), col("doc_id"), col("status"),
+          col("digest"))
         .orderBy("surt_key", "doc_id")
     }),
 
@@ -4408,6 +4502,20 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(max(col("session_seq")).cast("bigint").as("n_sessions"),
           count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // STREAMED sessionization (EventIngest.processSessionBatch): the
+    // ORDER-DEPENDENT state class — open sessions span micro-batch
+    // cuts, so each batch carries (last event time, counters) per user
+    // and appends delta state rows only. 4 event-time-sliced batches;
+    // SHARES events_sessions' oracle, so green proves the carried
+    // state reproduces the one-pass batch window exactly, including
+    // sessions straddling every batch boundary.
+    "events_sessions_streamed" -> ((s, dir) => {
+      val path = sessionsStreamPath(s, dir)
+      graft.streaming.EventIngest.sessionStateFromAccumulated(s, path)
+        .select(col("user_id"), col("n_sessions"), col("n_events"))
         .orderBy("user_id")
     }),
 
@@ -7695,6 +7803,25 @@ object SparkEntry {
         |  CAST(length(payload) AS BIGINT) AS record_length
         |FROM pay ORDER BY surt_key, doc_id""".stripMargin),
 
+    // Pruned-lookup replay: the same CDX arithmetic restricted to the
+    // two query hosts (p % 7 IN (1, 4)) — equal rows prove the
+    // partitioned layout serves exactly the flat index's answer.
+    "warc_cdx_pruned" -> (warcPayloadCte +
+      """SELECT
+        |  'd' || ((CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7)
+        |    || '.ex.test' AS host,
+        |  'test,ex,d' || ((CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7) || ')/d/' ||
+        |    (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) ||
+        |    (CASE WHEN (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 5 = 0
+        |          THEN '?a=1&b=2' ELSE '' END) AS surt_key,
+        |  d AS doc_id,
+        |  CAST(CASE WHEN d % 11 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+        |  md5(substr(payload,
+        |    strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) + 4)) AS digest
+        |FROM pay
+        |WHERE (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7 IN (1, 4)
+        |ORDER BY surt_key, doc_id""".stripMargin),
+
     // Revisit-record storage dedup: the oracle rebuilds every response
     // PAYLOAD (warc_read's reconstruction, minus the uri it doesn't
     // contain) and groups by it — digest grouping in Spark must land the
@@ -10904,22 +11031,12 @@ object SparkEntry {
 
     // Gap compare in integral microseconds (epoch_us truncates ns→us the
     // same way Spark's `ts DIV 1000` load conversion does).
-    "events_sessions" ->
-      """WITH l AS (
-        |  SELECT user_id, event_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |b AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM l),
-        |s AS (
-        |  SELECT user_id, sum(brk) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
-        |  FROM b)
-        |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_sessions" -> eventsSessionsOracle,
+
+    // the SAME oracle: 4 event-time-sliced batches with carried open-
+    // session state must reproduce the one-pass batch window exactly —
+    // including sessions spanning batch cuts (equivalence twin)
+    "events_sessions_streamed" -> eventsSessionsOracle,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
     // union+window implementation (ties impossible: view side is deduped

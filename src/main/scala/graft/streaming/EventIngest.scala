@@ -232,4 +232,90 @@ object EventIngest {
       .agg(sum(col("n")).as("n"),
         sum(col("partial_value")).cast("double").as("total_value"))
   }
+
+  /** Streamed SESSIONIZATION — the third state class beside additive
+    * partials and set unions: genuinely ORDER-dependent per-key state.
+    * A session is open until `gapMinutes` of silence, so a batch
+    * boundary can fall MID-session; each batch therefore carries
+    * forward, per user, the last event time plus the session/event
+    * counters, and appends a DELTA state row (users touched this
+    * batch only — never a full-state rewrite) under `batch_id=<b>/`.
+    * The serving read takes each user's LATEST state row. Requires
+    * batches to arrive in event-time order per user (the crawl-segment
+    * / kafka-partition contract the other ingest twins already
+    * assume); the shared `events_sessions` oracle is the proof the
+    * carried state reproduces the batch window exactly — including
+    * sessions that span batch cuts.
+    *
+    * Scale shape per batch: one window over the BATCH's events (state
+    * join is a broadcast-or-shuffle hash join on user_id), output rows
+    * bounded by users-touched-per-batch. The latest-state read is one
+    * max_by per user over the accumulated deltas — compaction
+    * (keep latest per user) bounds read amplification at crawl
+    * cadence, same as [[LinkIngest]].
+    */
+  def processSessionBatch(batch: DataFrame, batchId: Long, aggPath: String,
+      gapMinutes: Int): Unit = {
+    val spark = batch.sparkSession
+    val st = s"$aggPath/sessions"
+    BatchMarker.assertMarkeredSink(spark, aggPath, s"$st/batch_id=*")
+    BatchMarker.ensureProtocol(spark, aggPath)
+    if (BatchMarker.landed(spark, aggPath, "sessions", batchId)) return
+    BatchMarker.clearPartial(spark, s"$st/batch_id=$batchId")
+    if (batch.isEmpty) {
+      BatchMarker.commit(spark, aggPath, "sessions", batchId)
+      return
+    }
+    val prior = sessionStateFromAccumulated(spark, aggPath)
+      .select(col("user_id"), col("last_us").as("carried_us"),
+        col("n_sessions").as("carried_sessions"),
+        col("n_events").as("carried_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    batch.select(col("user_id"), col("ts"), col("event_id"))
+      .join(prior, Seq("user_id"), "left")
+      // predecessor time: previous event in THIS batch, else the carried
+      // last event of the open session (null = user's very first event)
+      .withColumn("prev_us",
+        coalesce(lag(unix_micros(col("ts")), 1).over(w), col("carried_us")))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        (coalesce(max(col("carried_sessions")), lit(0L)) + sum(col("brk")))
+          .as("n_sessions"),
+        (coalesce(max(col("carried_events")), lit(0L)) + count(lit(1)))
+          .as("n_events"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(st)
+    BatchMarker.commit(spark, aggPath, "sessions", batchId)
+  }
+
+  /** Each user's latest carried session state over the accumulated
+    * deltas: (user_id, last_us, n_sessions, n_events).
+    */
+  def sessionStateFromAccumulated(spark: SparkSession,
+      aggPath: String): DataFrame = {
+    val st = new org.apache.hadoop.fs.Path(s"$aggPath/sessions")
+    val fs = st.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(st)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("last_us", LongType),
+          StructField("n_sessions", LongType),
+          StructField("n_events", LongType))))
+    }
+    spark.read.parquet(s"$aggPath/sessions")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("last_us"), col("n_sessions"), col("n_events")),
+        col("batch_id")).as("m"))
+      .select(col("user_id"), col("m.last_us").as("last_us"),
+        col("m.n_sessions").as("n_sessions"), col("m.n_events").as("n_events"))
+  }
 }

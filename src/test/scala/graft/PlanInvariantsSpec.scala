@@ -279,6 +279,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"codes scan has no cell partition filter:\n$scanLine")
   }
 
+  test("warc_cdx_pruned: the capture-index scan carries a host_bucket " +
+      "PartitionFilter — a host lookup never reads the other buckets") {
+    assume(available)
+    val p = plan("warc_cdx_pruned")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("cdx") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned cdx scan in the plan:\n$p"))
+    assert(scanLine.contains("host_bucket") &&
+        !scanLine.contains("PartitionFilters: []"),
+      s"cdx scan has no host_bucket partition filter:\n$scanLine")
+  }
+
   test("ann_ivfpq_streamed: the streamed codes scan carries a cell " +
       "PartitionFilter — streamed accumulation does not cost the prune") {
     assume(available)

@@ -229,4 +229,33 @@ class EventIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$compacted/agg").count() === n0,
       "replay re-appended into the compacted rollup")
   }
+
+  test("session state carries across batch cuts: a session spanning the " +
+      "boundary is ONE session; a gap at the boundary opens a new one") {
+    val dir = Files.createTempDirectory("evsess").toFile
+    dir.deleteOnExit()
+    val agg = dir.getAbsolutePath + "/idx"
+    // user 7: events at 10:05 and 10:20 (batch 0), 10:30 (batch 1) —
+    //   every gap < 30 min => one session spanning the cut.
+    // user 8: event at 10:00 (batch 0), then 11:10 (batch 1) — 70 min
+    //   of silence => the boundary event opens session 2.
+    val b0 = Seq((1L, ts(5), 7L), (2L, ts(20), 7L), (3L, ts(0), 8L))
+    val b1 = Seq((4L, ts(30), 7L), (5L, Timestamp.valueOf("2024-03-01 11:10:00"), 8L))
+    EventIngest.processSessionBatch(
+      b0.toDF("event_id", "ts", "user_id"), 0L, agg, gapMinutes = 30)
+    EventIngest.processSessionBatch(
+      b1.toDF("event_id", "ts", "user_id"), 1L, agg, gapMinutes = 30)
+    val got = EventIngest.sessionStateFromAccumulated(spark, agg)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(7L) === ((1L, 3L)), "span session split at the batch cut")
+    assert(got(8L) === ((2L, 2L)), "boundary gap did not open a session")
+    // replaying a landed batch is a no-op on the accumulated state
+    EventIngest.processSessionBatch(
+      b0.toDF("event_id", "ts", "user_id"), 0L, agg, gapMinutes = 30)
+    val again = EventIngest.sessionStateFromAccumulated(spark, agg)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === got)
+  }
 }
