@@ -2279,6 +2279,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ORC ROUND-TRIP — the OTHER columnar lake format Spark ships
+    // natively (Hive lineage; parquet carries every other fixture in
+    // this suite). documents written once as zlib ORC (ensureIndex),
+    // read back, compared per row by digest — green = the write→read
+    // loop is value-exact across types incl. UTF-8 text. At scale the
+    // format choice changes codecs and stats granularity, not the
+    // plan: the same PushedFilters/ReadSchema machinery serves both.
+    "s_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // fingerprint the FULL frame: the round-trip's content is every
+      // column, and two sf dirs share the same doc_id set — an id-only
+      // key would serve one dir's ORC to the other
+      val path = ensureIndex(s, docs, "orcdocs", "built") { p =>
+        docs.write.mode("overwrite").option("compression", "zlib")
+          .orc(s"$p/docs")
+        s.range(1).select(lit(1L).as("ok")).write.mode("overwrite")
+          .parquet(s"$p/built")
+      }
+      s.read.orc(s"$path/docs")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // DECLARED canonical extraction (RFC 6596, HtmlTextColumn
     // .canonicalHref): per 200 page, the author-asserted canonical URL
     // (canonicalized) or the page's own canonical URI when absent. The
@@ -4980,6 +5004,44 @@ object SparkEntry {
         .orderBy("vid_a", "vid_b")
     }),
 
+    // SCENE-CUT DETECTION (shot segmentation) — the step BEFORE
+    // keyframe policy in a real video pipeline: sample per SHOT, not
+    // per fixed stride (a 3-hour lecture is one shot; a music video is
+    // hundreds). Per clip: dHash every frame, hamming distance between
+    // CONSECUTIVE frames (one lag window per clip — bounded
+    // partitions), cut where the distance exceeds the threshold;
+    // within a static shot the distance is 0 by construction. The
+    // oracle replays the ENTIRE hash chain (pixel arithmetic → dHash
+    // bits → consecutive hamming) so the verdict is compared at the
+    // hash level, not assumed from the fixture's scene arithmetic.
+    "multimodal_video_scenes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val media = Multimodal.synthesizeSceneGifs(docs)
+      val frames = Multimodal.extractFrameImages(media, every = 1).toDF()
+      val sigs = Multimodal.imageDHash(
+          frames.select(
+            (col("media_id") * 1000 + col("frame_no")).as("media_id"),
+            col("payload"), col("media_type"))).toDF()
+        .filter(col("decoded"))
+        .select(expr("media_id div 1000").as("vid"),
+          pmod(col("media_id"), lit(1000)).as("f"),
+          col("hash_hi"), col("hash_lo"))
+      val w = Window.partitionBy("vid").orderBy("f")
+      sigs
+        .withColumn("ph", lag(col("hash_hi"), 1).over(w))
+        .withColumn("pl", lag(col("hash_lo"), 1).over(w))
+        .withColumn("cut", col("ph").isNotNull &&
+          (bit_count(col("hash_hi").bitwiseXOR(col("ph"))) +
+            bit_count(col("hash_lo").bitwiseXOR(col("pl")))) > 8)
+        .groupBy(col("vid"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+          (sum(when(col("cut"), 1L).otherwise(0L)) + 1L).as("n_scenes"))
+        .orderBy("vid")
+    }),
+
     // The STREAMED image-feature index: VectorIngest is modality-agnostic
     // (it ingests any (vec_id, embedding) frame), so two doc-disjoint
     // micro-batches of decoded histogram features land on the same
@@ -7676,6 +7738,12 @@ object SparkEntry {
         |  CAST(CASE WHEN d % 6 = 3 THEN 0 ELSE d % 9 + 1 END AS BIGINT) AS n_tokens
         |FROM ids ORDER BY doc_id""".stripMargin,
 
+    // ORC replay: the round-trip must reproduce the parquet-read rows
+    // value-exactly, digests over the same UTF-8 text bytes.
+    "s_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Sniff replay: class arithmetic for both routes — the lying
     // text/html-PDF ships wc+2 garbage tokens on the declared route
     // ('%PDF-1.4' and 'endobj' plus the word run) and 0 on the sniffed
@@ -9748,6 +9816,44 @@ object SparkEntry {
         |SELECT vid_a, vid_b, count(*) AS n_matching_frames
         |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+
+    // Scene-cut replay: the full dHash chain (pixel arithmetic with the
+    // f//3 shot key → gradient bits → packed halves → consecutive-frame
+    // hamming) — the verdict is compared hash-to-hash, not assumed from
+    // the scene arithmetic.
+    "multimodal_video_scenes" ->
+      """WITH clips AS (SELECT doc_id AS vid,
+        |    8 + CAST((doc_id // 4) % 3 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 100),
+        |vpx AS (
+        |  SELECT c.vid, fr.f, xs.x, ys.y,
+        |    CAST(concat('0x', substr(md5(concat(c.vid, '_', xs.x, '_', ys.y, '_', fr.f // 3)), 1, 2)) AS BIGINT) % 256 AS p
+        |  FROM clips c
+        |  JOIN generate_series(0, 9) fr(f) ON fr.f < c.nf
+        |  CROSS JOIN generate_series(0, 8) xs(x)
+        |  CROSS JOIN generate_series(0, 7) ys(y)),
+        |vbits AS (
+        |  SELECT a.vid, a.f, a.x, a.y,
+        |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+        |  FROM vpx a JOIN vpx b ON b.vid = a.vid AND b.f = a.f
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |vsigs AS (
+        |  SELECT vid, f,
+        |    CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM vbits GROUP BY vid, f),
+        |dist AS (
+        |  SELECT a.vid,
+        |    CASE WHEN bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |              bit_count(xor(a.hash_lo, b.hash_lo)) > 8
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM vsigs a JOIN vsigs b ON b.vid = a.vid AND b.f = a.f - 1)
+        |SELECT c.vid, CAST(c.nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(d.cut), 0) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(sum(d.cut), 0) + 1 AS BIGINT) AS n_scenes
+        |FROM clips c LEFT JOIN dist d USING (vid)
+        |GROUP BY c.vid, c.nf ORDER BY vid""".stripMargin,
 
     // the FULL-frame comparison on the long-clip class (every one of the
     // 64–66 frames hashed, >= 2 aligned matches) — the keyframe-SAMPLED

@@ -852,6 +852,20 @@ object Multimodal {
     else base
   }
 
+  /** The SCENE-STRUCTURED clip class: pixels keyed on `f / 3`, so every
+    * 3-frame run is a static SHOT and the content changes wholesale at
+    * each shot boundary — the cut-detection shape (real footage is long
+    * static-ish runs punctuated by cuts; slideshow/test-pattern filler
+    * is the degenerate one-shot case). 8–10 frames per clip.
+    */
+  def synthesizeSceneGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    synthesizeGifsWithDims(ids, idCol,
+      dims = id => (dhashW, dhashH, 8 + ((id / 4) % 3).toInt),
+      px = sceneGifPx)
+
+  private val sceneGifPx: (Long, Int, Int, Int) => Int = (id, x, y, f) =>
+    md5Pool.get.digest(s"${id}_${x}_${y}_${f / 3}".getBytes("UTF-8"))(0) & 0xff
+
   case class VideoQualityRow(media_id: Long, decoded: Boolean, n_frames: Long,
       motion: Double, quality_ok: Boolean)
 
