@@ -4173,6 +4173,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TOKENIZER FERTILITY per language — pieces-per-word under the
+    // BPE-ish length tokenizer, THE standard tokenizer-evaluation
+    // metric (high fertility on a language = the vocab underserves it;
+    // multilingual mixes are budgeted in tokens, so fertility skews
+    // effective epoch counts). One explode + one codegen'd hash
+    // aggregate; integer sums exact, the ratio rounded at 4 dp.
+    "text_fertility" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      words.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(ceil(length(col("word")) / lit(4.0)).cast("long")).as("n_pieces"))
+        .withColumn("fertility",
+          round(col("n_pieces").cast("double") / col("n_words"), 4))
+        .orderBy("lang")
+    }),
+
     // Rule-based language ID (function-word hits, profile order tiebreak).
     "text_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -5443,6 +5463,28 @@ object SparkEntry {
       Curation.shuffledShards(t(s, dir, "documents"), "doc_id", nShards = 8)
         .select(col("doc_id"), col("source"), col("shard"), col("shard_pos"))
         .orderBy("doc_id")
+    }),
+
+    // EPOCH-aware reshuffle (Curation.epochShards): training loaders
+    // re-permute the corpus every epoch — deterministically, so a
+    // resumed job lays out the identical epoch. Per (epoch, shard):
+    // doc count and the md5 of the shard's doc order — equal order_md5
+    // across engines proves the PERMUTATION, not just membership; the
+    // two epochs' digests differ (uncorrelated layouts) while their
+    // membership counts rebalance independently. Per-shard windows
+    // only — no global sort at any scale.
+    "curation_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perEpoch = (0 to 1).map { e =>
+        Curation.epochShards(docs, "doc_id", nShards = 8, epoch = e)
+          .groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("shard_pos"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), ",")).as("order_md5"))
+      }
+      perEpoch.reduce(_ unionByName _)
+        .orderBy("epoch", "shard")
     }),
 
     // Per-group exact heavy hitters: which tokens exceed 2% of THEIR
@@ -9260,6 +9302,21 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Epoch replay: the md5(epoch, id) key chain and the ordered
+    // doc-list digest per (epoch, shard) — equal digests prove the
+    // permutation itself replays across engines.
+    "curation_epochs" ->
+      """WITH e AS (SELECT unnest([0, 1]) AS epoch),
+        |k AS (SELECT e.epoch, d.doc_id,
+        |    md5(concat(e.epoch, '_', d.doc_id)) AS hex
+        |  FROM documents d, e),
+        |s AS (SELECT epoch, doc_id, hex,
+        |    CAST(CAST(concat('0x', substr(hex, 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM k)
+        |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hex, doc_id)) AS order_md5
+        |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
     // Per-source exact counts over the per-source total: the sketch only
     // prunes within each group, so equality with the plain group-count.
     "text_heavy_hitters_by_source" ->
@@ -9469,6 +9526,17 @@ object SparkEntry {
         |       WHEN n_han > 0 THEN 'han' END AS foreign_script,
         |  (n_cyrillic + n_greek + n_han) > 0 AND n_latin > 0 AS multiscript
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Fertility replay: same explode + integer piece sums, ratio at 4 dp.
+    "text_fertility" ->
+      """WITH w AS (SELECT lang, doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word
+        |  FROM documents)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(CAST(ceil(length(word) / 4.0) AS BIGINT)) AS BIGINT) AS n_pieces,
+        |  round(sum(CAST(ceil(length(word) / 4.0) AS BIGINT)) * 1.0 / count(*), 4) AS fertility
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_lang_id" ->
       """SELECT doc_id,

@@ -438,6 +438,30 @@ object Curation {
       .withColumn("shard_pos", row_number().over(w).cast("bigint"))
   }
 
+  /** EPOCH-aware reshuffle — the per-epoch deterministic permutation a
+    * training loader needs: each epoch must see the corpus in a
+    * DIFFERENT order, every rerun of the same epoch must see the SAME
+    * order, and nothing may globally sort. Key = md5(epoch, id): one
+    * epoch's layout is uncorrelated with the next by construction, and
+    * the draw is a pure function of (data, epoch) — the
+    * [[sampleByHash]] reproducibility argument ported to ordering, so
+    * a resumed job, a retry, or another engine lays out the identical
+    * epoch. Position is per-SHARD (bounded window partitions), the
+    * [[shuffledShards]] shape.
+    */
+  def epochShards(df: DataFrame, idCol: String, nShards: Int,
+      epoch: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val hex = md5(concat(lit(epoch.toString), lit("_"),
+      col(idCol).cast("string")).cast("binary"))
+    val key = conv(substring(hex, 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", hex)
+      .withColumn("shard", (key % nShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("bigint"))
+      .withColumn("epoch", lit(epoch))
+  }
+
   /** Weighted sampling without replacement (Efraimidis & Spirakis 2006):
     * keep the k rows with the LARGEST u^(1/w), where u is the row's
     * [[hashFraction]] and w its weight — inclusion probabilities

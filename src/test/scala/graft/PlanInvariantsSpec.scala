@@ -87,6 +87,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "curation_mix",
     // same 1-row weight-sum broadcast cross as curation_mix
     "curation_mix_temp",
+    // two scalar broadcasts (total demand, leftover slots) crossing the
+    // HOST-cardinality table — tiny × 1, never data × data
+    "pipeline_crawl_budget",
     "ann_quantized_recall",
     // the n_total scalar (1-row count broadcast) rides a cross join, same
     // shape as curation_mix; the candidate join itself is a broadcast

@@ -111,8 +111,8 @@ class TextStatsSpec extends SparkSpec {
   test("scrubPiiConsistent: same entity -> same surrogate, distinct " +
       "entities -> distinct surrogates, non-PII text untouched") {
     val rows = Seq(
-      "mail a@x.org then a@x.org again from 10.0.0.1",
-      "mail b@x.org from 10.0.0.1",
+      "mail a@ex.example then a@ex.example again from 10.0.0.1",
+      "mail b@ex.example from 10.0.0.1",
       "no pii here").toDF("v")
       .select(TextStats.scrubPiiConsistent(col("v")).as("c"))
       .as[String].collect()
@@ -126,7 +126,7 @@ class TextStatsSpec extends SparkSpec {
     val ip = "<IP_[0-9a-f]{8}>".r
     assert(ip.findAllIn(rows(0)).toSeq.head === ip.findAllIn(rows(1)).toSeq.head)
     assert(rows(2) === "no pii here")
-    assert(!rows(0).contains("a@x.org") && !rows(0).contains("10.0.0.1"))
+    assert(!rows(0).contains("a@ex.example") && !rows(0).contains("10.0.0.1"))
   }
 
   test("Mime.sniff + normalize: magic bytes beat the declared header") {
