@@ -115,17 +115,24 @@ object SparkEntry {
     ensureIndex(s, ev, "evsessstream", "built") { p =>
       val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi")).first()
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val step = (hi - lo) / 4 + 1
-      val sliced = ev.withColumn("slice",
-        expr(s"(unix_micros(ts) - ${lo}L) div ${step}L"))
-      (0 until 4).foreach { i =>
-        graft.streaming.EventIngest.processSessionBatch(
-          sliced.filter(col("slice") === i).drop("slice"), i.toLong, p,
-          gapMinutes = 30)
+      if (mm.isNullAt(0)) {
+        // empty events table: both aggregates are NULL — no slices to
+        // fold; write the marker with zero batches instead of NPEing
+        Seq(0).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
+      } else {
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val step = (hi - lo) / 4 + 1
+        val sliced = ev.withColumn("slice",
+          expr(s"(unix_micros(ts) - ${lo}L) div ${step}L"))
+        (0 until 4).foreach { i =>
+          graft.streaming.EventIngest.processSessionBatch(
+            sliced.filter(col("slice") === i).drop("slice"), i.toLong, p,
+            gapMinutes = 30)
+        }
+        Seq(4).toDF("n_batches").coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/built")
       }
-      Seq(4).toDF("n_batches").coalesce(1).write.mode("overwrite")
-        .parquet(s"$p/built")
     }
   }
 
@@ -2262,7 +2269,7 @@ object SparkEntry {
       val pages = graft.sources.Warc.httpParsed(resp)
         .filter(col("http_status") === 200)
         .withColumn("declared", M.normalize(col("content_type")))
-        .withColumn("sniffed", M.sniff(col("body")))
+        .withColumn("sniffed", M.sniff(col("body_bytes"), col("body")))
       def tokensIf(mime: Column) =
         when(mime === "text/html",
           size(split(trim(graft.functions.HtmlTextColumn.htmlText(col("body"))),
@@ -2844,10 +2851,17 @@ object SparkEntry {
     // against the page's canonical URL, grouped by target — reference
     // count plus the sorted distinct anchor vocabulary. Scale shape:
     // map-side extraction (two codegen'd regexp_extract_all passes
-    // zipped, no explode until the pairs exist), ONE shuffle keyed on
-    // the target; collect_set is bounded by the per-target anchor
-    // vocabulary (production caps it with smallest_k; the fixture's is
-    // single digits).
+    // zipped, no explode until the pairs exist), then TWO hash
+    // aggregations on the same key: first (target, text) — distinct
+    // anchors with their counts, map-side combinable so duplicate
+    // anchors collapse before the exchange — then target, where
+    // smallest_k (bounded k-heap UDAF, functions/TopK) caps the
+    // vocabulary at 64: a hub page (home pages, wiki mains) with
+    // millions of in-links can never blow an aggregation buffer —
+    // each partial carries ≤ k anchors. Output scalarized
+    // (array_join) — the registry's no-top-level-array contract
+    // (pinned by PlanInvariantsSpec), and what the driver's
+    // oracle compare can sort.
     "warc_anchor_text" -> ((s, dir) => {
       val resp = graft.sources.Warc.responses(graft.sources.Warc.readRecords(
         s, s"${warcBpFixturePath(s, dir)}/files")).toDF()
@@ -2867,9 +2881,12 @@ object SparkEntry {
           graft.functions.Url.canonicalizeUrl(graft.functions.Url.resolveUrl(
             col("page_url"), col("a.h"))).as("target_url"),
           col("a.t").as("text"))
+        .groupBy("target_url", "text")
+        .agg(count(lit(1)).as("n"))
         .groupBy("target_url")
-        .agg(count(lit(1)).as("n_refs"),
-          array_sort(collect_set(col("text"))).as("anchor_texts"))
+        .agg(sum(col("n")).as("n_refs"),
+          array_join(graft.functions.TopK.smallestK(col("text"), 64), "|")
+            .as("anchor_texts"))
         .orderBy("target_url")
     }),
 
@@ -8282,7 +8299,8 @@ object SparkEntry {
 
     // Anchor-text replay: the block fixture's per-page anchor (path,
     // text) pairs stated arithmetically, targets resolved onto the
-    // page's host, vocabulary as sorted distinct lists.
+    // page's host, vocabulary as a sorted-distinct capped (64)
+    // '|'-joined scalar — arrays never surface at top level.
     "warc_anchor_text" ->
       """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 0),
         |h AS (SELECT d, (CASE WHEN d % 3 = 2 THEN d - 1 ELSE d END) % 7 AS hn FROM ids),
@@ -8295,7 +8313,7 @@ object SparkEntry {
         |tg AS (SELECT 'https://d' || hn || '.ex.test' || a.p AS target_url,
         |  a.t AS text FROM pr)
         |SELECT target_url, CAST(count(*) AS BIGINT) AS n_refs,
-        |  list_sort(list_distinct(list(text))) AS anchor_texts
+        |  array_to_string(list_sort(list_distinct(list(text)))[1:64], '|') AS anchor_texts
         |FROM tg GROUP BY target_url ORDER BY target_url""".stripMargin,
 
     // cold ranks over the extracted graph replay the shared chain; the

@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -14,8 +16,8 @@ import org.apache.spark.sql.functions._
   * (https://mimesniff.spec.whatwg.org §6-7: match the payload's
   * leading byte pattern, whitespace-tolerant for the HTML tags): the
   * handful of signatures a text-corpus pipeline must distinguish, as
-  * pure codegen'd string Columns — map-side over the archive scan, no
-  * UDF. (Beyond-reference: the reference ingests databases, never raw
+  * pure codegen'd Columns — map-side over the archive scan, no UDF.
+  * (Beyond-reference: the reference ingests databases, never raw
   * HTTP payloads.)
   */
 object Mime {
@@ -28,22 +30,32 @@ object Mime {
   def normalize(contentType: Column): Column =
     lower(trim(substring_index(contentType, ";", 1)))
 
-  /** Magic-byte sniff of the payload body. Binary signatures match at
-    * byte 0 EXACTLY (a leading-whitespace `%PDF` is not a PDF); the
-    * HTML tag signatures are whitespace-tolerant and case-insensitive
-    * per the WHATWG table. Everything unrecognized falls back to
-    * `text/plain` — the conservative route for a TEXT pipeline (an
-    * unrecognized binary yields tokens downstream quality gates kill,
-    * whereas dropping unrecognized text loses real documents).
+  /** Magic-byte sniff of the payload. The binary-signature tier
+    * compares RAW BYTES (`bodyBytes`, a binary column) at offset 0
+    * EXACTLY — a decoded-string compare would mangle non-UTF-8 magic
+    * (0x89 'PNG', 0x1f 0x8b gzip) to U+FFFD and never match real
+    * payloads. The HTML/XML tag tier runs on the decoded string
+    * (`body`), skipping the WHATWG whitespace set (\t \n \f \r space)
+    * and matching case-insensitively per the sniffing table.
+    * Everything unrecognized falls back to `text/plain` — the
+    * conservative route for a TEXT pipeline (an unrecognized binary
+    * yields tokens downstream quality gates kill, whereas dropping
+    * unrecognized text loses real documents).
     */
-  def sniff(body: Column): Column = {
-    val b = lower(ltrim(body))
-    when(body.isNull, lit(null).cast("string"))
-      .when(body.startsWith("%PDF"), lit("application/pdf"))
-      .when(body.startsWith("\u0089PNG"), lit("image/png"))
-      .when(body.startsWith("GIF87a") || body.startsWith("GIF89a"), lit("image/gif"))
-      .when(body.startsWith("PK\u0003\u0004"), lit("application/zip"))
-      .when(body.startsWith("\u001f\u008b"), lit("application/gzip"))
+  def sniff(bodyBytes: Column, body: Column): Column = {
+    def magic(sig: Array[Byte]): Column =
+      bodyBytes.substr(lit(1), lit(sig.length)) === lit(sig)
+    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    // WHATWG §7.1 step 4: skip leading HTML whitespace before tag matches
+    val b = lower(regexp_replace(body, "^[\\t\\n\\f\\r ]+", ""))
+    when(bodyBytes.isNull, lit(null).cast("string"))
+      .when(magic(ascii("%PDF")), lit("application/pdf"))
+      .when(magic(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+        lit("image/png"))
+      .when(magic(ascii("GIF87a")) || magic(ascii("GIF89a")), lit("image/gif"))
+      .when(magic(Array('P'.toByte, 'K'.toByte, 0x03.toByte, 0x04.toByte)),
+        lit("application/zip"))
+      .when(magic(Array(0x1f.toByte, 0x8b.toByte)), lit("application/gzip"))
       .when(b.startsWith("<html") || b.startsWith("<!doctype html") ||
         b.startsWith("<head") || b.startsWith("<body"), lit("text/html"))
       .when(b.startsWith("<?xml"), lit("text/xml"))

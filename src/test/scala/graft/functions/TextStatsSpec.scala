@@ -130,22 +130,37 @@ class TextStatsSpec extends SparkSpec {
   }
 
   test("Mime.sniff + normalize: magic bytes beat the declared header") {
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // non-UTF-8 binary signatures — exactly the bytes a decoded-string
+    // compare would mangle to U+FFFD (the bug this test pins fixed)
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      '\r'.toByte, '\n'.toByte)
+    val gz = Array(0x1f.toByte, 0x8b.toByte, 0x08.toByte, 0x00.toByte)
+    val zip = Array('P'.toByte, 'K'.toByte, 0x03.toByte, 0x04.toByte,
+      'z'.toByte)
     val rows = Seq(
-      ("%PDF-1.4 x endobj", "text/html"),
-      ("<html><body>hi</body></html>", "application/octet-stream"),
-      ("  <!DOCTYPE HTML><html>", "Text/HTML; charset=utf-8"),
-      ("GIF89a....", "image/gif"),
-      ("plain words only", "text/plain; charset=UTF-8"),
-      ("\u0089PNG\r\n", "image/png"),
-      ("PK\u0003\u0004zipdata", "application/zip"),
-      ("<?xml version=\"1.0\"?><feed/>", "application/octet-stream"))
-      .toDF("body", "ct")
-      .select(Mime.sniff(col("body")).as("s"), Mime.normalize(col("ct")).as("n"))
+      (b("%PDF-1.4 x endobj"), "text/html"),
+      (b("<html><body>hi</body></html>"), "application/octet-stream"),
+      (b("  <!DOCTYPE HTML><html>"), "Text/HTML; charset=utf-8"),
+      // WHATWG whitespace skip: tab/newline before the tag still sniffs
+      (b("\n\t<html><body>x</body></html>"), "text/plain"),
+      (b("GIF89a...."), "image/gif"),
+      (b("plain words only"), "text/plain; charset=UTF-8"),
+      (png, "image/png"),
+      (zip, "application/zip"),
+      (gz, "text/html"),
+      (b("<?xml version=\"1.0\"?><feed/>"), "application/octet-stream"))
+      .toDF("body_bytes", "ct")
+      // the string leg exactly as httpParsed derives it: a cast, which
+      // replaces invalid UTF-8 with U+FFFD — the binary tier must not care
+      .select(Mime.sniff(col("body_bytes"),
+        col("body_bytes").cast("string")).as("s"),
+        Mime.normalize(col("ct")).as("n"))
       .as[(String, String)].collect()
     assert(rows.map(_._1).toSeq === Seq("application/pdf", "text/html",
-      "text/html", "image/gif", "text/plain", "image/png", "application/zip",
-      "text/xml"))
+      "text/html", "text/html", "image/gif", "text/plain", "image/png",
+      "application/zip", "application/gzip", "text/xml"))
     assert(rows(0)._2 === "text/html" && rows(2)._2 === "text/html" &&
-      rows(4)._2 === "text/plain")
+      rows(5)._2 === "text/plain")
   }
 }
