@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextStats
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
+import graft.operators.Checkpoints.LineageOps
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface (builder brief;
@@ -559,12 +560,15 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val half  = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // localCheckpoint (eager), not persist: each round's frame feeds the
-    // next round's JOINS, so lineage — and with it plan size, optimizer and
-    // codegen time per round — would otherwise grow linearly with rounds.
-    // Truncating lineage keeps every round's plan constant-size. On a real
-    // cluster a long-lived job would use reliable checkpoints instead
-    // (localCheckpoint blocks are lost with an executor).
+    // eager lineage cut (Checkpoints.cutLineage), not persist: each
+    // round's frame feeds the next round's JOINS, so lineage — and with it
+    // plan size, optimizer and codegen time per round — would otherwise
+    // grow linearly with rounds. Truncating lineage keeps every round's
+    // plan constant-size. With a checkpoint dir configured the cut is a
+    // RELIABLE checkpoint (executor loss mid-iteration recovers instead
+    // of killing the job — localCheckpoint blocks die with an executor
+    // and truncated lineage can't recompute them); unset, it stays the
+    // zero-I/O localCheckpoint that single-JVM runs want.
     //
     // repartition on `src` BEFORE the checkpoint: Dataset.localCheckpoint
     // preserves outputPartitioning in its LogicalRDD, so every round's
@@ -572,12 +576,12 @@ object Dedup {
     // (static) edge set once per round.
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint()
+      .cutLineage()
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("src").as("doc_id"),
         least(col("src"), col("nbr_min")).as("cluster_id"))
-      .localCheckpoint()
+      .cutLineage()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -616,7 +620,7 @@ object Dedup {
         // count(when) not sum: count is 0 on an empty frame, never null
         .observe("cc_round", count(when(col("changed"), lit(1))).as("n_changed"))
       val next = observed
-        .localCheckpoint() // the round's ONE action; the metric lands with it
+        .cutLineage() // the round's ONE action; the metric lands with it
       val metric = observed.queryExecution.observedMetrics.getOrElse("cc_round",
         throw new IllegalStateException(
           "cc_round metric missing after the checkpoint action"))

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
+import graft.operators.Checkpoints.LineageOps
+
 /** Link-graph analytics for crawl-scale corpora (beyond-reference: the
   * reference has no graph operators — its closest relative is the DOI
   * resolution network, `/root/reference/synth/doi.py`, which never ranks.
@@ -30,7 +32,10 @@ import org.apache.spark.sql.DataFrame
   *    distributed power iteration;
   *  - the dangling mass is a 1-row aggregate broadcast back into the
   *    update, never a driver-side collect;
-  *  - each new rank vector is an eager `localCheckpoint`: the logical
+  *  - each new rank vector is an eager lineage cut ([[Checkpoints]]:
+  *    reliable `checkpoint` when a checkpoint dir is configured —
+  *    executor-loss-safe on a real cluster — else `localCheckpoint`):
+  *    the logical
   *    plan truncates to a LogicalRDD every round (each round references
   *    the vector three times, so an un-truncated lineage grows ~3^k) and
   *    the node hash layout is preserved; predecessors become
@@ -88,25 +93,25 @@ object Graph {
       case None => edgesRaw.select(src, dst).distinct()
         .withColumn("w", lit(1.0)) // sum(1.0) == count: bit-identical path
     }).repartition(col("src"))
-      .localCheckpoint() // loop-invariant; checkpoint keeps the src layout
+      .cutLineage() // loop-invariant; checkpoint keeps the src layout
     // rename at the derivation boundary: outdeg's key would otherwise
     // keep edges' src exprId and make every iteration's join ambiguous
     val outdeg = edges.groupBy("src")
       .agg(sum("w").as("deg"))
       .select(col("src").as("deg_src"), col("deg"))
-      .localCheckpoint()
+      .cutLineage()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .repartition(col("node"))
-      .localCheckpoint()
+      .cutLineage()
     val n = nodes.count().toDouble
 
     // the teleport vector, node-aligned and loop-invariant
     val tele = (seeds match {
       case Some(sd) =>
         val seedSet = sd.select(col(seedCol).cast("long").as("seed")).distinct()
-          .localCheckpoint()
+          .cutLineage()
         val k = seedSet.count().toDouble
         require(k > 0, "seeds must be non-empty")
         nodes.join(broadcast(seedSet), col("node") === col("seed"), "left")
@@ -114,7 +119,7 @@ object Graph {
             when(col("seed").isNotNull, lit(1.0 / k)).otherwise(lit(0.0)).as("tele"))
       case None =>
         nodes.select(col("node"), lit(1.0 / n).as("tele"))
-    }).repartition(col("node")).localCheckpoint()
+    }).repartition(col("node")).cutLineage()
 
     // eager localCheckpoint per iteration: truncates the logical plan to
     // a LogicalRDD (each round references the rank vector three times, so
@@ -128,7 +133,7 @@ object Graph {
           col("node") === col("__inode"), "left")
           .select(col("node"), coalesce(col("__irank"), col("tele")).as("rank"))
       case None => tele.select(col("node"), col("tele").as("rank"))
-    }).repartition(col("node")).localCheckpoint()
+    }).repartition(col("node")).cutLineage()
     (1 to iterations).foreach { _ =>
       val withDeg = ranks.join(outdeg, col("node") === col("deg_src"), "left")
       val dangling = withDeg.filter(col("deg").isNull)
@@ -144,7 +149,7 @@ object Graph {
           (lit(1 - damping) * col("tele") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("tele"))).as("rank"))
         .repartition(col("node"))
-        .localCheckpoint()
+        .cutLineage()
       ranks = next
     }
     ranks
@@ -172,15 +177,15 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint()
+      .cutLineage()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .repartition(col("node"))
-      .localCheckpoint()
+      .cutLineage()
     val n = nodes.count().toDouble
 
-    var hub = nodes.select(col("node"), lit(1.0 / n).as("hub")).localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1.0 / n).as("hub")).cutLineage()
     var auth: DataFrame = null
     (1 to iterations).foreach { _ =>
       val rawAuth = hub.join(edges, col("node") === col("src"))
@@ -191,7 +196,7 @@ object Graph {
         .select(nodes("node"),
           (coalesce(col("a"), lit(0.0)) / col("atot")).as("auth"))
         .repartition(col("node"))
-        .localCheckpoint()
+        .cutLineage()
       val rawHub = auth.join(edges, col("node") === col("dst"))
         .groupBy(col("src")).agg(sum("auth").as("hh"))
       val hTot = rawHub.agg(sum("hh").as("htot"))
@@ -200,7 +205,7 @@ object Graph {
         .select(nodes("node"),
           (coalesce(col("hh"), lit(0.0)) / col("htot")).as("hub"))
         .repartition(col("node"))
-        .localCheckpoint()
+        .cutLineage()
     }
     hub.join(auth, Seq("node")).select(col("node"), col("hub"),
       col("auth").as("authority"))
@@ -244,10 +249,10 @@ object Graph {
     val edges = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint()
+      .cutLineage()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+      .cutLineage()
     (1 to iterations).foreach { _ =>
       val votes = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("vnode"), col("lab"))
@@ -258,7 +263,7 @@ object Graph {
         .groupBy(col("vnode"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
         .select(col("vnode").as("node"), (-col("m.nl")).as("lab"))
-        .localCheckpoint()
+        .cutLineage()
     }
     labels.select(col("node"), col("lab").as("community"))
   }

@@ -218,4 +218,43 @@ class GraphSpec extends SparkSpec {
     assert(a(5L) === a(6L)) // the isolated pair agrees with itself
     assert(a.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("reliable-checkpoint tier: with a checkpoint dir configured, the " +
+      "iterative kernels cut lineage through fault-tolerant checkpoints " +
+      "and produce identical results") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 4L)
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    // local-tier references first (no checkpoint dir set)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: suite session has no checkpoint dir")
+    val prLocal = pr(e, 8)
+    val lpaLocal = lpa(e, 4)
+    val ccLocal = Dedup.duplicateClusters(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    dir.deleteOnExit()
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val prRel = pr(e, 8)
+      val lpaRel = lpa(e, 4)
+      val ccRel = Dedup.duplicateClusters(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prRel === prLocal)
+      assert(lpaRel === lpaLocal)
+      assert(ccRel === ccLocal)
+      // the reliable path actually wrote checkpoints (rdd-* dirs), i.e.
+      // the tier switch is not a silent no-op
+      val resolved = spark.sparkContext.getCheckpointDir.get
+      val written = new java.io.File(new java.net.URI(resolved)).listFiles()
+      assert(written != null && written.nonEmpty,
+        s"no checkpoint data landed under $resolved")
+    } finally {
+      // restore the no-dir tier for the rest of the shared-session suite:
+      // checkpointDir is a private[spark] var — reset through its accessor
+      val m = spark.sparkContext.getClass
+        .getMethod("checkpointDir_$eq", classOf[Option[String]])
+      m.invoke(spark.sparkContext, None)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    }
+  }
 }
