@@ -493,6 +493,96 @@ object SparkEntry {
       }
     })
 
+  /** CASSETTE-RECORDED HTTP fixtures for S7 (DOI-metadata enrichment,
+    * reference `synth/resources.py:184-218`) and S8 (bibliographic
+    * search, `:259-302`) — the VCR pattern: responses are captured ONCE
+    * through the REAL network client (`HttpFetcher` riding
+    * `HttpEnrichment.fetchMisses`'s anti-join + `mapPartitions` + rate
+    * limit — the exact production path) against an in-process loopback
+    * server whose responses are ARITHMETIC in the request key, then
+    * persisted as parquet cassettes. The replay queries
+    * (`etl_enrich_replay`, `etl_search_replay`) consume only the
+    * cassettes — verify/bench never touch a socket — and their DuckDB
+    * oracles restate the server arithmetic, so a green row certifies the
+    * whole live chain: URL build → HTTP → status split (the every-`…3`
+    * key 404s) → cache write → replay parse. This is also the 100 TB
+    * posture: the cache TABLE is the interface, network happens once per
+    * novel key, downstream is pure joins.
+    */
+  private def httpCassettePath(s: SparkSession, dir: String): String =
+    fixturePathMemo.computeIfAbsent(("httpcassette", dir, listingKey(s, dir)), _ => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      ensureIndex(s, docs, "httpcassette", "built") { p =>
+        import s.implicits._
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        // S7 endpoint: metadata JSON, every field derivable from the key
+        // (the oracle recomputes them in SQL); keys ending in '3' 404 —
+        // the failure leg lands in the cassette as ok=false
+        server.createContext("/works/", { exchange =>
+          val doi = java.net.URLDecoder.decode(
+            exchange.getRequestURI.getRawPath.stripPrefix("/works/"), "UTF-8")
+          if (doi.endsWith("3")) exchange.sendResponseHeaders(404, -1)
+          else {
+            val len = doi.length
+            val body = (s"""{"DOI":"$doi","publisher":"P${len % 7}",""" +
+              s""""cited":${len * 3 + doi.count(_ == '7')}}""").getBytes("UTF-8")
+            exchange.getResponseHeaders.add("Content-Type", "application/json")
+            exchange.sendResponseHeaders(200, body.length)
+            exchange.getResponseBody.write(body)
+          }
+          exchange.close()
+        })
+        // S8 endpoint: candidate list for a title query — the exact title
+        // plus two static decoys; every 7th (topic+volume) query omits the
+        // exact title, so the downstream fuzzy gate has a real miss leg
+        server.createContext("/search/", { exchange =>
+          val q = java.net.URLDecoder.decode(
+            exchange.getRequestURI.getRawPath.stripPrefix("/search/"), "UTF-8")
+          val tv = "study of topic (\\d+) volume (\\d+)".r
+          val omit = q match {
+            case tv(t, v) => (t.toInt + v.toInt) % 7 == 0
+            case _        => true
+          }
+          val cands = (if (omit) Seq.empty else Seq(q)) ++
+            Seq("archive record alpha", "unrelated catalog entry beta")
+          val body = cands.mkString("|").getBytes("UTF-8")
+          exchange.sendResponseHeaders(200, body.length)
+          exchange.getResponseBody.write(body)
+          exchange.close()
+        })
+        // daemon-flagged pool AND an explicit shutdown: server.stop does
+        // NOT shut a user-supplied executor down, and its non-daemon
+        // threads would pin the JVM open after main returns
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+          (r: Runnable) => { val th = new Thread(r); th.setDaemon(true); th })
+        server.setExecutor(pool)
+        server.start()
+        try {
+          val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val emptyCache = Seq.empty[(String, String)].toDF("key", "value")
+          val doiKeys = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+            .select(concat(lit("10."),
+              (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+              lit("/k"), col("doc_id").cast("string")).as("key"))
+          graft.sources.HttpEnrichment.fetchMisses(doiKeys, emptyCache,
+              new graft.sources.HttpFetcher(k => s"$base/works/$k"),
+              maxPerSecond = 1e9)
+            .toDF().write.mode("overwrite").parquet(s"$p/works")
+          val qKeys = docs.select(concat(lit("study of topic "),
+            pmod(col("doc_id"), lit(50)).cast("string"), lit(" volume "),
+            pmod(col("doc_id"), lit(9)).cast("string")).as("key"))
+          graft.sources.HttpEnrichment.fetchMisses(qKeys, emptyCache,
+              new graft.sources.HttpFetcher(k => s"$base/search/" +
+                java.net.URLEncoder.encode(k, "UTF-8")),
+              maxPerSecond = 1e9)
+            .toDF().write.mode("overwrite").parquet(s"$p/search")
+          s.range(1).select(lit(1L).as("ok")).write.mode("overwrite")
+            .parquet(s"$p/built")
+        } finally { server.stop(0); pool.shutdownNow() }
+      }
+    })
+
   /** The rel=canonical archive (`Warc.canonicalResponseRecordString`):
     * separate fixture so the flat fixture's payload-level oracles stay
     * untouched.
@@ -5608,6 +5698,54 @@ object SparkEntry {
                FROM documents_v ORDER BY doc_id""")
     }),
 
+    // S7 END-TO-END, oracled (the cassette pattern — see
+    // httpCassettePath): per-document DOI keys enriched from the recorded
+    // response cache. The join is a plain equi-join keyed on the DOI (at
+    // 100 TB the cache table is corpus-proportional — no broadcast hint,
+    // AQE picks), JSON fields parsed map-side. `covered` pins the
+    // recording contract: every key the corpus derives has a cassette
+    // row (the anti-join in fetchMisses guarantees it at record time);
+    // `fetched_ok` carries the REAL 404 leg — the every-`…3` keys were
+    // refused by the server and must surface as misses, not as rows
+    // invented by the replay.
+    "etl_enrich_replay" -> ((s, dir) => {
+      val cas = s.read.parquet(s"${httpCassettePath(s, dir)}/works")
+      val keys = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(col("doc_id"),
+          concat(lit("10."), (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+            lit("/k"), col("doc_id").cast("string")).as("key"))
+      keys.join(cas, Seq("key"), "left")
+        .select(col("doc_id"), col("key"),
+          coalesce(col("ok"), lit(false)).as("fetched_ok"),
+          get_json_object(col("value"), "$.publisher").as("publisher"),
+          get_json_object(col("value"), "$.cited").cast("long").as("cited"),
+          col("ok").isNotNull.as("covered"))
+        .orderBy("doc_id")
+    }),
+
+    // S8 END-TO-END, oracled: the recorded search-candidate cassette
+    // replayed through the fuzzy gate (resources.py:259-302's pick-best-
+    // match-above-threshold). Explode the candidate list, score each with
+    // partial_ratio (the REAL UDF — if a decoy ever cleared the 90 gate,
+    // `matched`/`best` would flip and the row would go red), take the
+    // (score, candidate) max per query. Map-side explode + one hash
+    // aggregation keyed on the query — scales as the candidate lists do.
+    "etl_search_replay" -> ((s, dir) => {
+      val cas = s.read.parquet(s"${httpCassettePath(s, dir)}/search")
+      cas.select(col("key").as("query"),
+          explode(split(col("value"), "\\|")).as("cand"))
+        .select(col("query"), col("cand"),
+          Fuzzy.partialRatio(col("query"), col("cand")).as("score"))
+        .groupBy("query")
+        .agg(count(lit(1)).as("n_candidates"),
+          max(struct(col("score"), col("cand"))).as("top"))
+        .select(col("query"), col("n_candidates"),
+          (col("top.score") >= 90).as("matched"),
+          when(col("top.score") >= 90, col("top.cand")).as("best"))
+        .orderBy("query")
+    }),
+
     // F11/F12/F13/O5 — the real DOI extraction cascade over synthesized
     // URLs that exercise EVERY offline stage (doc_id % 6 picks the shape:
     // standard DOI / strict-only / mapress / nature / cambridge / no-match),
@@ -10016,6 +10154,41 @@ object SparkEntry {
     // equal the from-scratch closure — green = exact-equivalence proof,
     // the same twin contract as dedup_clusters_incremental.
     "dedup_phash_clusters_incremental" -> phashClustersOracle,
+
+    // The enrichment cassette restated: the loopback server's response
+    // fields are arithmetic in the DOI key (publisher from length mod 7,
+    // cited from length and '7'-count, 404 for keys ending in '3'), so
+    // the oracle recomputes what the LIVE client must have recorded.
+    "etl_enrich_replay" ->
+      """WITH k AS (SELECT doc_id AS d,
+        |  '10.' || CAST(doc_id % 900 + 100 AS VARCHAR) || '/k' ||
+        |    CAST(doc_id AS VARCHAR) AS key
+        |  FROM documents WHERE doc_id % 5 <> 4)
+        |SELECT d AS doc_id, key,
+        |  (d % 10 <> 3) AS fetched_ok,
+        |  CASE WHEN d % 10 <> 3
+        |    THEN 'P' || CAST(length(key) % 7 AS VARCHAR) END AS publisher,
+        |  CASE WHEN d % 10 <> 3 THEN CAST(length(key) * 3 +
+        |    (length(key) - length(replace(key, '7', ''))) AS BIGINT)
+        |  END AS cited,
+        |  TRUE AS covered
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // The search cassette restated: candidate lists are the exact query
+    // plus two static decoys, except every (topic+volume)%7==0 query
+    // where the exact title is withheld — matched/best state what the
+    // fuzzy gate must decide (decoys score far under the 90 threshold;
+    // the exact title scores 100).
+    "etl_search_replay" ->
+      """WITH q AS (SELECT DISTINCT doc_id % 50 AS t, doc_id % 9 AS v
+        |  FROM documents),
+        |qq AS (SELECT 'study of topic ' || CAST(t AS VARCHAR) ||
+        |    ' volume ' || CAST(v AS VARCHAR) AS query,
+        |    (t + v) % 7 <> 0 AS m FROM q)
+        |SELECT query,
+        |  CAST(CASE WHEN m THEN 3 ELSE 2 END AS BIGINT) AS n_candidates,
+        |  m AS matched, CASE WHEN m THEN query END AS best
+        |FROM qq ORDER BY query""".stripMargin,
 
     // Full offline cascade replicated in DuckDB: per-stage regex extracts
     // (RE2 accepts the same (?i) inline flag), the normalize pipeline
