@@ -37,10 +37,22 @@ import org.apache.spark.sql.types._
   *    place and aligned to the declared schema by its own header row — the
   *    100 TB shape when workbooks arrive in bulk.
   *
+  * Style interpretation (r17): DATE-styled numeric cells render as ISO
+  * strings instead of raw serials — `xl/styles.xml`'s `cellXfs` resolves
+  * each cell's `s` index to a numFmtId, date formats are the ECMA-376
+  * builtin date/time ids (14-22, 27-36, 45-47, 50-58) plus custom
+  * `numFmt`s whose code carries y/m/d/h/s tokens outside quoted/bracket
+  * sections (the pandas/openpyxl `is_date_format` heuristic). Serials
+  * convert against the 1899-12-30 epoch (1899-12-31 below 61 — the
+  * Lotus 1900 leap-bug convention); day-exact serials render as
+  * `yyyy-MM-dd`, fractional ones as `yyyy-MM-dd HH:mm:ss`. Merged cells:
+  * parsed from `<mergeCells>`; default surface is pandas parity (anchor
+  * cell only, the rest null) with opt-in `fillMerged = true` propagating
+  * the anchor value across its range — the header-span cleaning move.
+  *
   * Not interpreted (documented limits, none used by the reference
-  * workbook): date/number styles (a date-styled cell surfaces as its raw
-  * serial number), formulas (the cached `<v>` result is read), merged
-  * cells.
+  * workbook): non-date number formats (a currency-styled cell surfaces
+  * as its raw decimal), formulas (the cached `<v>` result is read).
   */
 object Xlsx {
 
@@ -110,6 +122,79 @@ object Xlsx {
       out.toMap
     }
 
+  /** ECMA-376 §18.8.30 builtin date/time numFmtIds. */
+  private val builtinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** A custom format code is a DATE format when it carries y/m/d/h/s
+    * tokens outside quoted literals, [bracket] sections and escapes —
+    * the same heuristic openpyxl/pandas apply ("mm-dd-yy" yes,
+    * "#,##0.00" no, "[Red]0.0" no, "\"hours\" 0" no).
+    */
+  private[sources] def isDateFormatCode(code: String): Boolean = {
+    val bare = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    bare.exists(c => "ymdhsYMDHS".indexOf(c.toInt) >= 0)
+  }
+
+  /** styles.xml → the set of cellXfs style INDEXES (what a cell's `s`
+    * attribute references) whose number format is a date/time format.
+    */
+  private[sources] def dateStyleIndexes(styles: Array[Byte]): Set[Int] =
+    withReader(styles) { r =>
+      val customDate = mutable.Set.empty[Int]
+      val xfFmts = mutable.ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              for (id <- attr(r, "numFmtId"); code <- attr(r, "formatCode"))
+                if (isDateFormatCode(code)) customDate += id.toInt
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfFmts += attr(r, "numFmtId").map(_.toInt).getOrElse(0)
+            case _ => ()
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ => ()
+      }
+      xfFmts.zipWithIndex.collect {
+        case (fmt, i) if builtinDateFmts(fmt) || customDate(fmt) => i
+      }.toSet
+    }
+
+  /** Excel serial → ISO string. Epoch 1899-12-30 (1899-12-31 below 61:
+    * the Lotus leap bug makes serials 1-59 one day "ahead" of the modern
+    * epoch; 60, the phantom 1900-02-29, lands on Mar 1 — the documented
+    * convention). Time component rounds to whole seconds; a midnight
+    * result renders date-only, matching pandas' Timestamp repr for
+    * date-styled cells.
+    */
+  private[sources] def serialToIso(text: String): String = {
+    val d = text.toDouble
+    val days = math.floor(d).toLong
+    val secs = math.round((d - days) * 86400.0)
+    val epoch = if (days < 61) java.time.LocalDate.of(1899, 12, 31)
+                else java.time.LocalDate.of(1899, 12, 30)
+    val dt = epoch.plusDays(days).atStartOfDay.plusSeconds(secs)
+    if (dt.toLocalTime == java.time.LocalTime.MIDNIGHT) dt.toLocalDate.toString
+    else dt.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** "A1:B3" → (row1, col1, row2, col2), 0-based inclusive. */
+  private[sources] def parseRange(ref: String): (Int, Int, Int, Int) = {
+    val Array(a, b) = ref.split(":", 2)
+    def cell(s: String): (Int, Int) =
+      (s.dropWhile(_.isLetter).toInt - 1, colIndex(s))
+    val ((r1, c1), (r2, c2)) = (cell(a), cell(b))
+    (r1, c1, r2, c2)
+  }
+
   /** sharedStrings.xml → interned strings; rich-text runs concatenated. */
   private def sharedStrings(sst: Array[Byte]): IndexedSeq[String] =
     withReader(sst) { r =>
@@ -136,16 +221,21 @@ object Xlsx {
       out.toIndexedSeq
     }
 
-  /** One worksheet's `<sheetData>` → dense rows of nullable strings.
-    * Gap rows (r jumps) materialize as all-null rows, matching pandas.
+  /** One worksheet's `<sheetData>` → dense rows of nullable strings, plus
+    * the sheet's merged ranges (0-based inclusive). Gap rows (r jumps)
+    * materialize as all-null rows, matching pandas. Numeric cells whose
+    * style index is in `dateStyles` render as ISO date strings.
     */
-  private def sheetRows(ws: Array[Byte], sst: IndexedSeq[String]): Seq[Array[String]] =
+  private def sheetRows(ws: Array[Byte], sst: IndexedSeq[String],
+      dateStyles: Set[Int]): (Seq[Array[String]], Seq[(Int, Int, Int, Int)]) =
     withReader(ws) { r =>
       val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[String]]
+      val merges = mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
       var row: mutable.ArrayBuffer[String] = null
       var lastRowNum = 0
       var col = -1
       var cellType = ""
+      var cellStyle = -1
       val text = new StringBuilder
       var capture = false
       var maxW = 0
@@ -167,8 +257,12 @@ object Xlsx {
             case "c" =>
               col = attr(r, "r").map(colIndex).getOrElse(col + 1)
               cellType = attr(r, "t").getOrElse("n")
+              cellStyle = attr(r, "s").flatMap(_.toIntOption).getOrElse(-1)
               text.clear()
             case "v" | "t" => capture = true
+            case "mergeCell" =>
+              attr(r, "ref").filter(_.contains(":")).foreach(ref =>
+                merges += parseRange(ref))
             case _         => ()
           }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if capture =>
@@ -181,7 +275,12 @@ object Xlsx {
                 case "s"         => sst(text.toString.trim.toInt)
                 case "b"         => if (text.toString.trim == "1") "true" else "false"
                 case "e"         => null
-                case _           => if (text.isEmpty) null else text.toString
+                case _           =>
+                  if (text.isEmpty) null
+                  else if (dateStyles(cellStyle) &&
+                      text.toString.trim.toDoubleOption.isDefined)
+                    serialToIso(text.toString.trim)
+                  else text.toString
               }
               if (v != null) {
                 while (row.length < col) row += null
@@ -195,29 +294,45 @@ object Xlsx {
           }
         case _ => ()
       }
-      rows.map { rw => // pad to the widest row
+      val dense = rows.map { rw => // pad to the widest row
         val a = new Array[String](maxW)
         var i = 0
         while (i < rw.length) { a(i) = rw(i); i += 1 }
         a
       }.toSeq
+      (dense, merges.toSeq)
     }
 
   /** Parse a whole workbook from its zip entries. The accessor returns an
     * entry's bytes by name (both zip backends below route through this).
     */
-  private def parse(get: String => Option[Array[Byte]]): Seq[RawSheet] = {
+  private def parse(get: String => Option[Array[Byte]],
+      fillMerged: Boolean = false): Seq[RawSheet] = {
     val wb = get("xl/workbook.xml")
       .getOrElse(throw new IllegalArgumentException("not an xlsx: no xl/workbook.xml"))
     val rels = get("xl/_rels/workbook.xml.rels")
       .getOrElse(throw new IllegalArgumentException("not an xlsx: no workbook rels"))
     val sst = get("xl/sharedStrings.xml").map(sharedStrings).getOrElse(IndexedSeq.empty)
+    val dateStyles = get("xl/styles.xml").map(dateStyleIndexes).getOrElse(Set.empty)
     val targets = relTargets(rels)
     sheetRefs(wb).flatMap { case (name, rid) =>
       targets.get(rid).map { entry =>
         val ws = get(entry)
           .getOrElse(throw new IllegalArgumentException(s"missing worksheet part $entry"))
-        val all = sheetRows(ws, sst)
+        val (all, merges) = sheetRows(ws, sst, dateStyles)
+        if (fillMerged) merges.foreach { case (r1, c1, r2, c2) =>
+          // propagate the anchor (top-left) value over its merged range —
+          // cells outside the materialized grid stay absent (a merge can
+          // legally extend past the last populated row/column)
+          if (r1 < all.length && c1 < all(r1).length) {
+            val v = all(r1)(c1)
+            if (v != null)
+              for (ri <- r1 to math.min(r2, all.length - 1);
+                   ci <- c1 to math.min(c2, all(ri).length - 1)
+                   if all(ri)(ci) == null)
+                all(ri)(ci) = v
+          }
+        }
         val header = all.headOption.map(_.toSeq).getOrElse(Seq.empty)
           .zipWithIndex.map { case (h, i) => if (h == null) s"Unnamed: $i" else h }
         RawSheet(name, header, all.drop(1))
@@ -228,17 +343,17 @@ object Xlsx {
   /** Parse from a local file path (random-access zip — only the needed
     * entries are decompressed; styles/themes/customXml are skipped).
     */
-  def readRaw(localPath: String): Seq[RawSheet] = {
+  def readRaw(localPath: String, fillMerged: Boolean = false): Seq[RawSheet] = {
     val zf = new ZipFile(localPath)
-    try parse { name =>
+    try parse({ name =>
       Option(zf.getEntry(name)).map(e => readAll(zf.getInputStream(e)))
-    } finally zf.close()
+    }, fillMerged) finally zf.close()
   }
 
   /** Parse from in-memory bytes (executor path / remote filesystems): one
     * sequential pass buffers only the OOXML parts the parser consumes.
     */
-  def readRawBytes(bytes: Array[Byte]): Seq[RawSheet] = {
+  def readRawBytes(bytes: Array[Byte], fillMerged: Boolean = false): Seq[RawSheet] = {
     val wanted = mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
@@ -246,12 +361,13 @@ object Xlsx {
       while (e != null) {
         val n = e.getName
         if (n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
-            n == "xl/sharedStrings.xml" || n.startsWith("xl/worksheets/"))
+            n == "xl/sharedStrings.xml" || n == "xl/styles.xml" ||
+            n.startsWith("xl/worksheets/"))
           wanted(n) = readAll(zin)
         e = zin.getNextEntry
       }
     } finally zin.close()
-    parse(wanted.get)
+    parse(wanted.get, fillMerged)
   }
 
   private def readAll(in: InputStream): Array[Byte] = {
@@ -263,12 +379,13 @@ object Xlsx {
     * Resource workbooks are megabytes; a driver-side read is the same
     * shape as the reference's `pd.read_excel`.
     */
-  def readSheets(spark: SparkSession, path: String): Seq[RawSheet] = {
+  def readSheets(spark: SparkSession, path: String,
+      fillMerged: Boolean = false): Seq[RawSheet] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    readRawBytes(bytes)
+    readRawBytes(bytes, fillMerged)
   }
 
   /** `pd.read_excel(path, sheet_name=None)`: every sheet as a DataFrame

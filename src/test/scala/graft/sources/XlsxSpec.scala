@@ -79,6 +79,65 @@ class XlsxSpec extends SparkSpec {
     assert(flags.rows.map(_.head).toSeq == Seq("true", "false"))
   }
 
+  /** Workbook with a styles part (builtin date style, custom date numFmt,
+    * plain number style) and a merged header block — the r17 surface.
+    */
+  private def styledXlsx(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes(UTF_8))
+      z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Log" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    // styles: xf 0 = General, xf 1 = builtin date (14), xf 2 = custom date
+    // (164 "yyyy\"y\" mm dd"), xf 3 = custom NON-date (165 "#,##0.00")
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy-mm-dd hh:mm"/>""" +
+        """<numFmt numFmtId="165" formatCode="#,##0.00"/></numFmts>""" +
+        """<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>""" +
+        """<xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+    // B1:C1 merged header span; 45000 = 2023-03-15; 45000.5 = noon
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c><c r="B1" t="inlineStr"><is><t>when</t></is></c><c r="D1" t="inlineStr"><is><t>amt</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="B2" s="1"><v>45000</v></c><c r="C2" s="2"><v>45000.5</v></c><c r="D2" s="3"><v>1234.5</v></c></row>""" +
+        """</sheetData><mergeCells count="1"><mergeCell ref="B1:C1"/></mergeCells></worksheet>""")
+    z.close()
+    bos.toByteArray
+  }
+
+  test("date styles render ISO strings; non-date styles stay raw; merged " +
+      "cells default to pandas parity and fill on request") {
+    // pandas parity (default): anchor-only merge, date-styled serials ISO
+    val sheet = Xlsx.readRawBytes(styledXlsx()).head
+    assert(sheet.header == Seq("id", "when", "Unnamed: 2", "amt"))
+    assert(sheet.rows(0).toSeq ==
+      Seq("1", "2023-03-15", "2023-03-15 12:00:00", "1234.5"))
+    // opt-in merge fill: the header span propagates the anchor label
+    val filled = Xlsx.readRawBytes(styledXlsx(), fillMerged = true).head
+    assert(filled.header == Seq("id", "when", "when", "amt"))
+    // serial arithmetic: leap-bug epochs and second rounding
+    assert(Xlsx.serialToIso("1") == "1900-01-01")
+    assert(Xlsx.serialToIso("59") == "1900-02-28")
+    assert(Xlsx.serialToIso("61") == "1900-03-01")
+    assert(Xlsx.serialToIso("45000.25") == "2023-03-15 06:00:00")
+    // format-code heuristic: quoted/bracket sections don't fake a date
+    assert(Xlsx.isDateFormatCode("mm-dd-yy"))
+    assert(Xlsx.isDateFormatCode("[$-409]h:mm AM/PM"))
+    assert(!Xlsx.isDateFormatCode("#,##0.00"))
+    assert(!Xlsx.isDateFormatCode("\"hours\" 0"))
+    assert(!Xlsx.isDateFormatCode("[Red]0.0"))
+    assert(Xlsx.parseRange("B1:C3") == (0, 1, 2, 2))
+  }
+
   test("applySchema casts by name; float-formatted ints and junk coerce") {
     import org.apache.spark.sql.types._
     val raw = Xlsx.readRawBytes(miniXlsx()).head.toDF(spark)
