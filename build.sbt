@@ -31,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (still SPARK_DRIVER_MEM-overridable): the bench JVM is
+  // driver+executor in one on a 128 GiB box — 8g left the block manager
+  // and the 32-way codec/codegen churn fighting G1 late in the 264-query
+  // run. Codegen emits hundreds of generated classes across the suite;
+  // 512m code cache (default 240m) keeps the JIT from silently dropping
+  // to interpreted mode near the end of the alphabet.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

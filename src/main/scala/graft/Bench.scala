@@ -67,6 +67,16 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop per-query persist()ed intermediates
+      // clearCache only covers the SQL cache; localCheckpoint blocks (the
+      // iterative kernels and sortOnce cuts) are plain persistent RDDs that
+      // otherwise linger until a GC lets the async ContextCleaner get to
+      // them — r17 measurement: the query AFTER a checkpoint-heavy one ran
+      // up to 4× slow (events_anomaly 4.6 s in-suite vs 1.0 s standalone)
+      // while the block manager drained. BLOCKING unpersist drains them
+      // here, off-clock, so no query is timed against its predecessor's
+      // debris.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       if (ok) sec else -1.0
     }
 

@@ -125,34 +125,49 @@ object Graph {
     // a LogicalRDD (each round references the rank vector three times, so
     // an un-truncated lineage grows ~3^k and chokes planning/explain long
     // before data does) and keeps the node hash layout; predecessors are
-    // reclaimed by the ContextCleaner once unreferenced
+    // reclaimed by the ContextCleaner once unreferenced.
+    //
+    // The vector carries the LOOP-INVARIANT per-node terms — teleport
+    // weight and out-degree — alongside the rank (r17, guide §2.4): the
+    // old shape re-joined ranks⋈outdeg and ranks⋈tele EVERY round, and
+    // the outdeg join was evaluated twice per round (once under the
+    // dangling-mass broadcast, once under the contribution transpose).
+    // With (tele, deg) riding the checkpointed vector, a round is exactly
+    // one edges join + one groupBy(dst) exchange + one vector⋈contribs
+    // join; the dangling mass is a plain 1-stage aggregate over the
+    // checkpointed vector (no join at all). The update arithmetic is
+    // unchanged term for term. The per-round explicit repartition is also
+    // gone: the vector⋈contribs join streams the vector side, so its
+    // hash(node) layout survives into the checkpoint without an extra
+    // exchange.
+    val base = tele.join(outdeg, col("node") === col("deg_src"), "left")
+      .select(col("node"), col("tele"), col("deg"))
     var ranks = (init match {
       case Some(r0) =>
-        tele.join(r0.select(col("node").cast("long").as("__inode"),
+        base.join(r0.select(col("node").cast("long").as("__inode"),
             col("rank").cast("double").as("__irank")),
           col("node") === col("__inode"), "left")
-          .select(col("node"), coalesce(col("__irank"), col("tele")).as("rank"))
-      case None => tele.select(col("node"), col("tele").as("rank"))
+          .select(col("node"), col("tele"), col("deg"),
+            coalesce(col("__irank"), col("tele")).as("rank"))
+      case None => base.withColumn("rank", col("tele"))
     }).repartition(col("node")).cutLineage()
     (1 to iterations).foreach { _ =>
-      val withDeg = ranks.join(outdeg, col("node") === col("deg_src"), "left")
-      val dangling = withDeg.filter(col("deg").isNull)
+      val dangling = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val contribs = withDeg.filter(col("deg").isNotNull)
+      val contribs = ranks.filter(col("deg").isNotNull)
         .join(edges, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
-      val next = tele
-        .join(contribs, tele("node") === contribs("dst"), "left")
+      val next = ranks
+        .join(contribs, ranks("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(tele("node"),
+        .select(ranks("node"), ranks("tele"), ranks("deg"),
           (lit(1 - damping) * col("tele") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("tele"))).as("rank"))
-        .repartition(col("node"))
         .cutLineage()
       ranks = next
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** HITS (Kleinberg) hubs & authorities — the other classic link-analysis
@@ -187,9 +202,16 @@ object Graph {
 
     var hub = nodes.select(col("node"), lit(1.0 / n).as("hub")).cutLineage()
     var auth: DataFrame = null
+    // each half-step cuts the RAW transpose once (r17): the normalization
+    // total and the node-aligned join both consume it, and without the cut
+    // the hub⋈edges join + groupBy ran TWICE per half-step (once under the
+    // broadcast total, once under the vector join). The cut frame is one
+    // row per scored node — tiny — and the follow-on aggregate/join read
+    // the materialized blocks.
     (1 to iterations).foreach { _ =>
       val rawAuth = hub.join(edges, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum("hub").as("a"))
+        .cutLineage()
       val aTot = rawAuth.agg(sum("a").as("atot"))
       auth = nodes.join(rawAuth, nodes("node") === rawAuth("dst"), "left")
         .crossJoin(broadcast(aTot))
@@ -199,6 +221,7 @@ object Graph {
         .cutLineage()
       val rawHub = auth.join(edges, col("node") === col("dst"))
         .groupBy(col("src")).agg(sum("auth").as("hh"))
+        .cutLineage()
       val hTot = rawHub.agg(sum("hh").as("htot"))
       hub = nodes.join(rawHub, nodes("node") === rawHub("src"), "left")
         .crossJoin(broadcast(hTot))

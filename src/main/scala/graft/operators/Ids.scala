@@ -26,6 +26,19 @@ object Ids {
       row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("bigint"))
 
   def distributedSequentialIds(df: DataFrame, orderCols: Seq[String], idCol: String): DataFrame = {
+    // materialize the INPUT before the range exchange: repartitionByRange
+    // needs range bounds, and the RangePartitioner's sampling job executes
+    // the input plan once BEFORE the shuffle executes it again — for the
+    // flagship 48-column join tree that doubled the whole query (r17
+    // measurement: etl_visitor_project_distributed 8.6 s median, the join
+    // tree + clean-string projection evaluated twice). A persist() bounds
+    // the extra memory to one transient copy: the eager sorted checkpoint
+    // below is the last consumer, so the cache is dropped as soon as it
+    // lands. At cluster scale this is "write the intermediate before
+    // sampling it" (guide §1.4/§3.3 — materialize before a plan-repeating
+    // exchange).
+    val input = df.persist()
+    input.count() // eager: the sample job and the shuffle read one cache
     // range-partition by the order key so partition order == global order.
     // localCheckpoint PINS the partitioning: both consumers below (the
     // offsets aggregation and the final join) read the SAME materialized
@@ -34,10 +47,11 @@ object Ids {
     // inner join on __pid across two different partitionings silently
     // DROPS every row whose pid only exists on one side (caught by the
     // etl_visitor_project_distributed shared oracle at sf0.1).
-    val sorted = df.repartitionByRange(orderCols.map(col): _*)
+    val sorted = input.repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    input.unpersist() // checkpoint landed; the lineage is cut
     // per-partition counts → cumulative offsets (tiny: one row per partition)
     val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__offset",

@@ -77,6 +77,9 @@ object Steady {
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // match Bench: blocking-drain checkpoint/persist blocks off-clock
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       sec
     }
     def timeQuery(name: String): Seq[Double] = {

@@ -21,6 +21,9 @@ object Time {
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // match Bench: blocking-drain checkpoint/persist blocks off-clock
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         sec
       }
       println(f"[$name] " + times.map(t => f"$t%.2f").mkString(" "))
