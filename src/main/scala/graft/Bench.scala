@@ -49,7 +49,26 @@ object Bench {
     val warm  = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1"
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
 
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Hypervisor steal clock (r17 finding): /proc/stat's 8th cpu field in
+    // jiffies. The box episodically loses ALL vCPUs for ~2 s bursts (~60
+    // CPU-s of steal observed inside one 20 s window) and a CPU-saturated
+    // 32-task stage then runs 3-8× its quiet time while the GUEST's
+    // thread-CPU clocks keep ticking — which is exactly why r16's "wild
+    // family" looked like engine churn: wall ≈ task-CPU ≈ inflated, GC
+    // clean. Per-run steal deltas travel in the artifact (steal_detail)
+    // so an over-band run adjudicates as steal (delta >> 0) vs regression
+    // (delta ≈ 0) mechanically, per run, without re-running anything.
+    def stealJiffies: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().take(1).toSeq.headOption
+          .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+          .getOrElse(-1L)
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val s0 = stealJiffies
       val t0 = System.nanoTime()
       val ok =
         // toRdd.count(), NOT count(): count() wraps the query in a new
@@ -66,6 +85,7 @@ object Bench {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val stealDelta = { val s1 = stealJiffies; if (s0 < 0 || s1 < 0) -1L else s1 - s0 }
       spark.catalog.clearCache() // drop per-query persist()ed intermediates
       // clearCache only covers the SQL cache; localCheckpoint blocks (the
       // iterative kernels and sortOnce cuts) are plain persistent RDDs that
@@ -77,7 +97,7 @@ object Bench {
       // debris.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      if (ok) sec else -1.0
+      (if (ok) sec else -1.0, stealDelta)
     }
 
     // Locale.ROOT formatting for every number that lands in the JSON —
@@ -89,18 +109,21 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
 
     val loadStart = loadAvg
+    val stealStart = stealJiffies
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val loadBefore = loadAvg
       // warm pass: untimed-for-the-headline but RECORDED — the cold/warm
       // gap is itself adjudication evidence (a query whose cold run is 7×
       // its warm median has an index build, not a regression)
-      val cold = if (warm) timeOnce(name, fn) else Double.NaN
-      val times =
-        if (warm && cold < 0) Seq.empty[Double] // failed warm ⇒ failed query
+      val (cold, coldSteal) = if (warm) timeOnce(name, fn) else (Double.NaN, -1L)
+      val runPairs =
+        if (warm && cold < 0) Seq.empty[(Double, Long)] // failed warm ⇒ failed query
         else (1 to runs).iterator
           .map(_ => timeOnce(name, fn))
-          .takeWhile(_ >= 0) // a failed run fails the query; don't re-run
+          .takeWhile(_._1 >= 0) // a failed run fails the query; don't re-run
           .toSeq
+      val times  = runPairs.map(_._1)
+      val steals = runPairs.map(_._2)
       val loadAfter = loadAvg
       System.gc() // let ContextCleaner reap broadcasts/shuffles off-clock
       val value =
@@ -112,9 +135,9 @@ object Bench {
           // at runs=2)
           if (runs % 2 == 1) s(runs / 2) else (s(runs / 2 - 1) + s(runs / 2)) / 2.0
         }
-      (name, value, times, cold, loadBefore, loadAfter)
+      (name, value, times, cold, loadBefore, loadAfter, steals, coldSteal)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-run evidence travels IN the artifact (r15 adjudication gap: a
     // 30 s MEDIAN of 3 cannot be told apart from "one 80 s GC run + two
@@ -126,17 +149,27 @@ object Bench {
     // contention (load ramped) vs regression (quiet box, every run
     // slow) without a re-run.
     val runsDetail = results
-      .map { case (k, _, ts, _, _, _) =>
+      .map { case (k, _, ts, _, _, _, _, _) =>
         "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val coldDetail = results
-      .map { case (k, _, _, c, _, _) =>
+      .map { case (k, _, _, c, _, _, _, _) =>
         "\"" + k + "\":" + (if (c.isNaN) "null" else num(c))
       }.mkString("{", ",", "}")
     val loadDetail = results
-      .map { case (k, _, _, _, lb, la) => s""""$k":[${num(lb)},${num(la)}]""" }
+      .map { case (k, _, _, _, lb, la, _, _) => s""""$k":[${num(lb)},${num(la)}]""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
+    // per-run hypervisor steal deltas (jiffies), aligned with runs_detail;
+    // steal_cold aligns with cold_detail — the per-run contention evidence
+    // VERDICT r16 asked the artifact itself to carry
+    val stealDetail = results
+      .map { case (k, _, _, _, _, _, st, _) =>
+        "\"" + k + "\":" + st.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val stealColdDetail = results
+      .map { case (k, _, _, _, _, _, _, cs) => "\"" + k + "\":" + cs }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _, _, _, _) if v >= 0 => v }.sum
     // Host 1-minute load average at end of run: CPU contention from
     // neighboring JVMs inflates multi-stage shuffle queries superlinearly
     // (measured: 2× oversubscription ⇒ 2.5× on the shingle-dedup queries,
@@ -146,7 +179,7 @@ object Bench {
     // with failed queries (the -1.0 convention), so a consumer checking the
     // exit code alone must still see partial-suite failure in the JSON.
     val nFailed = results.count(_._2 < 0)
-    val failedNames = results.collect { case (k, v, _, _, _, _) if v < 0 => k }
+    val failedNames = results.collect { case (k, v, _, _, _, _, _, _) if v < 0 => k }
     // provenance stamp: the r14 driver artifact overwrote the working
     // tree's bench_last.json and readers mistook whose run it was — the
     // producer travels IN the JSON (driver leaves the env unset)
@@ -154,10 +187,12 @@ object Bench {
     val common = s""""unit":"sec","sf":"$sfDir","runs":$runs,"warm":$warm,""" +
       s""""n_queries":${results.length},"n_failed":$nFailed,""" +
       s""""load_avg":${num(load)},"load_avg_start":${num(loadStart)},""" +
+      s""""steal_total_jiffies":${if (stealStart < 0) -1L else stealJiffies - stealStart},""" +
       s""""producer":"$producer""""
     val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
       s""""runs_detail":$runsDetail,"cold_detail":$coldDetail,""" +
-      s""""load_detail":$loadDetail}"""
+      s""""load_detail":$loadDetail,"steal_detail":$stealDetail,""" +
+      s""""steal_cold":$stealColdDetail}"""
     // The full artifact goes to the FILE (survives any stdout mangling);
     // stdout gets a compact line sized to the driver's 2000-char tail
     // capture, carrying per-run arrays for the 8 slowest queries — the
@@ -165,8 +200,9 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
-      .map { case (k, _, ts, _, _, _) =>
-        "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
+      .map { case (k, _, ts, _, _, _, st, _) =>
+        "\"" + k + "\":{\"s\":" + ts.map(num).mkString("[", ",", "]") +
+          ",\"steal\":" + st.mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     var compact = s"""{"metric":"total","value":${num(total)},$common,""" +

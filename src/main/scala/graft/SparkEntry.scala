@@ -351,15 +351,50 @@ object SparkEntry {
     * the listing key generalizes to the table's snapshot/commit id
     * (the changelog family's landed-batch convention).
     */
-  private[graft] def ensureIndex(s: SparkSession, corpus: DataFrame, kind: String,
-      marker: String)(write: String => Unit): String = {
+  /** Session memo for [[ensureIndex]]'s content fingerprint: the (count,
+    * bit_xor) aggregate is a full corpus scan, and every index-backed query
+    * re-derived it PER CALL — four times per query under Bench's warm +
+    * median-of-3, ~47 call sites. The memo key is the corpus frame's
+    * analyzed-plan semantic hash plus the [[listingKey]] (names + sizes) of
+    * every file-source root the plan reads — the same O(listing) freshness
+    * model `fixturePathMemo` and the crawl-scheduling index already use, so
+    * an in-place fixture regeneration (new sizes/names) re-fingerprints
+    * instead of serving a stale key. Corpora with no file source (derived /
+    * in-memory frames) skip the memo and scan as before. At 100 TB this is
+    * the difference between an O(listing) freshness check and a corpus
+    * scan per scheduling decision — the r16-blessed pattern, now applied
+    * to every content-keyed index.
+    */
+  private val fingerprintMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def fingerprintScan(corpus: DataFrame): (Long, Long) = {
     val agg = corpus
       .select(xxhash64(corpus.columns.map(col): _*).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
       .first()
     // bit_xor over zero rows is NULL — an empty corpus fingerprints as 0
     // instead of NPEing (the count-only predecessor handled empty fine)
-    val (n, fp) = (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+    (agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+  }
+
+  private[graft] def ensureIndex(s: SparkSession, corpus: DataFrame, kind: String,
+      marker: String)(write: String => Unit): String = {
+    val analyzed = corpus.queryExecution.analyzed
+    val roots: Seq[String] = analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    val (n, fp) =
+      if (roots.isEmpty) fingerprintScan(corpus) // non-file corpus: no safe key
+      else fingerprintMemo.computeIfAbsent(
+        s"$kind|${analyzed.semanticHash()}|" +
+          roots.sorted.map(r => s"$r=${listingKey(s, r)}").mkString(","),
+        _ => fingerprintScan(corpus))
     ensureIndexNamed(s, kind, f"n${n}_x$fp%016x", marker)(write)
   }
 

@@ -72,20 +72,33 @@ object Steady {
       }
 
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
-    def timeOnce(name: String): Double = {
+    // hypervisor steal clock (see Bench.stealJiffies): per-run deltas land
+    // in each band so a wide band self-adjudicates as steal vs regression
+    def stealJiffies: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().take(1).toSeq.headOption
+          .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+          .getOrElse(-1L)
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def timeOnce(name: String): (Double, Long) = {
+      val s0 = stealJiffies
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val sd = { val s1 = stealJiffies; if (s0 < 0 || s1 < 0) -1L else s1 - s0 }
       spark.catalog.clearCache()
       // match Bench: blocking-drain checkpoint/persist blocks off-clock
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      sec
+      (sec, sd)
     }
-    def timeQuery(name: String): Seq[Double] = {
+    def timeQuery(name: String): (Seq[Double], Seq[Long]) = {
       val warm = timeOnce(name)
-      val rest = if (warm < lightCut) lightRuns - 1 else runs - 1
-      warm +: (1 to rest).map(_ => timeOnce(name))
+      val rest = if (warm._1 < lightCut) lightRuns - 1 else runs - 1
+      val all = warm +: (1 to rest).map(_ => timeOnce(name))
+      (all.map(_._1), all.map(_._2))
     }
 
     // canary FIRST: its run-1 JIT absorbs session warmup off the heavy
@@ -94,9 +107,9 @@ object Steady {
     // could emit a comma decimal separator and corrupt the JSON
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val canary = timeQuery("s1_scan_project")
+    val canary = timeQuery("s1_scan_project")._1
     val rows = heavy.map { name =>
-      val ts = timeQuery(name)
+      val (ts, steals) = timeQuery(name)
       System.gc()
       val steady = ts.drop(1).sorted // run 1 = JIT/codegen warmup, dropped
       val median =
@@ -105,7 +118,8 @@ object Steady {
       System.err.println(f"[steady] $name%-40s median $median%.2f " +
         f"band ${steady.head}%.2f-${steady.last}%.2f (run1 ${ts.head}%.2f)")
       val runsJson = ts.map(num).mkString("[", ",", "]")
-      s""""$name":{"median":${num(median)},"min":${num(steady.head)},"max":${num(steady.last)},"runs":$runsJson}"""
+      val stealJson = steals.mkString("[", ",", "]")
+      s""""$name":{"median":${num(median)},"min":${num(steady.head)},"max":${num(steady.last)},"runs":$runsJson,"steal":$stealJson}"""
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
