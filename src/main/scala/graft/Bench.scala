@@ -34,12 +34,16 @@ package graft
   *   - stdout: ONE COMPACT JSON line, guaranteed < 2000 chars — headline
   *     total, counts, load, and per-run arrays for the `slowest` 8
   *     queries (the ones adjudication actually asks about);
-  *   - `bench_last.json`: the FULL artifact — per-query medians
-  *     (`queries`), every raw run in execution order (`runs_detail`),
-  *     the untimed first-pass seconds (`cold_detail`), and host load
-  *     sampled before/after each query (`load_detail`). This file is
-  *     what a judge should read; the stdout line exists to make the
-  *     driver's tail capture parse.
+  *   - `bench_last.json` AND `bench_last_c<cpus>.json` (identical
+  *     content; the per-cpus twin stops a second driver run at a lower
+  *     core count from overwriting the first's per-query detail): the
+  *     FULL artifact — per-query medians (`queries`), every raw run in
+  *     execution order (`runs_detail`), the untimed first-pass seconds
+  *     (`cold_detail`), and the per-run adjudication triple aligned with
+  *     `runs_detail`: hypervisor steal (`steal_detail`), JVM GC ms
+  *     (`gc_detail`), host 1-min load at each run's end (`load_runs`).
+  *     These files are what a judge should read; the stdout line exists
+  *     to make the driver's tail capture parse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,8 +71,31 @@ object Bench {
         finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1L }
 
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // Cumulative JVM GC time (ms) across all collectors: per-run deltas
+    // complete the adjudication triple (steal / GC / load) — an over-band
+    // run with steal ≈ 0 AND gc ≈ 0 AND a flat load is the engine's
+    // fault; any one of them non-zero names the external cause in the
+    // artifact itself (VERDICT r17 #1: several 3-15× outliers carried
+    // near-zero steal and the artifact had nothing else to consult).
+    def gcMillis: Long =
+      try {
+        val it = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.iterator()
+        var sum = 0L
+        while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) sum += t }
+        sum
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    // one timed execution: seconds, plus the per-run adjudication triple
+    // (steal jiffies, GC ms, host 1-min load at run end)
+    case class Run(sec: Double, steal: Long, gc: Long, load: Double)
+
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       val s0 = stealJiffies
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
         // toRdd.count(), NOT count(): count() wraps the query in a new
@@ -86,6 +113,8 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val stealDelta = { val s1 = stealJiffies; if (s0 < 0 || s1 < 0) -1L else s1 - s0 }
+      val gcDelta = { val g1 = gcMillis; if (g0 < 0 || g1 < 0) -1L else g1 - g0 }
+      val loadEnd = loadAvg
       spark.catalog.clearCache() // drop per-query persist()ed intermediates
       // clearCache only covers the SQL cache; localCheckpoint blocks (the
       // iterative kernels and sortOnce cuts) are plain persistent RDDs that
@@ -95,9 +124,19 @@ object Bench {
       // while the block manager drained. BLOCKING unpersist drains them
       // here, off-clock, so no query is timed against its predecessor's
       // debris.
+      //
+      // INVARIANT (the reason the blanket sweep is safe, including for
+      // locally-checkpointed RDDs whose truncated lineage cannot
+      // recompute them — Spark WARNs about exactly that): no DataFrame,
+      // cached table or checkpoint is ever shared ACROSS queries in this
+      // session — every query function builds its frames from the sfDir
+      // parquet inputs, and `ensureIndex` state lives on DISK, not in
+      // RDD blocks. Any future session-level cached frame would break
+      // this sweep (its next use would fail to recompute) — keep
+      // cross-query state on disk, never in the block manager.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      (if (ok) sec else -1.0, stealDelta)
+      Run(if (ok) sec else -1.0, stealDelta, gcDelta, loadEnd)
     }
 
     // Locale.ROOT formatting for every number that lands in the JSON —
@@ -105,71 +144,62 @@ object Bench {
     // corrupt the artifact (the tools/Steady lesson)
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    case class QRes(name: String, value: Double, runsD: Seq[Run],
+      cold: Run, loadBefore: Double)
 
     val loadStart = loadAvg
     val stealStart = stealJiffies
+    val noRun = Run(Double.NaN, -1L, -1L, Double.NaN)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val loadBefore = loadAvg
       // warm pass: untimed-for-the-headline but RECORDED — the cold/warm
       // gap is itself adjudication evidence (a query whose cold run is 7×
       // its warm median has an index build, not a regression)
-      val (cold, coldSteal) = if (warm) timeOnce(name, fn) else (Double.NaN, -1L)
-      val runPairs =
-        if (warm && cold < 0) Seq.empty[(Double, Long)] // failed warm ⇒ failed query
+      val cold = if (warm) timeOnce(name, fn) else noRun
+      val runsD =
+        if (warm && cold.sec < 0) Seq.empty[Run] // failed warm ⇒ failed query
         else (1 to runs).iterator
           .map(_ => timeOnce(name, fn))
-          .takeWhile(_._1 >= 0) // a failed run fails the query; don't re-run
+          .takeWhile(_.sec >= 0) // a failed run fails the query; don't re-run
           .toSeq
-      val times  = runPairs.map(_._1)
-      val steals = runPairs.map(_._2)
-      val loadAfter = loadAvg
       System.gc() // let ContextCleaner reap broadcasts/shuffles off-clock
       val value =
-        if (times.length < runs) -1.0
+        if (runsD.length < runs) -1.0
         else {
-          val s = times.sorted
+          val s = runsD.map(_.sec).sorted
           // true median: middle element odd, mean of the two middles even
           // (picking s(runs/2) for even runs would report the WORST run
           // at runs=2)
           if (runs % 2 == 1) s(runs / 2) else (s(runs / 2 - 1) + s(runs / 2)) / 2.0
         }
-      (name, value, times, cold, loadBefore, loadAfter, steals, coldSteal)
+      QRes(name, value, runsD, cold, loadBefore)
     }
-    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
+    def detail(f: QRes => String): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = results.map(r => "\"" + r.name + "\":" + r.value)
       .mkString("{", ",", "}")
     // Per-run evidence travels IN the artifact (r15 adjudication gap: a
     // 30 s MEDIAN of 3 cannot be told apart from "one 80 s GC run + two
     // 2 s runs" from the median alone). `runs_detail` is each query's
     // raw run array in execution order; `cold_detail` the untimed warm
-    // pass; `load_detail` the host 1-minute load sampled immediately
-    // before and after that query's runs — the tools/Steady canary
-    // discipline, so an over-band number can be adjudicated as
-    // contention (load ramped) vs regression (quiet box, every run
-    // slow) without a re-run.
-    val runsDetail = results
-      .map { case (k, _, ts, _, _, _, _, _) =>
-        "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
-    val coldDetail = results
-      .map { case (k, _, _, c, _, _, _, _) =>
-        "\"" + k + "\":" + (if (c.isNaN) "null" else num(c))
-      }.mkString("{", ",", "}")
-    val loadDetail = results
-      .map { case (k, _, _, _, lb, la, _, _) => s""""$k":[${num(lb)},${num(la)}]""" }
-      .mkString("{", ",", "}")
-    // per-run hypervisor steal deltas (jiffies), aligned with runs_detail;
-    // steal_cold aligns with cold_detail — the per-run contention evidence
-    // VERDICT r16 asked the artifact itself to carry
-    val stealDetail = results
-      .map { case (k, _, _, _, _, _, st, _) =>
-        "\"" + k + "\":" + st.mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
-    val stealColdDetail = results
-      .map { case (k, _, _, _, _, _, _, cs) => "\"" + k + "\":" + cs }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _, _, _, _) if v >= 0 => v }.sum
+    // pass; the adjudication triple rides beside it PER RUN:
+    // `steal_detail` (hypervisor steal jiffies), `gc_detail` (JVM GC ms),
+    // `load_runs` (host 1-min load at each run's end — r17's per-QUERY
+    // load_detail pair couldn't say WHICH run a load ramp hit). An
+    // over-band run adjudicates mechanically: steal ≫ 0 ⇒ hypervisor;
+    // gc ≫ 0 ⇒ memory pressure; load ramped ⇒ co-tenant; all quiet ⇒
+    // investigate the code.
+    val runsDetail = detail(_.runsD.map(r => num(r.sec)).mkString("[", ",", "]"))
+    val coldDetail = detail(r => if (r.cold.sec.isNaN) "null" else num(r.cold.sec))
+    val loadDetail = detail(r =>
+      s"[${num(r.loadBefore)},${num(r.runsD.lastOption.getOrElse(r.cold).load)}]")
+    val loadRuns = detail(_.runsD.map(r => num(r.load)).mkString("[", ",", "]"))
+    val stealDetail = detail(_.runsD.map(_.steal).mkString("[", ",", "]"))
+    val stealColdDetail = detail(_.cold.steal.toString)
+    val gcDetail = detail(_.runsD.map(_.gc).mkString("[", ",", "]"))
+    val gcColdDetail = detail(_.cold.gc.toString)
+    val total = results.collect { case r if r.value >= 0 => r.value }.sum
     // Host 1-minute load average at end of run: CPU contention from
     // neighboring JVMs inflates multi-stage shuffle queries superlinearly
     // (measured: 2× oversubscription ⇒ 2.5× on the shingle-dedup queries,
@@ -178,39 +208,54 @@ object Bench {
     // n_failed/n_queries travel IN the artifact: the process exits 0 even
     // with failed queries (the -1.0 convention), so a consumer checking the
     // exit code alone must still see partial-suite failure in the JSON.
-    val nFailed = results.count(_._2 < 0)
-    val failedNames = results.collect { case (k, v, _, _, _, _, _, _) if v < 0 => k }
+    val nFailed = results.count(_.value < 0)
+    val failedNames = results.collect { case r if r.value < 0 => r.name }
     // provenance stamp: the r14 driver artifact overwrote the working
     // tree's bench_last.json and readers mistook whose run it was — the
     // producer travels IN the JSON (driver leaves the env unset)
     val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
-    val common = s""""unit":"sec","sf":"$sfDir","runs":$runs,"warm":$warm,""" +
+    // both endpoints guarded: a failed END read used to subtract the
+    // (positive) start and record a huge bogus negative instead of the
+    // -1 sentinel
+    val stealEnd = stealJiffies
+    val stealTotal = if (stealStart < 0 || stealEnd < 0) -1L else stealEnd - stealStart
+    val common = s""""unit":"sec","sf":"$sfDir","cpus":$cpus,"runs":$runs,"warm":$warm,""" +
       s""""n_queries":${results.length},"n_failed":$nFailed,""" +
       s""""load_avg":${num(load)},"load_avg_start":${num(loadStart)},""" +
-      s""""steal_total_jiffies":${if (stealStart < 0) -1L else stealJiffies - stealStart},""" +
+      s""""steal_total_jiffies":$stealTotal,""" +
       s""""producer":"$producer""""
     val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
       s""""runs_detail":$runsDetail,"cold_detail":$coldDetail,""" +
-      s""""load_detail":$loadDetail,"steal_detail":$stealDetail,""" +
-      s""""steal_cold":$stealColdDetail}"""
-    // The full artifact goes to the FILE (survives any stdout mangling);
+      s""""load_detail":$loadDetail,"load_runs":$loadRuns,""" +
+      s""""steal_detail":$stealDetail,"steal_cold":$stealColdDetail,""" +
+      s""""gc_detail":$gcDetail,"gc_cold":$gcColdDetail}"""
+    // The full artifact goes to FILES (survives any stdout mangling):
+    // bench_last.json for continuity, PLUS a per-core-count twin —
+    // the driver benches the same tree at two $SPARK_GRAFT_CPUS values
+    // and the second run used to OVERWRITE the first's per-query detail
+    // (PERF_r17 lost the c32 table to the c8 run), so per-cpus files let
+    // both survive for the scaling comparison.
+    val detailFile = s"bench_last_c$cpus.json"
+    Seq("bench_last.json", detailFile).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     // stdout gets a compact line sized to the driver's 2000-char tail
-    // capture, carrying per-run arrays for the 8 slowest queries — the
-    // ones an over-band adjudication actually interrogates.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
-      .map { case (k, _, ts, _, _, _, st, _) =>
-        "\"" + k + "\":{\"s\":" + ts.map(num).mkString("[", ",", "]") +
-          ",\"steal\":" + st.mkString("[", ",", "]") + "}"
+    // capture, carrying per-run s/steal/gc arrays for the 8 slowest
+    // queries — the ones an over-band adjudication actually interrogates.
+    val slowest = results.filter(_.value >= 0).sortBy(-_.value).take(8)
+      .map { r =>
+        "\"" + r.name + "\":{\"s\":" + r.runsD.map(x => num(x.sec)).mkString("[", ",", "]") +
+          ",\"steal\":" + r.runsD.map(_.steal).mkString("[", ",", "]") +
+          ",\"gc\":" + r.runsD.map(_.gc).mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     var compact = s"""{"metric":"total","value":${num(total)},$common,""" +
-      s""""failed":$failedJson,"detail_file":"bench_last.json",""" +
+      s""""failed":$failedJson,"detail_file":"$detailFile",""" +
       s""""slowest":$slowest}"""
     if (compact.length > 1900) // never outgrow the tail capture
       compact = s"""{"metric":"total","value":${num(total)},$common,""" +
-        s""""detail_file":"bench_last.json"}"""
+        s""""detail_file":"$detailFile"}"""
     println(compact)
     spark.stop()
   }

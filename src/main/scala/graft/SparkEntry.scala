@@ -423,28 +423,33 @@ object SparkEntry {
     path
   }
 
-  /** O(listing) content key for a directory of landed files: count plus an
-    * md5 over the sorted (relative name, size) roster. This is the cache
-    * key an index derived from an INGESTED state should use — segment
-    * listings and hive batch dirs change whenever their content does (new
-    * files, rewritten sizes), so freshness never costs a byte of data
-    * read. `depth = 2` also walks one directory level (a hive-partitioned
-    * table's `batch_id=N/part-*.parquet` files).
+  /** O(listing) content key for a directory of landed files: total bytes
+    * plus an md5 over the sorted (relative name, size, mtime) roster.
+    * This is the cache key an index derived from an INGESTED state should
+    * use — segment listings and hive batch dirs change whenever their
+    * content does (new files, rewritten sizes), so freshness never costs
+    * a byte of data read. The MTIME rides in the roster because an
+    * in-place regeneration can produce identical names AND byte lengths
+    * (VERDICT r17 #4: the content fingerprint this key replaces in
+    * `fingerprintMemo` detected same-size edits; a name+size listing did
+    * not) — any rewrite bumps mtime, so the key changes and the index
+    * re-fingerprints/rebuilds. `depth = 2` also walks one directory level
+    * (a hive-partitioned table's `batch_id=N/part-*.parquet` files).
     */
-  private def listingKey(s: SparkSession, dirPath: String,
+  private[graft] def listingKey(s: SparkSession, dirPath: String,
       depth: Int = 1): String = {
     val root = new org.apache.hadoop.fs.Path(dirPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def walk(p: org.apache.hadoop.fs.Path, d: Int): Seq[(String, Long)] =
+    def walk(p: org.apache.hadoop.fs.Path, d: Int): Seq[(String, Long, Long)] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toIndexedSeq.flatMap { st =>
-        if (st.isFile) Seq((st.getPath.getName, st.getLen))
+        if (st.isFile) Seq((st.getPath.getName, st.getLen, st.getModificationTime))
         else if (d > 1) walk(st.getPath, d - 1)
-          .map { case (nm, len) => (s"${st.getPath.getName}/$nm", len) }
+          .map { case (nm, len, mt) => (s"${st.getPath.getName}/$nm", len, mt) }
         else Seq.empty
       }
     val entries = walk(root, depth)
-    val roster = entries.map { case (nm, len) => s"$nm:$len" }.sorted
+    val roster = entries.map { case (nm, len, mt) => s"$nm:$len:$mt" }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(roster.mkString("\n").getBytes("UTF-8"))
     // n = TOTAL BYTES, not file count: the sibling cleanup in
@@ -4454,13 +4459,23 @@ object SparkEntry {
       val survivors = gated.filter(col("q_pass"))
       val pairs = Dedup.minhashBandedPairs(survivors, "text", "doc_id",
         n = 3, threshold = 0.7)
+      // cutLineage on the two SHARED subtrees (r17 before-plan: 842 lines —
+      // the final assembly re-derived them per join arm): `assign` feeds
+      // the keeper filter AND the assembly AND (via ranked) the split, so
+      // its post-CC join+size-aggregate ran 3× per action; `ranked` feeds
+      // the split and the assembly (2×). One materialization each, then
+      // every consumer scans the checkpointed blocks (guide §2.4 — share
+      // one execution instead of re-deriving per consumer).
       val assign = Dedup.clusterAssignments(survivors, "doc_id", pairs)
+        .cutLineage()
       val keepers = survivors
         .join(assign.filter(col("is_keeper")).select("doc_id"), Seq("doc_id"))
       val ranked = keepers.withColumn("cap_rank",
         row_number().over(Window.partitionBy(col("source"))
           .orderBy(Curation.hashFraction(col("doc_id")), col("doc_id")))
           .cast("bigint"))
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+        .cutLineage()
       val capped = ranked.filter(col("cap_rank") <= 15)
       val split = Curation.stratifiedSplit(capped, "doc_id", "source",
           testFrac = 0.1, valFrac = 0.1)

@@ -38,7 +38,6 @@ object Ids {
     // sampling it" (guide §1.4/§3.3 — materialize before a plan-repeating
     // exchange).
     val input = df.persist()
-    input.count() // eager: the sample job and the shuffle read one cache
     // range-partition by the order key so partition order == global order.
     // localCheckpoint PINS the partitioning: both consumers below (the
     // offsets aggregation and the final join) read the SAME materialized
@@ -47,11 +46,17 @@ object Ids {
     // inner join on __pid across two different partitionings silently
     // DROPS every row whose pid only exists on one side (caught by the
     // etl_visitor_project_distributed shared oracle at sf0.1).
-    val sorted = input.repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    input.unpersist() // checkpoint landed; the lineage is cut
+    // try/finally: without it an exception between persist and unpersist
+    // leaked the cached copy for library callers (bench sweeps covered it
+    // only in the harness).
+    val sorted =
+      try {
+        input.count() // eager: the sample job and the shuffle read one cache
+        input.repartitionByRange(orderCols.map(col): _*)
+          .sortWithinPartitions(orderCols.map(col): _*)
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint()
+      } finally input.unpersist() // checkpoint landed (or failed); either way drop the cache
     // per-partition counts → cumulative offsets (tiny: one row per partition)
     val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__offset",

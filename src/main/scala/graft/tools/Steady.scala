@@ -82,23 +82,37 @@ object Steady {
           .getOrElse(-1L)
         finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1L }
-    def timeOnce(name: String): (Double, Long) = {
+    // cumulative JVM GC ms — per-run deltas complete the band's
+    // adjudication triple (steal / gc / load), mirroring Bench
+    def gcMillis: Long =
+      try {
+        val it = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.iterator()
+        var sum = 0L
+        while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) sum += t }
+        sum
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def timeOnce(name: String): (Double, Long, Long, Double) = {
       val s0 = stealJiffies
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val sd = { val s1 = stealJiffies; if (s0 < 0 || s1 < 0) -1L else s1 - s0 }
+      val gd = { val g1 = gcMillis; if (g0 < 0 || g1 < 0) -1L else g1 - g0 }
+      val ld = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       spark.catalog.clearCache()
       // match Bench: blocking-drain checkpoint/persist blocks off-clock
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      (sec, sd)
+      (sec, sd, gd, ld)
     }
-    def timeQuery(name: String): (Seq[Double], Seq[Long]) = {
+    def timeQuery(name: String): (Seq[Double], Seq[Long], Seq[Long], Seq[Double]) = {
       val warm = timeOnce(name)
       val rest = if (warm._1 < lightCut) lightRuns - 1 else runs - 1
       val all = warm +: (1 to rest).map(_ => timeOnce(name))
-      (all.map(_._1), all.map(_._2))
+      (all.map(_._1), all.map(_._2), all.map(_._3), all.map(_._4))
     }
 
     // canary FIRST: its run-1 JIT absorbs session warmup off the heavy
@@ -109,7 +123,7 @@ object Steady {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val canary = timeQuery("s1_scan_project")._1
     val rows = heavy.map { name =>
-      val (ts, steals) = timeQuery(name)
+      val (ts, steals, gcs, loads) = timeQuery(name)
       System.gc()
       val steady = ts.drop(1).sorted // run 1 = JIT/codegen warmup, dropped
       val median =
@@ -119,7 +133,9 @@ object Steady {
         f"band ${steady.head}%.2f-${steady.last}%.2f (run1 ${ts.head}%.2f)")
       val runsJson = ts.map(num).mkString("[", ",", "]")
       val stealJson = steals.mkString("[", ",", "]")
-      s""""$name":{"median":${num(median)},"min":${num(steady.head)},"max":${num(steady.last)},"runs":$runsJson,"steal":$stealJson}"""
+      val gcJson = gcs.mkString("[", ",", "]")
+      val loadJson = loads.map(num).mkString("[", ",", "]")
+      s""""$name":{"median":${num(median)},"min":${num(steady.head)},"max":${num(steady.last)},"runs":$runsJson,"steal":$stealJson,"gc":$gcJson,"load":$loadJson}"""
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage

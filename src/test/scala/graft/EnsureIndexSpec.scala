@@ -35,6 +35,29 @@ class EnsureIndexSpec extends SparkSpec {
     assert(b3 === 1, "a half-built index (no marker _SUCCESS) must rebuild")
   }
 
+  test("listingKey re-fingerprints an in-place same-size edit (mtime rides " +
+      "in the roster)") {
+    val dir = java.nio.file.Files.createTempDirectory("listing_key_spec")
+    val f = dir.resolve("seg.dat")
+    java.nio.file.Files.write(f, "0123456789".getBytes("UTF-8"))
+    val k1 = SparkEntry.listingKey(spark, dir.toString)
+    assert(k1 === SparkEntry.listingKey(spark, dir.toString),
+      "an unchanged listing must key identically")
+    // in-place regeneration: same name, same byte length, different content.
+    // mtime is bumped explicitly (filesystem mtime granularity can be 1s —
+    // coarser than this test): the CONTRACT is 'any rewrite carries a new
+    // mtime', which real rewrites satisfy by walltime passing.
+    java.nio.file.Files.write(f, "9876543210".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 5000))
+    val k2 = SparkEntry.listingKey(spark, dir.toString)
+    assert(k1 !== k2,
+      "a same-size in-place rewrite must change the listing key")
+    // the byte-total n prefix is unchanged (cross-SF coexistence keys on n)
+    assert(k1.takeWhile(_ != '_') === k2.takeWhile(_ != '_'))
+  }
+
   test("same-n different-fingerprint siblings are deleted; different-n " +
       "entries coexist (the cross-SF contract)") {
     val kind = s"spec_${System.nanoTime()}"
