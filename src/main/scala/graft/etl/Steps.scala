@@ -281,6 +281,19 @@ object Steps {
       .join(broadcast(homeMap),
         col("u.Home_Institution_Country_code").cast("string") === col("home_code"), "left")
 
+    // The EXPENSIVE expressions — three regex-backed institution cleanings
+    // and the tz-format legacy datetime parse — are applied AFTER the id
+    // assignment (same values: ids depend only on (round,
+    // original_project_id), which the cleaning never touches). Before r18
+    // they sat in this pre-id projection, which meant (a) the distributed
+    // path's staging materialization executed them on the UNSHUFFLED join
+    // output — AQE coalesces a dimension-sized join to one partition, so
+    // the whole regex battery ran in ONE task (profiled: a single 2.9 s
+    // serial stage inside an 8 s query at sf0.1) — and (b) the range
+    // sampling pass re-ran whatever wasn't already materialized. Applied
+    // above the id shuffle they run once, in parallel across the
+    // range/window partitions, and are never sampled (guide §8: shuffle
+    // light proxies, compute heavy transforms after the last exchange).
     val noId = joined.select(
       col("p.UserProject_ID").as("original_project_id"),
       col("p.UserProject_Title").as("title"),
@@ -298,14 +311,14 @@ object Steps {
       col("p.UserProject_Summary").as("summary"),
       b(col("p.New_User")).as("new_user"),
       col("p.UserProject_Facility_Reasons").as("facility_reasons"),
-      Cleaning.toDatetimeLegacy(col("p.Submission_Date")).as("submission_date"), // F3
+      col("p.Submission_Date").as("submission_date"), // F3 parse deferred below
       b(col("p.Support_Final")).as("support_final"),
       col("p.Project_Discipline").as("project_discipline"),
       col("spec_new").as("project_specific_discipline"),
       col("call_id").as("call_submitted"),
       b(col("p.Previous_Application")).as("previous_application"),
       col("p.Training_Requirement").as("training_requirement"),
-      inst(col("p.Supporter_Institution")).as("supporter_institution"),
+      col("p.Supporter_Institution").as("supporter_institution"), // J6 deferred
       col("p.Administration_State").as("administration_state"),
       b(col("p.Group_leader")).as("group_leader"),
       col("p.Group_Members").as("group_members"),
@@ -313,7 +326,7 @@ object Steps {
       col("p.UserProject_Reasons").as("reasons"),
       col("p.UserProject_Expectations").as("expectations"),
       col("p.UserProject_Outputs").as("outputs"),
-      inst(col("p.Group_Leader_Institution")).as("group_leader_institution"),
+      col("p.Group_Leader_Institution").as("group_leader_institution"), // J6 deferred
       col("p.Visit_Funded_Previously").as("visit_funded_previously"),
       col("u.Gender").as("gender"),
       col("nat_id").as("nationality"),
@@ -323,7 +336,7 @@ object Steps {
       col("u.Discipline3").as("researcher_discipline3"),
       col("u.Home_Institution_Type").as("home_institution_type"),
       col("u.Home_Institution_Dept").as("home_institution_dept"),
-      inst(col("u.Home_Institution_Name")).as("home_institution_name"),
+      col("u.Home_Institution_Name").as("home_institution_name"), // J6 deferred
       col("u.Home_Institution_Town").as("home_institution_town"),
       col("home_id").as("home_institution_country"),
       col("u.Home_Institution_Postcode").as("home_institution_postcode"),
@@ -335,7 +348,13 @@ object Steps {
       col("u.jobTitle").as("job_title"),
       col("p.round").as("round"))
     val table = assignId(noId)
-      .select((col("id") +: noId.columns.map(col)): _*)
+      .select((col("id") +: noId.columns.map {
+        case c @ ("supporter_institution" | "group_leader_institution" |
+                  "home_institution_name") => inst(col(c)).as(c) // J6
+        case "submission_date" =>
+          Cleaning.toDatetimeLegacy(col("submission_date")).as("submission_date") // F3
+        case c => col(c)
+      }): _*)
     val mapping = table.select(col("round"),
       col("original_project_id").as("original_id"), col("id").as("new_id"))
     (table, mapping)

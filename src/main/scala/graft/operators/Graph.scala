@@ -200,38 +200,46 @@ object Graph {
       .cutLineage()
     val n = nodes.count().toDouble
 
+    // The iteration runs on SPARSE vectors (r18): only nodes with at
+    // least one in-edge ever carry authority, only nodes with at least
+    // one out-edge ever carry hub — and the transposes join on exactly
+    // those populations (every `dst` HAS an in-edge, every `src` an
+    // out-edge), so the zero-scored nodes contribute nothing to any
+    // round. The old shape re-aligned each half-step's scores to the
+    // FULL node set (nodes left-join + repartition + checkpoint, twice
+    // per round) just to carry zeros through; deferring that zero-fill
+    // to the final output halves the per-round actions and removes two
+    // full-vector exchanges per round (guide §2.4). Arithmetic for every
+    // scored node is unchanged term for term: a/atot where atot sums the
+    // same raw transpose; each half-step still cuts the RAW transpose
+    // once (r17) so the normalization total and the next join read one
+    // materialized frame.
     var hub = nodes.select(col("node"), lit(1.0 / n).as("hub")).cutLineage()
     var auth: DataFrame = null
-    // each half-step cuts the RAW transpose once (r17): the normalization
-    // total and the node-aligned join both consume it, and without the cut
-    // the hub⋈edges join + groupBy ran TWICE per half-step (once under the
-    // broadcast total, once under the vector join). The cut frame is one
-    // row per scored node — tiny — and the follow-on aggregate/join read
-    // the materialized blocks.
     (1 to iterations).foreach { _ =>
       val rawAuth = hub.join(edges, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum("hub").as("a"))
         .cutLineage()
       val aTot = rawAuth.agg(sum("a").as("atot"))
-      auth = nodes.join(rawAuth, nodes("node") === rawAuth("dst"), "left")
-        .crossJoin(broadcast(aTot))
-        .select(nodes("node"),
-          (coalesce(col("a"), lit(0.0)) / col("atot")).as("auth"))
-        .repartition(col("node"))
-        .cutLineage()
+      auth = rawAuth.crossJoin(broadcast(aTot))
+        .select(col("dst").as("node"), (col("a") / col("atot")).as("auth"))
       val rawHub = auth.join(edges, col("node") === col("dst"))
         .groupBy(col("src")).agg(sum("auth").as("hh"))
         .cutLineage()
       val hTot = rawHub.agg(sum("hh").as("htot"))
-      hub = nodes.join(rawHub, nodes("node") === rawHub("src"), "left")
-        .crossJoin(broadcast(hTot))
-        .select(nodes("node"),
-          (coalesce(col("hh"), lit(0.0)) / col("htot")).as("hub"))
-        .repartition(col("node"))
-        .cutLineage()
+      hub = rawHub.crossJoin(broadcast(hTot))
+        .select(col("src").as("node"), (col("hh") / col("htot")).as("hub"))
     }
-    hub.join(auth, Seq("node")).select(col("node"), col("hub"),
-      col("auth").as("authority"))
+    // zero-fill against the full node set ONCE: nodes with no in-edges
+    // score authority 0, no out-edges hub 0 — same values the per-round
+    // dense alignment used to produce (coalesce(x, 0)/tot == 0.0 exactly)
+    nodes
+      .join(hub.select(col("node").as("__hn"), col("hub")),
+        col("node") === col("__hn"), "left")
+      .join(auth.select(col("node").as("__an"), col("auth")),
+        col("node") === col("__an"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("authority"))
   }
 
   /** Label-propagation community detection (Raghavan et al. 2007) in

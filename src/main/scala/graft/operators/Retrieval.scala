@@ -229,8 +229,22 @@ object Retrieval {
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(toks(col("qtext")))).as("token"))
 
-    val scored = postings
-      .join(broadcast(qterms.join(dfTab, Seq("token"))), Seq("token"))
+    // spread an under-parallel postings scan before the probe: a flat index
+    // arrives as ONE split, and the probe's fan-out (every posting row
+    // matches every query sharing its token) plus the per-row scoring and
+    // partial aggregation then run in a single task (profiled at sf0.1:
+    // 116 k postings → 1.34 M scored rows → 1.4 s serial, the whole
+    // query's hot stage). Gated on the actual partition count, so a real
+    // 100 TB index — already thousands of splits — skips the shuffle
+    // (same contract as Dedup.spread).
+    val scored = Dedup.spread(postings, "doc_id")
+      // the INNER broadcast pins the build side to the query-term set:
+      // without it the planner broadcasts dfTab (its file-size estimate is
+      // the smaller number), which at corpus scale is the whole vocabulary
+      // — query terms are bounded by |queries|×8, the vocabulary is not.
+      // The term⋈df join streams dfTab instead, and only the tiny joined
+      // result is re-broadcast into the postings probe.
+      .join(broadcast(broadcast(qterms).join(dfTab, Seq("token"))), Seq("token"))
       .join(doclens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
