@@ -4086,9 +4086,14 @@ object SparkEntry {
           lit("https://www.ncbi.nlm.nih.gov/pmc/articles/PMC"),
           lit(1000000) + m(o, 9000000)))
         .otherwise(concat(lit("www.cambridge.org/core/product/"), camId))
-      val records = t(s, dir, "orders")
+      // spread: the single-split orders scan serialized BOTH heavy map
+      // phases (the recognizer battery on the records side and the regex
+      // key/body derivation under the cache distinct) into one task each
+      // — profiled 1.1 s + 0.75 s serial at sf0.1. Gated on the actual
+      // scan width, so a many-split production table skips the shuffle.
+      val records = Dedup.spread(t(s, dir, "orders")
         .select(o.cast("bigint").as("id"), url.as("url"),
-          m(o, 6).cast("int").as("kind"))
+          m(o, 6).cast("int").as("kind")), "id")
       // response cache FIXTURE: in production this table was written by
       // the fetch stage, so its keys are recorded values, not re-derived
       // — build them directly per kind (one cheap extract per row, the

@@ -27,7 +27,7 @@ object Dedup {
     * when the input is under-parallel, where its O(input) cost is noise
     * next to the per-shingle hash work it parallelizes.
     */
-  private[operators] def spread(docs: DataFrame, idCol: String): DataFrame = {
+  private[graft] def spread(docs: DataFrame, idCol: String): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
     else docs

@@ -48,7 +48,10 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
+    // spread an under-parallel corpus scan: the q×N scoring and the
+    // partial top-k heap otherwise run in one task (gated — see Dedup.spread)
+    val c = Dedup.spread(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
@@ -205,15 +208,13 @@ object Similarity {
   private def ivfSearch(centers: Array[Array[Double]],
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       idCol: String, vecCol: String): DataFrame = {
-    // centroids as a small broadcast frame (nCells × dim)
-    val session = corpus.sparkSession
-    import session.implicits._
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-
-    val cells = assignToCells(corpus, centroids, idCol, vecCol,
-      "neighbor_id", "nvec", probes = 1)
-    val probes = assignToCells(queries, centroids, idCol, vecCol,
+    // spread an under-parallel corpus scan: with the assignment now
+    // map-side (no exchange), a single-split corpus would otherwise run
+    // the whole assign+score+partial-topk pipeline in one task; gated, so
+    // a many-split production corpus skips the shuffle
+    val cells = assignToCells(Dedup.spread(corpus, idCol), centers, idCol,
+      vecCol, "neighbor_id", "nvec", probes = 1)
+    val probes = assignToCells(queries, centers, idCol, vecCol,
       "query_id", "qvec", probes = nProbe)
     val scored = cells.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -221,24 +222,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Nearest-`probes` cell assignment against a broadcast centroid frame —
+  /** Nearest-`probes` cell assignment against a DRIVER-SIDE centroid set —
     * the shared kernel of [[ivfSearch]], [[writeIvfPartitioned]] and
     * [[ivfTopKFromPartitioned]]. Nearest by squared L2: |x|² is constant
     * per row, so ranking by |c|² − 2x·c is equivalent and skips the
     * per-row norm.
+    *
+    * Pure MAP-SIDE since r18: the centroids ride as an array-of-structs
+    * literal and the nearest `probes` cells come from `array_sort` +
+    * `slice` over that nCells-element array — the previous crossJoin +
+    * per-id window shuffled corpus×nCells rows and sorted them just to
+    * take rank ≤ probes, an exchange this removes at any scale. Struct
+    * ordering compares (d2, cell) exactly like the window's
+    * orderBy(d2, cell); |c|² is folded to a Scala-computed literal (same
+    * left-to-right summation order as the DotProduct loop, so the double
+    * is bit-identical to the expression it replaces).
     */
-  private[graft] def assignToCells(df: DataFrame, centroids: DataFrame,
+  private[graft] def assignToCells(df: DataFrame, centers: Array[Array[Double]],
       srcId: String, srcVec: String, id: String, v: String,
       probes: Int): DataFrame = {
     import graft.functions.VectorOps.dotProduct
-    val scored = df.select(col(srcId).as(id), asDouble(col(srcVec)).as(v))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2",
-        dotProduct(col("centroid"), col("centroid")) -
-          lit(2.0) * dotProduct(col(v), col("centroid")))
-    val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
-    scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= probes)
-      .select(col(id), col(v), col("cell"))
+    def ranked(vc: org.apache.spark.sql.Column) = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2.0) * dotProduct(vc, lit(c))).as("d2"),
+        lit(i).as("cell"))
+    }: _*)
+    df.select(col(srcId).as(id), asDouble(col(srcVec)).as(v))
+      .select(col(id), col(v),
+        explode(slice(array_sort(ranked(col(v))), 1, probes)).as("__sc"))
+      .select(col(id), col(v), col("__sc.cell").as("cell"))
   }
 
   /** The 100 TB IVF layout made concrete (the partition-column shape
@@ -260,9 +272,7 @@ object Similarity {
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq, n) }.toSeq
       .toDF("cell", "centroid", "n_corpus")
       .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    assignToCells(corpus, centroids, idCol, vecCol, idCol, vecCol, probes = 1)
+    assignToCells(corpus, centers, idCol, vecCol, idCol, vecCol, probes = 1)
       .withColumn("n_corpus", lit(n))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(path + "/vectors")
@@ -279,12 +289,10 @@ object Similarity {
   def ivfTopKFromPartitioned(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import spark.implicits._
-    val rows = spark.read.parquet(path + "/centroids")
+    val centers = spark.read.parquet(path + "/centroids")
       .select(col("cell"), col("centroid")).collect().sortBy(_.getInt(0))
-    val centroids = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .toSeq.toDF("cell", "centroid")
-    val probes = assignToCells(queries, centroids, idCol, vecCol,
+      .map(_.getSeq[Double](1).toArray)
+    val probes = assignToCells(queries, centers, idCol, vecCol,
       "query_id", "qvec", probes = nProbe)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -676,11 +684,9 @@ object Similarity {
       if (nCorpus > maxTrainSamples)
         corpus.sample(withReplacement = false, maxTrainSamples.toDouble / nCorpus, seed)
       else corpus
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     val assigned = assignToCells(
         trainSrc.withColumn("__rid", monotonically_increasing_id()),
-        centroids, "__rid", vecCol, "__rid", "rawv", probes = 1)
+        centers, "__rid", vecCol, "__rid", "rawv", probes = 1)
       .select(residualOf(normalize(col("rawv")), col("cell"), centers).as("v"))
     val dim = assigned.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -787,7 +793,8 @@ object Similarity {
       .map(j => element_at(col(s"t_$j"), col(s"code_$j")))
       .reduce(_ + _)
     val shortlist = rankTopK(
-      codes.join(broadcast(qt), col("neighbor_id") =!= col("query_id"))
+      Dedup.spread(codes, "neighbor_id")
+        .join(broadcast(qt), col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", round(adc, 4)),
       k * refine)
 
@@ -854,9 +861,7 @@ object Similarity {
       .toDF("subspace", "centroid_id", "centroid").withColumn("n_corpus", lit(n))
       .withColumn("residual", lit(true)) // self-describing encoding space
       .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    assignToCells(corpus, centroids, idCol, vecCol, "neighbor_id", "rawv",
+    assignToCells(corpus, centers, idCol, vecCol, "neighbor_id", "rawv",
         probes = 1)
       .select(col("neighbor_id"), normalize(col("rawv")).as("nvec"), col("cell"))
       .withColumn("rvec", residualOf(col("nvec"), col("cell"), centers))
@@ -1021,16 +1026,11 @@ object Similarity {
     // cell assignment happens in the RAW vector space (the coarse
     // quantizer was fit there — see fitQuantizer); normalization happens
     // after, for the PQ/cosine stage only
-    def assign(df: DataFrame, id: String, v: String, probes: Int) = {
-      val scored = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
-        .crossJoin(broadcast(centroids))
-        .withColumn("d2",
-          dotProduct(col("centroid"), col("centroid")) -
-            lit(2.0) * dotProduct(col(v), col("centroid")))
-      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
-      scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= probes)
+    // map-side nearest-cell kernel (shared assignToCells), normalized
+    // after assignment — the coarse quantizer was fit in raw space
+    def assign(df: DataFrame, id: String, v: String, probes: Int) =
+      assignToCells(df, centers, idCol, vecCol, id, v, probes)
         .select(col(id), normalize(col(v)).as(v), col("cell"))
-    }
 
     // stored side: (cell, codes, nvec) — what the index persists, cell
     // being the partition column; encode once. In residual mode the codes
@@ -1040,7 +1040,11 @@ object Similarity {
     val encodeOver =
       if (residual) residualOf(col("nvec"), col("cell"), centers)
       else col("nvec")
-    val cells = assign(corpus, "neighbor_id", "nvec", probes = 1)
+    // spread an under-parallel corpus scan: assignment + PQ encoding are
+    // now all map-side, so a single-split corpus would serialize the
+    // whole encode battery into one task (gated; a many-split production
+    // corpus skips the shuffle)
+    val cells = assign(Dedup.spread(corpus, idCol), "neighbor_id", "nvec", probes = 1)
       .withColumn("rvec", encodeOver)
       .select(col("neighbor_id") +: col("nvec") +: col("cell") +:
         pqCodeCols(books, col("rvec")): _*)
@@ -1112,13 +1116,11 @@ object Similarity {
       .toDF("subspace", "centroid_id", "centroid").withColumn("n_corpus", lit(n))
       .withColumn("residual", lit(residual))
       .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     // raw-space cell assignment (the quantizer was fit there), then
     // normalize for the PQ encoding — residual mode additionally
     // subtracts the cell's normalized centroid (the ivfPqSearch
     // convention: codes quantize x̂ − ĉ(cell))
-    assignToCells(corpus, centroids, idCol, vecCol, "neighbor_id", "rawv",
+    assignToCells(corpus, centers, idCol, vecCol, "neighbor_id", "rawv",
         probes = 1)
       .select(col("neighbor_id"), normalize(col("rawv")).as("nvec"), col("cell"))
       .withColumn("rvec",
@@ -1161,15 +1163,14 @@ object Similarity {
       }.toArray
     val m = books.length
     val subDim = books(0)(0).length
-    val centroids = centerRows
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
-      .toDF("cell", "centroid")
+    val centers = centerRows
+      .map(r => r.getSeq[Double](1).toArray)
 
     def subv(v: org.apache.spark.sql.Column, j: Int) = slice(v, j * subDim + 1, subDim)
     val tableCols = (0 until m).map { j =>
       array(books(j).map(c => dotProduct(subv(col("qvec"), j), lit(c))): _*).as(s"t_$j")
     }
-    val probes = assignToCells(queries, centroids, idCol, vecCol,
+    val probes = assignToCells(queries, centers, idCol, vecCol,
         "query_id", "qvec", probes = nProbe)
       .select(col("query_id"), normalize(col("qvec")).as("qvec"), col("cell"))
       .select(col("query_id") +: col("qvec") +: col("cell") +: tableCols: _*)

@@ -118,9 +118,7 @@ object PqIngest {
         throw new IllegalStateException(
           s"$indexPath has no centroids/codebooks — bootstrap() the index " +
             "from a corpus snapshot before streaming into it"))
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    Similarity.assignToCells(batch, centroids, idCol, vecCol,
+    Similarity.assignToCells(batch, centers, idCol, vecCol,
         "neighbor_id", "rawv", probes = 1)
       .select(col("neighbor_id"),
         Similarity.normalize(col("rawv")).as("nvec"), col("cell"))

@@ -94,9 +94,7 @@ object VectorIngest {
           .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
         c
       }
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    Similarity.assignToCells(batch, centroids, idCol, vecCol, idCol, vecCol,
+    Similarity.assignToCells(batch, centers, idCol, vecCol, idCol, vecCol,
         probes = 1)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").partitionBy("cell", "batch_id")
